@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Aggregation pack: hash aggregate, distinct, rollup/cube/grouping
+  * sets. The reference only counts (`kinesis-to-humio.py:114-117,133`,
+  * R17); this generalizes to the full grouped-aggregation surface of
+  * SURVEY.md §2.3.
+  *
+  * Determinism (SURVEY §7.4): doubles are cast to DECIMAL(18,2)
+  * *before* summing on both engines (summation order differs between
+  * Spark partial/final aggregation and DuckDB); averages are computed
+  * as exact-decimal-sum → double ÷ count, which is bit-deterministic
+  * IEEE arithmetic on both sides.
+  *
+  * Scale: all of these are partial-aggregate (map-side combine) +
+  * final aggregate over a hash shuffle on the group keys — the plan
+  * Spark picks natively for groupBy/rollup/cube; no row explosion
+  * beyond the grouping-set expansion itself.
+  */
+object AggQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumDec(c: Column): Column = sum(dec(c)).cast(DecimalType(18, 2))
+  private def avgViaSum(c: Column): Column =
+    sum(dec(c)).cast("double") / count(lit(1))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped hash aggregate.
+    "q_agg_hash" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          // Operands are cast to decimal BEFORE multiplying: decimal
+          // multiplication is exact on both engines, whereas casting
+          // the double product rounds differently (Spark exact-binary
+          // HALF_UP vs DuckDB scaled-double rounding). The scale-4
+          // product sum is kept at scale 4 — a final downscale to 2
+          // would tie-break .xx5 differently across engines.
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DecimalType(20, 4)).as("sum_disc_price"),
+          avgViaSum(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")),
+
+    // ROLLUP over a join: the Dataset-API rollup trips Spark's
+    // ambiguous-self-join check against the Expand's duplicated
+    // grouping attributes when combined with grouping() + orderBy, so
+    // this one uses the SQL surface (same Catalyst plan).
+    "q_agg_rollup" -> ((s, d) => {
+      custNationRegion(s, d).createOrReplaceTempView("cnr_rollup")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          |    AS sum_bal,
+          |  CAST(GROUPING(r_name) AS INT) AS g_r,
+          |  CAST(GROUPING(n_name) AS INT) AS g_n
+          |FROM cnr_rollup
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      val g = Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sumDec(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_s"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"))
+      g.orderBy(g("g_s"), g("g_p"),
+        g("o_orderstatus").asc_nulls_first,
+        g("o_orderpriority").asc_nulls_first)
+    }),
+
+    // GROUPING SETS has no Dataset-API builder — SQL surface is the
+    // idiomatic Spark route.
+    "q_agg_grouping_sets" -> ((s, d) => {
+      custNationRegion(s, d).createOrReplaceTempView("cnr_gs")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS cnt,
+          |  CAST(GROUPING(r_name) AS INT) AS g_r,
+          |  CAST(GROUPING(n_name) AS INT) AS g_n
+          |FROM cnr_gs
+          |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+          |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+          |""".stripMargin)
+    })
+  )
+
+  private def custNationRegion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+
+  private val cnrFrom =
+    """FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r,
+        |  CAST(GROUPING(n_name) AS INT) AS g_n
+        |$cnrFrom
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS cnt,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r,
+        |  CAST(GROUPING(n_name) AS INT) AS g_n
+        |$cnrFrom
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Scan / filter / join / set-op / sort query pack.
+  *
+  * Semantics mirror the reference's dataflow building blocks
+  * (`kinesis-to-humio.py:181-218` listing scan, `:196` filter,
+  * `:210-216` anti-join dedup, `:292` sort) generalized to the full
+  * relational surface declared in SURVEY.md §2.3.
+  *
+  * Every query is deterministic: total ORDER BY on a unique key
+  * suffix, decimal casts before double aggregation (SURVEY §7.4) so
+  * the DuckDB oracle hash-matches.
+  *
+  * Scale notes: joins to the small dims (region/nation) are
+  * broadcast; large joins shuffle on their equi-keys and are
+  * AQE-eligible; top-k compiles to TakeOrderedAndProject (no global
+  * sort materialization).
+  */
+object RelationalQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_filter_pred" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") <  lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // R4 semantics (kinesis-to-humio.py:210-216): anti-join against a
+    // "processed" subset.
+    "q_files_antijoin" -> ((s, d) => {
+      val processed = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      Tables.orders(s, d)
+        .join(processed, col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_inner" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")),
+
+    "q_join_left" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "q_join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Non-equi (theta) join: falls to BroadcastNestedLoopJoin with the
+    // 25-row nation side broadcast — the only sane physical plan.
+    "q_join_theta" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") % 7 === 0)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") < col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_nationkey", "n_name")
+        .orderBy("c_custkey", "n_nationkey")),
+
+    "q_join_multiway" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          // Decimal-first multiply: exact on both engines (casting the
+          // double product instead rounds differently — see AggQueries).
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DecimalType(20, 4)).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")),
+
+    "q_sort_limit_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_set_union" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 4000).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    }),
+
+    "q_set_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .intersect(c.filter(col("c_acctbal") > 4000).select("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_set_except" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .except(c.filter(col("c_acctbal") > 4000).select("c_custkey"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_files_antijoin" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT c_custkey, c_nationkey, n_nationkey, n_name
+        |FROM customer, nation
+        |WHERE c_custkey % 7 = 0 AND c_nationkey < n_nationkey
+        |ORDER BY c_custkey, n_nationkey""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DECIMAL(20,4)) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Scalar-function pack: string / date / math / json / array — the
+  * generalization of the reference's only scalar logic: the
+  * `logStreamPrefix` derivation `'/'.join(logStream.split('/')[0:2])`
+  * (`kinesis-to-humio.py:137,163`, replicated here Spark-natively as
+  * `concat_ws("/", slice(split(path, "/"), 1, 2))`, with the same
+  * leniency for <2-segment inputs), the JSON decode
+  * (`kinesis-to-humio.py:131` → `get_json_object`), and the raw
+  * epoch-millis timestamps it passes through (`:147`).
+  *
+  * All functions here are built-in codegen'd Catalyst expressions —
+  * no UDFs — so each query is a single WholeStageCodegen scan span.
+  */
+object ScalarQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R11 prefix derivation + substr/upper/regexp over documents.
+    "q_str_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("path",
+          concat_ws("/", col("source"), col("lang"), col("doc_id")))
+        .select(col("doc_id"),
+          col("path"),
+          concat_ws("/", slice(split(col("path"), "/"), 1, 2)).as("prefix2"),
+          upper(col("lang")).as("up_lang"),
+          substring(col("text"), 1, 20).as("snippet"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          length(col("text")).cast("int").as("n_len"))
+        .orderBy("doc_id")),
+
+    "q_date_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_trunc("month", col("l_shipdate")).as("ship_month"),
+          year(col("l_shipdate")).cast("int").as("ship_year"),
+          month(col("l_shipdate")).cast("int").as("ship_mon"),
+          dayofmonth(col("l_shipdate")).cast("int").as("ship_day"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_math_funcs" -> ((s, d) => {
+      val p = col("p_retailprice").cast(DecimalType(18, 2))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          round(p, 1).as("r1"),
+          abs(p - 1000).cast(DecimalType(18, 2)).as("dist_1000"),
+          least(col("p_size"), lit(25)).as("lo_size"),
+          greatest(col("p_size"), lit(25)).as("hi_size"),
+          sqrt(col("p_retailprice")).as("root_price"),
+          floor(col("p_retailprice")).cast("long").as("floor_price"),
+          ceil(col("p_retailprice")).cast("long").as("ceil_price"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          col("event_type"))
+        .orderBy("event_id")),
+
+    "q_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("int").as("dim"),
+          element_at(col("embedding"), 1).as("first_elem"),
+          element_at(col("embedding"), -1).as("last_elem"),
+          slice(col("embedding"), 1, 4).as("head4"),
+          round(
+            aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast("double")), 4).as("sum4"))
+        .orderBy("vec_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT doc_id, path,
+        |  array_to_string((string_split(path, '/'))[1:2], '/') AS prefix2,
+        |  upper(lang) AS up_lang,
+        |  substring(text, 1, 20) AS snippet,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  CAST(length(text) AS INT) AS n_len
+        |FROM (SELECT *, concat_ws('/', source, lang, doc_id) AS path
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(month(l_shipdate) AS INT) AS ship_mon,
+        |  CAST(day(l_shipdate) AS INT) AS ship_day,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,
+        |  CAST(abs(CAST(p_retailprice AS DECIMAL(18,2)) - 1000)
+        |       AS DECIMAL(18,2)) AS dist_1000,
+        |  least(p_size, 25) AS lo_size,
+        |  greatest(p_size, 25) AS hi_size,
+        |  sqrt(p_retailprice) AS root_price,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_elem,
+        |  embedding[-1] AS last_elem,
+        |  embedding[1:4] AS head4,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum4
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Embedding-similarity pack: exact top-k cosine neighbors
+  * (brute-force over a bounded candidate set) and cosine near-dup
+  * pair detection — the baseline layer of an ANN/near-dedup stack for
+  * training-data pipelines (the LSH-bucketed scale path lives in
+  * [[graft.operators.ApproxDedup]] and [[graft.operators.AnnSearch]]).
+  *
+  * Determinism: cosine is computed with sequential double
+  * accumulation ([[VectorFns.dot]]) mirroring the DuckDB oracle's
+  * `list_inner_product(CAST(... AS DOUBLE[]))` formulation, so both
+  * engines produce bit-identical doubles; `round(·, 6)` plus a
+  * neighbor-id tie-break keeps ranking stable regardless (SURVEY
+  * §7.4).
+  *
+  * Scale: the N² pair space is explicitly bounded (`vec_id < 200` /
+  * `< 300`) per the baseline contract; at real scale the same plan
+  * runs per-LSH-bucket instead of globally, which is exactly what
+  * the `q_ann_lsh` operator does.
+  */
+object SimilarityQueries {
+  private val topK = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cos_sim").desc, col("b_id").asc)
+      a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos_sim",
+          round(VectorFns.cosine(col("va"), col("vb")), 6))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= topK)
+        .select("a_id", "b_id", "cos_sim", "rk")
+        .orderBy("a_id", "rk")
+    }),
+
+    // Near-duplicate pairs by cosine threshold (unordered pairs,
+    // a_id < b_id). Threshold 0.4 is tuned to the synthetic corpus's
+    // similarity range; real pipelines run 0.9+.
+    "q_dedup_embed_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(VectorFns.cosine(col("va"), col("vb")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select("a_id", "b_id", "cos_sim")
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  private val cosExpr =
+    """list_inner_product(CAST(a.embedding AS DOUBLE[]),
+      |                   CAST(b.embedding AS DOUBLE[])) /
+      |  (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+      |                           CAST(a.embedding AS DOUBLE[]))) *
+      |   sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""SELECT a_id, b_id, cos_sim, rk FROM (
+        |  SELECT a_id, b_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER
+        |      (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS INT) AS rk
+        |  FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |      round($cosExpr, 6) AS cos_sim
+        |    FROM embeddings a, embeddings b
+        |    WHERE a.vec_id < 200 AND b.vec_id < 200
+        |      AND a.vec_id <> b.vec_id))
+        |WHERE rk <= $topK
+        |ORDER BY a_id, rk""".stripMargin,
+    "q_dedup_embed_cosine" ->
+      s"""SELECT a_id, b_id, cos_sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round($cosExpr, 6) AS cos_sim
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

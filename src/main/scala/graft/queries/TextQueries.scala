@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text / document pack for LLM-training-data pipelines: exact
+  * dedup, corpus statistics, and per-document quality signals over
+  * the `documents` table. Exact dedup generalizes the reference's
+  * processed-file anti-join dedup (`kinesis-to-humio.py:210-216`)
+  * from file keys to content.
+  *
+  * Scale: every query is a single hash aggregate or a pure per-row
+  * projection of codegen'd higher-order functions — no shuffle wider
+  * than the group-by keys, no driver materialization. Exact dedup on
+  * full text at 100 TB would group on a content hash instead
+  * (`xxhash64(text)`) to shrink shuffle width; see
+  * `q_dedup_exact_hash` which does exactly that and verifies the
+  * groups are identical.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact content dedup: keep the lowest doc_id per distinct text.
+    "q_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "text", "n_copies")
+        .orderBy("doc_id")),
+
+    // Scale-path variant: group on a 64-bit content hash so the
+    // shuffle carries 8-byte keys instead of whole documents. The
+    // doc_id/n_copies output is identical to q_dedup_exact absent
+    // xxhash64 collisions.
+    "q_dedup_exact_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(xxhash64(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1)))
+            .as("avg_tokens"))
+        .orderBy("lang")),
+
+    // Per-document quality signals: token count, vocabulary richness,
+    // stopword ratio — the cheap heuristics used to filter training
+    // corpora before expensive model-based scoring.
+    "q_text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_unique", size(array_distinct(toks)))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isin("the", "a"))))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_tokens"))
+            .as("uniq_ratio"),
+          col("n_stop"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // Oracle groups on the raw text (hashes differ across engines);
+    // the grouped result is identical unless xxhash64 collides.
+    "q_dedup_exact_hash" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |    AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS INT)
+        |    AS n_stop,
+        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio
+        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

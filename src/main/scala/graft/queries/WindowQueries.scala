@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Window-function pack: rank family, running frames, lead/lag, and
+  * batch sessionization (gap > 30 min ⇒ new session) — SURVEY.md §2.3
+  * Q23–Q26 + `q_events_sessionize`.
+  *
+  * Event time: `events.ts` is epoch-nanos LongType (see
+  * [[graft.Tables]]); all arithmetic here uses `ts_us = ts div 1000`
+  * to match DuckDB's microsecond truncation of the same parquet
+  * column exactly.
+  *
+  * Scale: each window is a single hash-shuffle on its partition key +
+  * in-partition sort; no window here is unpartitioned (which would
+  * serialize on one task at 100 TB).
+  */
+object WindowQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          row_number().over(w).cast("int").as("rn"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(18, 2))
+            .as("run_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Gap-based sessionization: lag + cumulative-sum of new-session
+    // flags — the classic two-window formulation.
+    "q_events_sessionize" -> ((s, d) => {
+      val byTime = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = 30L * 60 * 1000 * 1000
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byTime) > gapUs ||
+            lag(col("ts_us"), 1).over(byTime).isNull, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("new_sess")).over(cum).cast("int").as("session_id"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(RANK() OVER w AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DECIMAL(18,2)) AS run_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_lead_lag" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  ts_us - LAG(ts_us, 1) OVER w AS gap_us
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_events_sessionize" ->
+      """SELECT user_id, event_id, ts_us,
+        |  CAST(SUM(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |      LAG(epoch_us(ts), 1) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        AS prev_us
+        |    FROM events))
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}
