@@ -8,11 +8,13 @@ import graft.queries._
   * rules that make every oracle pair hash-match DuckDB.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. Runs the multiway-join revenue rollup (lineitem ⋈ orders
-    * ⋈ customer). */
+  /** Flagship query: the reference's entire ingest dataflow (R6–R13)
+    * as one declarative plan — gunzip-until-plain, DATA_MESSAGE
+    * split, from_json, explode, lineage/prefix enrichment, batch ids
+    * (see [[graft.firehose.FirehoseDecoder]]). Driver smoke-checks
+    * rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_multiway")(spark, "/root/testdata/sf0.001")
+    PipelineQueries.firehosePipeline(spark)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -21,7 +23,8 @@ object SparkEntry {
       WindowQueries.queries ++
       ScalarQueries.queries ++
       TextQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -32,5 +35,6 @@ object SparkEntry {
       WindowQueries.oracleSql ++
       ScalarQueries.oracleSql ++
       TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql
+      SimilarityQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -1,0 +1,142 @@
+package graft.firehose
+
+import java.io.ByteArrayInputStream
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Decoder for the Kinesis-Firehose/CloudWatch-Logs file format the
+  * reference ingests: S3 objects containing **concatenated**
+  * DATA_MESSAGE JSON blocks with no separator, gzip'd zero or more
+  * times (reference behavior at `kinesis-to-humio.py:15,91-96,99-131`).
+  *
+  * Spark-first shape: `binaryFile` scan → per-file flatMap
+  * (gunzip-until-plain ∘ split-on-delimiter) → `from_json` with the
+  * block schema → `explode(logEvents)` → lineage/prefix projection.
+  * Every stage after the scan is a narrow transformation — one task
+  * per file split, no shuffle anywhere in the decode path, so the
+  * pipeline scales linearly with executor count at 100 TB.
+  *
+  * Replicated reference semantics (SURVEY.md §2.1):
+  *  - block boundary = next delimiter occurrence; last block runs to
+  *    EOF (`kinesis-to-humio.py:123-127`);
+  *  - a file with zero delimiters yields zero events, not an error
+  *    (`:114-115`) — including delimiter-in-message false positives
+  *    (`:107-112`), which are intentionally NOT fixed;
+  *  - `logStreamPrefix` = first two `/`-segments of `logStream`,
+  *    lenient for shorter names (`:137`);
+  *  - event `timestamp` stays epoch-millis LongType end-to-end
+  *    (`:147`) — callers convert via `timestamp_millis` only when
+  *    windowing.
+  */
+object FirehoseDecoder {
+  /** Block-start delimiter (`kinesis-to-humio.py:15`). */
+  val Delimiter: Array[Byte] =
+    "{\"messageType\":\"DATA_MESSAGE\"".getBytes("UTF-8")
+
+  /** DATA_MESSAGE block schema (FIXTURES.md §A.2). */
+  val blockSchema: StructType = StructType(Seq(
+    StructField("messageType", StringType),
+    StructField("owner", StringType),
+    StructField("logGroup", StringType),
+    StructField("logStream", StringType),
+    StructField("subscriptionFilters", ArrayType(StringType)),
+    StructField("logEvents", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("timestamp", LongType),
+      StructField("message", StringType)))))))
+
+  /** Gzip magic check (`kinesis-to-humio.py:38-44`). */
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
+
+  /** Decompress until the payload no longer starts with gzip magic —
+    * the reference's gunzip-in-a-loop (`kinesis-to-humio.py:91-96`).
+    * A streaming GZIPInputStream consumes *all* members of a
+    * multi-member gzip file per layer (member concatenation and
+    * gzip-of-gzip are different things; both occur in the wild).
+    */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    var cur = bytes
+    while (isGzip(cur)) {
+      val in = new GZIPInputStream(new ByteArrayInputStream(cur), 64 * 1024)
+      try cur = in.readAllBytes()
+      finally in.close()
+    }
+    cur
+  }
+
+  /** All start offsets of `Delimiter` in `bytes` (overlap-free scan,
+    * mirroring mmap.find at `kinesis-to-humio.py:107-112`). */
+  private[firehose] def delimiterOffsets(bytes: Array[Byte]): Seq[Int] = {
+    val hits = Seq.newBuilder[Int]
+    var i = 0
+    val n = bytes.length
+    val m = Delimiter.length
+    while (i <= n - m) {
+      var j = 0
+      while (j < m && bytes(i + j) == Delimiter(j)) j += 1
+      if (j == m) { hits += i; i += m } else i += 1
+    }
+    hits.result()
+  }
+
+  /** Slice into blocks: [offset_i, offset_i+1); the last block runs to
+    * EOF (`kinesis-to-humio.py:121-131`). Zero delimiters ⇒ zero
+    * blocks (`:114-115`). */
+  def splitBlocks(bytes: Array[Byte]): Seq[String] = {
+    val offs = delimiterOffsets(bytes)
+    offs.zipAll(offs.drop(1), -1, bytes.length).map { case (a, b) =>
+      new String(bytes, a, b - a, "UTF-8")
+    }
+  }
+
+  /** file → raw block strings, with the block's index within its file
+    * (needed downstream for block-scoped batching, R13). */
+  def blocks(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, content) =>
+        splitBlocks(gunzipAll(content)).iterator.zipWithIndex.map {
+          case (block, i) => (file, i, block)
+        }
+      }
+      .toDF("file", "block_idx", "block")
+  }
+
+  /** Full decode: one row per log event, enriched with lineage
+    * columns — the reference's R6–R12 pipeline as one declarative
+    * plan. Output schema matches FIXTURES.md §A.3 plus `block_idx`/
+    * `event_idx` ordinals for batching.
+    */
+  def decode(spark: SparkSession, path: String): DataFrame =
+    blocks(spark, path)
+      .select(col("file"), col("block_idx"),
+        from_json(col("block"), blockSchema).as("b"))
+      .select(col("file"), col("block_idx"),
+        col("b.logGroup").as("logGroup"),
+        col("b.logStream").as("logStream"),
+        posexplode(col("b.logEvents")).as(Seq("event_idx", "ev")))
+      .select(
+        col("ev.timestamp").as("timestamp"),
+        col("logGroup"),
+        col("logStream"),
+        // '/'.join(logStream.split('/')[0:2]) — kinesis-to-humio.py:137
+        concat_ws("/", slice(split(col("logStream"), "/", -1), 1, 2))
+          .as("logStreamPrefix"),
+        col("file"),
+        col("ev.id").as("id"),
+        col("ev.message").as("message"),
+        col("block_idx"), col("event_idx"))
+
+  /** R13 batching: size-bounded micro-batches that never span blocks
+    * (`kinesis-to-humio.py:150`) — batch ordinal is a pure per-row
+    * projection of the in-block event position, so no shuffle. */
+  def withBatchId(events: DataFrame, batchSize: Int = 5000): DataFrame =
+    events.withColumn("batch_id",
+      (col("event_idx") / batchSize).cast("int"))
+}

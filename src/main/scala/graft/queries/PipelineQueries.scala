@@ -1,0 +1,40 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.firehose.{FirehoseDecoder, FirehoseFixture}
+
+/** The reference pipeline (R6–R13) replayed as one batch query:
+  * binaryFile scan → iterated gunzip → DATA_MESSAGE split →
+  * `from_json` → explode → enrich → block-scoped batch ids.
+  *
+  * Not DuckDB-expressible (binary decode + delimiter split), so this
+  * key has no oracleSql entry — correctness is pinned by the golden
+  * and property specs in `FirehoseDecoderSpec`.
+  */
+object PipelineQueries {
+  /** Deterministic fixture dir, generated on first use (regeneration
+    * is byte-identical, so concurrent/repeated callers agree). */
+  def fixtureDir: File = {
+    val d = new File(
+      System.getProperty("java.io.tmpdir"), "graft_firehose_fixture")
+    FirehoseFixture.writeStandard(d)
+    d
+  }
+
+  def firehosePipeline(spark: SparkSession): DataFrame = {
+    val decoded = FirehoseDecoder.decode(
+      spark, fixtureDir.getAbsolutePath + "/*")
+    FirehoseDecoder.withBatchId(decoded, batchSize = 5000)
+      .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+      .orderBy("file", "block_idx", "event_idx")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_firehose_pipeline" -> ((s, _) => firehosePipeline(s))
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}
