@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.firehose.FirehoseDecoder
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference is a manually-scheduled micro-batch stream: list →
+  * anti-join processed files → decode → send, with a SQLite
+  * processed-file log for exactly-once per file
+  * (`kinesis-to-humio.py:48-68,210-216`). Spark's file source +
+  * checkpoint commit log subsumes exactly that contract
+  * ([[ingestStream]]), and the window/watermark/dedup operators below
+  * add the event-time surface the reference never had (its events
+  * pass through with raw timestamps, `kinesis-to-humio.py:147`).
+  *
+  * All transforms take/return streaming DataFrames so they compose
+  * with any source; specs drive them through MemoryStream, production
+  * through `readStream`.
+  *
+  * Scale: every aggregate here keys its state by (window, group) and
+  * is bounded by the watermark — state store size is O(active
+  * windows × groups), not O(events); at 1000 executors state
+  * partitions shard with the shuffle.
+  */
+object StreamingOps {
+  /** Tumbling event-time window counts (S1). `ts` must be TimestampType. */
+  def tumblingCounts(events: DataFrame, every: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), every), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Sliding window counts (S2). */
+  def slidingCounts(events: DataFrame, length: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows with an inactivity gap (S3) — the streaming
+    * equivalent of the batch `q_events_sessionize`. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** Watermarked counts for the late-data spec (S4): events older
+    * than `lateness` behind the max seen ts are dropped. */
+  def watermarkedCounts(events: DataFrame,
+                        lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Watermark-bounded exact dedup on event id (S5) — streaming
+    * variant of `q_dedup_exact`; state expires with the watermark so
+    * it stays bounded. */
+  def dedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates(Seq("event_id"))
+
+  /** The reference pipeline as a stream (S6): file source over a
+    * staging dir → Firehose decode → exactly-once via checkpoint.
+    * The file-source commit log replaces the SQLite `files` table
+    * (R4/R15); replay after restart reprocesses nothing.
+    */
+  def ingestStream(spark: SparkSession, stagingDir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(stagingDir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+    val blocks = files.flatMap { case (file, content) =>
+      FirehoseDecoder.splitBlocks(FirehoseDecoder.gunzipAll(content))
+        .iterator.zipWithIndex.map { case (b, i) => (file, i, b) }
+    }.toDF("file", "block_idx", "block")
+    blocks
+      .select(col("file"), col("block_idx"),
+        from_json(col("block"), FirehoseDecoder.blockSchema).as("b"))
+      .select(col("file"), col("block_idx"),
+        col("b.logGroup").as("logGroup"),
+        col("b.logStream").as("logStream"),
+        posexplode(col("b.logEvents")).as(Seq("event_idx", "ev")))
+      .select(col("ev.timestamp").as("timestamp"), col("logGroup"),
+        col("logStream"),
+        concat_ws("/", slice(split(col("logStream"), "/", -1), 1, 2))
+          .as("logStreamPrefix"),
+        col("file"), col("ev.id").as("id"), col("ev.message").as("message"))
+  }
+}

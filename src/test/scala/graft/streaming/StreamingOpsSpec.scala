@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.firehose.FirehoseFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming capability specs S1–S6 (SURVEY.md §2.3): windows,
+  * watermark late-drop, dedup, and exactly-once file ingest with
+  * checkpoint restart — the upgraded R4/R15 semantics.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** (event_id, minute, user_id, event_type) rows → streaming DF. */
+  private def eventStream():
+      (MemoryStream[(Int, Int, Int, String)], DataFrame) = {
+    val ms = MemoryStream[(Int, Int, Int, String)](spark)
+    val df = ms.toDF()
+      .toDF("event_id", "minute", "user_id", "event_type")
+      .withColumn("event_id", col("event_id").cast("long"))
+      .withColumn("user_id", col("user_id").cast("long"))
+      .withColumn("ts", expr(
+        "timestampadd(MINUTE, minute, TIMESTAMP'2024-01-01 00:00:00')"))
+    (ms, df)
+  }
+
+  private def runToMemory(df: DataFrame, name: String,
+                          mode: String = "update") = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("S1 tumbling window counts") {
+    val (ms, df) = eventStream()
+    ms.addData((1, 5, 1, "click"), (2, 20, 1, "click"), (3, 65, 2, "view"))
+    val out = runToMemory(StreamingOps.tumblingCounts(df), "s1")
+      .collect().map(r => (r.getAs[Timestamp]("w_start"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(out == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
+  }
+
+  test("S2 sliding window counts") {
+    val (ms, df) = eventStream()
+    ms.addData((1, 5, 1, "click"))
+    val out = runToMemory(
+      StreamingOps.slidingCounts(df, "1 hour", "15 minutes"), "s2")
+      .collect().map(r => r.getAs[Timestamp]("w_start")).toSet
+    // minute 5 falls in 4 sliding windows: starts at -45, -30, -15, 0
+    assert(out == Set(ts(-45), ts(-30), ts(-15), ts(0)))
+  }
+
+  test("S3 session windows close after the gap") {
+    val (ms, df) = eventStream()
+    // user 1: events at 0,10 (one session), then 60 (new session after
+    // >30min gap); user 2: single event
+    ms.addData((1, 0, 1, "a"), (2, 10, 1, "a"), (3, 60, 1, "a"),
+      (4, 0, 2, "b"))
+    val out = runToMemory(StreamingOps.sessionCounts(df, "30 minutes"),
+      "s3", mode = "complete")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("s_start"), r.getAs[Long]("n"))).toSet
+    assert(out == Set((1L, ts(0), 2L), (1L, ts(60), 1L), (2L, ts(0), 1L)))
+  }
+
+  test("S4 watermark drops events later than the allowed lateness") {
+    val (ms, df) = eventStream()
+    val agg = StreamingOps.watermarkedCounts(df, "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("s4")
+      .outputMode("update").start()
+    try {
+      ms.addData((1, 120, 1, "a")) // advances watermark to 120-10=110
+      q.processAllAvailable()
+      ms.addData((2, 5, 1, "a"))   // hour-0 window closed (< watermark) → dropped
+      ms.addData((3, 115, 1, "a")) // within lateness → counted
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s4").groupBy("w_start")
+      .agg(max("n").as("n")).collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[Long]("n"))).toMap
+    assert(out == Map(ts(120) -> 1L, ts(60) -> 1L)) // no hour-0 window row
+  }
+
+  test("S5 streaming dedup keeps first occurrence per event_id") {
+    val (ms, df) = eventStream()
+    ms.addData((1, 0, 1, "a"), (1, 1, 1, "a"), (2, 2, 1, "b"),
+      (2, 2, 1, "b"), (3, 3, 2, "c"))
+    val out = runToMemory(StreamingOps.dedup(df), "s5", mode = "append")
+    assert(out.count() == 3)
+    assert(out.select("event_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("S6 exactly-once file ingest across checkpoint restart") {
+    val staging = Files.createTempDirectory("fh_staging").toFile
+    val checkpoint = Files.createTempDirectory("fh_ckpt").toFile
+    val outDir = Files.createTempDirectory("fh_out").toFile
+
+    def runOnce(): Unit = {
+      // parquet sink: supports checkpoint recovery and has its own
+      // commit log — the full exactly-once chain (source commit log
+      // replaces the reference's SQLite files table, R4/R15).
+      val q = StreamingOps.ingestStream(spark, staging.getAbsolutePath)
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", checkpoint.getAbsolutePath)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    FirehoseFixture.write(staging, "a.log",
+      FirehoseFixture.block(0, 3, "s/a").getBytes("UTF-8"))
+    runOnce()
+    assert(spark.read.parquet(outDir.getAbsolutePath).count() == 3)
+
+    // restart with a new file; checkpoint must skip a.log entirely
+    FirehoseFixture.write(staging, "b.gz",
+      FirehoseFixture.gzip(FirehoseFixture.block(1, 2, "s/b").getBytes("UTF-8")))
+    runOnce()
+    val ids = spark.read.parquet(outDir.getAbsolutePath)
+      .collect().map(_.getAs[String]("id")).sorted.toSeq
+    // a.log events exactly once (not re-decoded on restart) + b.gz
+    assert(ids == Seq("ev-0-0", "ev-0-1", "ev-0-2", "ev-1-0", "ev-1-1"))
+  }
+}
