@@ -24,7 +24,8 @@ object SparkEntry {
       ScalarQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      LlmQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -36,5 +37,6 @@ object SparkEntry {
       ScalarQueries.oracleSql ++
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++
+      LlmQueries.oracleSql
 }

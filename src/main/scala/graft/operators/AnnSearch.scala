@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Approximate nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (exact — also the per-bucket
+  * kernel). Scale path: random-hyperplane LSH — L independent tables
+  * of `bitsPerTable` signed projections each; vectors sharing a
+  * bucket in ANY table become candidates, candidates are ranked
+  * exactly. Bucketing is a per-row projection; the only shuffle is
+  * the bucket equi-join on (table, bucket) — at 100 TB that is the
+  * difference between O(N²) pairs and O(N × L) bucket rows.
+  *
+  * Hyperplanes are derived from a seeded integer mix (splitmix64
+  * constants), so plans are deterministic across runs and executors —
+  * no RNG, no broadcast of random state needed.
+  */
+object AnnSearch {
+  /** Deterministic pseudo-random unit-free hyperplane component in
+    * [-1, 1): splitmix64 finalizer over (table, bit, dim) index. */
+  private def mix(z0: Long): Double = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  def planes(tables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => (0 until bitsPerTable).map(b =>
+      (0 until dim).map(d =>
+        mix(t.toLong * 1000003 + b * 1009 + d)).toSeq).toSeq)
+
+  /** Bucket id of `vec` in one LSH table: the sign bits of its
+    * projections onto the table's hyperplanes. */
+  def bucketId(vec: Column, tablePlanes: Seq[Seq[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, j) =>
+      when(VectorFns.dot(vec, typedLit(p)) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** (vec_id, table_idx, bucket) — one row per vector per table. */
+  def bucketed(embeddings: DataFrame, tables: Int = 4,
+               bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val ps = planes(tables, bitsPerTable, dim)
+    val bucketsArr = array(ps.map(tp => bucketId(col("embedding"), tp)): _*)
+    embeddings.select(col("vec_id"), col("embedding"),
+      posexplode(bucketsArr).as(Seq("table_idx", "bucket")))
+  }
+
+  /** Exact brute-force cosine top-k among vectors with id < maxId —
+    * the recall baseline. */
+  def bruteTopK(embeddings: DataFrame, k: Int = 5,
+                maxId: Long = 200): DataFrame = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("cos_sim",
+        round(VectorFns.cosine(col("va"), col("vb")), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("a_id", "b_id", "cos_sim", "rk")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = pairs co-bucketed
+    * in any table, ranked exactly within each query's candidate set.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
+              tables: Int = 4, bitsPerTable: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+    val bk = bucketed(e, tables, bitsPerTable, dim)
+    val cand = bk.alias("a")
+      .join(bk.alias("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("a.embedding").as("va"),
+        col("b.vec_id").as("b_id"), col("b.embedding").as("vb"))
+      .distinct()
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    cand
+      .withColumn("cos_sim",
+        round(VectorFns.cosine(col("va"), col("vb")), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("a_id", "b_id", "cos_sim", "rk")
+      .orderBy("a_id", "rk")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate near-duplicate detection for document corpora — the
+  * scale path of the dedup stack (exact dedup lives in
+  * [[graft.queries.TextQueries]]). Three families:
+  *
+  *  - '''MinHash + LSH''': shingle → k-wise minhash signature →
+  *    banded bucket join → exact-Jaccard verification of candidates.
+  *  - '''SimHash''': 64-bit weighted-bit fingerprint → 16-bit chunk
+  *    bucket join (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) →
+  *    hamming verification via `bit_count(a ^ b)`.
+  *  - '''n-gram Jaccard''': exact pairwise Jaccard on shingle sets,
+  *    for bounded candidate sets / verification.
+  *
+  * Everything is built from codegen'd built-ins and higher-order
+  * functions — signatures are per-row projections (no shuffle), the
+  * only shuffles are the band-bucket joins, which shuffle 8-byte
+  * hashes rather than documents. That is the property that makes the
+  * plan survive 100 TB: candidate generation is O(docs × bands) rows
+  * of (hash, id), never O(docs²).
+  */
+object ApproxDedup {
+  /** Distinct word n-gram shingles of a text column; documents
+    * shorter than `n` tokens contribute their full token join (so no
+    * empty shingle sets). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** k-wise minhash signature: sig[i] = min over shingles of
+    * xxhash64(shingle, i) — one pass per row, no shuffle. */
+  def minhashSignature(sh: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** b band hashes of r rows each (k = b·r). */
+  def bandHashes(sig: Column, b: Int = 8, r: Int = 4): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      j => xxhash64(slice(sig, j * r + lit(1), lit(r))))
+
+  /** Exact Jaccard of two shingle-set columns (double division —
+    * deterministic IEEE). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-dup pairs: returns (a_id, b_id, jaccard) for
+    * pairs sharing ≥1 LSH band, verified with exact Jaccard ≥
+    * `threshold`. `docs` must have (doc_id, text).
+    */
+  def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val withSh = docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val banded = withSh
+      .select(col("doc_id"),
+        posexplode(bandHashes(minhashSignature(col("sh"), k), bands, r))
+          .as(Seq("band_idx", "band_hash")))
+    // Candidate pairs: equi-join on (band, hash) — shuffles 16 bytes
+    // per (doc, band), never the documents themselves.
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // Verification joins fetch the shingle sets only for candidates.
+    cand
+      .join(withSh.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("sh", "sh_a"), "a_id")
+      .join(withSh.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("sh", "sh_b"), "b_id")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** doc → (doc_id, simhash): 64-bit SimHash fingerprint — per-token
+    * xxhash64, each bit votes ±1, fingerprint bit j set iff the vote
+    * sum is positive. Pure nested higher-order aggregation, no UDF
+    * (the SQL expr form is needed because `shiftright`'s shift amount
+    * must be a column — the lambda variable j — which the Scala
+    * functions API doesn't accept). */
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks_hashes",
+        transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t)))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (fp, j) -> fp + if(
+          |    aggregate(__toks_hashes, CAST(0 AS BIGINT),
+          |      (acc, h) -> acc + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+          |""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
+    * Candidates via 16-bit chunk buckets (pigeonhole over 4 chunks
+    * guarantees recall for hamming ≤ 3); verification via
+    * `bit_count(a ^ b)` — both codegen'd built-ins.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashOf(docs)
+    val chunkArr = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
+    chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact n-gram Jaccard over a bounded id range (brute-force
+    * baseline / verifier for the LSH paths). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxId: Long = 300,
+                        threshold: Double = 0.3): DataFrame = {
+    val withSh = docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Ground-truth verification of the approximate dedup family on a
+  * corpus with planted near-duplicates. */
+class ApproxDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 0/1 near-identical, 2 = partial overlap of 0,
+  // 3/4 unrelated, 5 = exact copy of 3
+  private val docs: Seq[(Long, String)] = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (2L, "the quick brown fox sat still under an old oak tree all day long"),
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "unrelated words forming another tiny document with no overlap at all"),
+    (5L, "completely different content about spark query engines and shuffles"))
+
+  private def df: DataFrame = docs.toDF("doc_id", "text")
+
+  /** Scala-side exact Jaccard of word n-gram shingle sets. */
+  private def trueJaccard(a: String, b: String, n: Int): Double = {
+    def sh(s: String) =
+      s.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  test("ngramJaccardPairs matches Scala-computed Jaccard exactly") {
+    val got = ApproxDedup.ngramJaccardPairs(df, n = 2, maxId = 10,
+      threshold = 1e-9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for {
+      (i, ta) <- docs; (j, tb) <- docs if i < j
+    } {
+      val expected = trueJaccard(ta, tb, 2)
+      if (expected > 0.0) {
+        assert(math.abs(got((i, j)) - expected) < 1e-6,
+          s"pair ($i,$j): got ${got.get((i, j))}, expected $expected")
+      } else assert(!got.contains((i, j)))
+    }
+  }
+
+  test("minhashPairs finds planted near-dups and skips unrelated docs") {
+    val pairs = ApproxDedup.minhashPairs(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-identical pair must surface")
+    assert(pairs.contains((3L, 5L)), "exact copy must surface")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
+    // verification stage guarantees no false positives below threshold
+    val all = ApproxDedup.minhashPairs(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3).collect()
+    all.foreach { r =>
+      val t = trueJaccard(docs(r.getLong(0).toInt)._2,
+        docs(r.getLong(1).toInt)._2, 2)
+      assert(math.abs(r.getDouble(2) - t) < 1e-6)
+      assert(t >= 0.3)
+    }
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups stay close") {
+    val fps = ApproxDedup.simhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(3L) == fps(5L), "exact copies must collide")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0L), fps(1L)) < hamming(fps(0L), fps(4L)),
+      "near-dup pair must be closer than unrelated pair")
+  }
+
+  test("simhashPairs surfaces exact copies at hamming 0") {
+    val pairs = ApproxDedup.simhashPairs(df, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 5L && p._3 == 0))
+  }
+}
