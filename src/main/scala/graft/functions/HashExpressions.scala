@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hash/vector kernels of the
+  * dedup and similarity operators.
+  *
+  * The same math is expressible with `aggregate`/`zip_with`
+  * higher-order functions, but HOF lambdas evaluate interpreted —
+  * per-element virtual calls — which made the 64-bit × n-token
+  * SimHash and 32-wise MinHash signatures the bench hot spots. These
+  * expressions evaluate as tight JVM loops and stay inside
+  * whole-stage codegen (`doGenCode` emits a static call), which is
+  * the preference order the engine follows: built-in functions →
+  * native `Expression` → UDF (SURVEY.md §7.2).
+  */
+object HashExpressions {
+  /** 64-bit SimHash of a pre-hashed token array (`array<bigint>`). */
+  def simhash64(tokenHashes: Column): Column =
+    GraftColumnBridge.column(
+      SimHash64(GraftColumnBridge.expression(tokenHashes)))
+
+  /** k-wise MinHash signature of a pre-hashed shingle array —
+    * k derived hashes per element via splitmix64 remixing of one base
+    * hash (one-hash MinHash, Appleby-style). */
+  def minhashSignature64(shingleHashes: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignature64(GraftColumnBridge.expression(shingleHashes), k))
+
+  /** Σ aᵢ·bᵢ over two `array<float>` columns, accumulated
+    * sequentially in double — bit-identical to the
+    * `aggregate(zip_with(...))` formulation it replaces (and to the
+    * DuckDB oracle's `list_inner_product` on DOUBLE[]). */
+  def dotFF(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProductFF(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Each bit of each token hash votes ±1; fingerprint bit j is set
+    * iff the vote sum is positive. */
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}
+
+case class MinHashSignature64(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature64"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature64.compute(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSignature64.compute($c, $k)")
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignature64 = copy(child = newChild)
+}
+
+object MinHashSignature64 {
+  private final val Gamma = 0x9E3779B97F4A7C15L
+
+  private def splitmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** One-hash MinHash: sig[i] = min over shingles s of
+    * splitmix64(base(s) + (i+1)·γ) — one stored hash per shingle,
+    * k cheap remixes per (shingle, i). */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var s = 0
+    while (s < n) {
+      val base = arr.getLong(s)
+      var i = 0
+      while (i < k) {
+        val h = splitmix64(base + (i + 1) * Gamma)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+case class DotProductFF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_ff"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductFF.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DotProductFF.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFF =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductFF {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}

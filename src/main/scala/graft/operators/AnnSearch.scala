@@ -30,14 +30,15 @@ object AnnSearch {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  def planes(tables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+  def planes(tables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Seq[Float]]] =
     (0 until tables).map(t => (0 until bitsPerTable).map(b =>
       (0 until dim).map(d =>
-        mix(t.toLong * 1000003 + b * 1009 + d)).toSeq).toSeq)
+        mix(t.toLong * 1000003 + b * 1009 + d).toFloat).toSeq).toSeq)
 
   /** Bucket id of `vec` in one LSH table: the sign bits of its
-    * projections onto the table's hyperplanes. */
-  def bucketId(vec: Column, tablePlanes: Seq[Seq[Double]]): Column =
+    * projections onto the table's hyperplanes (float literals so the
+    * native float dot kernel applies). */
+  def bucketId(vec: Column, tablePlanes: Seq[Seq[Float]]): Column =
     tablePlanes.zipWithIndex.map { case (p, j) =>
       when(VectorFns.dot(vec, typedLit(p)) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)

@@ -33,11 +33,16 @@ object ApproxDedup {
       i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** k-wise minhash signature: sig[i] = min over shingles of
-    * xxhash64(shingle, i) — one pass per row, no shuffle. */
-  def minhashSignature(sh: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+  /** xxhash64 of each shingle — computed ONCE per shingle; the
+    * k-wise signature derives from these base hashes. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** k-wise minhash signature from base shingle hashes (one-hash
+    * MinHash: k splitmix64 remixes per shingle, native codegen'd
+    * expression — the interpreted k×|shingles| xxhash64 HOF was the
+    * bench hot spot). */
+  def minhashSignature(shHashes: Column, k: Int = 32): Column =
+    graft.functions.HashExpressions.minhashSignature64(shHashes, k)
 
   /** b band hashes of r rows each (k = b·r). */
   def bandHashes(sig: Column, b: Int = 8, r: Int = 4): Column =
@@ -57,8 +62,12 @@ object ApproxDedup {
   def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
     val r = k / bands
+    // Shingles are hashed to longs immediately: signatures, bands and
+    // the Jaccard verification all run on 8-byte hashes, never on the
+    // shingle strings themselves.
     val withSh = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"),
+        shingleHashes(shingles(col("text"), n)).as("sh"))
     val banded = withSh
       .select(col("doc_id"),
         posexplode(bandHashes(minhashSignature(col("sh"), k), bands, r))
@@ -86,22 +95,16 @@ object ApproxDedup {
 
   /** doc → (doc_id, simhash): 64-bit SimHash fingerprint — per-token
     * xxhash64, each bit votes ±1, fingerprint bit j set iff the vote
-    * sum is positive. Pure nested higher-order aggregation, no UDF
-    * (the SQL expr form is needed because `shiftright`'s shift amount
-    * must be a column — the lambda variable j — which the Scala
-    * functions API doesn't accept). */
+    * sum is positive. The bit-vote loop is the native codegen'd
+    * [[graft.functions.SimHash64]] expression (the equivalent nested
+    * `aggregate` HOF evaluated interpreted and dominated the bench). */
   def simhashOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("__toks_hashes",
         transform(array_distinct(split(col("text"), " ")),
           t => xxhash64(t)))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          |  (fp, j) -> fp + if(
-          |    aggregate(__toks_hashes, CAST(0 AS BIGINT),
-          |      (acc, h) -> acc + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
-          |""".stripMargin))
+      .withColumn("simhash",
+        graft.functions.HashExpressions.simhash64(col("__toks_hashes")))
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
@@ -132,8 +135,11 @@ object ApproxDedup {
     * baseline / verifier for the LSH paths). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxId: Long = 300,
                         threshold: Double = 0.3): DataFrame = {
+    // Jaccard over hashed shingles: 8-byte comparisons instead of
+    // string comparisons in the O(pairs) intersect/union stage.
     val withSh = docs.filter(col("doc_id") < maxId)
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"),
+        shingleHashes(shingles(col("text"), n)).as("sh"))
     withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
         col("a_id") < col("b_id"))

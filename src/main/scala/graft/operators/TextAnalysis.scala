@@ -25,9 +25,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que",
       "dans"))
 
-  /** Per-language stopword hit count over a token array column. */
+  /** Per-language stopword hit count over a token array column —
+    * distinct stopword *types* present, via the native
+    * `array_intersect` (an interpreted per-token `filter` lambda ×
+    * 4 profiles was a bench hot spot). */
   def profileScore(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isin(profiles(lang).map(_.asInstanceOf[Any]): _*)))
+    size(array_intersect(toks, typedLit(profiles(lang))))
 
   /** Language-ID: argmax of profile scores, "und" (undetermined) when
     * no profile matches at all. Ties break by profile order

@@ -29,14 +29,20 @@ object SimilarityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, d) => {
+      // Norms are computed once per vector BEFORE the pair join —
+      // same bits as recomputing per pair (sqrt precedes multiply in
+      // both shapes), one third the flops.
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        VectorFns.norm2(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        VectorFns.norm2(col("embedding")).as("nb"))
       val w = Window.partitionBy("a_id")
         .orderBy(col("cos_sim").desc, col("b_id").asc)
       a.join(b, col("a_id") =!= col("b_id"))
         .withColumn("cos_sim",
-          round(VectorFns.cosine(col("va"), col("vb")), 6))
+          round(VectorFns.cosineWithNorms(col("va"), col("vb"),
+            col("na"), col("nb")), 6))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= topK)
         .select("a_id", "b_id", "cos_sim", "rk")
@@ -48,11 +54,14 @@ object SimilarityQueries {
     // similarity range; real pipelines run 0.9+.
     "q_dedup_embed_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        VectorFns.norm2(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        VectorFns.norm2(col("embedding")).as("nb"))
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("cos_sim",
-          round(VectorFns.cosine(col("va"), col("vb")), 6))
+          round(VectorFns.cosineWithNorms(col("va"), col("vb"),
+            col("na"), col("nb")), 6))
         .filter(col("cos_sim") >= 0.4)
         .select("a_id", "b_id", "cos_sim")
         .orderBy("a_id", "b_id")
