@@ -64,10 +64,14 @@ object ApproxDedup {
     val r = k / bands
     // Shingles are hashed to longs immediately: signatures, bands and
     // the Jaccard verification all run on 8-byte hashes, never on the
-    // shingle strings themselves.
+    // shingle strings themselves. The shingled corpus is consumed
+    // three times (banding + both verification sides) — cache it
+    // rather than re-shingling; at real scale this is a checkpoint of
+    // the shingled corpus, the standard shape of a dedup pipeline.
     val withSh = docs
       .select(col("doc_id"),
         shingleHashes(shingles(col("text"), n)).as("sh"))
+      .cache()
     val banded = withSh
       .select(col("doc_id"),
         posexplode(bandHashes(minhashSignature(col("sh"), k), bands, r))
