@@ -94,16 +94,34 @@ object FirehoseDecoder {
   }
 
   /** file → raw block strings, with the block's index within its file
-    * (needed downstream for block-scoped batching, R13). */
-  def blocks(spark: SparkSession, path: String): DataFrame = {
+    * (needed downstream for block-scoped batching, R13).
+    *
+    * `permissive=false` (default) matches the reference: a corrupt
+    * gzip stream fails the job (its gunzip loop would crash too).
+    * `permissive=true` is the 100 TB production mode: corrupt files
+    * yield zero blocks and are counted in the `corrupt_files`
+    * accumulator instead of failing a 10-hour job on one bad object.
+    */
+  def blocks(spark: SparkSession, path: String,
+             permissive: Boolean = false,
+             corruptCounter: Option[org.apache.spark.util.LongAccumulator] =
+               None): DataFrame = {
     import spark.implicits._
+    val corrupt = corruptCounter.getOrElse(
+      spark.sparkContext.longAccumulator("corrupt_files"))
     spark.read.format("binaryFile").load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (file, content) =>
-        splitBlocks(gunzipAll(content)).iterator.zipWithIndex.map {
-          case (block, i) => (file, i, block)
-        }
+        val payload =
+          if (!permissive) Some(gunzipAll(content))
+          else scala.util.Try(gunzipAll(content)).toOption.orElse {
+            corrupt.add(1); None
+          }
+        payload.iterator.flatMap(p =>
+          splitBlocks(p).iterator.zipWithIndex.map {
+            case (block, i) => (file, i, block)
+          })
       }
       .toDF("file", "block_idx", "block")
   }
@@ -113,8 +131,9 @@ object FirehoseDecoder {
     * plan. Output schema matches FIXTURES.md §A.3 plus `block_idx`/
     * `event_idx` ordinals for batching.
     */
-  def decode(spark: SparkSession, path: String): DataFrame =
-    blocks(spark, path)
+  def decode(spark: SparkSession, path: String,
+             permissive: Boolean = false): DataFrame =
+    blocks(spark, path, permissive)
       .select(col("file"), col("block_idx"),
         from_json(col("block"), blockSchema).as("b"))
       .select(col("file"), col("block_idx"),
@@ -139,4 +158,19 @@ object FirehoseDecoder {
   def withBatchId(events: DataFrame, batchSize: Int = 5000): DataFrame =
     events.withColumn("batch_id",
       (col("event_idx") / batchSize).cast("int"))
+
+  /** R17 observability: attach the reference's progress counters
+    * (events, blocks, files — `kinesis-to-humio.py:114-117,133`) as
+    * an `Observation` evaluated during the action, zero extra passes.
+    * Read `obs.get` after the first action on the returned frame. */
+  def observed(events: DataFrame):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("firehose_metrics")
+    val withObs = events.observe(obs,
+      count(lit(1)).as("events"),
+      approx_count_distinct(concat_ws("#", col("file"), col("block_idx")))
+        .as("blocks_approx"),
+      approx_count_distinct(col("file")).as("files_approx"))
+    (withObs, obs)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the failure modes that only appear at scale:
+  * key skew and repeated co-located joins. Semantically each helper
+  * is exactly an inner equi-join — the specs assert result equality
+  * with the plain `join` — but the physical shape changes.
+  *
+  * At 100 TB these are the difference between a job that finishes and
+  * one straggler task holding 4 TB of one hot key: AQE's skew-join
+  * handles moderate skew automatically, salting handles the
+  * pathological single-hot-key case AQE can't split (a skewed
+  * *build* side duplicated per salt), and bucketing amortizes the
+  * shuffle of a fact table that is joined on the same key by many
+  * downstream queries.
+  */
+object ScaleJoins {
+  /** Salted inner equi-join for a skewed `large` side: the hot keys
+    * in `large` get a random-free deterministic salt from a row hash,
+    * the `small` side is exploded ×`salts` so every salted key finds
+    * its match. Result == `large.join(small, key)` exactly; the
+    * shuffle spreads each hot key over `salts` reducers.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    // Deterministic per-row salt (no rand(): reproducible plans &
+    // retries — a failed task re-derives identical salts).
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts))
+        .cast("int"))
+    val exploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write both sides bucketed by the join key so subsequent joins
+    * are shuffle-free (SortMergeJoin over pre-bucketed scans). Needs
+    * a table catalog — callers pass distinct table names; returns the
+    * reloaded, bucket-aware frames.
+    */
+  def bucketize(df: DataFrame, table: String, key: String,
+                buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path",
+        s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$table")
+      .mode("overwrite")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}
