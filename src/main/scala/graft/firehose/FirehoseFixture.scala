@@ -39,6 +39,25 @@ object FirehoseFixture {
     f
   }
 
+  /** A larger multi-file corpus for throughput measurement: `nFiles`
+    * gzip'd files of `blocks` blocks × `events` events each,
+    * deterministic content. Skips generation if the directory already
+    * has the right file count (files are byte-identical anyway). */
+  def writeLarge(dir: File, nFiles: Int = 32, blocks: Int = 25,
+                 events: Int = 250): Long = {
+    val existing = Option(dir.listFiles()).map(_.length).getOrElse(0)
+    if (existing != nFiles) {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      (0 until nFiles).foreach { f =>
+        val body = (0 until blocks).map(b =>
+          block(f * blocks + b, events,
+            f"2024/01/${f % 28 + 1}%02d/app/i-$f")).mkString
+        write(dir, f"part-$f%05d.gz", gzip(body.getBytes("UTF-8")))
+      }
+    }
+    nFiles.toLong * blocks * events
+  }
+
   /** The standard fixture set: plain / gzip / double-gzip files with
     * several blocks, a <2-segment logStream, and a zero-delimiter
     * file (must yield 0 events, not an error). Returns total expected

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT simhash64(...)")` works alongside the Column
+  * API. Install either at session build time:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)           // or
+  *     .config("spark.sql.extensions",
+  *             "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * or on a live session via [[GraftExtensions.registerFunctions]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(clazz: String, name: String, usage: String) =
+    new ExpressionInfo(clazz, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("graft.functions.SimHash64", "simhash64",
+        "simhash64(array<bigint>) - 64-bit SimHash of token hashes"),
+      (c: Seq[Expression]) => SimHash64(c.head)),
+    (FunctionIdentifier("minhash_signature64"),
+      info("graft.functions.MinHashSignature64", "minhash_signature64",
+        "minhash_signature64(array<bigint>, k) - k-wise MinHash signature"),
+      (c: Seq[Expression]) => MinHashSignature64(c.head,
+        c(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("dot_ff"),
+      info("graft.functions.DotProductFF", "dot_ff",
+        "dot_ff(array<float>, array<float>) - double dot product"),
+      (c: Seq[Expression]) => DotProductFF(c(0), c(1))))
+
+  /** Register on an already-built session (tests, REPL). */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        id, fnInfo, builder)
+    }
+}

@@ -32,8 +32,28 @@ object PipelineQueries {
       .orderBy("file", "block_idx", "event_idx")
   }
 
+  /** Multi-file decode at volume (200k events / 32 gzip'd files):
+    * the throughput shape of the reference's sequential
+    * download→gunzip→scan loop, decoded in parallel — one task per
+    * file, aggregated to per-file counts (16 rows out, all compute
+    * in the decode). */
+  def firehoseThroughput(spark: SparkSession): DataFrame = {
+    val dir = new File(
+      System.getProperty("java.io.tmpdir"), "graft_firehose_large")
+    dir.mkdirs()
+    FirehoseFixture.writeLarge(dir)
+    FirehoseDecoder.decode(spark, dir.getAbsolutePath + "/*")
+      .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"))
+      .orderBy("file")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_firehose_pipeline" -> ((s, _) => firehosePipeline(s))
+    "q_firehose_pipeline" -> ((s, _) => firehosePipeline(s)),
+    "q_firehose_throughput" -> ((s, _) => firehoseThroughput(s))
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -72,6 +72,32 @@ object RelationalQueries {
         .select("c_custkey", "o_orderkey")
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
 
+    "q_join_right" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"),
+          "right")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "q_join_full" -> ((s, d) => {
+      // full outer over key ranges that only partially overlap, so
+      // both null sides appear
+      val o = Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).filter(col("c_custkey") > 50)
+        .select("c_custkey", "c_name")
+      o.join(c, col("o_custkey") === col("c_custkey"), "full")
+        .select("o_orderkey", "o_custkey", "c_custkey")
+        .orderBy(col("o_orderkey").asc_nulls_first,
+          col("c_custkey").asc_nulls_first)
+    }),
+
+    "q_join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(
+        Tables.nation(s, d).filter(col("n_nationkey") < 5))
+        .select("r_regionkey", "r_name", "n_nationkey")
+        .orderBy("r_regionkey", "n_nationkey")),
+
     "q_join_semi" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
@@ -159,6 +185,20 @@ object RelationalQueries {
       """SELECT c_custkey, o_orderkey
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT o_orderkey, o_custkey, c_custkey
+        |FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey < 100) o
+        |FULL JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey > 50) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey
+        |FROM region CROSS JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan regression guards: the scale properties the engine
+  * is designed around (pushdown, pruning, broadcast, top-k without a
+  * global sort, shuffle-free decode) asserted on the actual executed
+  * plans so they can't silently regress.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): SparkPlan =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+
+  private def formatted(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_filter_pred: all predicates reach the parquet scan") {
+    val f = formatted("q_filter_pred")
+    assert(f.contains("PushedFilters:"))
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"))
+      assert(f.contains(p), s"missing pushed filter $p")
+  }
+
+  test("q_scan_project: scan reads only the projected columns") {
+    val f = formatted("q_scan_project")
+    assert(f.contains(
+      "struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      "ReadSchema must be pruned to the 4 projected columns")
+  }
+
+  test("q_join_broadcast: dimension join is a broadcast hash join") {
+    // AQE wraps the plan; the formatted explain shows the final join
+    // strategy.
+    assert(formatted("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_sort_limit_topk: top-k avoids a global sort") {
+    assert(plan("q_sort_limit_topk").collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+  }
+
+  test("firehose decode path has zero shuffles") {
+    val decodePlan = graft.firehose.FirehoseDecoder
+      .decode(spark, graft.queries.PipelineQueries.fixtureDir
+        .getAbsolutePath + "/*")
+      .queryExecution.executedPlan
+    assert(decodePlan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "decode must stay narrow end-to-end")
+  }
+}

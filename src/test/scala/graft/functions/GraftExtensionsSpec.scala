@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extensions class injects without error (builder-time path)") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("SQL surface matches the Column API for all native functions") {
+    GraftExtensions.registerFunctions(spark)
+    val df = Seq((1L, Seq(7L, 8L, 9L), Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
+      .toDF("id", "hashes", "va", "vb")
+    df.createOrReplaceTempView("ext_probe")
+    val sql = spark.sql(
+      """SELECT simhash64(hashes) AS s,
+        |       minhash_signature64(hashes, 4) AS m,
+        |       dot_ff(va, vb) AS d
+        |FROM ext_probe""".stripMargin).head()
+    val api = df.select(
+      HashExpressions.simhash64(col("hashes")).as("s"),
+      HashExpressions.minhashSignature64(col("hashes"), 4).as("m"),
+      HashExpressions.dotFF(col("va"), col("vb")).as("d")).head()
+    assert(sql.getLong(0) == api.getLong(0))
+    assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(sql.getDouble(2) == api.getDouble(2))
+    assert(sql.getDouble(2) == 1.0 * 3.0 + 2.0 * 4.0)
+  }
+}
