@@ -69,6 +69,55 @@ object AnnSearch {
       .select("a_id", "b_id", "cos_sim", "rk")
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer of `nCentroids`
+    * centroid vectors (a deterministic sample of the corpus — k-means
+    * would refine these; the assignment/probe machinery is identical),
+    * every vector assigned to its nearest centroid, queries probing
+    * their `nProbe` nearest cells. The per-cell search is the exact
+    * brute kernel.
+    *
+    * Scale shape: assignment is a per-row projection against a
+    * broadcast centroid table (driver collects only `nCentroids`
+    * rows); the candidate join is an equi-join on cell id — the
+    * standard IVF trade of recall for a 1/nCells candidate fraction.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+    // deterministic coarse quantizer: the nCentroids lowest-id vectors
+    val centroids: Array[(Int, Seq[Float])] = e
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    def cellSims(vec: Column): Column = array(centroids.map {
+      case (cid, cvec) =>
+        struct(VectorFns.cosine(vec, typedLit(cvec)).as("sim"),
+          lit(cid).as("cell"))
+    }: _*)
+    // assignment: argmax similarity over the broadcast centroid array
+    val assigned = e.withColumn("cell",
+      array_max(cellSims(col("embedding"))).getField("cell"))
+    // probes: top-nProbe cells per query vector
+    val probed = e.withColumn("probe_cells",
+      slice(reverse(array_sort(cellSims(col("embedding")))), 1, nProbe))
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        explode(col("probe_cells").getField("cell")).as("cell"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    probed
+      .join(assigned.select(col("vec_id").as("b_id"),
+        col("embedding").as("vb"), col("cell")), Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .drop("cell").distinct()
+      .withColumn("cos_sim",
+        round(VectorFns.cosine(col("va"), col("vb")), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("a_id", "b_id", "cos_sim", "rk")
+      .orderBy("a_id", "rk")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = pairs co-bucketed
     * in any table, ranked exactly within each query's candidate set.
     */

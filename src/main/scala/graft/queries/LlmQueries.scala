@@ -38,6 +38,9 @@ object LlmQueries {
     "q_ann_lsh" -> ((s, d) =>
       AnnSearch.lshTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
 
+    "q_ann_ivf" -> ((s, d) =>
+      AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
+
     "q_text_langid" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),

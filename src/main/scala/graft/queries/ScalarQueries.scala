@@ -58,6 +58,20 @@ object ScalarQueries {
         .orderBy("p_partkey")
     }),
 
+    // Null-handling scalar surface: COALESCE / NULLIF / CASE /
+    // IS NULL — exercised through a derived nullable column.
+    "q_null_funcs" -> ((s, d) => {
+      val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          coalesce(seg, lit("(none)")).as("seg_or_none"),
+          seg.isNull.cast("int").as("was_building"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") > 5000, "high")
+            .otherwise("mid").as("bal_band"))
+        .orderBy("c_custkey")
+    }),
+
     "q_json_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -108,6 +122,16 @@ object ScalarQueries {
         |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
         |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(none)')
+        |    AS seg_or_none,
+        |  CAST(NULLIF(c_mktsegment, 'BUILDING') IS NULL AS INT)
+        |    AS was_building,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal > 5000 THEN 'high'
+        |       ELSE 'mid' END AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

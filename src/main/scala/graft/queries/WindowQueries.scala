@@ -56,6 +56,28 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of join: clicks enriched with the most recent prior purchase
+    // of the same user — the union-and-window formulation (see
+    // [[graft.operators.AsofJoin]]); oracle is DuckDB's native ASOF
+    // LEFT JOIN. Purchases are pre-deduped per (user, ts) so the
+    // at-or-before pick is unique on both engines.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("a_event_id"))
+      val wDedup = Window.partitionBy("user_id", "ts_us").orderBy("event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("b_event_id"), col("value").as("b_value"))
+      graft.operators.AsofJoin
+        .leftAsof(clicks, purchases, "user_id", "ts_us",
+          Seq("b_event_id", "b_value"))
+        .orderBy("a_event_id")
+    }),
+
     // Gap-based sessionization: lag + cumulative-sum of new-session
     // flags — the classic two-window formulation.
     "q_events_sessionize" -> ((s, d) => {
@@ -99,6 +121,21 @@ object WindowQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_join_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT user_id, ts_us, event_id AS a_event_id
+        |      FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts_us, b_event_id, b_value FROM (
+        |        SELECT user_id, ts_us, event_id AS b_event_id,
+        |               value AS b_value,
+        |               row_number() OVER (PARTITION BY user_id, ts_us
+        |                                  ORDER BY event_id) AS rn
+        |        FROM e WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT a.user_id, a.ts_us, a.a_event_id, b.b_event_id, b.b_value
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.ts_us >= b.ts_us
+        |ORDER BY a_event_id""".stripMargin,
     "q_events_sessionize" ->
       """SELECT user_id, event_id, ts_us,
         |  CAST(SUM(new_sess) OVER

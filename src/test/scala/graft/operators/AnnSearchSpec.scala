@@ -32,6 +32,25 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall > 0.10, f"recall collapsed: $recall%.3f")
   }
 
+  test("ivfTopK similarities are exact within probed cells, recall reasonable") {
+    val e = Tables.embeddings(spark, dir)
+    val exact = AnnSearch.bruteTopK(e, k = 99, maxId = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = AnnSearch.ivfTopK(e, k = 5, maxId = 100,
+      nCentroids = 8, nProbe = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key) && exact(key) == r.getDouble(2))
+    }
+    val brute = AnnSearch.bruteTopK(e, k = 5, maxId = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains).toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.3f")
+    assert(recall > 0.10)
+  }
+
   test("bucketing is deterministic across invocations") {
     val e = Tables.embeddings(spark, dir)
     val b1 = AnnSearch.bucketed(e).collect()

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leftAsof picks the most recent right row at-or-before, per key") {
+    val left = Seq(
+      (1L, 100L, "a1"), (1L, 200L, "a2"), (1L, 50L, "a0"),
+      (2L, 100L, "a3"), (3L, 10L, "a4"))
+      .toDF("k", "t", "a_tag")
+    val right = Seq(
+      (1L, 100L, "b@100"), (1L, 150L, "b@150"), (1L, 40L, "b@40"),
+      (2L, 99L, "b@99"), (2L, 101L, "b@101"))
+      .toDF("k", "t", "b_tag")
+    val got = AsofJoin.leftAsof(left, right, "k", "t", Seq("b_tag"))
+      .collect()
+      .map(r => (r.getAs[String]("a_tag"), r.getAs[String]("b_tag"))).toMap
+    assert(got == Map(
+      "a0" -> "b@40",   // 40 <= 50
+      "a1" -> "b@100",  // equal time matches (<= semantics)
+      "a2" -> "b@150",  // most recent of {40,100,150}
+      "a3" -> "b@99",   // 101 is in the future
+      "a4" -> null))    // no right row at-or-before
+  }
+
+  test("q_join_asof agrees with a Scala brute-force as-of on real events") {
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+      .selectExpr("user_id", "event_id", "event_type", "value",
+        "ts div 1000 AS ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val expected = clicks.map { c =>
+      val prior = purchases
+        .filter(p => p._1 == c._1 && p._5 <= c._5)
+      val best = if (prior.isEmpty) None
+        else Some(prior.maxBy(p => (p._5, -p._2)))
+      c._2 -> best.map(_._2)
+    }.toMap
+    val got = graft.SparkEntry.queries("q_join_asof")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("a_event_id") ->
+        Option(r.getAs[java.lang.Long]("b_event_id")).map(_.toLong)).toMap
+    assert(got == expected)
+  }
+}
