@@ -40,7 +40,11 @@ object GraftExtensions {
     (FunctionIdentifier("dot_ff"),
       info("graft.functions.DotProductFF", "dot_ff",
         "dot_ff(array<float>, array<float>) - double dot product"),
-      (c: Seq[Expression]) => DotProductFF(c(0), c(1))))
+      (c: Seq[Expression]) => DotProductFF(c(0), c(1))),
+    (FunctionIdentifier("jaccard_ll"),
+      info("graft.functions.JaccardSetsLL", "jaccard_ll",
+        "jaccard_ll(array<bigint>, array<bigint>) - set Jaccard"),
+      (c: Seq[Expression]) => JaccardSetsLL(c(0), c(1))))
 
   /** Register on an already-built session (tests, REPL). */
   def registerFunctions(spark: SparkSession): Unit =

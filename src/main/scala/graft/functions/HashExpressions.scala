@@ -40,6 +40,16 @@ object HashExpressions {
     GraftColumnBridge.column(
       DotProductFF(GraftColumnBridge.expression(a),
         GraftColumnBridge.expression(b)))
+
+  /** Jaccard similarity |A∩B| / |A∪B| of two `array<bigint>` columns
+    * treated as sets (inputs pre-deduped). Hash-set loop instead of
+    * the `array_intersect`+`array_union` pair, which materializes two
+    * intermediate arrays per pair in the O(pairs) verification
+    * stage. */
+  def jaccardLL(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaccardSetsLL(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -147,5 +157,37 @@ object DotProductFF {
       i += 1
     }
     acc
+  }
+}
+
+case class JaccardSetsLL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_ll"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSetsLL.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaccardSetsLL.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSetsLL =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSetsLL {
+  /** |A∩B| / |A∪B| for pre-deduped long arrays via one hash set. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val set = new java.util.HashSet[Long](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getLong(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
   }
 }

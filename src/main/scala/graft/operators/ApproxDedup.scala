@@ -49,11 +49,12 @@ object ApproxDedup {
     transform(sequence(lit(0), lit(b - 1)),
       j => xxhash64(slice(sig, j * r + lit(1), lit(r))))
 
-  /** Exact Jaccard of two shingle-set columns (double division —
-    * deterministic IEEE). */
+  /** Exact Jaccard of two hashed-shingle-set columns — native
+    * hash-set kernel (double division, deterministic IEEE; the
+    * `array_intersect`/`array_union` pair materialized two arrays per
+    * candidate pair). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.functions.HashExpressions.jaccardLL(a, b)
 
   /** MinHash-LSH near-dup pairs: returns (a_id, b_id, jaccard) for
     * pairs sharing ≥1 LSH band, verified with exact Jaccard ≥

@@ -68,6 +68,22 @@ object StreamingOps {
   def dedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates(Seq("event_id"))
 
+  /** Stream-stream interval join: clicks enriched with purchases of
+    * the same user within the trailing `windowMinutes` — both sides
+    * watermarked so the join state expires (unbounded state is the
+    * classic stream-join failure at scale). Columns: left needs
+    * (user_id, click_id, ts); right (user_id, purchase_id, p_ts).
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+      col("p_ts") <= col("ts") &&
+      col("p_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** The reference pipeline as a stream (S6): file source over a
     * staging dir → Firehose decode → exactly-once via checkpoint.
     * The file-source commit log replaces the SQLite `files` table

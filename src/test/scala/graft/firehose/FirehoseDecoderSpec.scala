@@ -166,3 +166,9 @@ object PostCollector {
   val queue = new java.util.concurrent.ConcurrentLinkedQueue[
     HttpBatchSink.Payload]()
 }
+
+/** JVM-static collector for the streaming foreachBatch sink spec. */
+object PostCollectorS8 {
+  val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+    graft.sinks.HttpBatchSink.Payload]()
+}

@@ -102,6 +102,58 @@ class StreamingOpsSpec extends SparkSpec {
       .sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("S7 stream-stream interval join matches purchases within the window") {
+    val cs = MemoryStream[(Int, Int, Int)](spark) // (user, click_id, minute)
+    val ps = MemoryStream[(Int, Int, Int)](spark) // (user, purchase_id, minute)
+    val clicks = cs.toDF().toDF("user_id", "click_id", "minute")
+      .withColumn("ts", expr(
+        "timestampadd(MINUTE, minute, TIMESTAMP'2024-01-01 00:00:00')"))
+      .drop("minute")
+    val purchases = ps.toDF().toDF("p_user_id", "purchase_id", "p_minute")
+      .withColumn("p_ts", expr(
+        "timestampadd(MINUTE, p_minute, TIMESTAMP'2024-01-01 00:00:00')"))
+      .drop("p_minute")
+    val q = StreamingOps.intervalJoin(clicks, purchases, 60)
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("s7")
+      .outputMode("append").start()
+    try {
+      ps.addData((1, 100, 0), (1, 101, 30), (2, 200, 10))
+      cs.addData((1, 1, 40), (1, 2, 85), (2, 3, 80))
+      q.processAllAvailable()
+      val got = spark.table("s7").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      // click 1 @40: purchases @0,@30 within trailing 60 min → both
+      // click 2 @85: only @30 is within 60 min (@0 is 85 min away)
+      // click 3 @80 (user 2): purchase @10 is 70 min away → none
+      assert(got == Set((1, 100), (1, 101), (2, 101)))
+    } finally q.stop()
+  }
+
+  test("S8 streaming batched sink: foreachBatch drives HttpBatchSink") {
+    val staging = Files.createTempDirectory("s8_staging").toFile
+    FirehoseFixture.writeStandard(staging)
+    graft.firehose.PostCollectorS8.queue.clear()
+    val q = StreamingOps.ingestStream(spark, staging.getAbsolutePath)
+      .withColumn("block_idx", lit(0))
+      .withColumn("event_idx", lit(0))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.HttpBatchSink.write(batch, batchSize = 4) { p =>
+          graft.firehose.PostCollectorS8.queue.add(p); true
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val payloads = graft.firehose.PostCollectorS8.queue.asScala.toSeq
+    assert(payloads.map(_.events.size).sum == 14)
+    assert(payloads.forall(_.events.size <= 4))
+  }
+
   test("S6 exactly-once file ingest across checkpoint restart") {
     val staging = Files.createTempDirectory("fh_staging").toFile
     val checkpoint = Files.createTempDirectory("fh_ckpt").toFile
