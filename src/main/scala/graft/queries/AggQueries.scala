@@ -47,6 +47,20 @@ object AggQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // min/max/count over a supplier⋈lineitem join (exact double
+    // min/max — no summation-order sensitivity).
+    "q_agg_minmax" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_suppkey")),
+
     "q_agg_distinct" -> ((s, d) =>
       Tables.customer(s, d)
         .groupBy("c_mktsegment")
@@ -124,6 +138,15 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_minmax" ->
+      """SELECT s_suppkey, s_name,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  MIN(l_shipdate) AS first_ship,
+        |  MAX(l_shipdate) AS last_ship,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "q_agg_distinct" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
         |  COUNT(*) AS n_cust

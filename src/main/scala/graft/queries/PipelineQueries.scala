@@ -51,9 +51,41 @@ object PipelineQueries {
       .orderBy("file")
   }
 
+  /** R12 payload shaping (`kinesis-to-humio.py:136-148,161-164`) as a
+    * declarative op: one row per (file, block, batch) with the Humio
+    * envelope `{tags:{logStreamPrefix,logGroup}, events:[{timestamp,
+    * attributes}]}` serialized via to_json — the DataFrame form of
+    * what HttpBatchSink posts. collect_list is safe here because a
+    * batch is ≤ batchSize events by construction. */
+  def firehosePayloads(spark: SparkSession, batchSize: Int = 5000): DataFrame = {
+    val events = FirehoseDecoder.withBatchId(
+      FirehoseDecoder.decode(spark, fixtureDir.getAbsolutePath + "/*"),
+      batchSize)
+      .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+    events
+      .groupBy("file", "block_idx", "batch_id", "logStreamPrefix",
+        "logGroup")
+      .agg(sort_array(collect_list(struct(
+        col("event_idx"), col("timestamp"), col("id"), col("message"),
+        col("logStream")))).as("evs"))
+      .select(col("file"), col("block_idx"), col("batch_id"),
+        to_json(struct(
+          struct(col("logStreamPrefix"), col("logGroup")).as("tags"),
+          transform(col("evs"), e => struct(
+            e.getField("timestamp").as("timestamp"),
+            struct(e.getField("id").as("id"),
+              e.getField("message").as("message"),
+              col("file").as("file"),
+              e.getField("logStream").as("logStream"))
+              .as("attributes"))).as("events"))).as("payload"),
+        size(col("evs")).as("n_events"))
+      .orderBy("file", "block_idx", "batch_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_firehose_pipeline" -> ((s, _) => firehosePipeline(s)),
-    "q_firehose_throughput" -> ((s, _) => firehoseThroughput(s))
+    "q_firehose_throughput" -> ((s, _) => firehoseThroughput(s)),
+    "q_firehose_payloads" -> ((s, _) => firehosePayloads(s, batchSize = 3))
   )
 
   def oracleSql: Map[String, String] = Map.empty

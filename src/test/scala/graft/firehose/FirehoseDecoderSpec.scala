@@ -172,3 +172,29 @@ object PostCollectorS8 {
   val queue = new java.util.concurrent.ConcurrentLinkedQueue[
     graft.sinks.HttpBatchSink.Payload]()
 }
+
+/** R12 payload-shaping spec appended separately to keep the main
+  * suite structure intact. */
+class FirehosePayloadSpec extends graft.SparkSpec {
+  test("R12 payloads: valid JSON envelopes, block-scoped, size-bounded") {
+    val df = graft.queries.PipelineQueries.firehosePayloads(
+      spark, batchSize = 3)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("n_events")).sum == 14)
+    assert(rows.forall(_.getAs[Int]("n_events") <= 3))
+    // payloads parse back: tags constant, events carry the envelope
+    val parsed = spark.read.json(
+      spark.createDataset(rows.map(_.getAs[String]("payload")).toSeq)(
+        org.apache.spark.sql.Encoders.STRING))
+    import org.apache.spark.sql.functions._
+    val n = parsed.select(explode(col("events")).as("e"))
+      .select(col("e.timestamp"), col("e.attributes.message"))
+      .count()
+    assert(n == 14)
+    assert(parsed.select("tags.logGroup").distinct().count() == 1)
+    // block of 5 with batchSize 3 flushes 3 + 2 (kinesis-to-humio.py:150)
+    val b1 = rows.filter(r => r.getAs[String]("file") == "plain.log" &&
+      r.getAs[Int]("block_idx") == 1).map(_.getAs[Int]("n_events")).sorted
+    assert(b1.toSeq == Seq(2, 3))
+  }
+}
