@@ -61,6 +61,40 @@ object AggQueries {
           count(lit(1)).as("n_items"))
         .orderBy("s_suppkey")),
 
+    // Exact interpolated percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both linear interpolation on the sorted
+    // set — NOT approx_percentile, which is banned for oracle queries).
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Variance/stddev via exact decimal sums (Σx, Σx² are exact
+    // decimals; the final combination is plain IEEE double arithmetic
+    // on both engines) — built-in stddev's partial-aggregation order
+    // would differ between engines.
+    "q_agg_var" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(x).cast("double").as("s1"),
+          sum(x * x).cast("double").as("s2"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("l_returnflag"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("var_pop"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("stddev_pop"),
+          col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_distinct" -> ((s, d) =>
       Tables.customer(s, d)
         .groupBy("c_mktsegment")
@@ -138,6 +172,26 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_var" ->
+      """SELECT l_returnflag,
+        |  (s2 - s1 * s1 / n) / n AS var_pop,
+        |  sqrt((s2 - s1 * s1 / n) / n) AS stddev_pop,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_minmax" ->
       """SELECT s_suppkey, s_name,
         |  MIN(l_extendedprice) AS min_price,

@@ -25,6 +25,33 @@ class AsofJoinSpec extends SparkSpec {
       "a4" -> null))    // no right row at-or-before
   }
 
+  test("property: leftAsof equals brute force on 50 seeded random datasets") {
+    val rnd = new scala.util.Random(1234)
+    for (round <- 1 to 50) {
+      val nk = 1 + rnd.nextInt(4)
+      val left = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(100).toLong, s"L$round-$i")
+      }
+      // unique (k, t) on the right — the operator's documented
+      // determinism precondition
+      val right = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(100).toLong, s"R$round-$i")
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = left.map { l =>
+        val prior = right.filter(r => r._1 == l._1 && r._2 <= l._2)
+        l._3 -> (if (prior.isEmpty) null
+                 else prior.maxBy(_._2)._3)
+      }.toMap
+      val got = AsofJoin.leftAsof(
+        left.toDF("k", "t", "a_tag"), right.toDF("k", "t", "b_tag"),
+        "k", "t", Seq("b_tag"))
+        .collect()
+        .map(r => r.getAs[String]("a_tag") -> r.getAs[String]("b_tag"))
+        .toMap
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("q_join_asof agrees with a Scala brute-force as-of on real events") {
     val d = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, d)
