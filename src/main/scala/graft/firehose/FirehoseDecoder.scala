@@ -126,14 +126,16 @@ object FirehoseDecoder {
       .toDF("file", "block_idx", "block")
   }
 
-  /** Full decode: one row per log event, enriched with lineage
-    * columns — the reference's R6–R12 pipeline as one declarative
-    * plan. Output schema matches FIXTURES.md §A.3 plus `block_idx`/
-    * `event_idx` ordinals for batching.
+  /** block rows (file, block_idx, block) → one row per log event,
+    * enriched with lineage columns — the single shared projection
+    * used by the batch scan ([[decode]]), the batch ingest
+    * ([[graft.sources.BatchIngest]]) and the streaming ingest
+    * ([[graft.streaming.StreamingOps.ingestStream]]), so the R8–R12
+    * semantics live in exactly one place. Output matches FIXTURES.md
+    * §A.3 plus `block_idx`/`event_idx` ordinals for batching.
     */
-  def decode(spark: SparkSession, path: String,
-             permissive: Boolean = false): DataFrame =
-    blocks(spark, path, permissive)
+  def decodeBlocks(blocksDf: DataFrame): DataFrame =
+    blocksDf
       .select(col("file"), col("block_idx"),
         from_json(col("block"), blockSchema).as("b"))
       .select(col("file"), col("block_idx"),
@@ -151,6 +153,12 @@ object FirehoseDecoder {
         col("ev.id").as("id"),
         col("ev.message").as("message"),
         col("block_idx"), col("event_idx"))
+
+  /** Full decode: one row per log event — the reference's R6–R12
+    * pipeline as one declarative plan. */
+  def decode(spark: SparkSession, path: String,
+             permissive: Boolean = false): DataFrame =
+    decodeBlocks(blocks(spark, path, permissive))
 
   /** R13 batching: size-bounded micro-batches that never span blocks
     * (`kinesis-to-humio.py:150`) — batch ordinal is a pure per-row

@@ -105,11 +105,15 @@ object AnnSearch {
         explode(col("probe_cells").getField("cell")).as("cell"))
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos_sim").desc, col("b_id").asc)
+    // No distinct needed: each candidate is assigned exactly one cell
+    // and probe cells per query are distinct, so (a_id, b_id) pairs
+    // are already unique — a distinct here would shuffle rows carrying
+    // both embedding arrays for nothing.
     probed
       .join(assigned.select(col("vec_id").as("b_id"),
         col("embedding").as("vb"), col("cell")), Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
-      .drop("cell").distinct()
+      .drop("cell")
       .withColumn("cos_sim",
         round(VectorFns.cosine(col("va"), col("vb")), 6))
       .withColumn("rk", row_number().over(w).cast("int"))

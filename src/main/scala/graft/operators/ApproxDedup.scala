@@ -69,6 +69,10 @@ object ApproxDedup {
     // three times (banding + both verification sides) — cache it
     // rather than re-shingling; at real scale this is a checkpoint of
     // the shingled corpus, the standard shape of a dedup pipeline.
+    // NOTE: the cache is deliberately not unpersisted here (the
+    // returned frame is lazy; callers act on it later) — repeated
+    // invocations in one session pin one copy each until LRU
+    // eviction. Long-lived sessions should unpersist or checkpoint.
     val withSh = docs
       .select(col("doc_id"),
         shingleHashes(shingles(col("text"), n)).as("sh"))
@@ -113,8 +117,10 @@ object ApproxDedup {
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
-    * Candidates via 16-bit chunk buckets (pigeonhole over 4 chunks
-    * guarantees recall for hamming ≤ 3); verification via
+    * Candidates via 16-bit chunk buckets; by pigeonhole, recall is
+    * COMPLETE only for `maxHamming` ≤ 3 (4 chunks ⇒ some chunk is
+    * untouched) — larger thresholds are best-effort, since a pair
+    * differing in all four chunks never co-buckets. Verification via
     * `bit_count(a ^ b)` — both codegen'd built-ins.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

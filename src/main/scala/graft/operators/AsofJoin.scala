@@ -32,26 +32,32 @@ object AsofJoin {
   def leftAsof(left: DataFrame, right: DataFrame, key: String, time: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
+    // Right columns travel as ONE struct so the window fill picks the
+    // most recent right ROW atomically — per-column last(ignoreNulls)
+    // would blend values from different right rows whenever a carried
+    // column is null in some right row.
     val tagged = left
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col(time), col("__side")) ++
-        leftCols.filterNot(Seq(key, time).contains).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
-          : _*)
+        leftCols.filterNot(Seq(key, time).contains).map(col) :+
+        lit(null).cast(rightStructType).as("__r"): _*)
       .unionByName(
         right
           .withColumn("__side", lit(0))
           .select(Seq(col(key), col(time), col("__side")) ++
             leftCols.filterNot(Seq(key, time).contains)
-              .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            rightCols.map(col): _*))
+              .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+            struct(rightCols.map(col): _*).as("__r"): _*))
     // right rows sort before left rows at equal time ⇒ `<=` semantics
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = tagged.withColumn("__r",
+      last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__r").getField(c))
+    }.filter(col("__side") === 1).drop("__side", "__r")
   }
 }

@@ -70,9 +70,15 @@ object TextAnalysis {
     * `chunk`-token run. */
   def chunkFingerprints(text: Column, chunk: Int = 8): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (chunk - 1), lit(1)), lit(chunk)),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(chunk))))))
+    // Full windows only: a trailing partial window would make two
+    // docs "share an 8-token run" on the strength of a shorter
+    // suffix. Docs with fewer than `chunk` tokens emit no chunk
+    // fingerprints (the whole-doc fingerprint covers them).
+    when(size(toks) >= chunk,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (chunk - 1), lit(chunk)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(chunk)))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Full per-document analysis frame. */

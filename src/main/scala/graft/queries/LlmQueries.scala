@@ -26,9 +26,12 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "text"),
         n = 3, k = 32, bands = 8, threshold = 0.3)),
 
+    // maxHamming=3: the largest threshold with guaranteed-complete
+    // recall under 4-chunk bucketing (pigeonhole) — higher values
+    // silently miss pairs that differ in every chunk.
     "q_dedup_simhash" -> ((s, d) =>
       ApproxDedup.simhashPairs(
-        Tables.documents(s, d).select("doc_id", "text"), maxHamming = 16)),
+        Tables.documents(s, d).select("doc_id", "text"), maxHamming = 3)),
 
     "q_dedup_ngram" -> ((s, d) =>
       ApproxDedup.ngramJaccardPairs(

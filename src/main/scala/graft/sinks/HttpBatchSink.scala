@@ -37,28 +37,38 @@ object HttpBatchSink {
       .sortWithinPartitions("file", "block_idx", "event_idx")
       .foreachPartition { rows: Iterator[Row] =>
         // Per-partition "connection": mirrors the per-run PoolManager
-        // (kinesis-to-humio.py:289) at executor granularity.
-        rows.toSeq.groupBy(r => (r.getAs[String]("file"),
-            r.getAs[Int]("block_idx")))
-          .toSeq.sortBy(_._1)
-          .foreach { case ((file, _), blockRows) =>
-            val tags = Map(
-              "logStreamPrefix" ->
-                blockRows.head.getAs[String]("logStreamPrefix"),
-              "logGroup" -> blockRows.head.getAs[String]("logGroup"))
-            blockRows.grouped(batchSize).foreach { batch =>
-              val payload = Payload(tags, batch.map { r =>
-                (r.getAs[Long]("timestamp"), Map(
-                  "id" -> r.getAs[String]("id"),
-                  "message" -> r.getAs[String]("message"),
-                  "file" -> file,
-                  "logStream" -> r.getAs[String]("logStream")))
-              })
-              // Log-and-continue (kinesis-to-humio.py:154-158): the
-              // reference drops failed batches after logging.
-              if (!post(payload)) failures.add(1)
-            }
-          }
+        // (kinesis-to-humio.py:289) at executor granularity. Rows
+        // arrive sorted by (file, block, event), so batches are cut
+        // by streaming the iterator — at most one batch is buffered,
+        // never the whole partition (binaryFile does not split files,
+        // so a partition can hold an entire large file's events).
+        var curKey: (String, Int) = null
+        val batch = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def flush(): Unit = if (batch.nonEmpty) {
+          val file = curKey._1
+          val head = batch.head
+          val payload = Payload(
+            Map("logStreamPrefix" -> head.getAs[String]("logStreamPrefix"),
+              "logGroup" -> head.getAs[String]("logGroup")),
+            batch.toSeq.map { r =>
+              (r.getAs[Long]("timestamp"), Map(
+                "id" -> r.getAs[String]("id"),
+                "message" -> r.getAs[String]("message"),
+                "file" -> file,
+                "logStream" -> r.getAs[String]("logStream")))
+            })
+          // Log-and-continue (kinesis-to-humio.py:154-158): the
+          // reference drops failed batches after logging.
+          if (!post(payload)) failures.add(1)
+          batch.clear()
+        }
+        rows.foreach { r =>
+          val key = (r.getAs[String]("file"), r.getAs[Int]("block_idx"))
+          if (key != curKey) { flush(); curKey = key } // block end (:150)
+          batch += r
+          if (batch.size >= batchSize) flush()
+        }
+        flush()
       }
     failures.value
   }

@@ -48,24 +48,15 @@ object BatchIngest {
                  processedLog: String): DataFrame = {
     import spark.implicits._
     val fresh = unprocessed(spark, stagingGlob, processedLog)
-    val events = fresh
+    val blocks = fresh
       .as[(String, Array[Byte])]
       .flatMap { case (file, content) =>
         FirehoseDecoder.splitBlocks(FirehoseDecoder.gunzipAll(content))
           .iterator.zipWithIndex.map { case (b, i) => (file, i, b) }
       }
       .toDF("file", "block_idx", "block")
-      .select(col("file"), col("block_idx"),
-        from_json(col("block"), FirehoseDecoder.blockSchema).as("b"))
-      .select(col("file"), col("block_idx"),
-        col("b.logGroup").as("logGroup"),
-        col("b.logStream").as("logStream"),
-        posexplode(col("b.logEvents")).as(Seq("event_idx", "ev")))
-      .select(col("ev.timestamp").as("timestamp"), col("logGroup"),
-        col("logStream"),
-        concat_ws("/", slice(split(col("logStream"), "/", -1), 1, 2))
-          .as("logStreamPrefix"),
-        col("file"), col("ev.id").as("id"), col("ev.message").as("message"))
+    val events = FirehoseDecoder.decodeBlocks(blocks)
+      .drop("block_idx", "event_idx")
     // Mark processed regardless of downstream outcome — the
     // reference's track_file runs even after send errors (:167-174).
     fresh.select("path").write.mode(SaveMode.Append).parquet(processedLog)

@@ -63,16 +63,21 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("n"))
 
   /** Watermark-bounded exact dedup on event id (S5) — streaming
-    * variant of `q_dedup_exact`; state expires with the watermark so
-    * it stays bounded. */
+    * variant of `q_dedup_exact`. Uses dropDuplicatesWithinWatermark:
+    * plain `dropDuplicates("event_id")` would ignore the watermark
+    * for state eviction (the event-time column isn't in the key set)
+    * and grow one state entry per distinct id forever. */
   def dedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", lateness).dropDuplicates(Seq("event_id"))
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
 
   /** Stream-stream interval join: clicks enriched with purchases of
     * the same user within the trailing `windowMinutes` — both sides
     * watermarked so the join state expires (unbounded state is the
     * classic stream-join failure at scale). Columns: left needs
-    * (user_id, click_id, ts); right (user_id, purchase_id, p_ts).
+    * (user_id, ts, ...); right (p_user_id, p_ts, ...) — the right
+    * side's key/time are p_-prefixed so the post-join columns are
+    * unambiguous.
     */
   def intervalJoin(clicks: DataFrame, purchases: DataFrame,
                    windowMinutes: Int = 60): DataFrame = {
@@ -101,17 +106,6 @@ object StreamingOps {
       FirehoseDecoder.splitBlocks(FirehoseDecoder.gunzipAll(content))
         .iterator.zipWithIndex.map { case (b, i) => (file, i, b) }
     }.toDF("file", "block_idx", "block")
-    blocks
-      .select(col("file"), col("block_idx"),
-        from_json(col("block"), FirehoseDecoder.blockSchema).as("b"))
-      .select(col("file"), col("block_idx"),
-        col("b.logGroup").as("logGroup"),
-        col("b.logStream").as("logStream"),
-        posexplode(col("b.logEvents")).as(Seq("event_idx", "ev")))
-      .select(col("ev.timestamp").as("timestamp"), col("logGroup"),
-        col("logStream"),
-        concat_ws("/", slice(split(col("logStream"), "/", -1), 1, 2))
-          .as("logStreamPrefix"),
-        col("file"), col("ev.id").as("id"), col("ev.message").as("message"))
+    FirehoseDecoder.decodeBlocks(blocks).drop("block_idx", "event_idx")
   }
 }
