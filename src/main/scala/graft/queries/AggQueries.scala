@@ -134,6 +134,18 @@ object AggQueries {
         g("o_orderpriority").asc_nulls_first)
     }),
 
+    // Pivot: explicit value list keeps the output schema static (and
+    // matches DuckDB's PIVOT columns); count nulls filled with 0 to
+    // align with DuckDB's count-of-empty-group = 0.
+    "q_agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderstatus")),
+
     // GROUPING SETS has no Dataset-API builder — SQL surface is the
     // idiomatic Spark route.
     "q_agg_grouping_sets" -> ((s, d) => {
@@ -221,6 +233,14 @@ object AggQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_grouping_sets" ->
       s"""SELECT r_name, n_name, COUNT(*) AS cnt,
         |  CAST(GROUPING(r_name) AS INT) AS g_r,

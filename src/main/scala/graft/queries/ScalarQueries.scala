@@ -79,6 +79,16 @@ object ScalarQueries {
           col("event_type"))
         .orderBy("event_id")),
 
+    // Standalone generator: posexplode over a bounded array slice —
+    // one output row per (vector, position).
+    "q_explode" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, 4)).as(Seq("idx0", "val")))
+        .select(col("vec_id"), (col("idx0") + 1).cast("int").as("idx"),
+          col("val"))
+        .orderBy("vec_id", "idx")),
+
     "q_array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -137,6 +147,11 @@ object ScalarQueries {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_explode" ->
+      """SELECT vec_id, CAST(i AS INT) AS idx,
+        |  embedding[CAST(i AS INT)] AS val
+        |FROM embeddings CROSS JOIN generate_series(1, 4) t(i)
+        |ORDER BY vec_id, idx""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
