@@ -45,6 +45,26 @@ class PlanSpec extends SparkSpec {
       case t: TakeOrderedAndProjectExec => t }.nonEmpty)
   }
 
+  test("partitioned writes prune partitions at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toFile
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("event_type").mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    val pruned = spark.read.parquet(dir.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // partition filter reached the scan; only the one directory reads
+    assert(scan.partitionFilters.nonEmpty,
+      "event_type predicate must become a partition filter")
+    val allTypes = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type").distinct().count()
+    assert(allTypes > 1)
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $allTypes partitions selected")
+  }
+
   test("firehose decode path has zero shuffles") {
     val decodePlan = graft.firehose.FirehoseDecoder
       .decode(spark, graft.queries.PipelineQueries.fixtureDir
