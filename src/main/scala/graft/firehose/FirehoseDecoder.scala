@@ -7,6 +7,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One decoded log event (FIXTURES.md §A.3 + batching ordinals). */
+case class FirehoseEvent(timestamp: Long, logGroup: String,
+                         logStream: String, logStreamPrefix: String,
+                         file: String, id: String, message: String,
+                         block_idx: Int, event_idx: Int)
+
 /** Decoder for the Kinesis-Firehose/CloudWatch-Logs file format the
   * reference ingests: S3 objects containing **concatenated**
   * DATA_MESSAGE JSON blocks with no separator, gzip'd zero or more
@@ -159,6 +165,14 @@ object FirehoseDecoder {
   def decode(spark: SparkSession, path: String,
              permissive: Boolean = false): DataFrame =
     decodeBlocks(blocks(spark, path, permissive))
+
+  /** Typed surface: the same decode as a Dataset[FirehoseEvent] for
+    * callers who want compile-time field access. */
+  def decodeTyped(spark: SparkSession, path: String,
+                  permissive: Boolean = false): Dataset[FirehoseEvent] = {
+    import spark.implicits._
+    decode(spark, path, permissive).as[FirehoseEvent]
+  }
 
   /** R13 batching: size-bounded micro-batches that never span blocks
     * (`kinesis-to-humio.py:150`) — batch ordinal is a pure per-row

@@ -137,8 +137,11 @@ object ApproxDedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a per-row projection, so
+      // rejecting far pairs first shrinks the dedup shuffle to just
+      // the qualifying pairs.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

@@ -198,3 +198,17 @@ class FirehosePayloadSpec extends graft.SparkSpec {
     assert(b1.toSeq == Seq(2, 3))
   }
 }
+
+/** Typed-surface spec. */
+class FirehoseTypedSpec extends graft.SparkSpec {
+  test("decodeTyped yields the same events with compile-time fields") {
+    val dir = java.nio.file.Files.createTempDirectory("fh_typed").toFile
+    val expected = FirehoseFixture.writeStandard(dir)
+    val ds = FirehoseDecoder.decodeTyped(spark, dir.getAbsolutePath + "/*")
+    val evs: Array[FirehoseEvent] = ds.collect()
+    assert(evs.length == expected)
+    val e = evs.find(_.id == "ev-0-2").get
+    assert(e.timestamp == FirehoseFixture.BaseTs + 2 &&
+      e.logStreamPrefix == "2023/11" && e.event_idx == 2)
+  }
+}
