@@ -67,7 +67,18 @@ object LlmQueries {
             .as("n_chunks"))
         .orderBy("doc_id")),
 
-    "q_multimodal_pipeline" -> ((s, _) => MultimodalOps.pipeline(s))
+    "q_multimodal_pipeline" -> ((s, _) => MultimodalOps.pipeline(s)),
+
+    // int8 embedding quantization with reconstruction diagnostics
+    // (rows-only: per-engine float rounding makes the q arrays
+    // oracle-unfriendly; bounds are spec-asserted instead).
+    "q_embed_quantize" -> ((s, d) =>
+      graft.operators.EmbeddingOps.quantized(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          round(col("scale"), 8).as("scale_r"),
+          size(col("q")).as("dim"),
+          round(col("max_abs_err"), 8).as("max_abs_err_r"))
+        .orderBy("vec_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
