@@ -25,10 +25,16 @@ object RelationalQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // NOTE: the synthetic lineitem's (l_orderkey, l_linenumber) is NOT
+    // unique, so row-level lineitem queries order by ALL output
+    // columns — any rows still tied are fully identical, making the
+    // ordered hash engine-independent (two-column ordering only
+    // worked by both engines leaving ties in file order).
     "q_scan_project" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")),
 
     "q_filter_pred" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -39,7 +45,8 @@ object RelationalQueries {
           col("l_quantity") < 30)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
           "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_shipdate")),
 
     // R4 semantics (kinesis-to-humio.py:210-216): anti-join against a
     // "processed" subset.
@@ -141,6 +148,17 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Bag-semantics union (Spark union == SQL UNION ALL): duplicates
+    // preserved; total order on (key, n) after a counting wrap keeps
+    // the oracle hash stable.
+    "q_set_union_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 4000).select("c_custkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("c_custkey")
+    }),
+
     "q_set_intersect" -> ((s, d) => {
       val c = Tables.customer(s, d)
       c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -159,7 +177,8 @@ object RelationalQueries {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
         |FROM lineitem
@@ -167,7 +186,8 @@ object RelationalQueries {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 30
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  l_shipdate""".stripMargin,
     "q_files_antijoin" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey NOT IN
@@ -226,6 +246,12 @@ object RelationalQueries {
         |UNION
         |SELECT c_custkey FROM customer WHERE c_acctbal > 4000
         |ORDER BY c_custkey""".stripMargin,
+    "q_set_union_all" ->
+      """SELECT c_custkey, COUNT(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_set_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT

@@ -42,7 +42,23 @@ object ScalarQueries {
           month(col("l_shipdate")).cast("int").as("ship_mon"),
           dayofmonth(col("l_shipdate")).cast("int").as("ship_day"),
           to_date(col("l_shipdate")).as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // ship_date breaks (l_orderkey, l_linenumber) ties — the pair
+        // is NOT unique in this data; remaining ties are identical
+        // rows (every output is a function of these three).
+        .orderBy("l_orderkey", "l_linenumber", "ship_date")),
+
+    // Date arithmetic: datediff / date_add / last_day over DATE
+    // values (tz-free on both engines).
+    "q_date_arith" -> ((s, d) => {
+      val ship = to_date(col("l_shipdate"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(ship, lit("1995-01-01").cast("date"))
+            .cast("int").as("days_since_95"),
+          date_add(ship, 30).as("ship_plus_30"),
+          last_day(ship).as("month_end"))
+        .orderBy("l_orderkey", "l_linenumber", "days_since_95")
+    }),
 
     "q_math_funcs" -> ((s, d) => {
       val p = col("p_retailprice").cast(DecimalType(18, 2))
@@ -120,7 +136,16 @@ object ScalarQueries {
         |  CAST(month(l_shipdate) AS INT) AS ship_mon,
         |  CAST(day(l_shipdate) AS INT) AS ship_day,
         |  CAST(l_shipdate AS DATE) AS ship_date
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+    "q_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(date_diff('day', DATE '1995-01-01',
+        |                 CAST(l_shipdate AS DATE)) AS INT)
+        |    AS days_since_95,
+        |  CAST(l_shipdate AS DATE) + 30 AS ship_plus_30,
+        |  last_day(CAST(l_shipdate AS DATE)) AS month_end
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, days_since_95""".stripMargin,
     "q_math_funcs" ->
       """SELECT p_partkey,
         |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,

@@ -56,6 +56,26 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy("o_orderkey")
+    }),
+
     // As-of join: clicks enriched with the most recent prior purchase
     // of the same user — the union-and-window formulation (see
     // [[graft.operators.AsofJoin]]); oracle is DuckDB's native ASOF
@@ -121,6 +141,21 @@ object WindowQueries {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |             epoch_us(ts) AS ts_us FROM events),
