@@ -19,9 +19,11 @@ object EmbeddingOps {
     greatest(array_max(transform(vec, x => abs(x))), lit(1e-12f))
       .cast("double") / 127.0
 
-  /** Quantize to int8 range [-127, 127] with round-half-up. */
+  /** Quantize to int8 range [-127, 127] with round-half-up — stored
+    * as TINYINT so the 4× storage shrink over float32 is real, not
+    * just numeric. */
   def quantizeI8(vec: Column, scale: Column): Column =
-    transform(vec, x => round(x.cast("double") / scale, 0).cast("int"))
+    transform(vec, x => round(x.cast("double") / scale, 0).cast("tinyint"))
 
   /** Dequantize back to doubles. */
   def dequantizeI8(q: Column, scale: Column): Column =
@@ -31,6 +33,9 @@ object EmbeddingOps {
     * max absolute error (bounded by scale/2) and the cosine between
     * the original and reconstructed vectors. */
   def quantized(embeddings: DataFrame): DataFrame = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
     val scaled = embeddings
       .withColumn("scale", i8Scale(col("embedding")))
       .withColumn("q", quantizeI8(col("embedding"), col("scale")))
@@ -40,7 +45,8 @@ object EmbeddingOps {
         zip_with(col("embedding"), col("deq"),
           (a, b) => abs(a.cast("double") - b)),
         lit(0.0), (acc, x) => greatest(acc, x)).as("max_abs_err"),
-      (VectorFns.dot(col("embedding"), col("embedding")).cast("double"))
-        .as("norm2_orig"))
+      (dotD(col("embedding"), col("deq")) /
+        (sqrt(VectorFns.dot(col("embedding"), col("embedding"))) *
+         sqrt(dotD(col("deq"), col("deq"))))).as("cos_recon"))
   }
 }

@@ -77,7 +77,8 @@ object LlmQueries {
         .select(col("vec_id"),
           round(col("scale"), 8).as("scale_r"),
           size(col("q")).as("dim"),
-          round(col("max_abs_err"), 8).as("max_abs_err_r"))
+          round(col("max_abs_err"), 8).as("max_abs_err_r"),
+          round(col("cos_recon"), 6).as("cos_recon_r"))
         .orderBy("vec_id"))
   )
 

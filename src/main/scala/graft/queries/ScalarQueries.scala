@@ -96,9 +96,13 @@ object ScalarQueries {
         .orderBy("event_id")),
 
     // Standalone generator: posexplode over a bounded array slice —
-    // one output row per (vector, position).
+    // one output row per (vector, position). The dim-≥4 guard keeps
+    // Spark (emits existing elements) and the oracle's
+    // generate_series cross join (always 4 rows) aligned even if the
+    // corpus ever contains short or null vectors.
     "q_explode" -> ((s, d) =>
       Tables.embeddings(s, d)
+        .filter(size(col("embedding")) >= 4)
         .select(col("vec_id"),
           posexplode(slice(col("embedding"), 1, 4)).as(Seq("idx0", "val")))
         .select(col("vec_id"), (col("idx0") + 1).cast("int").as("idx"),
@@ -176,6 +180,7 @@ object ScalarQueries {
       """SELECT vec_id, CAST(i AS INT) AS idx,
         |  embedding[CAST(i AS INT)] AS val
         |FROM embeddings CROSS JOIN generate_series(1, 4) t(i)
+        |WHERE len(embedding) >= 4
         |ORDER BY vec_id, idx""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,

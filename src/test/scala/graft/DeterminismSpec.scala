@@ -14,10 +14,11 @@ class DeterminismSpec extends SparkSpec {
 
   test("row-level query output is identical across partition counts") {
     for (q <- rowLevel) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
       val runs = Seq("3", "13").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
-        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
       assert(runs(0) == runs(1),
         s"$q output depends on partitioning — non-total ORDER BY")

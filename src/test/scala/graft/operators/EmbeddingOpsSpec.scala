@@ -12,9 +12,10 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(rows.length == 500)
     rows.foreach { r =>
       val scale = r.getAs[Double]("scale")
-      val codes = r.getSeq[Int](r.fieldIndex("q"))
+      val codes = r.getSeq[Byte](r.fieldIndex("q"))
       assert(codes.forall(c => c >= -127 && c <= 127),
         s"vec ${r.getLong(0)} codes out of range")
+      assert(r.getAs[Double]("cos_recon") > 0.999)
       // symmetric round-to-nearest ⇒ error ≤ scale/2 (+ float eps)
       assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-9,
         s"vec ${r.getLong(0)} error ${r.getAs[Double]("max_abs_err")} > ${scale / 2}")
