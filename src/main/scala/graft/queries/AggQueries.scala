@@ -23,7 +23,13 @@ import graft.Tables
   */
 object AggQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def sumDec(c: Column): Column = sum(dec(c)).cast(DecimalType(18, 2))
+  // Exact decimal sum internally; DOUBLE on the output surface. The
+  // driver's gate compares DuckDB results fetched as float64 against
+  // Spark parquet read by pandas — a DECIMAL output column arrives as
+  // decimal.Decimal objects and never hash-matches, even when values
+  // are identical. Converting the exact decimal sum to double is the
+  // same correctly-rounded operation on both engines.
+  private def sumDec(c: Column): Column = sum(dec(c)).cast("double")
   private def avgViaSum(c: Column): Column =
     sum(dec(c)).cast("double") / count(lit(1))
 
@@ -38,11 +44,12 @@ object AggQueries {
           // Operands are cast to decimal BEFORE multiplying: decimal
           // multiplication is exact on both engines, whereas casting
           // the double product rounds differently (Spark exact-binary
-          // HALF_UP vs DuckDB scaled-double rounding). The scale-4
-          // product sum is kept at scale 4 — a final downscale to 2
-          // would tie-break .xx5 differently across engines.
+          // HALF_UP vs DuckDB scaled-double rounding). The exact
+          // scale-4 product sum is converted straight to double — no
+          // intermediate downscale, whose .xx5 tie-break differs
+          // across engines.
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(20, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           avgViaSum(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -111,7 +118,7 @@ object AggQueries {
       custNationRegion(s, d).createOrReplaceTempView("cnr_rollup")
       s.sql(
         """SELECT r_name, n_name, COUNT(*) AS cnt,
-          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
           |    AS sum_bal,
           |  CAST(GROUPING(r_name) AS INT) AS g_r,
           |  CAST(GROUPING(n_name) AS INT) AS g_n
@@ -176,9 +183,9 @@ object AggQueries {
   def oracleSql: Map[String, String] = Map(
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -219,7 +226,7 @@ object AggQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_agg_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  CAST(GROUPING(r_name) AS INT) AS g_r,
         |  CAST(GROUPING(n_name) AS INT) AS g_n
         |$cnrFrom
@@ -227,7 +234,7 @@ object AggQueries {
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p
         |FROM orders

@@ -121,18 +121,34 @@ object RelationalQueries {
         .select("c_custkey", "c_nationkey", "n_nationkey", "n_name")
         .orderBy("c_custkey", "n_nationkey")),
 
-    "q_join_multiway" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
+    // Catalyst won't push an aggregate through a join on its own, so
+    // the revenue partial-aggregate by l_orderkey happens BEFORE the
+    // orders join: the fact table is shuffled once (narrow: key +
+    // decimal + count), and the per-order rollup — |orders| rows, ~4×
+    // narrower than the raw join output — is what flows through the
+    // rest of the plan. Customer is broadcast. At 100× scale this
+    // shape shuffles lineitem once instead of twice-at-full-width.
+    "q_join_multiway" -> ((s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
         .agg(
           // Decimal-first multiply: exact on both engines (casting the
           // double product instead rounds differently — see AggQueries).
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(20, 4)).as("revenue"),
-          count(lit(1)).as("cnt"))
-        .orderBy("c_mktsegment")),
+            .as("rev"),
+          count(lit(1)).as("n"))
+      perOrder
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          // Exact decimal total → double only on the output surface
+          // (decimal outputs fail the driver's pandas hash compare).
+          sum(col("rev")).cast("double").as("revenue"),
+          sum(col("n")).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
 
     "q_sort_limit_topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -232,7 +248,7 @@ object RelationalQueries {
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |           (1 - CAST(l_discount AS DECIMAL(18,2))))
-        |       AS DECIMAL(20,4)) AS revenue,
+        |       AS DOUBLE) AS revenue,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

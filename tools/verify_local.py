@@ -1,29 +1,116 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 gate: run DuckDB oracle SQL over
-the same parquet tables and diff against the Spark outputs written by
-`graft.Verify`. Columns are sorted by name before comparison (driver
-behavior); rows are compared in order.
+"""Local stand-in for the driver's correctness gate.
+
+Reproduces the DRIVER's comparison path, not a normalized one:
+  - oracle rows come from DuckDB via ``.df()`` (DECIMAL -> float64,
+    nullable INT -> float64, DATE -> object of datetime.date),
+  - Spark rows come from ``pandas.read_parquet`` on the Verify output
+    directory (parquet DECIMAL -> decimal.Decimal objects, arrays ->
+    numpy.ndarray),
+  - columns are sorted by name, rows are sorted by all columns with
+    ``DataFrame.sort_values`` (which raises TypeError on ndarray
+    columns — exactly like the driver's lexsort did in round 2),
+  - cells are compared by exact value AND type-class: a
+    decimal.Decimal on the Spark side never matches a float64 on the
+    oracle side even when numerically identical, mirroring the
+    driver's hash mismatch on DECIMAL-typed output columns.
+
+Round-2 lesson: the previous version read BOTH sides through DuckDB,
+normalizing decimal/array types identically, and reported 48/48 while
+the driver reported 41/48. A local gate must fail wherever the driver
+fails.
 
 Usage: verify_local.py <sfDir> <verifyOutDir>
 """
+import datetime
+import decimal
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+def type_class(v):
+    """Coarse type class: values in different classes never match,
+    mirroring how the driver's value hash separates dtypes."""
+    if v is None:
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "null" if math.isnan(v) else "float"
+    # DATE and TIMESTAMP share a class: DuckDB .df() widens DATE to
+    # datetime64 while Spark parquet date32 stays datetime.date, and
+    # the driver hash-matched DATE-output queries in round 2 — so the
+    # two must compare by instant, not by Python type.
+    if isinstance(v, (pd.Timestamp, datetime.datetime, np.datetime64,
+                      datetime.date)):
+        return "ts"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "array"
+    return type(v).__name__
+
+
+def cells_equal(a, b):
+    ca, cb = type_class(a), type_class(b)
+    if ca != cb:
+        return False
+    if ca == "null":
+        return True
+    if ca == "ts":
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    if ca == "array":
+        return list(a) == list(b)
+    return a == b
+
+
+def sorted_frame(df):
+    """Driver behavior: columns sorted by name, rows lexsorted by all
+    columns. Raises on unsortable (ndarray) columns like the driver."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare(name, spark_df, oracle_df):
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if s_cols != o_cols:
+        return f"columns spark={s_cols} oracle={o_cols}"
+    if len(spark_df) != len(oracle_df):
+        return f"rows spark={len(spark_df)} oracle={len(oracle_df)}"
+    s = sorted_frame(spark_df)
+    o = sorted_frame(oracle_df)
+    n_diff, first = 0, None
+    for i in range(len(s)):
+        for c in s_cols:
+            a, b = s.at[i, c], o.at[i, c]
+            if not cells_equal(a, b):
+                n_diff += 1
+                if first is None:
+                    first = (i, c, a, type_class(a), b, type_class(b))
+                break
+    if n_diff:
+        i, c, a, ta, b, tb = first
+        return (f"{n_diff}/{len(s)} rows differ; first at row {i} "
+                f"col {c}:\n  spark : {a!r} ({ta})\n  oracle: {b!r} ({tb})")
+    return None
 
 
 def main(sf_dir, out_dir):
@@ -35,48 +122,30 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = spark_rel.description
-            spark_rows = spark_rel.fetchall()
+            parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not parts:
+                raise FileNotFoundError(f"no parquet under {out_dir}/{name}")
+            spark_df = pd.concat(
+                [pd.read_parquet(p) for p in parts], ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_bad += 1
             continue
         try:
-            o_rel = con.execute(sql)
-            o_cols = o_rel.description
-            oracle_rows = o_rel.fetchall()
+            oracle_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
-        s_names = [c[0] for c in s_cols]
-        o_names = [c[0] for c in o_cols]
-        if sorted(s_names) != sorted(o_names):
-            print(f"FAIL {name}: columns spark={sorted(s_names)} "
-                  f"oracle={sorted(o_names)}")
-            n_bad += 1
-            continue
-        s_idx = [s_names.index(c) for c in sorted(s_names)]
-        o_idx = [o_names.index(c) for c in sorted(o_names)]
-        s_sorted = [tuple(norm(r[i]) for i in s_idx) for r in spark_rows]
-        o_sorted = [tuple(norm(r[i]) for i in o_idx) for r in oracle_rows]
-        if len(s_sorted) != len(o_sorted):
-            print(f"FAIL {name}: rows spark={len(s_sorted)} "
-                  f"oracle={len(o_sorted)}")
-            n_bad += 1
-            continue
-        diffs = [(i, a, b) for i, (a, b) in
-                 enumerate(zip(s_sorted, o_sorted)) if a != b]
-        if diffs:
-            i, a, b = diffs[0]
-            print(f"FAIL {name}: {len(diffs)}/{len(s_sorted)} rows differ; "
-                  f"first at {i}:\n  spark : {a}\n  oracle: {b}")
-            print(f"  (cols sorted: {sorted(s_names)})")
+        try:
+            problem = compare(name, spark_df, oracle_df)
+        except Exception as e:
+            problem = f"compare error (driver would error too): {e!r}"
+        if problem:
+            print(f"FAIL {name}: {problem}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(s_sorted)} rows)")
+            print(f"OK   {name} ({len(spark_df)} rows)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
