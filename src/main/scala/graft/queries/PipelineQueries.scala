@@ -26,10 +26,22 @@ object PipelineQueries {
 
   def firehosePipeline(spark: SparkSession): DataFrame = {
     val decoded = FirehoseDecoder.decode(
-      spark, fixtureDir.getAbsolutePath + "/*")
+      spark, fixtureDir.getAbsolutePath)
     FirehoseDecoder.withBatchId(decoded, batchSize = 5000)
       .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
       .orderBy("file", "block_idx", "event_idx")
+  }
+
+  /** Large fixture dir (200k events / 32 gzip'd files), generated on
+    * first use. Bench warms this up BEFORE its timed loop so
+    * q_firehose_throughput measures decode, not single-threaded
+    * driver-side fixture generation. */
+  def largeFixtureDir: File = {
+    val d = new File(
+      System.getProperty("java.io.tmpdir"), "graft_firehose_large")
+    d.mkdirs()
+    FirehoseFixture.writeLarge(d)
+    d
   }
 
   /** Multi-file decode at volume (200k events / 32 gzip'd files):
@@ -38,11 +50,8 @@ object PipelineQueries {
     * file, aggregated to per-file counts (16 rows out, all compute
     * in the decode). */
   def firehoseThroughput(spark: SparkSession): DataFrame = {
-    val dir = new File(
-      System.getProperty("java.io.tmpdir"), "graft_firehose_large")
-    dir.mkdirs()
-    FirehoseFixture.writeLarge(dir)
-    FirehoseDecoder.decode(spark, dir.getAbsolutePath + "/*")
+    val dir = largeFixtureDir
+    FirehoseDecoder.decode(spark, dir.getAbsolutePath)
       .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
       .groupBy("file")
       .agg(count(lit(1)).as("n_events"),
@@ -59,7 +68,7 @@ object PipelineQueries {
     * batch is ≤ batchSize events by construction. */
   def firehosePayloads(spark: SparkSession, batchSize: Int = 5000): DataFrame = {
     val events = FirehoseDecoder.withBatchId(
-      FirehoseDecoder.decode(spark, fixtureDir.getAbsolutePath + "/*"),
+      FirehoseDecoder.decode(spark, fixtureDir.getAbsolutePath),
       batchSize)
       .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
     events
