@@ -59,13 +59,24 @@ object LlmQueries {
             .as("bpe_tokens"))
         .orderBy("doc_id")),
 
-    "q_text_fingerprint" -> ((s, d) =>
+    // Oracle-checkable fingerprint observables: the xxhash64 values
+    // themselves have no DuckDB equivalent, but (a) the distinct chunk
+    // count and (b) the size of each whole-doc fingerprint's duplicate
+    // group are invariant under the hash (equal fingerprints ⇔ equal
+    // normalized text, absent collisions) — DuckDB computes the same
+    // numbers from the strings directly.
+    "q_text_fingerprint" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fingerprint")
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.docFingerprint(col("text")).as("fingerprint"),
           size(TextAnalysis.chunkFingerprints(col("text"))).cast("int")
             .as("n_chunks"))
-        .orderBy("doc_id")),
+        .withColumn("fp_dupes", count(lit(1)).over(w).cast("int"))
+        .select("doc_id", "n_chunks", "fp_dupes")
+        .orderBy("doc_id")
+    }),
 
     "q_multimodal_pipeline" -> ((s, _) => MultimodalOps.pipeline(s)),
 
@@ -82,12 +93,50 @@ object LlmQueries {
         .orderBy("vec_id"))
   )
 
+  private def stopList(lang: String): String =
+    TextAnalysis.profiles(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text),
         |    '${TextAnalysis.bpePattern}')) AS INT) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same argmax as TextAnalysis.langId: distinct stopword types per
+    // profile, highest score wins, earliest profile (en,es,de,fr)
+    // breaks ties, score 0 ⇒ 'und'.
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(toks, ${stopList("en")})) AS s_en,
+        |    len(list_intersect(toks, ${stopList("es")})) AS s_es,
+        |    len(list_intersect(toks, ${stopList("de")})) AS s_de,
+        |    len(list_intersect(toks, ${stopList("fr")})) AS s_fr
+        |  FROM (SELECT doc_id, lang,
+        |          string_split_regex(lower(text), '\\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // n_chunks: distinct 8-token stride-8 windows (full windows only);
+    // fp_dupes: docs sharing the whitespace-normalized lowercase text
+    // — what sharing the whole-doc xxhash64 fingerprint means.
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN len(toks) >= 8 THEN
+        |    len(list_distinct(list_transform(
+        |      range(1, len(toks) - 6, 8),
+        |      i -> array_to_string(toks[i:i+7], ' '))))
+        |    ELSE 0 END AS INT) AS n_chunks,
+        |  CAST(COUNT(*) OVER (PARTITION BY norm) AS INT) AS fp_dupes
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |        regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }
