@@ -50,9 +50,13 @@ object AsofJoin {
             leftCols.filterNot(Seq(key, time).contains)
               .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
             struct(rightCols.map(col): _*).as("__r"): _*))
-    // right rows sort before left rows at equal time ⇒ `<=` semantics
+    // right rows sort before left rows at equal time ⇒ `<=` semantics.
+    // The trailing __r ordering is the deterministic tie-breaker for
+    // right rows sharing (key, time): the greatest carried struct
+    // (field-lexicographic) wins, instead of whichever row the sort
+    // happened to place last.
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(col(time).asc, col("__side").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = tagged.withColumn("__r",
       last(col("__r"), ignoreNulls = true).over(w))

@@ -32,15 +32,15 @@ class AsofJoinSpec extends SparkSpec {
       val left = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
         (rnd.nextInt(nk).toLong, rnd.nextInt(100).toLong, s"L$round-$i")
       }
-      // unique (k, t) on the right — the operator's documented
-      // determinism precondition
+      // duplicate (k, t) right rows allowed: ties resolve to the
+      // greatest carried struct (here: max b_tag string)
       val right = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
-        (rnd.nextInt(nk).toLong, rnd.nextInt(100).toLong, s"R$round-$i")
-      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        (rnd.nextInt(nk).toLong, rnd.nextInt(20).toLong, s"R$round-$i")
+      }
       val expected = left.map { l =>
         val prior = right.filter(r => r._1 == l._1 && r._2 <= l._2)
         l._3 -> (if (prior.isEmpty) null
-                 else prior.maxBy(_._2)._3)
+                 else prior.maxBy(r => (r._2, r._3))._3)
       }.toMap
       val got = AsofJoin.leftAsof(
         left.toDF("k", "t", "a_tag"), right.toDF("k", "t", "b_tag"),
@@ -49,6 +49,18 @@ class AsofJoinSpec extends SparkSpec {
         .map(r => r.getAs[String]("a_tag") -> r.getAs[String]("b_tag"))
         .toMap
       assert(got == expected, s"round $round")
+    }
+  }
+
+  test("non-unique (key,time) right rows pick the same row under any " +
+      "partitioning") {
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "a_tag")
+    val dupes = Seq((1L, 90L, "bZ"), (1L, 90L, "bA"), (1L, 90L, "bM"))
+    for (p <- Seq(1, 3, 7)) {
+      val right = dupes.toDF("k", "t", "b_tag").repartition(p)
+      val got = AsofJoin.leftAsof(left, right, "k", "t", Seq("b_tag"))
+        .collect().map(_.getAs[String]("b_tag")).toSeq
+      assert(got == Seq("bZ"), s"partitions=$p") // greatest struct wins
     }
   }
 

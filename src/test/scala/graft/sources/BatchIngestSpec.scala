@@ -32,6 +32,23 @@ class BatchIngestSpec extends SparkSpec {
       Seq("ev-1-0", "ev-1-1"))
   }
 
+  test("ingestOnce's returned frame survives re-evaluation after the " +
+      "log append") {
+    val staging = Files.createTempDirectory("bi_replan").toFile
+    val log = Files.createTempDirectory("bi_replan_log").toFile
+      .getAbsolutePath + "/processed"
+    FirehoseFixture.write(staging, "a.log",
+      FirehoseFixture.block(0, 3, "s/a").getBytes("UTF-8"))
+    val events = BatchIngest.ingestOnce(
+      spark, staging.getAbsolutePath + "/*", log)
+    // By the time we evaluate, the paths are already in the log. A
+    // plan still anti-joining against the log would now return zero
+    // rows; the pinned-path plan must return the batch on EVERY
+    // evaluation.
+    assert(events.count() == 3)
+    assert(events.count() == 3)
+  }
+
   test("permissive decode skips corrupt gzip and counts it; strict fails") {
     val dir = Files.createTempDirectory("bi_corrupt").toFile
     FirehoseFixture.write(dir, "good.log",
