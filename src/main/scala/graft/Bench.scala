@@ -29,6 +29,13 @@ object Bench {
     queries.PipelineQueries.fixtureDir
     queries.PipelineQueries.largeFixtureDir
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Touch every benchmark table once (file listing + footer read) so
+    // the alphabetically-first query of each table doesn't absorb the
+    // cold metadata I/O. count() stays metadata-only — data pages are
+    // still read inside the timed queries.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      Tables(spark, sfDir, t).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
