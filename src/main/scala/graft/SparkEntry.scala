@@ -25,7 +25,8 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       PipelineQueries.queries ++
-      LlmQueries.queries
+      LlmQueries.queries ++
+      CompositeQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -38,5 +39,6 @@ object SparkEntry {
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
       PipelineQueries.oracleSql ++
+      CompositeQueries.oracleSql ++
       LlmQueries.oracleSql
 }

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.RangeJoin
+
+/** Composite / advanced-relational pack: TPC-H-shaped multi-join
+  * analytics, subqueries, filtered aggregation, string aggregation,
+  * value-range window frames, distribution windows, HAVING,
+  * top-N-per-group, multiset set-ops, unpivot, and the banded range
+  * join ([[graft.operators.RangeJoin]]).
+  *
+  * These generalize the reference's single count-and-forward dataflow
+  * (`kinesis-to-humio.py:114-117,133`) to the full analytics surface a
+  * replacement engine needs. Determinism follows SURVEY §7.4 and the
+  * round-2/3 rules: exact decimal math internally, DOUBLE on the
+  * output surface, total ORDER BY with unique-key tiebreaks.
+  *
+  * Scale notes per query are inline; the common themes: pre-aggregate
+  * below joins where Catalyst won't do it automatically, broadcast
+  * dimension-sized sides, keep every window partitioned, and express
+  * range predicates as banded equi-joins.
+  */
+object CompositeQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
+    // lineitems for BUILDING customers' pre-cutoff orders, top 10.
+    // Scale shape: lineitem is filtered + pre-aggregated by order
+    // BEFORE the orders join (one narrow fact shuffle); the filtered
+    // customer key set is broadcast; the top-10 compiles to
+    // TakeOrderedAndProject (no global sort materialization).
+    "q_tpch_q3" -> ((s, d) => {
+      val cutoff = lit("1995-03-15").cast("timestamp_ntz")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey").agg(revenue.as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+          col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): revenue per nation where
+    // the supplier and the ordering customer share a nation, 1995.
+    // supplier and nation are broadcast dims; lineitem shuffles once
+    // on l_orderkey, then once on o_custkey — the minimum for this
+    // dataflow.
+    "q_tpch_q5" -> ((s, d) => {
+      val in95 =
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") <  lit("1996-01-01").cast("timestamp_ntz")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).filter(in95),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // Uncorrelated scalar subquery (SQL surface — the idiomatic Spark
+    // route; Catalyst plans the subquery as a separate broadcast
+    // stage). Average computed as exact-decimal-sum ÷ count so both
+    // engines derive the identical double threshold.
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_sq
+          |WHERE o_totalprice >
+          |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |               AS DOUBLE) / COUNT(*) FROM orders_sq)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated EXISTS with a payload predicate (rewritten by
+    // Catalyst into a left-semi hash join — no per-row subquery
+    // execution).
+    "q_subquery_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq2")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_sq c
+          |WHERE EXISTS (SELECT 1 FROM orders_sq2 o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Conditional aggregation: FILTER-style partial counts/sums in one
+    // pass over the fact table (one hash aggregate, no self-joins).
+    "q_agg_filtered" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("n_big"),
+          sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice"))))
+            .cast("double").as("disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // String aggregation with deterministic element order (sorted
+    // before joining — collect_list order is partition-dependent,
+    // sorted output is not).
+    "q_string_agg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
+    // Value-range window frame: peers within ±100 of each order's
+    // totalprice, per customer — RANGE BETWEEN semantics (vs the ROWS
+    // frames elsewhere). Partitioned window: shards by o_custkey.
+    "q_win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-100L, 100L)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).cast("int").as("n_near"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distribution windows: percent_rank/cume_dist are rank-based, so
+    // equal-value ties are deterministic without a tiebreak column.
+    "q_win_percent" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // HAVING (post-aggregation filter).
+    "q_having" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+        .filter(col("n") >= 2)
+        .orderBy("c_nationkey")),
+
+    // Top-N per group (QUALIFY shape): row_number with a unique
+    // tiebreak, filtered — the standard distributed top-k-per-key.
+    "q_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // Multiset intersection/difference (INTERSECT ALL / EXCEPT ALL):
+    // duplicate-preserving set-ops, wrapped in a counting group so the
+    // bag is hashable deterministically.
+    "q_set_intersect_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+        .intersectAll(c.filter(col("c_acctbal") > 4000)
+          .select("c_nationkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }),
+
+    "q_set_except_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+        .exceptAll(c.filter(col("c_acctbal") > 4000)
+          .select("c_nationkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Unpivot (wide → long): pure per-row row expansion, no shuffle
+    // before the harness ORDER BY.
+    "q_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail")), "metric", "value")
+        .orderBy("p_partkey", "metric")),
+
+    // Banded range join: orders placed within each sampled order's
+    // 7-day window — a keyless interval-containment join planned as an
+    // equi-join on the band (see RangeJoin; PlanSpec asserts no
+    // nested-loop/cartesian operator appears).
+    "q_range_join" -> ((s, d) => {
+      def day(c: Column): Column =
+        datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
+      val pts = Tables.orders(s, d)
+        .select(day(col("o_orderdate")).as("p_day"))
+      val ivs = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("i_key"),
+          day(col("o_orderdate")).as("s_day"))
+        .withColumn("e_day", col("s_day") + 6)
+      RangeJoin.pointInInterval(pts, ivs, "p_day", "s_day", "e_day",
+          band = 7)
+        .groupBy("i_key").agg(count(lit(1)).as("n_in_window"))
+        .orderBy("i_key")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  o_orderdate
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |               AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_filtered" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(COUNT(*) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice
+        |     RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS INT)
+        |    AS n_near
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_percent" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_nationkey
+        |HAVING COUNT(*) >= 2 ORDER BY c_nationkey""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY c_mktsegment
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT c_nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 4000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT c_nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 4000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric,
+        |         CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retail' AS metric, p_retailprice FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q_range_join" ->
+      """SELECT i_key, COUNT(*) AS n_in_window FROM
+        |  (SELECT o_orderkey AS i_key,
+        |     date_diff('day', DATE '1992-01-01',
+        |               CAST(o_orderdate AS DATE)) AS s_day
+        |   FROM orders WHERE o_orderkey % 97 = 0) i
+        |JOIN
+        |  (SELECT date_diff('day', DATE '1992-01-01',
+        |               CAST(o_orderdate AS DATE)) AS p_day
+        |   FROM orders) p
+        |ON p.p_day BETWEEN i.s_day AND i.s_day + 6
+        |GROUP BY i_key ORDER BY i_key""".stripMargin
+  )
+}

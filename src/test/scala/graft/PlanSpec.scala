@@ -57,6 +57,21 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0, "expected a HashAggregate keyed on l_orderkey")
   }
 
+  test("q_range_join: interval containment plans as an equi-join, " +
+      "not a nested loop") {
+    val f = formatted("q_range_join")
+    assert(!f.contains("BroadcastNestedLoopJoin") &&
+      !f.contains("CartesianProduct"),
+      "banded range join must not degenerate to an O(n*m) plan")
+  }
+
+  test("q_tpch_q3: top-10 is TakeOrderedAndProject over a broadcast " +
+      "customer filter") {
+    val f = formatted("q_tpch_q3")
+    assert(f.contains("TakeOrderedAndProject"))
+    assert(f.contains("BroadcastHashJoin"))
+  }
+
   test("partitioned writes prune partitions at read time") {
     val dir = java.nio.file.Files.createTempDirectory("part_prune").toFile
     Tables.events(spark, "/root/testdata/sf0.001")
