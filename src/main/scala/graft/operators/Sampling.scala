@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * Two families, both reproducible run-to-run and partition-layout
+  * independent (unlike `DataFrame.sample`, whose output depends on
+  * partition boundaries and a per-partition RNG):
+  *
+  *  - '''Systematic stratified sampling''': every k-th row per
+  *    stratum in a stable key order — exact per-stratum fractions,
+  *    expressible on any engine (used by the DuckDB oracle).
+  *  - '''Hash splits''': assign each row to train/val/test by a
+  *    64-bit hash of its key — O(1) per row, no shuffle, stable under
+  *    any layout, and adding rows never reassigns existing ones. This
+  *    is the 100 TB path: a window-free projection.
+  *
+  * Scale: the stratified variant costs one window (hash-shuffle on
+  * the stratum + in-partition sort); the hash split costs nothing but
+  * the hash. Prefer hash splits whenever exact fractions aren't
+  * required.
+  */
+object Sampling {
+  /** Every `k`-th row per stratum, ordered by `ord` within the
+    * stratum (1st, k+1th, ... — exact ceil(n/k) rows per stratum). */
+  def stratifiedEveryKth(df: DataFrame, stratum: String, ord: String,
+                         k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(stratum).orderBy(ord)
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % k === 0)
+      .drop("__rn")
+  }
+
+  /** Split bucket in [0, buckets) from a stable 64-bit key hash.
+    * `pmod` keeps negatives out; xxhash64 is seed-stable across
+    * sessions and partitionings. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+  /** Label rows train/val/test by hash bucket: buckets [0, trainPct)
+    * → train, [trainPct, trainPct+valPct) → val, rest → test, out of
+    * 100 buckets. */
+  def split(df: DataFrame, key: String, trainPct: Int = 90,
+            valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100)
+    val b = hashBucket(col(key), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

@@ -80,6 +80,35 @@ object LlmQueries {
 
     "q_multimodal_pipeline" -> ((s, _) => MultimodalOps.pipeline(s)),
 
+    // Systematic stratified sampling: every 5th doc per language in
+    // doc_id order — exact per-stratum fractions, reproduced verbatim
+    // by the oracle.
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedEveryKth(
+        Tables.documents(s, d), "lang", "doc_id", k = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Hash-based train/val/test split, reported as per-split counts.
+    // xxhash64 buckets have no DuckDB equivalent → rows-only here;
+    // SamplingSpec pins determinism, disjointness-completeness, and
+    // fraction tolerances instead.
+    "q_sample_split" -> ((s, d) =>
+      graft.operators.Sampling.split(
+        Tables.documents(s, d), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
+    // Concat-and-chunk context packing (2048-token windows per lang).
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.SequencePacking.packWindows(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("t")),
+        "lang", "doc_id", "t", budget = 2048)
+        .select("doc_id", "lang", "window_id", "offset_in_window")
+        .orderBy("doc_id")),
+
     // int8 embedding quantization with reconstruction diagnostics
     // (rows-only: per-engine float rounding makes the q arrays
     // oracle-unfriendly; bounds are spec-asserted instead).
@@ -122,6 +151,23 @@ object LlmQueries {
         |  FROM (SELECT doc_id, lang,
         |          string_split_regex(lower(text), '\\s+') AS toks
         |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE (rn - 1) % 5 = 0 ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang,
+        |  CAST(floor((cum - t) / 2048) AS INT) AS window_id,
+        |  CAST((cum - t) % 2048 AS INT) AS offset_in_window
+        |FROM (
+        |  SELECT doc_id, lang, t,
+        |    SUM(t) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |          len(string_split(text, ' ')) AS t FROM documents))
         |ORDER BY doc_id""".stripMargin,
     // n_chunks: distinct 8-token stride-8 windows (full windows only);
     // fp_dupes: docs sharing the whitespace-normalized lowercase text

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  private val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("hash split is deterministic and partition-layout independent") {
+    val a = Sampling.split(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0),
+        r.getString(1))).toMap
+    val b = Sampling.split(docs.repartition(13), "doc_id")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0),
+        r.getString(1))).toMap
+    assert(a == b)
+  }
+
+  test("hash split is disjoint, complete, and near the target fractions") {
+    val n = docs.count().toDouble
+    val counts = Sampling.split(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n.toLong)
+    // 500 docs: binomial noise on 90/5/5 is a few points
+    assert(counts("train") / n > 0.8 && counts("train") / n < 0.97,
+      s"train fraction ${counts("train") / n}")
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) ==
+      n.toLong - counts("train"))
+  }
+
+  test("adding rows never reassigns existing ones") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fromHalf = Sampling.split(half, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val fromAll = Sampling.split(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fromHalf.forall { case (id, s) => fromAll(id) == s })
+  }
+
+  test("stratified every-kth keeps exact ceil(n/k) per stratum") {
+    val k = 5
+    val perStratum = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratifiedEveryKth(docs, "lang", "doc_id", k)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- perStratum)
+      assert(sampled(lang) == (n + k - 1) / k, s"stratum $lang")
+  }
+}
