@@ -89,6 +89,16 @@ object StreamingOps {
       col("p_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
+  /** Stream-static enrichment (S9): join each micro-batch against a
+    * static dimension, broadcast — the streaming counterpart of the
+    * batch dimension joins. Stateless: the dim is planned into every
+    * micro-batch (and re-resolved if its files change between
+    * batches); no streaming state accrues, so this costs the same at
+    * any stream length. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** The reference pipeline as a stream (S6): file source over a
     * staging dir → Firehose decode → exactly-once via checkpoint.
     * The file-source commit log replaces the SQLite `files` table

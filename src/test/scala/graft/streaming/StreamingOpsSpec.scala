@@ -154,6 +154,18 @@ class StreamingOpsSpec extends SparkSpec {
     assert(payloads.forall(_.events.size <= 4))
   }
 
+  test("S9 stream-static enrich joins each micro-batch to the dim") {
+    val (ms, df) = eventStream()
+    ms.addData((1, 5, 1, "click"), (2, 10, 2, "view"), (3, 15, 9, "click"))
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val out = runToMemory(
+      StreamingOps.enrichWithStatic(df, dim, Seq("user_id"))
+        .select("event_id", "name"), "s9", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // inner join: user 9 has no dim row and drops
+    assert(out == Set((1L, "alice"), (2L, "bob")))
+  }
+
   test("S6 exactly-once file ingest across checkpoint restart") {
     val staging = Files.createTempDirectory("fh_staging").toFile
     val checkpoint = Files.createTempDirectory("fh_ckpt").toFile
