@@ -110,6 +110,24 @@ object AggQueries {
           count(lit(1)).as("n_cust"))
         .orderBy("c_mktsegment")),
 
+    // Sketch aggregates — the scale path for distinct counts and
+    // quantiles: HLL++ and the Greenwald-Khanna quantile sketch are
+    // mergeable partial aggregates (map-side combine, fixed-size
+    // state), where exact countDistinct shuffles every distinct value
+    // and exact percentile collects the full column per group. No
+    // DuckDB oracle (sketch implementations differ across engines) —
+    // AggSketchSpec pins the error bounds against the exact answers.
+    "q_agg_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01)
+            .as("approx_orders"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
+            .as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ROLLUP over a join: the Dataset-API rollup trips Spark's
     // ambiguous-self-join check against the Expand's duplicated
     // grouping attributes when combined with grouping() + orderBy, so

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error-bound pins for the sketch aggregates (q_agg_approx): no
+  * cross-engine oracle exists for HLL++/GK sketches, so correctness
+  * is "within documented error of the exact answer", per group, and
+  * deterministic across partition layouts (both sketches are
+  * RNG-free and merge-associative... up to merge order; HLL++ merges
+  * are max-per-register, hence layout-independent).
+  */
+class AggSketchSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact, per group") {
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_agg_approx")(spark, dir)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Long]("approx_orders")).toMap
+    for ((g, x) <- exact) {
+      val a = approx(g)
+      assert(math.abs(a - x).toDouble / x < 0.05, s"group $g: $a vs $x")
+    }
+  }
+
+  test("approx_percentile lands between the exact p45 and p55") {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.45)).as("lo"),
+        percentile(col("l_quantity"), lit(0.55)).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = SparkEntry.queries("q_agg_approx")(spark, dir)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Double]("approx_median")).toMap
+    for ((g, (lo, hi)) <- bounds)
+      assert(approx(g) >= lo && approx(g) <= hi,
+        s"group $g: ${approx(g)} outside [$lo, $hi]")
+  }
+
+  test("sketches are partition-layout independent") {
+    val a = SparkEntry.queries("q_agg_approx")(spark, dir).collect().toSeq
+    val li = Tables.lineitem(spark, dir).repartition(17)
+    val b = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01)
+          .as("approx_orders"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
+          .as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(a.map(_.getAs[Long]("approx_orders")) ==
+      b.map(_.getAs[Long]("approx_orders")))
+  }
+}
