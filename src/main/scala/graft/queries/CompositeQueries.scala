@@ -153,6 +153,27 @@ object CompositeQueries {
         .orderBy("c_custkey")
     }),
 
+    // Boolean aggregates: every/any (bool_and/bool_or) per group.
+    "q_bool_agg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          every(col("c_acctbal") > -1000).as("all_above"),
+          some(col("c_acctbal") > 9000).as("any_rich"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // nth_value over an unbounded frame (vs first/last elsewhere).
+    "q_win_nth" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // HAVING (post-aggregation filter).
     "q_having" -> ((s, d) =>
       Tables.customer(s, d)
@@ -299,6 +320,20 @@ object CompositeQueries {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         |ORDER BY c_custkey""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT c_mktsegment,
+        |  bool_and(c_acctbal > -1000) AS all_above,
+        |  bool_or(c_acctbal > 9000) AS any_rich,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND UNBOUNDED FOLLOWING) AS second_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_having" ->
       """SELECT c_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal

@@ -90,6 +90,32 @@ object ScalarQueries {
         .orderBy("c_custkey")
     }),
 
+    // Second string pack: padding/reverse/repeat/replace/translate —
+    // the remaining per-row string surface, one codegen span.
+    "q_str_funcs2" -> ((s, d) =>
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 12, ".").as("padded"),
+          rpad(col("n_name"), 12, "-").as("rpadded"),
+          reverse(col("n_name")).as("rev"),
+          repeat(substring(col("n_name"), 1, 2), 3).as("rep"),
+          regexp_replace(col("n_name"), "[AEIOU]", "_").as("novowel"),
+          translate(col("n_name"), "AEI", "xyz").as("xlate"),
+          left(col("n_name"), lit(3)).as("l3"),
+          right(col("n_name"), lit(3)).as("r3"))
+        .orderBy("n_nationkey")),
+
+    // Bitwise scalar surface over integer keys.
+    "q_bitwise" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_custkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("c_custkey").bitwiseOR(lit(16L)).as("b_or"),
+          col("c_custkey").bitwiseXOR(lit(85L)).as("b_xor"),
+          shiftleft(col("c_custkey"), 2).cast("long").as("b_shl"),
+          shiftright(col("c_custkey"), 3).cast("long").as("b_shr"))
+        .orderBy("c_custkey")),
+
     "q_json_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -177,6 +203,25 @@ object ScalarQueries {
         |  CASE WHEN c_acctbal < 0 THEN 'neg'
         |       WHEN c_acctbal > 5000 THEN 'high'
         |       ELSE 'mid' END AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_str_funcs2" ->
+      """SELECT n_nationkey,
+        |  lpad(n_name, 12, '.') AS padded,
+        |  rpad(n_name, 12, '-') AS rpadded,
+        |  reverse(n_name) AS rev,
+        |  repeat(substring(n_name, 1, 2), 3) AS rep,
+        |  regexp_replace(n_name, '[AEIOU]', '_', 'g') AS novowel,
+        |  translate(n_name, 'AEI', 'xyz') AS xlate,
+        |  left(n_name, 3) AS l3,
+        |  right(n_name, 3) AS r3
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_bitwise" ->
+      """SELECT c_custkey,
+        |  c_custkey & 255 AS b_and,
+        |  c_custkey | 16 AS b_or,
+        |  xor(c_custkey, 85) AS b_xor,
+        |  c_custkey << 2 AS b_shl,
+        |  c_custkey >> 3 AS b_shr
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
