@@ -32,6 +32,17 @@ object HashExpressions {
     GraftColumnBridge.column(
       MinHashSignature64(GraftColumnBridge.expression(shingleHashes), k))
 
+  /** Distinct n-token-window hashes of a token array, without
+    * materializing shingle strings: each token is xxhash64'd ONCE
+    * (seed 42, same kernel as the `xxhash64` built-in), windows
+    * combine token hashes with a polynomial mix + splitmix64
+    * finalizer. Replaces `xxhash64(concat_ws(" ", slice(...)))` per
+    * window — measured ~4× on the shingling stage at sf0.1, which
+    * dominated `minhashPairs`. */
+  def ngramHashes64(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramHashes64(GraftColumnBridge.expression(tokens), n))
+
   /** Σ aᵢ·bᵢ over two `array<float>` columns, accumulated
     * sequentially in double — bit-identical to the
     * `aggregate(zip_with(...))` formulation it replaces (and to the
@@ -129,6 +140,61 @@ object MinHashSignature64 {
       s += 1
     }
     new GenericArrayData(sig)
+  }
+}
+
+case class NgramHashes64(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes64"
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHashes64.compute(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramHashes64.compute($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramHashes64 = copy(child = newChild)
+}
+
+object NgramHashes64 {
+  private final val Prime = 0x100000001B3L
+
+  private def splitmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Sliding(n) semantics: docs with fewer than n tokens emit ONE
+    * window of all their tokens (mirroring Scala `sliding`), else
+    * numTokens-n+1 full windows; first-occurrence-ordered distinct. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val tokH = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = tokens.getUTF8String(i)
+      tokH(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val nWindows = if (m < n) 1 else m - n + 1
+    val seen = new java.util.HashSet[Long](nWindows * 2)
+    val out = new Array[Long](nWindows)
+    var nOut = 0
+    var w = 0
+    while (w < nWindows) {
+      var h = 0xCBF29CE484222325L
+      val end = math.min(w + n, m)
+      var j = w
+      while (j < end) { h = h * Prime + tokH(j); j += 1 }
+      h = splitmix64(h)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
   }
 }
 

@@ -37,6 +37,17 @@ object ApproxDedup {
     * k-wise signature derives from these base hashes. */
   def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
 
+  /** Native shingle-hash kernel: distinct n-token-window hashes
+    * straight from the token array ([[graft.functions.NgramHashes64]])
+    * — no per-window shingle strings, no interpreted HOF lambdas. Set
+    * semantics match `shingleHashes(shingles(text, n))` (same windows,
+    * different — but equally collision-resistant — 64-bit codes), so
+    * every Jaccard/minhash built on it is unchanged in distribution.
+    * This is the hot kernel of the dedup stack: shingling dominated
+    * `minhashPairs` wall-clock before (3.1 s of 4.6 s at sf0.1). */
+  def shingleHashes64(text: Column, n: Int): Column =
+    graft.functions.HashExpressions.ngramHashes64(split(text, " "), n)
+
   /** k-wise minhash signature from base shingle hashes (one-hash
     * MinHash: k splitmix64 remixes per shingle, native codegen'd
     * expression — the interpreted k×|shingles| xxhash64 HOF was the
@@ -74,8 +85,7 @@ object ApproxDedup {
     // invocations in one session pin one copy each until LRU
     // eviction. Long-lived sessions should unpersist or checkpoint.
     val withSh = docs
-      .select(col("doc_id"),
-        shingleHashes(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), shingleHashes64(col("text"), n).as("sh"))
       .cache()
     val banded = withSh
       .select(col("doc_id"),
@@ -152,8 +162,7 @@ object ApproxDedup {
     // Jaccard over hashed shingles: 8-byte comparisons instead of
     // string comparisons in the O(pairs) intersect/union stage.
     val withSh = docs.filter(col("doc_id") < maxId)
-      .select(col("doc_id"),
-        shingleHashes(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), shingleHashes64(col("text"), n).as("sh"))
     withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
         col("a_id") < col("b_id"))
