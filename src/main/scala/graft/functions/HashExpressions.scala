@@ -43,6 +43,15 @@ object HashExpressions {
     GraftColumnBridge.column(
       NgramHashes64(GraftColumnBridge.expression(tokens), n))
 
+  /** Strided variant of [[ngramHashes64]]: windows start at
+    * 0, stride, 2·stride, ... and only FULL `n`-token windows are
+    * emitted (docs with fewer than `n` tokens yield an empty array) —
+    * the chunk-fingerprint semantics of
+    * [[graft.operators.TextAnalysis.chunkFingerprints]]. */
+  def stridedNgramHashes64(tokens: Column, n: Int, stride: Int): Column =
+    GraftColumnBridge.column(
+      StridedNgramHashes64(GraftColumnBridge.expression(tokens), n, stride))
+
   /** Σ aᵢ·bᵢ over two `array<float>` columns, accumulated
     * sequentially in double — bit-identical to the
     * `aggregate(zip_with(...))` formulation it replaces (and to the
@@ -158,9 +167,11 @@ case class NgramHashes64(child: Expression, n: Int)
 }
 
 object NgramHashes64 {
-  private final val Prime = 0x100000001B3L
+  /** Shared window-combine scheme (also used by the strided variant):
+    * FNV-prime polynomial over token hashes + splitmix64 finalizer. */
+  final val MixPrime = 0x100000001B3L
 
-  private def splitmix64(z0: Long): Long = {
+  def finalizeMix(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -189,8 +200,55 @@ object NgramHashes64 {
       var h = 0xCBF29CE484222325L
       val end = math.min(w + n, m)
       var j = w
-      while (j < end) { h = h * Prime + tokH(j); j += 1 }
-      h = splitmix64(h)
+      while (j < end) { h = h * MixPrime + tokH(j); j += 1 }
+      h = finalizeMix(h)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
+case class StridedNgramHashes64(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "strided_ngram_hashes64"
+  override protected def nullSafeEval(input: Any): Any =
+    StridedNgramHashes64.compute(input.asInstanceOf[ArrayData], n, stride)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StridedNgramHashes64.compute($c, $n, $stride)")
+  override protected def withNewChildInternal(
+      newChild: Expression): StridedNgramHashes64 = copy(child = newChild)
+}
+
+object StridedNgramHashes64 {
+  /** Full windows only, at offsets 0, stride, 2·stride, ...;
+    * first-occurrence-ordered distinct hashes. Same token-hash +
+    * polynomial-mix scheme as [[NgramHashes64]]. */
+  def compute(tokens: ArrayData, n: Int, stride: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val tokH = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = tokens.getUTF8String(i)
+      tokH(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val nWindows = (m - n) / stride + 1
+    val seen = new java.util.HashSet[Long](nWindows * 2)
+    val out = new Array[Long](nWindows)
+    var nOut = 0
+    var w = 0
+    while (w < nWindows) {
+      val start = w * stride
+      var h = 0xCBF29CE484222325L
+      var j = start
+      while (j < start + n) { h = h * NgramHashes64.MixPrime + tokH(j); j += 1 }
+      h = NgramHashes64.finalizeMix(h)
       if (seen.add(h)) { out(nOut) = h; nOut += 1 }
       w += 1
     }

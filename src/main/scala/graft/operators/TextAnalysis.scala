@@ -68,18 +68,15 @@ object TextAnalysis {
     * window (stride = chunk), for partial-overlap detection —
     * documents sharing any chunk fingerprint share a verbatim
     * `chunk`-token run. */
-  def chunkFingerprints(text: Column, chunk: Int = 8): Column = {
-    val toks = split(text, " ")
+  def chunkFingerprints(text: Column, chunk: Int = 8): Column =
     // Full windows only: a trailing partial window would make two
     // docs "share an 8-token run" on the strength of a shorter
     // suffix. Docs with fewer than `chunk` tokens emit no chunk
-    // fingerprints (the whole-doc fingerprint covers them).
-    when(size(toks) >= chunk,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (chunk - 1), lit(chunk)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(chunk)))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    // fingerprints (the whole-doc fingerprint covers them). Native
+    // strided kernel: token hashes once, window combine on longs —
+    // no per-window shingle strings (see NgramHashes64).
+    graft.functions.HashExpressions.stridedNgramHashes64(
+      split(text, " "), chunk, chunk)
 
   /** Full per-document analysis frame. */
   def analyze(docs: DataFrame): DataFrame =
