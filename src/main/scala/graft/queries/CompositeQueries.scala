@@ -76,6 +76,53 @@ object CompositeQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q10 shape (returned items): per-customer revenue of 'R'
+    // lineitems against a one-quarter order window, top 20. Two-level
+    // aggregation: returned revenue rolls up per order FIRST (narrow
+    // fact shuffle), re-aggregates per customer after the orders
+    // join; customer and nation broadcast.
+    "q_tpch_q10" -> ((s, d) => {
+      val quarter =
+        col("o_orderdate") >= lit("1995-10-01").cast("timestamp_ntz") &&
+        col("o_orderdate") <  lit("1996-01-01").cast("timestamp_ntz")
+      val perOrder = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_orderkey").agg(revenue.as("rev"))
+      perOrder
+        .join(Tables.orders(s, d).filter(quarter),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev")).as("rev"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("rev").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large orders): orders whose total quantity
+    // clears a threshold — the aggregate-HAVING feeds a semi-join-like
+    // enrichment, top 100.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > 150)
+      big
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // Uncorrelated scalar subquery (SQL surface — the idiomatic Spark
     // route; Catalyst plans the subquery as a separate broadcast
     // stage). Average computed as exact-decimal-sum ÷ count so both
@@ -281,6 +328,31 @@ object CompositeQueries {
         |  AND o_orderdate <  TIMESTAMP '1996-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(qty AS DOUBLE) AS sum_qty
+        |FROM (SELECT l_orderkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >
