@@ -44,7 +44,20 @@ object GraftExtensions {
     (FunctionIdentifier("jaccard_ll"),
       info("graft.functions.JaccardSetsLL", "jaccard_ll",
         "jaccard_ll(array<bigint>, array<bigint>) - set Jaccard"),
-      (c: Seq[Expression]) => JaccardSetsLL(c(0), c(1))))
+      (c: Seq[Expression]) => JaccardSetsLL(c(0), c(1))),
+    (FunctionIdentifier("ngram_hashes64"),
+      info("graft.functions.NgramHashes64", "ngram_hashes64",
+        "ngram_hashes64(array<string>, n) - distinct sliding n-token " +
+          "window hashes"),
+      (c: Seq[Expression]) => NgramHashes64(c.head,
+        c(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("strided_ngram_hashes64"),
+      info("graft.functions.StridedNgramHashes64", "strided_ngram_hashes64",
+        "strided_ngram_hashes64(array<string>, n, stride) - distinct " +
+          "full n-token window hashes at a fixed stride"),
+      (c: Seq[Expression]) => StridedNgramHashes64(c.head,
+        c(1).eval().asInstanceOf[Number].intValue(),
+        c(2).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-built session (tests, REPL). */
   def registerFunctions(spark: SparkSession): Unit =

@@ -29,5 +29,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
     assert(sql.getDouble(2) == api.getDouble(2))
     assert(sql.getDouble(2) == 1.0 * 3.0 + 2.0 * 4.0)
+
+    val toks = Seq(Tuple1(Seq("a", "b", "c", "d", "e")))
+      .toDF("toks")
+    toks.createOrReplaceTempView("ext_toks")
+    val sqlN = spark.sql(
+      """SELECT ngram_hashes64(toks, 2) AS ng,
+        |       strided_ngram_hashes64(toks, 2, 2) AS sg
+        |FROM ext_toks""".stripMargin).head()
+    val apiN = toks.select(
+      HashExpressions.ngramHashes64(col("toks"), 2).as("ng"),
+      HashExpressions.stridedNgramHashes64(col("toks"), 2, 2).as("sg"))
+      .head()
+    assert(sqlN.getSeq[Long](0) == apiN.getSeq[Long](0))
+    assert(sqlN.getSeq[Long](1) == apiN.getSeq[Long](1))
+    assert(sqlN.getSeq[Long](0).size == 4) // 4 sliding bigrams
+    assert(sqlN.getSeq[Long](1).size == 2) // strides at 0 and 2
   }
 }
