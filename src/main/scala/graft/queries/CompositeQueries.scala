@@ -245,6 +245,29 @@ object CompositeQueries {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // Same result as q_topn_per_group via the native bounded top-k
+    // AGGREGATE ([[graft.functions.TopKAgg]]): map-side partial heaps
+    // keep ≤3 rows per (segment, mapper) so the shuffle carries k
+    // rows per key per task — no full-partition sort, no full-width
+    // shuffle. Same oracle SQL as the window formulation: the two
+    // plans must agree row-for-row.
+    "q_topn_per_group_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(graft.functions.TopKAgg.topK(
+          struct(col("o_orderkey"), col("o_totalprice")),
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("c_mktsegment"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_totalprice").as("o_totalprice"))
+        .orderBy("c_mktsegment", "rn")),
+
     // Multiset intersection/difference (INTERSECT ALL / EXCEPT ALL):
     // duplicate-preserving set-ops, wrapped in a counting group so the
     // bag is hashable deterministically.
@@ -412,6 +435,14 @@ object CompositeQueries {
         |FROM customer GROUP BY c_nationkey
         |HAVING COUNT(*) >= 2 ORDER BY c_nationkey""".stripMargin,
     "q_topn_per_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY c_mktsegment
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_topn_per_group_agg" ->
       """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER
