@@ -57,7 +57,13 @@ object GraftExtensions {
           "full n-token window hashes at a fixed stride"),
       (c: Seq[Expression]) => StridedNgramHashes64(c.head,
         c(1).eval().asInstanceOf[Number].intValue(),
-        c(2).eval().asInstanceOf[Number].intValue())))
+        c(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("top_k_structs"),
+      info("graft.functions.TopKAgg", "top_k_structs",
+        "top_k_structs(payload_struct, score, tiebreak, k) - bounded " +
+          "top-k aggregate by (score DESC, tiebreak ASC)"),
+      (c: Seq[Expression]) => TopKAgg(c(0), c(1), c(2),
+        c(3).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-built session (tests, REPL). */
   def registerFunctions(spark: SparkSession): Unit =

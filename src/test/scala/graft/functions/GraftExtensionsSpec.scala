@@ -45,5 +45,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlN.getSeq[Long](1) == apiN.getSeq[Long](1))
     assert(sqlN.getSeq[Long](0).size == 4) // 4 sliding bigrams
     assert(sqlN.getSeq[Long](1).size == 2) // strides at 0 and 2
+
+    val groups = Seq((1L, 10L, 1.0), (1L, 11L, 3.0), (1L, 12L, 2.0))
+      .toDF("g", "tie", "score")
+    groups.createOrReplaceTempView("ext_groups")
+    val topSql = spark.sql(
+      """SELECT top_k_structs(struct(tie), score, tie, 2) AS t
+        |FROM ext_groups GROUP BY g""".stripMargin)
+      .selectExpr("transform(t, x -> x.tie) AS ties").head()
+    assert(topSql.getSeq[Long](0) == Seq(11L, 12L))
   }
 }
