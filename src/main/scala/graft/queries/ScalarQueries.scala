@@ -123,6 +123,24 @@ object ScalarQueries {
           col("event_type"))
         .orderBy("event_id")),
 
+    // Robust JSON decode: a deterministically-corrupted props column
+    // (every 7th event truncated) parsed permissively — invalid
+    // documents yield NULL instead of failing the job, the engine's
+    // log-and-continue contract (reference: kinesis-to-humio.py
+    // :154-158 logs and drops). Output: validity flag + extracted
+    // field, NULL-safe.
+    "q_json_robust" -> ((s, d) => {
+      val corrupted = when(col("event_id") % 7 === 0,
+        substring(col("props"), 1, 3)).otherwise(col("props"))
+      Tables.events(s, d)
+        .withColumn("p", corrupted)
+        .select(col("event_id"),
+          get_json_object(col("p"), "$.k").isNotNull.cast("int")
+            .as("is_valid"),
+          get_json_object(col("p"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    }),
+
     // Standalone generator: posexplode over a bounded array slice —
     // one output row per (vector, position). The dim-≥4 guard keeps
     // Spark (emits existing elements) and the oracle's
@@ -228,6 +246,19 @@ object ScalarQueries {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_robust" ->
+      """SELECT event_id,
+        |  CAST(k_str IS NOT NULL AS INT) AS is_valid,
+        |  CAST(k_str AS INT) AS k_val
+        |FROM (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(p) THEN json_extract_string(p, '$.k')
+        |         ELSE NULL END AS k_str
+        |  FROM (SELECT event_id,
+        |          CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 3)
+        |               ELSE props END AS p
+        |        FROM events))
+        |ORDER BY event_id""".stripMargin,
     "q_explode" ->
       """SELECT vec_id, CAST(i AS INT) AS idx,
         |  embedding[CAST(i AS INT)] AS val
