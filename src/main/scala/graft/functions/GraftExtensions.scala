@@ -62,7 +62,7 @@ object GraftExtensions {
       info("graft.functions.TopKAgg", "top_k_structs",
         "top_k_structs(payload_struct, score, tiebreak, k) - bounded " +
           "top-k aggregate by (score DESC, tiebreak ASC)"),
-      (c: Seq[Expression]) => TopKAgg(c(0), c(1), c(2),
+      (c: Seq[Expression]) => TopKAgg.withCasts(c(0), c(1), c(2),
         c(3).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-built session (tests, REPL). */

@@ -154,6 +154,7 @@ object MinHashSignature64 {
 
 case class NgramHashes64(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n >= 1, s"window size must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes64"
   override protected def nullSafeEval(input: Any): Any =
@@ -178,10 +179,9 @@ object NgramHashes64 {
     z ^ (z >>> 31)
   }
 
-  /** Sliding(n) semantics: docs with fewer than n tokens emit ONE
-    * window of all their tokens (mirroring Scala `sliding`), else
-    * numTokens-n+1 full windows; first-occurrence-ordered distinct. */
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  /** Hash every token once (same xxhash64 kernel + seed 42 as the
+    * built-in). */
+  def hashTokens(tokens: ArrayData): Array[Long] = {
     val m = tokens.numElements()
     val tokH = new Array[Long](m)
     var i = 0
@@ -191,26 +191,48 @@ object NgramHashes64 {
         .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }
-    val nWindows = if (m < n) 1 else m - n + 1
-    val seen = new java.util.HashSet[Long](nWindows * 2)
-    val out = new Array[Long](nWindows)
+    tokH
+  }
+
+  /** Sort + single-pass unique over a primitive prefix — no per-hash
+    * boxing in the hot loop (all consumers are set-semantics:
+    * minhash/Jaccard/counting ignore array order). */
+  def sortedDistinct(buf: Array[Long], len: Int): ArrayData = {
+    java.util.Arrays.sort(buf, 0, len)
     var nOut = 0
+    var i = 0
+    while (i < len) {
+      if (i == 0 || buf(i) != buf(i - 1)) { buf(nOut) = buf(i); nOut += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, nOut))
+  }
+
+  /** Sliding(n) semantics: docs with fewer than n tokens emit ONE
+    * window of all their tokens (mirroring Scala `sliding`), else
+    * numTokens-n+1 full windows; distinct, sorted. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val tokH = hashTokens(tokens)
+    val nWindows = if (m < n) 1 else m - n + 1
+    val out = new Array[Long](nWindows)
     var w = 0
     while (w < nWindows) {
       var h = 0xCBF29CE484222325L
       val end = math.min(w + n, m)
       var j = w
       while (j < end) { h = h * MixPrime + tokH(j); j += 1 }
-      h = finalizeMix(h)
-      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      out(w) = finalizeMix(h)
       w += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+    sortedDistinct(out, nWindows)
   }
 }
 
 case class StridedNgramHashes64(child: Expression, n: Int, stride: Int)
     extends UnaryExpression {
+  require(n >= 1, s"window size must be >= 1, got $n")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "strided_ngram_hashes64"
   override protected def nullSafeEval(input: Any): Any =
@@ -225,34 +247,24 @@ case class StridedNgramHashes64(child: Expression, n: Int, stride: Int)
 
 object StridedNgramHashes64 {
   /** Full windows only, at offsets 0, stride, 2·stride, ...;
-    * first-occurrence-ordered distinct hashes. Same token-hash +
-    * polynomial-mix scheme as [[NgramHashes64]]. */
+    * distinct, sorted. Same token-hash + polynomial-mix scheme as
+    * [[NgramHashes64]]. */
   def compute(tokens: ArrayData, n: Int, stride: Int): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val tokH = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val s = tokens.getUTF8String(i)
-      tokH(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      i += 1
-    }
+    val tokH = NgramHashes64.hashTokens(tokens)
     val nWindows = (m - n) / stride + 1
-    val seen = new java.util.HashSet[Long](nWindows * 2)
     val out = new Array[Long](nWindows)
-    var nOut = 0
     var w = 0
     while (w < nWindows) {
       val start = w * stride
       var h = 0xCBF29CE484222325L
       var j = start
       while (j < start + n) { h = h * NgramHashes64.MixPrime + tokH(j); j += 1 }
-      h = NgramHashes64.finalizeMix(h)
-      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      out(w) = NgramHashes64.finalizeMix(h)
       w += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+    NgramHashes64.sortedDistinct(out, nWindows)
   }
 }
 

@@ -137,8 +137,12 @@ object TopKAgg {
         pq.offer(new Entry(score, tie, row))
       } else {
         val worst = pq.peek()
-        val better = score > worst.score ||
-          (score == worst.score && tie < worst.tie)
+        // Double.compare, NOT IEEE >/==: the eviction test must use
+        // the same total order as the heap comparator and sortedRows
+        // (-0.0 < 0.0, NaN greatest), or -0.0/NaN scores make the
+        // kept set diverge from the (score DESC, tie ASC) contract.
+        val c = java.lang.Double.compare(score, worst.score)
+        val better = c > 0 || (c == 0 && tie < worst.tie)
         if (better) { pq.poll(); pq.offer(new Entry(score, tie, row)) }
       }
     }
@@ -156,12 +160,21 @@ object TopKAgg {
     }
   }
 
+  /** Wrap score/tiebreak in casts so eval always yields primitives —
+    * Spark's Decimal is not a java.lang.Number, so an uncast DECIMAL
+    * score would ClassCastException per row at runtime. */
+  def withCasts(payload: Expression, score: Expression,
+                tiebreak: Expression, k: Int): TopKAgg =
+    TopKAgg(payload,
+      org.apache.spark.sql.catalyst.expressions.Cast(score, DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Cast(tiebreak, LongType), k)
+
   /** Column builder: top-`k` `payload` structs per group by
     * (`score` DESC, `tiebreak` ASC). */
   def topK(payload: Column, score: Column, tiebreak: Column,
            k: Int): Column =
     GraftColumnBridge.column(
-      TopKAgg(GraftColumnBridge.expression(payload),
+      withCasts(GraftColumnBridge.expression(payload),
         GraftColumnBridge.expression(score),
         GraftColumnBridge.expression(tiebreak), k)
         .toAggregateExpression())

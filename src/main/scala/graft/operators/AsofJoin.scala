@@ -54,9 +54,17 @@ object AsofJoin {
     // The trailing __r ordering is the deterministic tie-breaker for
     // right rows sharing (key, time): the greatest carried struct
     // (field-lexicographic) wins, instead of whichever row the sort
-    // happened to place last.
+    // happened to place last. Skipped when a carried column is
+    // unorderable (e.g. MapType — Spark rejects it in a sort order);
+    // such callers keep the documented unique-(key,time) precondition.
+    val tieBreak =
+      if (rightStructType.fields.forall(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType)))
+        Seq(col("__r").asc_nulls_first)
+      else Seq.empty
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("__side").asc, col("__r").asc_nulls_first)
+      .orderBy(col(time).asc +: col("__side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = tagged.withColumn("__r",
       last(col("__r"), ignoreNulls = true).over(w))

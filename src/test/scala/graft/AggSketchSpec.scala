@@ -54,5 +54,19 @@ class AggSketchSpec extends SparkSpec {
       .orderBy("l_returnflag").collect().toSeq
     assert(a.map(_.getAs[Long]("approx_orders")) ==
       b.map(_.getAs[Long]("approx_orders")))
+    // The GK quantile sketch is merge-order sensitive, so bit equality
+    // across layouts is NOT guaranteed — pin the error bound instead:
+    // both layouts' medians must sit inside the exact p45..p55 band.
+    val bounds = Tables.lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.45)).as("lo"),
+        percentile(col("l_quantity"), lit(0.55)).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    for (rows <- Seq(a, b); r <- rows) {
+      val (lo, hi) = bounds(r.getAs[String]("l_returnflag"))
+      val m = r.getAs[Double]("approx_median")
+      assert(m >= lo && m <= hi,
+        s"median $m outside [$lo, $hi] for ${r.getAs[String]("l_returnflag")}")
+    }
   }
 }

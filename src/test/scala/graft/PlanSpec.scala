@@ -50,11 +50,19 @@ class PlanSpec extends SparkSpec {
     val f = formatted("q_join_multiway")
     assert(f.contains("BroadcastHashJoin"),
       "customer join must be broadcast")
-    // The per-order HashAggregate must sit under the first join: in the
-    // formatted plan's operator list, an aggregate on l_orderkey
-    // appears before (deeper than) any SortMergeJoin/ShuffledHashJoin.
+    // The per-order partial aggregate must sit BELOW the joins: the
+    // formatted explain prints root-first, so the l_orderkey-keyed
+    // aggregate (which only exists in the pre-aggregated shape —
+    // the naive join-then-agg plan groups by c_mktsegment alone)
+    // must appear AFTER (deeper than) the first join operator.
     val aggIdx = f.indexOf("Keys [1]: [l_orderkey")
-    assert(aggIdx >= 0, "expected a HashAggregate keyed on l_orderkey")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastHashJoin").map(f.indexOf).filter(_ >= 0).min
+    assert(aggIdx >= 0, "expected a HashAggregate keyed on l_orderkey — " +
+      "its absence means revenue is no longer pre-aggregated per order " +
+      "and lineitem shuffles at full width twice")
+    assert(aggIdx > joinIdx,
+      "the l_orderkey aggregate must be deeper than the joins")
   }
 
   test("q_range_join: interval containment plans as an equi-join, " +

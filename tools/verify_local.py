@@ -42,6 +42,11 @@ def type_class(v):
     mirroring how the driver's value hash separates dtypes."""
     if v is None:
         return "null"
+    # NaT (and any scalar NA) is null, BEFORE the datetime check:
+    # pd.NaT isinstance datetime, and Timestamp(NaT) != Timestamp(NaT)
+    # would turn legitimate null==null timestamp cells into mismatches.
+    if not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v):
+        return "null"
     if isinstance(v, (bool, np.bool_)):
         return "bool"
     if isinstance(v, decimal.Decimal):
@@ -49,7 +54,7 @@ def type_class(v):
     if isinstance(v, (int, np.integer)):
         return "int"
     if isinstance(v, (float, np.floating)):
-        return "null" if math.isnan(v) else "float"
+        return "float"
     # DATE and TIMESTAMP share a class: DuckDB .df() widens DATE to
     # datetime64 while Spark parquet date32 stays datetime.date, and
     # the driver hash-matched DATE-output queries in round 2 — so the
