@@ -155,6 +155,21 @@ object ScalarQueries {
           col("val"))
         .orderBy("vec_id", "idx")),
 
+    // Second array pack: membership / position / extrema / sorted
+    // selection — scalar outputs only (raw arrays are unhashable in
+    // the driver gate).
+    "q_array_funcs2" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
+          array_position(col("embedding"),
+            element_at(col("embedding"), 1)).cast("long").as("pos_first"),
+          array_max(col("embedding")).as("vmax"),
+          array_min(col("embedding")).as("vmin"),
+          element_at(array_sort(col("embedding")), 1).as("sorted_first"),
+          element_at(array_sort(col("embedding")), -1).as("sorted_last"))
+        .orderBy("vec_id")),
+
     "q_array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -265,6 +280,16 @@ object ScalarQueries {
         |FROM embeddings CROSS JOIN generate_series(1, 4) t(i)
         |WHERE len(embedding) >= 4
         |ORDER BY vec_id, idx""".stripMargin,
+    "q_array_funcs2" ->
+      """SELECT vec_id,
+        |  list_contains(embedding, 0.0) AS has_zero,
+        |  CAST(list_position(embedding, embedding[1]) AS BIGINT)
+        |    AS pos_first,
+        |  list_max(embedding) AS vmax,
+        |  list_min(embedding) AS vmin,
+        |  list_sort(embedding)[1] AS sorted_first,
+        |  list_sort(embedding)[-1] AS sorted_last
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,

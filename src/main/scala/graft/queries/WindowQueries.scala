@@ -78,6 +78,23 @@ object WindowQueries {
         .orderBy("o_orderkey")
     }),
 
+    // IGNORE NULLS window variants: last non-null over a running
+    // frame (gap-fill / forward-fill — the standard way to propagate
+    // the latest observation) and lag over a sparse column.
+    "q_win_ignore_nulls" -> ((s, d) => {
+      val sparse = when(col("o_orderkey") % 3 === 0, col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("sparse_price", sparse)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("sparse_price"),
+          last(col("sparse_price"), ignoreNulls = true).over(w)
+            .as("filled_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // As-of join: clicks enriched with the most recent prior purchase
     // of the same user — the union-and-window formulation (see
     // [[graft.operators.AsofJoin]]); oracle is DuckDB's native ASOF
@@ -158,6 +175,17 @@ object WindowQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_win_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey, sparse_price,
+        |  last_value(sparse_price IGNORE NULLS) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_price
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END
+        |          AS sparse_price
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_join_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
         |             epoch_us(ts) AS ts_us FROM events),
