@@ -89,6 +89,24 @@ object StreamingOps {
       col("p_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
+  /** Left-outer stream-stream interval join (S10): like
+    * [[intervalJoin]], but clicks with no purchase in the trailing
+    * window are emitted with nulls once the watermark passes the
+    * window's end — the state for an unmatched left row is held
+    * exactly until the join condition can no longer be satisfied,
+    * then released (bounded state, the outer-join analogue of the
+    * inner join's expiry). */
+  def intervalJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                            windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+      col("p_ts") <= col("ts") &&
+      col("p_ts") >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment (S9): join each micro-batch against a
     * static dimension, broadcast — the streaming counterpart of the
     * batch dimension joins. Stateless: the dim is planned into every

@@ -166,6 +166,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Set((1L, "alice"), (2L, "bob")))
   }
 
+  test("S10 left-outer interval join emits unmatched clicks with nulls " +
+      "after the watermark passes") {
+    val clicks = MemoryStream[(Long, Int)](spark)
+    val cdf = clicks.toDF().toDF("user_id", "minute")
+      .withColumn("ts", expr(
+        "timestampadd(MINUTE, minute, TIMESTAMP'2024-01-01 00:00:00')"))
+      .drop("minute")
+    val purchases = MemoryStream[(Long, Int)](spark)
+    val pdf = purchases.toDF().toDF("p_user_id", "p_minute")
+      .withColumn("p_ts", expr(
+        "timestampadd(MINUTE, p_minute, TIMESTAMP'2024-01-01 00:00:00')"))
+      .drop("p_minute")
+    // user 1: click @5 with purchase @2 (matched); user 2: click @6,
+    // no purchase. Sentinels far in the future push the watermark past
+    // every join window so the unmatched click must emit with nulls.
+    clicks.addData((1L, 5), (2L, 6), (99L, 10000))
+    purchases.addData((1L, 2), (98L, 10000))
+    val out = runToMemory(
+      StreamingOps.intervalJoinLeftOuter(cdf, pdf)
+        .select(col("user_id"), col("p_user_id")), "s10", mode = "append")
+      .filter(col("user_id") < 90)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(out == Set((1L, Some(1L)), (2L, None)))
+  }
+
   test("S6 exactly-once file ingest across checkpoint restart") {
     val staging = Files.createTempDirectory("fh_staging").toFile
     val checkpoint = Files.createTempDirectory("fh_ckpt").toFile
