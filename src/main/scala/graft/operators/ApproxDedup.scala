@@ -155,6 +155,40 @@ object ApproxDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Scale path for duplicate-heavy corpora (web crawls): collapse
+    * identical fingerprints FIRST — docs sharing a simhash are
+    * trivially near-dups and become ONE group row (representative id
+    * + count) — then chunk-bucket-pair only the DISTINCT
+    * fingerprints. [[simhashPairs]] enumerates doc pairs, which is
+    * inherently quadratic in duplicate-group size (the 10× duplicated
+    * bench fixture made it 24× slower); this variant's pair space is
+    * bounded by distinct fingerprints, which duplication doesn't
+    * grow at all. Output: one row per near-dup GROUP pair
+    * (rep_a, rep_b, n_a, n_b, hamming), plus exact-dup groups are
+    * recoverable from n_a/n_b > 1.
+    */
+  def simhashGroups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val groups = simhashOf(docs)
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    val chunkArr = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunks = groups.select(col("simhash"), col("rep_id"),
+      col("n_docs"), posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
+    chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"),
+        col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("rep_a", "rep_b")
+  }
+
   /** Exact n-gram Jaccard over a bounded id range (brute-force
     * baseline / verifier for the LSH paths). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxId: Long = 300,

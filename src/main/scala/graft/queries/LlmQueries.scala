@@ -33,6 +33,13 @@ object LlmQueries {
       ApproxDedup.simhashPairs(
         Tables.documents(s, d).select("doc_id", "text"), maxHamming = 3)),
 
+    // Duplicate-collapsed near-dup groups: pair space bounded by
+    // DISTINCT fingerprints (immune to duplicate-heavy corpora, where
+    // pairwise enumeration is quadratic in group size).
+    "q_dedup_simhash_groups" -> ((s, d) =>
+      ApproxDedup.simhashGroups(
+        Tables.documents(s, d).select("doc_id", "text"), maxHamming = 3)),
+
     "q_dedup_ngram" -> ((s, d) =>
       ApproxDedup.ngramJaccardPairs(
         Tables.documents(s, d).select("doc_id", "text"),

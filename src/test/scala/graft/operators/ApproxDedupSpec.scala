@@ -75,4 +75,38 @@ class ApproxDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 3L && p._2 == 5L && p._3 == 0))
   }
+
+  test("simhashGroups collapses exact dups and pairs distinct " +
+      "fingerprints like simhashPairs") {
+    val groups = ApproxDedup.simhashGroups(df, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    // exact copies 3/5 share a fingerprint → ONE group (n=2), so they
+    // never appear as a cross-group pair
+    assert(!groups.exists(g => g._1 == 3L && g._2 == 5L))
+    // every cross-group pair maps to a simhashPairs doc pair between
+    // the two groups' members
+    val docPairs = ApproxDedup.simhashPairs(df, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = ApproxDedup.simhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = fps.groupBy(_._2).map { case (fp, m) =>
+      fps(m.keys.min) -> m.keys.toSet }
+    for ((ra, rb, _, _) <- groups) {
+      val cross = for (a <- members(fps(ra)); b <- members(fps(rb)))
+        yield if (a < b) (a, b) else (b, a)
+      assert(cross.exists(docPairs.contains),
+        s"group pair ($ra,$rb) has no doc-pair counterpart")
+    }
+    // a 10x-duplicated corpus yields the SAME group-pair rows (modulo
+    // counts) — the property that bounds the blowup
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dup = (0 until 10).map(i =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * 100L)))
+      .reduce(_ union _)
+    val dupGroups = ApproxDedup.simhashGroups(dup, maxHamming = 3)
+      .select("n_a", "n_b").collect()
+    assert(dupGroups.length == groups.length)
+    assert(dupGroups.forall(r => r.getLong(0) % 10 == 0))
+  }
 }
