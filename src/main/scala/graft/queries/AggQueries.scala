@@ -102,6 +102,43 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Fixed-bound histogram: bucket index is pure integer arithmetic
+    // (no data-dependent bounds), one hash aggregate.
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 20000) * 20000)
+          .cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket_lo")),
+
+    // Correlation/covariance via exact decimal sums (Σx, Σy, Σxy,
+    // Σx², Σy², n are exact; the final combination is plain IEEE
+    // double arithmetic on both engines) — built-in corr()'s
+    // partial-aggregation order differs across engines, this shape
+    // is bit-deterministic (the q_agg_var pattern extended).
+    "q_agg_corr" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("l_returnflag"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+            .as("covar_pop"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr"),
+          col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_distinct" -> ((s, d) =>
       Tables.customer(s, d)
         .groupBy("c_mktsegment")
@@ -226,6 +263,30 @@ object AggQueries {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
         |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT)
+        |    AS bucket_lo,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |  (sxy - sx * sy / n) / n AS covar_pop,
+        |  (sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
         |    CAST(COUNT(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
