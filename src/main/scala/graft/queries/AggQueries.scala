@@ -129,12 +129,15 @@ object AggQueries {
           sum(y * y).cast("double").as("syy"),
           count(lit(1)).cast("double").as("n"))
         .select(col("l_returnflag"),
-          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
-            .as("covar_pop"),
-          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          // round(…, 9): the multi-op double combination can differ
+          // by 1 ulp across engines (FMA contraction in DuckDB's
+          // C++ build) — the q_sim_topk rounding pattern.
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"),
+            9).as("covar_pop"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-             sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
-            .as("corr"),
+             sqrt(col("syy") - col("sy") * col("sy") / col("n"))),
+            9).as("corr"),
           col("n").cast("long").as("n"))
         .orderBy("l_returnflag")
     }),
@@ -273,9 +276,9 @@ object AggQueries {
         |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "q_agg_corr" ->
       """SELECT l_returnflag,
-        |  (sxy - sx * sy / n) / n AS covar_pop,
-        |  (sxy - sx * sy / n) /
-        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr,
+        |  round((sxy - sx * sy / n) / n, 9) AS covar_pop,
+        |  round((sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr,
         |  CAST(n AS BIGINT) AS n
         |FROM (
         |  SELECT l_returnflag,
