@@ -155,6 +155,32 @@ object ApproxDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** MinHash analogue of [[simhashGroups]]: collapse exact-duplicate
+    * CONTENT (xxhash64 of text) to one representative row first, then
+    * LSH-pair only distinct contents, carrying group sizes. Identical
+    * texts have identical shingle sets, so collapsing first loses no
+    * near-dup information while bounding the banded join's pair space
+    * to distinct contents — duplicate multiplicity stops mattering. */
+  def minhashGroups(docs: DataFrame, n: Int = 3, k: Int = 32,
+                    bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val reps = docs
+      .groupBy(xxhash64(col("text")).as("chash"))
+      // all texts in a group are identical (modulo xxhash64 collision)
+      // so first() is deterministic here
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"),
+        first(col("text")).as("text"))
+    val pairs = minhashPairs(reps.select("doc_id", "text"),
+      n, k, bands, threshold)
+    val sizes = reps.select(col("doc_id"), col("n_docs"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_docs", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_docs", "n_b"), "b_id")
+      .select("a_id", "b_id", "jaccard", "n_a", "n_b")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Scale path for duplicate-heavy corpora (web crawls): collapse
     * identical fingerprints FIRST — docs sharing a simhash are
     * trivially near-dups and become ONE group row (representative id

@@ -102,6 +102,23 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Deterministic mode: most frequent value per group, ties broken
+    // by smallest value (built-in mode()'s tie choice is
+    // engine-dependent) — count + top-1 window.
+    "q_agg_mode" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // Fixed-bound histogram: bucket index is pure integer arithmetic
     // (no data-dependent bounds), one hash aggregate.
     "q_histogram" -> ((s, d) =>
@@ -269,6 +286,13 @@ object AggQueries {
         |    CAST(COUNT(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT)
         |    AS bucket_lo,

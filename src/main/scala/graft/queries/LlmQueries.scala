@@ -33,6 +33,11 @@ object LlmQueries {
       ApproxDedup.simhashPairs(
         Tables.documents(s, d).select("doc_id", "text"), maxHamming = 3)),
 
+    "q_dedup_minhash_groups" -> ((s, d) =>
+      ApproxDedup.minhashGroups(
+        Tables.documents(s, d).select("doc_id", "text"),
+        n = 3, k = 32, bands = 8, threshold = 0.3)),
+
     // Duplicate-collapsed near-dup groups: pair space bounded by
     // DISTINCT fingerprints (immune to duplicate-heavy corpora, where
     // pairwise enumeration is quadratic in group size).

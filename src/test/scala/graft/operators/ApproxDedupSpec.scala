@@ -76,6 +76,33 @@ class ApproxDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 3L && p._2 == 5L && p._3 == 0))
   }
 
+  test("minhashGroups matches minhashPairs on distinct contents and " +
+      "carries duplicate counts") {
+    val base = ApproxDedup.minhashPairs(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 5 duplicates doc 3's content: the (3,5) pair collapses into
+    // group counts; all other pairs survive with their representatives
+    val got = ApproxDedup.minhashGroups(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    assert(!got.contains((3L, 5L)))
+    assert(base.filterNot(_ == ((3L, 5L))).forall(got.contains),
+      "distinct-content pairs must survive the collapse")
+    // 10x duplication: same group pairs, counts scaled by 10
+    import org.apache.spark.sql.functions.{col, lit}
+    val dup = (0 until 10).map(i =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * 100L)))
+      .reduce(_ union _)
+    val dupGot = ApproxDedup.minhashGroups(dup, n = 2, k = 32, bands = 8,
+      threshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    assert(dupGot.keySet == got.keySet)
+    assert(dupGot.values.forall { case (a, b) => a % 10 == 0 && b % 10 == 0 })
+  }
+
   test("simhashGroups collapses exact dups and pairs distinct " +
       "fingerprints like simhashPairs") {
     val groups = ApproxDedup.simhashGroups(df, maxHamming = 3).collect()
