@@ -76,6 +76,19 @@ object CompositeQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): pure filter-aggregate,
+    // single scalar out — every predicate reaches the parquet scan.
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") <  lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
     // TPC-H Q10 shape (returned items): per-customer revenue of 'R'
     // lineitems against a one-quarter order window, top 20. Two-level
     // aggregation: returned revenue rolls up per order FIRST (narrow
@@ -351,6 +364,16 @@ object CompositeQueries {
         |  AND o_orderdate <  TIMESTAMP '1996-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
