@@ -10,7 +10,10 @@ class DeterminismSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   // row-level lineitem queries (the table with non-unique keys)
   private val rowLevel =
-    Seq("q_scan_project", "q_filter_pred", "q_date_funcs", "q_date_arith")
+    Seq("q_scan_project", "q_filter_pred", "q_date_funcs", "q_date_arith",
+      // round-3 row-level additions (unique-key ordered, pinned anyway)
+      "q_win_ignore_nulls", "q_bitwise", "q_topn_per_group_agg",
+      "q_pack_sequences", "q_range_join", "q_agg_mode")
 
   test("row-level query output is identical across partition counts") {
     for (q <- rowLevel) {
