@@ -78,6 +78,24 @@ object WindowQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Batch event-time windowing: the same window() operator the
+    // streaming pack uses, on the batch surface — one hash aggregate
+    // on (bucket, type). Event time is µs (ts div 1000, the DuckDB
+    // truncation contract); sums are exact-decimal → double.
+    "q_events_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        // NTZ on the output surface: an instant-typed TIMESTAMP writes
+        // tz-adjusted parquet (pandas reads it tz-aware) while the
+        // oracle's make_timestamp is naive — same wall-clock under the
+        // session's UTC, different pandas dtypes.
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     // IGNORE NULLS window variants: last non-null over a running
     // frame (gap-fill / forward-fill — the standard way to propagate
     // the latest observation) and lag over a sparse column.
@@ -175,6 +193,13 @@ object WindowQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', make_timestamp(ts_us))
+        |    AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events)
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q_win_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey, sparse_price,
         |  last_value(sparse_price IGNORE NULLS) OVER
