@@ -133,26 +133,42 @@ object ApproxDedup {
     * differing in all four chunks never co-buckets. Verification via
     * `bit_count(a ^ b)` — both codegen'd built-ins.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashOf(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    chunkBucketPairs(simhashOf(docs), "doc_id", Seq.empty, maxHamming)
+      .withColumnRenamed("rep_a", "a_id").withColumnRenamed("rep_b", "b_id")
+      .orderBy("a_id", "b_id")
+
+  /** Shared 16-bit-chunk candidate join: rows of (`idCol`, simhash,
+    * carried...) → hamming-verified pairs keyed (rep_a < rep_b) with
+    * the carried columns suffixed _a/_b. The SINGLE home of the
+    * 4-chunk pigeonhole bucketing (complete for hamming ≤ 3) — both
+    * the doc-pair and the group surfaces plan through it.
+    * filter BEFORE distinct: hamming is a per-row projection, so
+    * rejecting far pairs first shrinks the dedup shuffle. */
+  private def chunkBucketPairs(fp: DataFrame, idCol: String,
+                               carried: Seq[String],
+                               maxHamming: Int): DataFrame = {
     val chunkArr = array((0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunks = fp.select(col("doc_id"), col("simhash"),
-      posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
-    chunks.alias("a")
+    val chunks = fp.select(
+      (col(idCol) +: col("simhash") +: carried.map(col)) :+
+        posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")): _*)
+    // canonical pair orientation by ID (the a<b convention every pair
+    // surface in this file upholds), not by signed fingerprint value
+    val joined = chunks.alias("a")
       .join(chunks.alias("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    joined
+      .select((col(s"a.$idCol").as("rep_a") +:
+        col(s"b.$idCol").as("rep_b") +:
+        (carried.map(c => col(s"a.$c").as(s"${c}_a")) ++
+         carried.map(c => col(s"b.$c").as(s"${c}_b")))) :+
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
-      // filter BEFORE distinct: hamming is a per-row projection, so
-      // rejecting far pairs first shrinks the dedup shuffle to just
-      // the qualifying pairs.
+          .as("hamming"): _*)
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   /** MinHash analogue of [[simhashGroups]]: collapse exact-duplicate
@@ -163,12 +179,15 @@ object ApproxDedup {
     * to distinct contents — duplicate multiplicity stops mattering. */
   def minhashGroups(docs: DataFrame, n: Int = 3, k: Int = 32,
                     bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    // cached: consumed by the pair generation AND both size joins —
+    // uncached, the full-corpus content-collapse shuffle would run 3×
     val reps = docs
       .groupBy(xxhash64(col("text")).as("chash"))
       // all texts in a group are identical (modulo xxhash64 collision)
       // so first() is deterministic here
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"),
         first(col("text")).as("text"))
+      .cache()
     val pairs = minhashPairs(reps.select("doc_id", "text"),
       n, k, bands, threshold)
     val sizes = reps.select(col("doc_id"), col("n_docs"))
@@ -186,32 +205,22 @@ object ApproxDedup {
     * trivially near-dups and become ONE group row (representative id
     * + count) — then chunk-bucket-pair only the DISTINCT
     * fingerprints. [[simhashPairs]] enumerates doc pairs, which is
-    * inherently quadratic in duplicate-group size (the 10× duplicated
-    * bench fixture made it 24× slower); this variant's pair space is
+    * inherently quadratic in duplicate-group size (an order of
+    * magnitude slower on the 10×-duplicated bench fixture, where the
+    * candidate space grows ~100×); this variant's pair space is
     * bounded by distinct fingerprints, which duplication doesn't
     * grow at all. Output: one row per near-dup GROUP pair
-    * (rep_a, rep_b, n_a, n_b, hamming), plus exact-dup groups are
+    * (rep_a < rep_b, n_a, n_b, hamming), plus exact-dup groups are
     * recoverable from n_a/n_b > 1.
     */
   def simhashGroups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val groups = simhashOf(docs)
       .groupBy("simhash")
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
-    val chunkArr = array((0 until 4).map(c =>
-      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunks = groups.select(col("simhash"), col("rep_id"),
-      col("n_docs"), posexplode(chunkArr).as(Seq("chunk_idx", "chunk_val")))
-    chunks.alias("a")
-      .join(chunks.alias("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.simhash") < col("b.simhash"))
-      .select(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"),
-        col("a.n_docs").as("n_a"), col("b.n_docs").as("n_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    chunkBucketPairs(groups, "rep_id", Seq("n_docs"), maxHamming)
+      .withColumnRenamed("n_docs_a", "n_a")
+      .withColumnRenamed("n_docs_b", "n_b")
+      .select("rep_a", "rep_b", "n_a", "n_b", "hamming")
       .orderBy("rep_a", "rep_b")
   }
 

@@ -100,7 +100,12 @@ class ApproxDedupSpec extends SparkSpec {
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
         (r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
     assert(dupGot.keySet == got.keySet)
-    assert(dupGot.values.forall { case (a, b) => a % 10 == 0 && b % 10 == 0 })
+    // counts are EXACTLY 10x the originals, on both sides of the pair
+    for ((k, (na, nb)) <- dupGot) {
+      val (oa, ob) = got(k)
+      assert(na == oa * 10 && nb == ob * 10,
+        s"pair $k counts ($na,$nb) != 10x ($oa,$ob)")
+    }
   }
 
   test("simhashGroups collapses exact dups and pairs distinct " +
@@ -131,9 +136,17 @@ class ApproxDedupSpec extends SparkSpec {
     val dup = (0 until 10).map(i =>
       df.withColumn("doc_id", col("doc_id") + lit(i * 100L)))
       .reduce(_ union _)
+    val origByPair = groups.map(g => (g._1, g._2) -> ((g._3, g._4))).toMap
     val dupGroups = ApproxDedup.simhashGroups(dup, maxHamming = 3)
-      .select("n_a", "n_b").collect()
-    assert(dupGroups.length == groups.length)
-    assert(dupGroups.forall(r => r.getLong(0) % 10 == 0))
+      .collect()
+      .map(r => (r.getAs[Long]("rep_a"), r.getAs[Long]("rep_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+    assert(dupGroups.keySet == origByPair.keySet)
+    // counts are EXACTLY 10x, on BOTH sides
+    for ((k, (na, nb)) <- dupGroups) {
+      val (oa, ob) = origByPair(k)
+      assert(na == oa * 10 && nb == ob * 10,
+        s"pair $k counts ($na,$nb) != 10x ($oa,$ob)")
+    }
   }
 }
