@@ -150,6 +150,16 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Keyset-free pagination: ORDER BY + OFFSET + LIMIT. (At scale,
+    // prefer keyset pagination — WHERE key > last_seen — since OFFSET
+    // must still sort/skip; this pins the surface's correctness.)
+    "q_offset_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(50)
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
     "q_sort_limit_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -257,6 +267,10 @@ object RelationalQueries {
     "q_sort_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_offset_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25 OFFSET 50""".stripMargin,
     "q_set_union" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION
