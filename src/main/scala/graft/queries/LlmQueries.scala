@@ -164,6 +164,24 @@ object LlmQueries {
         |          string_split_regex(lower(text), '\\s+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // Exact bigram Jaccard from the strings themselves: hash-set
+    // Jaccard equals string-set Jaccard absent xxhash64 collisions,
+    // so the hashed-kernel engine result is directly checkable.
+    // Threshold applies to the ROUNDED value on both sides.
+    "q_dedup_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 300))
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
