@@ -192,6 +192,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Set((1L, Some(1L)), (2L, None)))
   }
 
+  test("S11 custom TopKAgg aggregates in streaming update mode") {
+    val ms = MemoryStream[(Long, Long, Double)](spark)
+    val df = ms.toDF().toDF("key", "tie", "score")
+    val agg = df.groupBy("key")
+      .agg(graft.functions.TopKAgg.topK(
+        struct(col("tie"), col("score")), col("score"), col("tie"), 2)
+        .as("top"))
+    ms.addData((1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 7.0),
+      (2L, 20L, 1.0))
+    val out1 = runToMemory(agg, "s11a")
+      .collect().map { r =>
+        r.getAs[Long]("key") ->
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top"))
+            .map(_.getLong(0)).toList
+      }.toMap
+    // k=2 heap across the micro-batch: best two scores per key
+    assert(out1(1L) == List(11L, 12L))
+    assert(out1(2L) == List(20L))
+  }
+
   test("S6 exactly-once file ingest across checkpoint restart") {
     val staging = Files.createTempDirectory("fh_staging").toFile
     val checkpoint = Files.createTempDirectory("fh_ckpt").toFile
