@@ -167,6 +167,18 @@ object AggQueries {
           count(lit(1)).as("n_cust"))
         .orderBy("c_mktsegment")),
 
+    // Multiple DISTINCT aggregates in one pass: Catalyst plans this
+    // via Expand (one row replica per distinct-set) + two-level
+    // aggregation — a distinct physical shape from single-distinct.
+    "q_multi_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Sketch aggregates — the scale path for distinct counts and
     // quantiles: HLL++ and the Greenwald-Khanna quantile sketch are
     // mergeable partial aggregates (map-side combine, fixed-size
@@ -286,6 +298,12 @@ object AggQueries {
         |    CAST(COUNT(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
         |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,

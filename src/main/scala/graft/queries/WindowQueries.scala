@@ -78,6 +78,19 @@ object WindowQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Centered moving average (±1 row): exact decimal window sum ÷
+    // window count — the summation-order-safe moving-aggregate shape.
+    "q_win_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-1, 1)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(dec(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Batch event-time windowing: the same window() operator the
     // streaming pack uses, on the batch surface — one hash aggregate
     // on (bucket, type). Event time is µs (ts div 1000, the DuckDB
@@ -193,6 +206,15 @@ object WindowQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS mov_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_events_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', make_timestamp(ts_us))
         |    AS w_start,
