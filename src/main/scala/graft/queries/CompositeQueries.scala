@@ -164,6 +164,37 @@ object CompositeQueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // NOT IN over a NULLABLE subquery — the null-aware anti-join
+    // (three-valued NOT IN: any NULL in the subquery empties the
+    // result unless handled; Spark plans a null-aware BHJ, a distinct
+    // physical operator from the plain left_anti of q_files_antijoin).
+    // The filter keeps NULLs out so rows survive — the PLAN is still
+    // the null-aware one because the subquery output is nullable.
+    "q_anti_null_aware" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_naaj")
+      Tables.customer(s, d).createOrReplaceTempView("customer_naaj")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders_naaj
+          |WHERE o_custkey NOT IN
+          |  (SELECT nullif(c_custkey, 7) FROM customer_naaj
+          |   WHERE c_mktsegment = 'BUILDING'
+          |     AND nullif(c_custkey, 7) IS NOT NULL)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated scalar-aggregate subquery: per-row COUNT(*) lookup,
+    // rewritten by Catalyst into an aggregate + left join.
+    "q_subquery_corr_agg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_csa")
+      Tables.orders(s, d).createOrReplaceTempView("orders_csa")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT COUNT(*) FROM orders_csa o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer_csa c
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Conditional aggregation: FILTER-style partial counts/sums in one
     // pass over the fact table (one hash aggregate, no self-joins).
     "q_agg_filtered" -> ((s, d) =>
@@ -410,6 +441,19 @@ object CompositeQueries {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_null_aware" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT nullif(c_custkey, 7) FROM customer
+        |   WHERE c_mktsegment = 'BUILDING'
+        |     AND nullif(c_custkey, 7) IS NOT NULL)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_subquery_corr_agg" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
     "q_agg_filtered" ->
       """SELECT l_returnflag,
