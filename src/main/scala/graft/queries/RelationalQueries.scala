@@ -121,6 +121,19 @@ object RelationalQueries {
         .select("c_custkey", "c_nationkey", "n_nationkey", "n_name")
         .orderBy("c_custkey", "n_nationkey")),
 
+    // The skew-salted join registered against the PLAIN join's oracle:
+    // result equality with `join(key)` is the operator's contract
+    // (the salt spreads each hot key over N reducers; see ScaleJoins).
+    "q_join_salted" -> ((s, d) =>
+      graft.operators.ScaleJoins.saltedJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_totalprice"),
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", salts = 8)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
     // Catalyst won't push an aggregate through a join on its own, so
     // the revenue partial-aggregate by l_orderkey happens BEFORE the
     // orders join: the fact table is shuffled once (narrow: key +
@@ -254,6 +267,10 @@ object RelationalQueries {
         |FROM customer, nation
         |WHERE c_custkey % 7 = 0 AND c_nationkey < n_nationkey
         |ORDER BY c_custkey, n_nationkey""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_multiway" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
