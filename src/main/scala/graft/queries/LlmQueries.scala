@@ -11,11 +11,14 @@ import graft.operators.{AnnSearch, ApproxDedup, TextAnalysis}
   * ANN search (LSH-bucketed), text analysis (lang-ID, token counts,
   * fingerprints) and the multimodal plumbing pipeline.
   *
-  * Oracle coverage: `q_text_tokens` is SQL-expressible and
-  * hash-matched against DuckDB. The hash-based operators
-  * (xxhash64 signatures, LSH buckets) have no DuckDB equivalent —
-  * those keys take the driver's rows-only check and are pinned by
-  * `ApproxDedupSpec` / `AnnSearchSpec` / `TextAnalysisSpec` against
+  * Oracle coverage: `q_text_tokens`, `q_text_langid`,
+  * `q_text_fingerprint` (hash-invariant observables), `q_dedup_ngram`
+  * (string-set Jaccard), `q_sample_stratified` and `q_pack_sequences`
+  * are SQL-expressible and hash-matched against DuckDB. The remaining
+  * hash-based operators (xxhash64 signatures, LSH buckets, hash
+  * splits) have no DuckDB equivalent — those keys take the driver's
+  * rows-only check and are pinned by `ApproxDedupSpec` /
+  * `AnnSearchSpec` / `TextAnalysisSpec` / `SamplingSpec` against
   * Scala-computed ground truth instead.
   */
 object LlmQueries {
@@ -168,10 +171,13 @@ object LlmQueries {
     // Jaccard equals string-set Jaccard absent xxhash64 collisions,
     // so the hashed-kernel engine result is directly checkable.
     // Threshold applies to the ROUNDED value on both sides.
+    // greatest(len, 2) mirrors the engine's <n-token fallback (a doc
+    // shorter than the window emits ONE window of all its tokens —
+    // range(1, 2) = [1] and the slice clamps to the available run).
     "q_dedup_ngram" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(toks)),
+        |    list_distinct(list_transform(range(1, greatest(len(toks), 2)),
         |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
         |        FROM documents WHERE doc_id < 300))
