@@ -41,16 +41,36 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
 
+  /** Cross-engine-portable bucket: first 32 bits of md5 over the
+    * key's UTF-8 string form, mod `buckets`. Any engine with md5 can
+    * reproduce the assignment exactly (DuckDB:
+    * `('0x' || substring(md5(key), 1, 8))::BIGINT % buckets`), which
+    * makes hash-split membership auditable outside Spark — the
+    * property a training-data lineage pipeline actually needs from a
+    * split. ~2× the cost of [[hashBucket]]'s xxhash64; both are
+    * shuffle-free per-row projections. */
+  def md5Bucket(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
   /** Label rows train/val/test by hash bucket: buckets [0, trainPct)
     * → train, [trainPct, trainPct+valPct) → val, rest → test, out of
     * 100 buckets. */
   def split(df: DataFrame, key: String, trainPct: Int = 90,
-            valPct: Int = 5): DataFrame = {
+            valPct: Int = 5): DataFrame =
+    splitBy(df, hashBucket(col(key), 100), trainPct, valPct)
+
+  /** [[split]] with the portable [[md5Bucket]] assignment. */
+  def splitPortable(df: DataFrame, key: String, trainPct: Int = 90,
+                    valPct: Int = 5): DataFrame =
+    splitBy(df, md5Bucket(col(key), 100), trainPct, valPct)
+
+  private def splitBy(df: DataFrame, bucket: Column, trainPct: Int,
+                      valPct: Int): DataFrame = {
     require(trainPct + valPct <= 100)
-    val b = hashBucket(col(key), 100)
     df.withColumn("split",
-      when(b < trainPct, "train")
-        .when(b < trainPct + valPct, "val")
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
 }

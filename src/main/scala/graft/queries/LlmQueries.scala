@@ -13,13 +13,14 @@ import graft.operators.{AnnSearch, ApproxDedup, TextAnalysis}
   *
   * Oracle coverage: `q_text_tokens`, `q_text_langid`,
   * `q_text_fingerprint` (hash-invariant observables), `q_dedup_ngram`
-  * (string-set Jaccard), `q_sample_stratified` and `q_pack_sequences`
-  * are SQL-expressible and hash-matched against DuckDB. The remaining
-  * hash-based operators (xxhash64 signatures, LSH buckets, hash
-  * splits) have no DuckDB equivalent — those keys take the driver's
-  * rows-only check and are pinned by `ApproxDedupSpec` /
-  * `AnnSearchSpec` / `TextAnalysisSpec` / `SamplingSpec` against
-  * Scala-computed ground truth instead.
+  * (string-set Jaccard), `q_sample_stratified`, `q_sample_split`
+  * (portable md5 buckets), `q_embed_quantize` (IEEE-deterministic
+  * diagnostics) and `q_pack_sequences` are SQL-expressible and
+  * hash-matched against DuckDB. The remaining hash-based operators
+  * (xxhash64 signatures, LSH buckets) have no DuckDB equivalent —
+  * those keys take the driver's rows-only check and are pinned by
+  * `ApproxDedupSpec` / `AnnSearchSpec` / `TextAnalysisSpec` /
+  * `SamplingSpec` against Scala-computed ground truth instead.
   */
 object LlmQueries {
 
@@ -104,12 +105,13 @@ object LlmQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
-    // Hash-based train/val/test split, reported as per-split counts.
-    // xxhash64 buckets have no DuckDB equivalent → rows-only here;
-    // SamplingSpec pins determinism, disjointness-completeness, and
-    // fraction tolerances instead.
+    // Hash-based train/val/test split via the portable md5 bucket —
+    // per-row assignment plus per-split counts, reproduced bucket-
+    // for-bucket by the oracle. The cheaper xxhash64 variant
+    // (Sampling.split) is the scale path and stays pinned by
+    // SamplingSpec (determinism, disjointness, fraction tolerance).
     "q_sample_split" -> ((s, d) =>
-      graft.operators.Sampling.split(
+      graft.operators.Sampling.splitPortable(
         Tables.documents(s, d), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
@@ -124,9 +126,11 @@ object LlmQueries {
         .select("doc_id", "lang", "window_id", "offset_in_window")
         .orderBy("doc_id")),
 
-    // int8 embedding quantization with reconstruction diagnostics
-    // (rows-only: per-engine float rounding makes the q arrays
-    // oracle-unfriendly; bounds are spec-asserted instead).
+    // int8 embedding quantization with reconstruction diagnostics.
+    // Every step is elementwise IEEE double math in list order on
+    // both engines (float→double widening is exact; round-half-away
+    // ties match Spark's HALF_UP), so the rounded diagnostics are
+    // DuckDB-reproducible — see the q_embed_quantize oracle.
     "q_embed_quantize" -> ((s, d) =>
       graft.operators.EmbeddingOps.quantized(Tables.embeddings(s, d))
         .select(col("vec_id"),
@@ -188,6 +192,42 @@ object LlmQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+    // Portable md5 split: first 32 md5 bits of the key's string form,
+    // mod 100 — Spark's conv(substring(md5,1,8),16,10) and DuckDB's
+    // ('0x'||…)::BIGINT decode the same hex to the same bucket.
+    "q_sample_split" ->
+      """SELECT split, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN b < 90 THEN 'train'
+        |              WHEN b < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |               % 100 AS b
+        |        FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+    // Quantization diagnostics: scale = max|x|/127 (float max is
+    // exact, widening exact), deq_i = round(x_i/scale)*scale, all in
+    // IEEE double with round-half-away ties on both engines; dot
+    // products are sequential double accumulations in list order
+    // (DotProductFF == list_inner_product over DOUBLE[], bit-equal).
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    CAST(greatest(list_max(list_transform(embedding, x -> abs(x))),
+        |                  CAST(1e-12 AS FLOAT)) AS DOUBLE) / 127.0 AS scale
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> round(x / scale, 0) * scale) AS deq
+        |  FROM s)
+        |SELECT vec_id,
+        |  round(scale, 8) AS scale_r,
+        |  CAST(len(e) AS INT) AS dim,
+        |  round(list_max(list_transform(range(1, len(e) + 1),
+        |    i -> abs(e[i] - deq[i]))), 8) AS max_abs_err_r,
+        |  round(list_inner_product(e, deq) /
+        |        (sqrt(list_inner_product(e, e)) *
+        |         sqrt(list_inner_product(deq, deq))), 6) AS cos_recon_r
+        |FROM d ORDER BY vec_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
