@@ -26,7 +26,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       PipelineQueries.queries ++
       LlmQueries.queries ++
-      CompositeQueries.queries
+      CompositeQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -40,5 +41,6 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++
       PipelineQueries.oracleSql ++
       CompositeQueries.oracleSql ++
-      LlmQueries.oracleSql
+      LlmQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

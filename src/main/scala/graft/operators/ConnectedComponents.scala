@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the step that turns near-duplicate PAIRS (MinHash/SimHash/Jaccard,
+  * see [[ApproxDedup]]) into duplicate CLUSTERS so a training corpus
+  * can keep exactly one representative per cluster. Pair emission
+  * alone under-deletes: if A~B and B~C but A!~C, pairwise removal
+  * keeps either A or C depending on scan order, while the cluster
+  * view removes both non-representatives deterministically.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round every node takes the min of
+  * its own and its neighbors' labels; at fixpoint the label is the
+  * minimum node id reachable in the component (a deterministic,
+  * layout-independent cluster id). Rounds = component diameter.
+  *
+  * Scale shape (the point of doing this in Spark rather than driver
+  * memory): each round is one shuffle of the symmetrized edge list
+  * joined to the label frame plus a min-aggregate — O(E) per round,
+  * nothing ever collected to the driver. Near-dup graphs have tiny
+  * diameters (duplicate clusters are dense, so label propagation
+  * converges in a handful of rounds even at corpus scale); for
+  * adversarially long path graphs swap in the alternating
+  * large-star/small-star contraction (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14), which this
+  * iteration structure accommodates without changing callers.
+  * Each round is `localCheckpoint`ed: lineage stays O(1) instead of
+  * growing a plan tree per iteration (the classic iterative-Spark
+  * failure mode), and convergence is detected from a one-row
+  * aggregate, not a row fetch.
+  *
+  * Reference analogy: the reference engine's dedup surface stops at
+  * per-file processed-marks (kinesis-to-humio.py:48-68); clustering
+  * is part of the beyond-reference LLM-pipeline pack.
+  */
+object ConnectedComponents {
+
+  /** (id, comp) for every node in `nodes`, where comp = min node id
+    * reachable through `edges` (nodes absent from `edges` keep their
+    * own id — singleton clusters).
+    *
+    * @param nodes single-column frame of node ids (column `id`)
+    * @param edges two-column frame (`src`, `dst`), undirected pairs
+    * @param maxIter safety bound on propagation rounds; the fixpoint
+    *                is reached at the component diameter
+    */
+  def components(nodes: DataFrame, edges: DataFrame,
+                 maxIter: Int = 50): DataFrame = {
+    // Symmetrize once: propagation below only follows src → dst.
+    // distinct() drops duplicate pairs so each round's join fans out
+    // once per neighbor, not once per originally-emitted pair.
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      // Neighbor minimum per node this round.
+      val nbrMin = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(sym("dst").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      // Labels only ever decrease, so "no row decreased" ⇔ fixpoint.
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      val nChanged = next
+        .agg(sum(when(col("changed"), 1L).otherwise(0L)))
+        .first().getLong(0)
+      labels = next.select("id", "comp")
+      converged = nChanged == 0
+      round += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for a near-dup pair frame (`a_id`, `b_id`):
+    * every id in `allIds` mapped to its cluster representative (min
+    * reachable id) plus the cluster size. */
+  def dedupClusters(allIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = components(
+      allIds.select(col(allIds.columns.head).as("id")),
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    comps
+      .withColumn("cluster_size",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+  }
+}

@@ -73,4 +73,21 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Deterministic data-mixture downsampling: keep each row iff its
+    * portable hash bucket falls below the row's group rate (percent,
+    * 0–100), with rates supplied as a (groupCol, rate) config frame —
+    * how mixture weights actually arrive in a training pipeline.
+    *
+    * The rates frame is broadcast (it's a handful of sources/
+    * languages), so sampling adds zero shuffles to the scan; the
+    * md5 bucket makes the kept-set stable under reruns, partition
+    * layout, and incremental appends, and auditable from any engine
+    * with md5 ([[md5Bucket]]).
+    */
+  def sampleByRates(df: DataFrame, key: String, groupCol: String,
+                    rates: DataFrame): DataFrame =
+    df.join(broadcast(rates), groupCol)
+      .filter(md5Bucket(col(key), 100) < col("rate"))
+      .drop("rate")
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Contamination, CorpusStats, PiiScrub, Sampling}
+
+/** Corpus-curation query pack: PII scrubbing, benchmark
+  * decontamination, boilerplate detection, and mixture sampling —
+  * the governance side of a training-data pipeline (the LLM-pack
+  * counterpart to [[LlmQueries]]'s dedup/ANN operators).
+  *
+  * All four are oracle-gated: PII redaction uses RE2-compatible
+  * patterns that run identically on DuckDB; contamination counts are
+  * hash-invariant observables (engine joins on 8-byte gram hashes,
+  * oracle on gram strings); mixture sampling uses the portable md5
+  * bucket; boilerplate grams are plain string aggregation.
+  */
+object CurationQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII-shaped strings derived deterministically from customer keys
+    // (the synthetic corpus carries no real PII), then scrubbed +
+    // audited. Exercises the full regex path on 1.5k/15k rows.
+    "q_text_pii" -> ((s, d) => {
+      val doc = concat(
+        lit("Reach "), col("c_name"),
+        lit(" at user"), col("c_custkey").cast("string"),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("c_custkey") % 200).cast("string"),
+        lit(".0.7"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), doc.as("doc"))
+        .select(col("c_custkey"),
+          PiiScrub.countEmails(col("doc")).cast("int").as("n_emails"),
+          PiiScrub.countPhones(col("doc")).cast("int").as("n_phones"),
+          PiiScrub.countIps(col("doc")).cast("int").as("n_ips"),
+          PiiScrub.scrub(col("doc")).as("scrubbed"))
+        .orderBy("c_custkey")
+    }),
+
+    // 5-gram overlap screen: train = doc_id < 450, benchmark = the
+    // rest. Engine joins on hashed grams (the 100 TB path: fixed
+    // 8-byte shuffle width, broadcastable benchmark side); counts are
+    // hash-invariant so the string-gram oracle reproduces them.
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Contamination.overlap(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450), n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Boilerplate screen: bigrams present in ≥40 of the 500 docs.
+    "q_text_boilerplate" -> ((s, d) =>
+      CorpusStats.boilerplateGrams(Tables.documents(s, d), n = 2, minDf = 40)
+        .orderBy("gram")),
+
+    // Mixture downsampling: per-language keep-rates from a broadcast
+    // config frame, md5-bucket membership, audited as per-lang counts.
+    "q_data_mixture" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 100), ("es", 50), ("de", 50),
+        ("fr", 25), ("zh", 25)).toDF("lang", "rate")
+      Sampling.sampleByRates(Tables.documents(s, d), "doc_id", "lang", rates)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_pii" ->
+      s"""WITH c AS (
+        |  SELECT c_custkey,
+        |    'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |      || '@mail.example.com or +1-555-'
+        |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.0.7'
+        |      AS doc
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(doc, '${PiiScrub.emailPattern}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(doc, '${PiiScrub.phonePattern}')) AS INT)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(doc, '${PiiScrub.ipv4Pattern}')) AS INT)
+        |    AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(doc,
+        |    '${PiiScrub.emailPattern}', '<EMAIL>', 'g'),
+        |    '${PiiScrub.phonePattern}', '<PHONE>', 'g'),
+        |    '${PiiScrub.ipv4Pattern}', '<IP>', 'g') AS scrubbed
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    // Same 5-gram windows as the engine's NgramHashes64 kernel,
+    // including the short-doc fallback (docs with < n tokens emit one
+    // gram of their full token run).
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 3, 2)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams,
+        |       count(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM (SELECT * FROM g WHERE doc_id < 450) t
+        |JOIN (SELECT * FROM g WHERE doc_id >= 450) b ON t.gram = b.gram
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      """SELECT gram, COUNT(*) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks), 2)),
+        |    i -> array_to_string(toks[i:i+1], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |GROUP BY gram HAVING COUNT(*) >= 40 ORDER BY gram""".stripMargin,
+    "q_data_mixture" ->
+      """SELECT lang, COUNT(*) AS n_kept FROM (
+        |  SELECT lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS b
+        |  FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
+        |                    WHEN 'de' THEN 50 ELSE 25 END
+        |GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}
