@@ -42,11 +42,13 @@ object Bench {
     "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_json_funcs",
     "q_array_funcs",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_dedup_ngram", "q_text_stats", "q_text_langid",
+    "q_dedup_ngram", "q_dedup_clusters", "q_contamination",
+    "q_text_stats", "q_text_langid",
     "q_sim_topk", "q_ann_lsh", "q_ann_ivf",
     "q_events_sessionize", "q_range_join", "q_pack_sequences",
     "q_multimodal_pipeline",
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18")
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q14",
+    "q_tpch_q19", "q_tpch_q18")
 
   private val headlineSet = headline.toSet
 

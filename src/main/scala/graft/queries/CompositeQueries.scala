@@ -89,6 +89,58 @@ object CompositeQueries {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q14 shape (promo revenue share): one-month lineitem slice
+    // joined to part, promo share of revenue as a percentage. Scale
+    // shape: the part side is pruned to (p_partkey, is_promo) before
+    // a broadcast join — the two-column projection keeps the build
+    // side broadcastable orders of magnitude past where the full part
+    // table would spill (beyond that, AQE falls back to a shuffle
+    // join on the same plan). Exact decimal sums; one double division
+    // on the output surface, rounded on both engines (FMA-drift
+    // guard, the q_agg_corr rule).
+    "q_tpch_q14" -> ((s, d) => {
+      val promoPart = Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_type").startsWith("PROMO").as("is_promo"))
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-09-01").cast("timestamp_ntz") &&
+          col("l_shipdate") <  lit("1995-10-01").cast("timestamp_ntz"))
+        .join(broadcast(promoPart), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("is_promo"),
+            dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo"),
+          revenue.as("total"))
+        .select(
+          round(lit(100.0) * col("promo").cast("double") /
+            col("total").cast("double"), 9).as("promo_pct"),
+          col("total").cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity baskets): the
+    // OR-of-conjunctions references BOTH join sides, so the predicate
+    // itself cannot move below the join — but Catalyst extracts the
+    // per-side disjunction envelopes (brand IN (...) ∧ size ≤ 30 to
+    // the part scan, quantity bounds to the lineitem scan), so each
+    // scan still prunes before the broadcast join. PlanSpec pins the
+    // extraction.
+    "q_tpch_q19" -> ((s, d) => {
+      val basket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(basket)
+        .agg(revenue.cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // TPC-H Q10 shape (returned items): per-customer revenue of 'R'
     // lineitems against a one-quarter order window, top 20. Two-level
     // aggregation: returned revenue rolls up per order FIRST (narrow
@@ -405,6 +457,32 @@ object CompositeQueries {
         |  AND l_shipdate <  TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT
+        |  round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9)
+        |    AS promo_pct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1995-10-01'""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -40,6 +40,19 @@ class PlanSpec extends SparkSpec {
     assert(formatted("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_tpch_q19: per-side envelopes of the disjunction reach both scans") {
+    // The OR-of-conjunctions spans both join sides and cannot move
+    // below the join itself, but Catalyst must extract each side's
+    // disjunction envelope into the parquet scans: quantity bounds on
+    // lineitem, brand/size baskets on part.
+    val f = formatted("q_tpch_q19")
+    assert(f.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      "lineitem scan must receive the quantity envelope")
+    assert(f.contains("EqualTo(p_brand,Brand#1)"),
+      "part scan must receive the brand/size envelope")
+    assert(f.contains("BroadcastHashJoin"))
+  }
+
   test("q_sort_limit_topk: top-k avoids a global sort") {
     assert(plan("q_sort_limit_topk").collect {
       case t: TakeOrderedAndProjectExec => t }.nonEmpty)
