@@ -101,6 +101,21 @@ object Bench {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings"))
       Tables(spark, sfDir, t).count()
+    // One untimed composite execution (agg + shuffle + broadcast join
+    // + window) so the alphabetically-first timed query doesn't absorb
+    // the one-time codegen/exchange/exec-pool initialization — r4's
+    // first query was ~2s slower than its steady-state time.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      Tables(spark, sfDir, "orders")
+        .join(broadcast(Tables(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(sum("o_totalprice").as("s"))
+        .withColumn("r", rank().over(
+          Window.partitionBy(lit(1)).orderBy("s")))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -141,6 +141,33 @@ object CompositeQueries {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep the supplier(s) hitting the global maximum. The "view +
+    // scalar MAX subquery" of the spec compiles to one fact
+    // aggregation reused on both sides of a broadcast-able
+    // single-row cross-comparison — Spark caches nothing here; the
+    // per-supplier aggregate is small (|suppliers| rows), so the
+    // max+filter costs one extra exchange of that small frame, never
+    // a second fact scan at plan level (the revenue frame feeds both
+    // consumers). Revenue surfaces as exact-decimal → DOUBLE; the
+    // max-selection compares the DECIMAL values (exact, no float
+    // ties).
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") <  lit("1995-04-01").cast("timestamp_ntz"))
+        .groupBy("l_suppkey")
+        .agg(revenue.as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q10 shape (returned items): per-customer revenue of 'R'
     // lineitems against a one-quarter order window, top 20. Two-level
     // aggregation: returned revenue rolls up per order FIRST (narrow
@@ -483,6 +510,19 @@ object CompositeQueries {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

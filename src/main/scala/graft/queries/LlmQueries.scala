@@ -54,6 +54,19 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "text"),
         n = 2, maxId = 300, threshold = 0.2)),
 
+    // Incremental dedup: screen the doc_id ≥ 400 "new batch" against
+    // the < 400 corpus. Oracle is the brute-force cross-slice 3-gram
+    // Jaccard: sound here because every qualifying pair on this
+    // corpus has j ≥ 0.9, where 8-band/4-row LSH recall is complete
+    // (miss probability (1-j⁴)⁸ ≤ 2e-4 per pair, and the recall is
+    // deterministic for fixed data — asserted by this very gate).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      ApproxDedup.incrementalMinhash(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        n = 3, k = 32, bands = 8, threshold = 0.3)
+    }),
+
     // Near-dup pairs → duplicate clusters via distributed connected
     // components (min-label propagation). threshold=0.10 yields
     // multi-hop clusters (size up to 5) on this corpus, so the gate
@@ -206,6 +219,23 @@ object LlmQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+    // Brute-force cross-slice 3-gram Jaccard (string shingles; the
+    // engine's hashed-shingle Jaccard is equal absent collisions).
+    "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |SELECT new_id, corpus_id, jaccard FROM (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM (SELECT * FROM d WHERE doc_id >= 400) a
+        |  JOIN (SELECT * FROM d WHERE doc_id < 400) b ON true)
+        |WHERE jaccard >= 0.3
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // Connected components as a recursive CTE: reach(id, r) is the
     // transitive closure over the symmetrized near-dup edges (same
     // bigram-Jaccard pair derivation as q_dedup_ngram, threshold

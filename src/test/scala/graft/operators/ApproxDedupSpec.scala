@@ -61,6 +61,25 @@ class ApproxDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhash screens the batch against the corpus only") {
+    // batch = {0, 5-copy, clean}; corpus = {1, 2, 3, 4}. Expected
+    // hits: 0↔1 (near-identical) and 100↔3 (exact copy). Crucially
+    // NO corpus-internal pair (3↔5-style) may appear, and the clean
+    // doc must not match anything.
+    val batch = Seq(
+      (0L, docs(0)._2), (100L, docs(3)._2),
+      (101L, "fresh clean text with zero corpus overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val corpus = docs.slice(1, 5).toDF("doc_id", "text")
+    val out = ApproxDedup.incrementalMinhash(batch, corpus,
+        n = 3, k = 32, bands = 8, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((0L, 1L), (100L, 3L)))
+    val j01 = out.find(t => t._1 == 0L).get._3
+    assert(math.abs(j01 - trueJaccard(docs(0)._2, docs(1)._2, 3)) < 1e-6)
+    assert(out.find(t => t._1 == 100L).get._3 == 1.0)
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups stay close") {
     val fps = ApproxDedup.simhashOf(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
