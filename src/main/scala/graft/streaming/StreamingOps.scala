@@ -117,6 +117,44 @@ object StreamingOps {
                        keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Streaming incremental dedup screen (S12): flag each arriving
+    * document that near-duplicates a STATIC reference corpus — the
+    * streaming form of [[graft.operators.ApproxDedup.incrementalMinhash]]
+    * (same banding, same verification kernel). Stateless stream-static
+    * equi-join on (band_idx, band_hash): the corpus banding is planned
+    * into each micro-batch (precompute + persist it in production);
+    * no streaming state accrues, so a day-long ingest costs the same
+    * per batch as the first one. The same shape with the benchmark
+    * gram set as the static side is a streaming contamination screen.
+    */
+  def dedupScreen(stream: DataFrame, corpus: DataFrame, n: Int = 3,
+                  k: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.5): DataFrame = {
+    import graft.operators.ApproxDedup._
+    val r = k / bands
+    def shingle(df: DataFrame, idAs: String, shAs: String) = df
+      .select(col("doc_id").as(idAs), shingleHashes64(col("text"), n).as(shAs))
+    val newSide = shingle(stream, "new_id", "sh_new")
+      .select(col("new_id"), col("sh_new"),
+        posexplode(bandHashes(minhashSignature(col("sh_new"), k), bands, r))
+          .as(Seq("band_idx", "band_hash")))
+    val corpusSide = shingle(corpus, "corpus_id", "sh_corpus")
+      .select(col("corpus_id"), col("sh_corpus"),
+        posexplode(bandHashes(minhashSignature(col("sh_corpus"), k), bands, r))
+          .as(Seq("band_idx", "band_hash")))
+    newSide
+      .join(broadcast(corpusSide), Seq("band_idx", "band_hash"))
+      .withColumn("jaccard",
+        round(jaccard(col("sh_new"), col("sh_corpus")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+      // A pair sharing several bands would emit once per band;
+      // dedup state holds one entry per FLAGGED pair (near-dups
+      // only, tiny) — bound it with an upstream watermark +
+      // dropDuplicatesWithinWatermark for unbounded streams.
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
   /** The reference pipeline as a stream (S6): file source over a
     * staging dir → Firehose decode → exactly-once via checkpoint.
     * The file-source commit log replaces the SQLite `files` table

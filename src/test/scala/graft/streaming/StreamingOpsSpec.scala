@@ -166,6 +166,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out == Set((1L, "alice"), (2L, "bob")))
   }
 
+  test("S12 streaming dedup screen flags near-dups of the static corpus") {
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "an entirely separate reference document about shuffle plans"))
+      .toDF("doc_id", "text")
+    ms.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "totally novel incoming text with no corpus overlap at all"))
+    val out = runToMemory(
+      StreamingOps.dedupScreen(stream, corpus, n = 3, threshold = 0.5),
+      "s12", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1 is an exact copy of corpus 10 (jaccard 1.0, single row
+    // despite sharing every band); doc 2 must not flag.
+    assert(out.toSeq == Seq((1L, 10L, 1.0)))
+  }
+
   test("S10 left-outer interval join emits unmatched clicks with nulls " +
       "after the watermark passes") {
     val clicks = MemoryStream[(Long, Int)](spark)
