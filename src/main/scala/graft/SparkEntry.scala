@@ -27,7 +27,8 @@ object SparkEntry {
       PipelineQueries.queries ++
       LlmQueries.queries ++
       CompositeQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      EventQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -42,5 +43,6 @@ object SparkEntry {
       PipelineQueries.oracleSql ++
       CompositeQueries.oracleSql ++
       LlmQueries.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++
+      EventQueries.oracleSql
 }

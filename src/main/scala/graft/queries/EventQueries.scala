@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-analytics pack: ordered funnels, cohort retention, and
+  * time-series gap-fill — the product-analytics surface layered on
+  * the same events table the sessionizer uses.
+  *
+  * Event time: `events.ts` is epoch-nanos LongType (see
+  * [[graft.Tables]]); all arithmetic uses `ts div 1000` (µs) to match
+  * DuckDB's microsecond truncation of the same column (SURVEY §7.4).
+  *
+  * Scale notes inline; common theme: everything is keyed by user_id
+  * (or cohort), so each step is one hash-shuffle — no unpartitioned
+  * window, no driver materialization, and the per-user frames a
+  * 100 TB event log would produce stay independent tasks.
+  */
+object EventQueries {
+
+  private def withUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered funnel view → click → purchase: a user advances a stage
+    // only with a LATER event of the next type (strict event-time
+    // order, the defining property vs a mere type-count). Three
+    // conditional min-aggregations chained by user_id joins — each
+    // stage is a narrow (user_id, t) frame, so the chain shuffles
+    // |users| rows twice, never the event log.
+    "q_events_funnel" -> ((s, d) => {
+      val ev = withUs(Tables.events(s, d)).select("user_id", "event_type", "ts_us")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .filter(col("event_type") === "click" && col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val t3 = ev.join(t2, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      t1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
+    // Weekly cohort retention: users bucketed by first-seen week,
+    // counted per (cohort, weeks-since-cohort) of activity. Two
+    // aggregations on user_id + one broadcast-sized join — the
+    // (cohort_week, week_no) matrix is tiny however large the log.
+    "q_events_retention" -> ((s, d) => {
+      val ev = withUs(Tables.events(s, d))
+        .withColumn("wk",
+          date_trunc("week", timestamp_micros(col("ts_us"))))
+        .select("user_id", "wk")
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .withColumn("week_no",
+          ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_wk")))
+            / (7L * 24 * 3600)).cast("int"))
+        .groupBy("cohort_wk", "week_no")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(col("cohort_wk").cast("timestamp_ntz").as("cohort_wk"),
+          col("week_no"), col("n_users"))
+        .orderBy("cohort_wk", "week_no")
+    }),
+
+    // Hourly gap-fill with forward fill: each user's observation
+    // series resampled onto a dense hourly grid between their first
+    // and last event, missing hours carrying the last seen value.
+    // sequence()+explode generates each user's grid inside their own
+    // task (no driver-side calendar), and the fill is one partitioned
+    // IGNORE NULLS window — the standard last-observation-carried-
+    // forward shape. Bounded to 10 users to keep the gate output
+    // proportionate; the plan is user-count invariant.
+    "q_events_gapfill" -> ((s, d) => {
+      val hourUs = 3600L * 1000 * 1000
+      val ev = withUs(Tables.events(s, d))
+        .filter(col("user_id") < 10)
+        .withColumn("hour_no", (col("ts_us") / hourUs).cast("long"))
+      // last observation within each (user, hour), event_id tiebreak
+      val perHour = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "hour_no")
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "hour_no", "value")
+      val grids = ev.groupBy("user_id")
+        .agg(min("hour_no").as("h0"), max("hour_no").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("hour_no"))
+      val ffill = Window.partitionBy("user_id").orderBy("hour_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grids.join(perHour, Seq("user_id", "hour_no"), "left")
+        .select(col("user_id"), col("hour_no"),
+          last(col("value"), ignoreNulls = true).over(ffill).as("filled"))
+        .orderBy("user_id", "hour_no")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'click' AND ts_us > t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t2
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+        |       (SELECT COUNT(*) FROM t2) AS n_click_after,
+        |       (SELECT COUNT(*) FROM t3) AS n_purchase_after""".stripMargin,
+    "q_events_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT cohort_wk,
+        |  CAST((epoch(wk) - epoch(cohort_wk)) / (7 * 24 * 3600) AS INT)
+        |    AS week_no,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort_wk, week_no
+        |ORDER BY cohort_wk, week_no""".stripMargin,
+    "q_events_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 3600000000 AS hour_no
+        |  FROM events WHERE user_id < 10),
+        |per_hour AS (
+        |  SELECT user_id, hour_no, value FROM (
+        |    SELECT user_id, hour_no, value,
+        |      row_number() OVER (PARTITION BY user_id, hour_no
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour_no
+        |  FROM (SELECT user_id, MIN(hour_no) AS h0, MAX(hour_no) AS h1
+        |        FROM e GROUP BY user_id))
+        |SELECT g.user_id, g.hour_no,
+        |  last_value(p.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour_no
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid g LEFT JOIN per_hour p
+        |  ON g.user_id = p.user_id AND g.hour_no = p.hour_no
+        |ORDER BY g.user_id, g.hour_no""".stripMargin
+  )
+}
