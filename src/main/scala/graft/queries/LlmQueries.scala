@@ -81,6 +81,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Same clusters via the alternating large-star/small-star
+    // contraction (O(log² n) rounds vs diameter) — registered against
+    // the SAME recursive-CTE oracle as q_dedup_clusters, so the gate
+    // proves both component implementations agree with the ground
+    // truth (the q_join_salted-vs-plain-join precedent).
+    "q_dedup_clusters_star" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.ngramJaccardPairs(
+        docs.select("doc_id", "text"), n = 2, maxId = 300, threshold = 0.10)
+      val comps = graft.operators.ConnectedComponents.starComponents(
+        docs.filter(col("doc_id") < 300).select("doc_id"),
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      comps
+        .withColumn("cluster_size",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+        .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     "q_ann_lsh" -> ((s, d) =>
       AnnSearch.lshTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
 
@@ -168,6 +188,37 @@ object LlmQueries {
         .orderBy("vec_id"))
   )
 
+  /** Connected components as a recursive CTE: reach(id, r) is the
+    * transitive closure over the symmetrized near-dup edges (same
+    * bigram-Jaccard pair derivation as q_dedup_ngram, threshold
+    * 0.10); comp = MIN(reachable id) is exactly both engine
+    * implementations' fixpoint. */
+  private val clustersOracle: String =
+    """WITH RECURSIVE
+      |d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks), 2)),
+      |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE doc_id < 300)),
+      |p AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.10),
+      |e AS (SELECT a_id AS src, b_id AS dst FROM p
+      |      UNION SELECT b_id, a_id FROM p),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id < 300
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+      |SELECT doc_id, comp,
+      |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      |FROM (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id)
+      |ORDER BY doc_id""".stripMargin
+
   private def stopList(lang: String): String =
     TextAnalysis.profiles(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -241,31 +292,10 @@ object LlmQueries {
     // bigram-Jaccard pair derivation as q_dedup_ngram, threshold
     // 0.10); comp = MIN(reachable id) matches min-label propagation's
     // fixpoint exactly.
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE
-        |d AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(toks), 2)),
-        |      i -> array_to_string(toks[i:i+1], ' '))) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents WHERE doc_id < 300)),
-        |p AS (
-        |  SELECT a_id, b_id FROM (
-        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |            len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.10),
-        |e AS (SELECT a_id AS src, b_id AS dst FROM p
-        |      UNION SELECT b_id, a_id FROM p),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id < 300
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
-        |SELECT doc_id, comp,
-        |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
-        |FROM (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id)
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> clustersOracle,
+    // Identical oracle: both component implementations (label
+    // propagation, star contraction) must produce the same clusters.
+    "q_dedup_clusters_star" -> clustersOracle,
     // Portable md5 split: first 32 md5 bits of the key's string form,
     // mod 100 — Spark's conv(substring(md5,1,8),16,10) and DuckDB's
     // ('0x'||…)::BIGINT decode the same hex to the same bucket.

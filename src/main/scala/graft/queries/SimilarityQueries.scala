@@ -65,6 +65,29 @@ object SimilarityQueries {
         .filter(col("cos_sim") >= 0.4)
         .select("a_id", "b_id", "cos_sim")
         .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding near-dup pairs → clusters: the same composition as
+    // q_dedup_clusters but with cosine-threshold pairs as the edge
+    // source (semantic dedup, not lexical). Multi-hop on this corpus:
+    // clusters up to size 5 at threshold 0.4, so the gate exercises
+    // transitivity — A~B~C grouped even when cos(A,C) < 0.4.
+    "q_dedup_embed_clusters" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        VectorFns.norm2(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        VectorFns.norm2(col("embedding")).as("nb"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(VectorFns.cosineWithNorms(col("va"), col("vb"),
+            col("na"), col("nb")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.dedupClusters(
+          e.select("vec_id"), pairs)
+        .select(col("id").as("vec_id"), col("comp"), col("cluster_size"))
+        .orderBy("vec_id")
     })
   )
 
@@ -97,6 +120,22 @@ object SimilarityQueries {
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embed_clusters" ->
+      s"""WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+        |    AND round($cosExpr, 6) >= 0.4),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings WHERE vec_id < 300
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT vec_id, comp,
+        |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+        |FROM (SELECT id AS vec_id, MIN(r) AS comp FROM reach GROUP BY id)
+        |ORDER BY vec_id""".stripMargin
   )
 }
