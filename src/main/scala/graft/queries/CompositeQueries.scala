@@ -141,6 +141,23 @@ object CompositeQueries {
           count(lit(1)).as("n"))
     }),
 
+    // LATERAL correlated subquery (SQL surface): per-customer top-2
+    // orders via a dependent ORDER BY/LIMIT subquery. Catalyst
+    // decorrelates this into a ranked window over one orders shuffle
+    // — no per-customer re-scan survives in the physical plan, which
+    // is the property that makes LATERAL usable at scale.
+    "q_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("cust_lat")
+      Tables.orders(s, d).createOrReplaceTempView("ord_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM cust_lat c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM ord_lat o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
     // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
     // keep the supplier(s) hitting the global maximum. The "view +
     // scalar MAX subquery" of the spec compiles to one fact
@@ -510,6 +527,13 @@ object CompositeQueries {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "q_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -162,7 +162,24 @@ object WindowQueries {
         .select(col("user_id"), col("event_id"), col("ts_us"),
           sum(col("new_sess")).over(cum).cast("int").as("session_id"))
         .orderBy("user_id", "event_id")
-    })
+    }),
+
+    // Native session_window in BATCH (the lag+cumsum sessionizer
+    // above is the portable formulation; this is Spark's built-in
+    // gap-merge operator — one hash-shuffle on user_id, sessions
+    // merged inside each partition). Oracle reproduces the merge with
+    // gap logic: session end = last event + gap, by definition.
+    "q_events_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("s_start"),
+          col("session_window.end").cast("timestamp_ntz").as("s_end"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,6 +281,33 @@ object WindowQueries {
         |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |        AS prev_us
         |    FROM events))
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    // session_window semantics: sessions merge while the gap to the
+    // previous event is ≤ 30 min; start = first event, end = last
+    // event + 30 min.
+    "q_events_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, value, ts_us,
+        |    SUM(new_sess) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |      CASE WHEN LAG(epoch_us(ts), 1) OVER
+        |             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |             IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |             > 1800000000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM events))
+        |SELECT user_id,
+        |  make_timestamp(MIN(ts_us)) AS s_start,
+        |  make_timestamp(MAX(ts_us) + 1800000000) AS s_end,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, s_start""".stripMargin
   )
 }
