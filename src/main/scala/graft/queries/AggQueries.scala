@@ -159,6 +159,51 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // OLS regression aggregates from the same exact-decimal sufficient
+    // statistics as q_agg_corr (slope and intercept both in closed
+    // form over the raw sums — no chained rounding), round(…,9) on
+    // the output surface against cross-engine FMA drift.
+    "q_agg_regression" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 9).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 9)
+            .as("intercept"),
+          col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Two-phase salted aggregation — the skew pattern for aggregates
+    // whose per-key input a map-side combine cannot compress enough
+    // (one hot key would otherwise serialize its final reduce on a
+    // single task). Salt by a uniform hash, partial-aggregate per
+    // (key, salt), re-aggregate per key; exact decimal sums are
+    // associative, so the result is bit-equal to the plain GROUP BY
+    // the oracle runs (the q_join_salted result-equality contract).
+    "q_agg_salted" -> ((s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .withColumn("__salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16L)))
+        .groupBy(col("l_returnflag"), col("__salt"))
+        .agg(sum(dec(col("l_quantity"))).as("pq"),
+          count(lit(1)).as("pn"))
+      partial.groupBy("l_returnflag")
+        .agg(sum(col("pq")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_distinct" -> ((s, d) =>
       Tables.customer(s, d)
         .groupBy("c_mktsegment")
@@ -334,6 +379,31 @@ object AggQueries {
         |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
         |    CAST(COUNT(*) AS DOUBLE) AS n
         |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_regression" ->
+      """SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+        |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 9)
+        |    AS intercept,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    // Plain GROUP BY: the salted two-phase engine plan must be
+    // result-identical (decimal sums are associative).
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_agg_minmax" ->
       """SELECT s_suppkey, s_name,

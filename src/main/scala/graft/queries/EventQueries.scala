@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Event-analytics pack: ordered funnels, cohort retention, and
@@ -65,6 +66,31 @@ object EventQueries {
         .select(col("cohort_wk").cast("timestamp_ntz").as("cohort_wk"),
           col("week_no"), col("n_users"))
         .orderBy("cohort_wk", "week_no")
+    }),
+
+    // Time-weighted average: each observation weighted by its holding
+    // duration (until the next event), the correct summary for
+    // irregularly-sampled series (a plain AVG over-weights bursts).
+    // value×duration products are exact decimals (value DECIMAL(18,2)
+    // × integer µs), so the sum is associative and engine-portable;
+    // one double division + round(9) on the output surface.
+    "q_events_twa" -> ((s, d) => {
+      val nextTs = lead(col("ts_us"), 1).over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id"))
+      withUs(Tables.events(s, d))
+        .withColumn("dt", nextTs - col("ts_us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          sum(col("value").cast(DecimalType(18, 2)) *
+            col("dt").cast(DecimalType(18, 0))).as("wsum"),
+          sum(col("dt")).as("span_us"),
+          count(lit(1)).as("n_holds"))
+        .select(col("user_id"),
+          round(col("wsum").cast("double") / col("span_us").cast("double"),
+            9).as("twa"),
+          col("span_us"), col("n_holds"))
+        .orderBy("user_id")
     }),
 
     // Hourly gap-fill with forward fill: each user's observation
@@ -130,6 +156,25 @@ object EventQueries {
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY cohort_wk, week_no
         |ORDER BY cohort_wk, week_no""".stripMargin,
+    "q_events_twa" ->
+      """SELECT user_id,
+        |  round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE), 9) AS twa,
+        |  span_us, n_holds
+        |FROM (
+        |  SELECT user_id,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(dt AS DECIMAL(18,0)))
+        |      AS wsum,
+        |    CAST(SUM(dt) AS BIGINT) AS span_us,
+        |    COUNT(*) AS n_holds
+        |  FROM (
+        |    SELECT user_id, value,
+        |      LEAD(epoch_us(ts), 1) OVER w - epoch_us(ts) AS dt
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id))
+        |  WHERE dt IS NOT NULL
+        |  GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_events_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
