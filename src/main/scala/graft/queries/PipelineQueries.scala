@@ -10,9 +10,11 @@ import graft.firehose.{FirehoseDecoder, FirehoseFixture}
   * binaryFile scan → iterated gunzip → DATA_MESSAGE split →
   * `from_json` → explode → enrich → block-scoped batch ids.
   *
-  * Not DuckDB-expressible (binary decode + delimiter split), so this
-  * key has no oracleSql entry — correctness is pinned by the golden
-  * and property specs in `FirehoseDecoderSpec`.
+  * Not DuckDB-expressible (binary decode + delimiter split), so the
+  * firehose keys have no oracleSql entries — correctness is pinned by
+  * the golden and property specs in `FirehoseDecoderSpec`. The CSV /
+  * JSONL source keys ([[graft.sources.TextSources]]) ARE oracle-gated:
+  * DuckDB parses the same fixture files.
   */
 object PipelineQueries {
   /** Deterministic fixture dir, generated on first use (regeneration
@@ -94,8 +96,39 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_firehose_pipeline" -> ((s, _) => firehosePipeline(s)),
     "q_firehose_throughput" -> ((s, _) => firehoseThroughput(s)),
-    "q_firehose_payloads" -> ((s, _) => firehosePayloads(s, batchSize = 3))
+    "q_firehose_payloads" -> ((s, _) => firehosePayloads(s, batchSize = 3)),
+
+    // Text source formats beside parquet, explicit schemas (inference
+    // is a full extra data pass at scale and types differently per
+    // engine). Both gated against DuckDB reading the SAME fixture
+    // file (read_csv / read_json), so the parse itself is compared.
+    "q_source_csv" -> ((s, _) =>
+      graft.sources.TextSources.readCsv(s)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_val"))
+        .orderBy("tag")),
+
+    "q_source_jsonl" -> ((s, _) =>
+      graft.sources.TextSources.readJsonl(s)
+        .filter(col("val") > 50.0)
+        .select("id", "name", "val")
+        .orderBy("id"))
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "q_source_csv" ->
+      s"""SELECT tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_source_fixture.csv',
+        |  header=true,
+        |  columns={'id':'BIGINT','name':'VARCHAR','val':'DOUBLE','tag':'VARCHAR'})
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+    "q_source_jsonl" ->
+      s"""SELECT id, name, val
+        |FROM read_json('${System.getProperty("java.io.tmpdir")}/graft_source_fixture.jsonl',
+        |  columns={'id':'BIGINT','name':'VARCHAR','val':'DOUBLE','tag':'VARCHAR'})
+        |WHERE val > 50.0 ORDER BY id""".stripMargin
+  )
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV / JSON-lines source coverage: the two text formats a
+  * replacement engine meets constantly beside parquet (the reference
+  * itself ships newline-delimited JSON envelopes —
+  * kinesis-to-humio.py:107-147; its decoded form IS a JSONL stream).
+  *
+  * Both readers take an EXPLICIT schema: at 100 TB schema inference
+  * is a full extra pass over the data, so production pipelines pin
+  * schemas (inference also types ambiguous columns differently per
+  * engine, which would break the oracle contract for free).
+  *
+  * The fixture is deterministic synthetic content (1000 rows derived
+  * from the row index), written once per JVM into java.io.tmpdir by
+  * whichever side touches it first — scale-factor-invariant, so the
+  * DuckDB oracle can read the very same file at a fixed path.
+  */
+object TextSources {
+  val rows = 1000
+
+  private def line(i: Int): (Long, String, String, String) =
+    (i.toLong, s"name_${i % 97}", f"${(i * 37 % 10000) / 100.0}%.2f",
+      s"tag${i % 5}")
+
+  /** One-file CSV fixture at a stable path. */
+  def csvFixture: File = synchronized {
+    val f = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_source_fixture.csv").toFile
+    if (!f.exists()) {
+      val sb = new StringBuilder("id,name,val,tag\n")
+      for (i <- 0 until rows) {
+        val (id, n, v, t) = line(i)
+        sb ++= s"$id,$n,$v,$t\n"
+      }
+      Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    f
+  }
+
+  /** One-file JSONL fixture at a stable path (same logical rows). */
+  def jsonlFixture: File = synchronized {
+    val f = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_source_fixture.jsonl").toFile
+    if (!f.exists()) {
+      val sb = new StringBuilder
+      for (i <- 0 until rows) {
+        val (id, n, v, t) = line(i)
+        sb ++= s"""{"id":$id,"name":"$n","val":$v,"tag":"$t"}\n"""
+      }
+      Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    f
+  }
+
+  private val schema = "id BIGINT, name STRING, val DOUBLE, tag STRING"
+
+  def readCsv(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .csv(csvFixture.getAbsolutePath)
+
+  def readJsonl(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(jsonlFixture.getAbsolutePath)
+}
