@@ -53,9 +53,12 @@ object Bench {
   private val headlineSet = headline.toSet
 
   /** 3-decimal fixed-point seconds; the -1.0 failure sentinel stays
-    * exactly "-1" so a broken query can't read as a fast one. */
+    * exactly "-1" so a broken query can't read as a fast one.
+    * Locale.ROOT: a comma-decimal default locale would emit invalid
+    * JSON and lose the round's perf record. */
   def fmt(v: Double): String =
-    if (v < 0) "-1" else f"$v%.3f"
+    if (v < 0) "-1"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def entries(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")

@@ -80,6 +80,15 @@ object ConnectedComponents {
       converged = nChanged == 0
       round += 1
     }
+    // Partially-propagated labels would silently split true clusters
+    // (several "representatives" survive dedup) — refuse rather than
+    // return wrong assignments. Propagation needs diameter rounds;
+    // for high-diameter graphs use starComponents.
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter or use " +
+          "starComponents, which needs O(log^2 n) rounds")
     labels
   }
 
@@ -149,6 +158,11 @@ object ConnectedComponents {
       last = fp
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIter rounds — " +
+          "unexpected for any graph with < 2^sqrt(maxIter) nodes; " +
+          "raise maxIter")
     // At fixpoint edges are (node, root) stars; isolated nodes keep
     // their own id.
     val lab = e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
@@ -159,9 +173,15 @@ object ConnectedComponents {
 
   /** Cluster assignment for a near-dup pair frame (`a_id`, `b_id`):
     * every id in `allIds` mapped to its cluster representative (min
-    * reachable id) plus the cluster size. */
-  def dedupClusters(allIds: DataFrame, pairs: DataFrame): DataFrame = {
-    val comps = components(
+    * reachable id) plus the cluster size.
+    *
+    * @param algo component algorithm — [[components]] (default) or
+    *             [[starComponents]]; both return identical (id, comp)
+    *             assignments (spec + shared oracle pin this) */
+  def dedupClusters(allIds: DataFrame, pairs: DataFrame,
+                    algo: (DataFrame, DataFrame) => DataFrame =
+                      components(_, _)): DataFrame = {
+    val comps = algo(
       allIds.select(col(allIds.columns.head).as("id")),
       pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
     comps

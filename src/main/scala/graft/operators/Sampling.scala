@@ -85,9 +85,14 @@ object Sampling {
     * layout, and incremental appends, and auditable from any engine
     * with md5 ([[md5Bucket]]).
     */
+  /** @param defaultRate keep-rate for rows whose group has no entry
+    *                     in `rates` — an inner join would silently
+    *                     DELETE unconfigured groups, the opposite of
+    *                     a safe default for a downsampler. */
   def sampleByRates(df: DataFrame, key: String, groupCol: String,
-                    rates: DataFrame): DataFrame =
-    df.join(broadcast(rates), groupCol)
-      .filter(md5Bucket(col(key), 100) < col("rate"))
+                    rates: DataFrame, defaultRate: Int = 100): DataFrame =
+    df.join(broadcast(rates), Seq(groupCol), "left")
+      .filter(md5Bucket(col(key), 100) <
+        coalesce(col("rate"), lit(defaultRate)))
       .drop("rate")
 }

@@ -63,7 +63,10 @@ object CurationQueries {
       import s.implicits._
       val rates = Seq(("en", 100), ("es", 50), ("de", 50),
         ("fr", 25), ("zh", 25)).toDF("lang", "rate")
-      Sampling.sampleByRates(Tables.documents(s, d), "doc_id", "lang", rates)
+      // defaultRate 25 mirrors the oracle's CASE ... ELSE 25, so the
+      // two sides agree even for a lang outside the config frame.
+      Sampling.sampleByRates(Tables.documents(s, d), "doc_id", "lang",
+          rates, defaultRate = 25)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
     })

@@ -102,10 +102,12 @@ object EventQueries {
     // forward shape. Bounded to 10 users to keep the gate output
     // proportionate; the plan is user-count invariant.
     "q_events_gapfill" -> ((s, d) => {
-      val hourUs = 3600L * 1000 * 1000
       val ev = withUs(Tables.events(s, d))
         .filter(col("user_id") < 10)
-        .withColumn("hour_no", (col("ts_us") / hourUs).cast("long"))
+        // integer div (the §7.4 event-time rule): double-div + cast
+        // truncates toward zero while DuckDB's // floors — divergent
+        // for pre-epoch timestamps.
+        .withColumn("hour_no", expr("ts_us div 3600000000"))
       // last observation within each (user, hour), event_id tiebreak
       val perHour = ev
         .withColumn("rn", row_number().over(

@@ -90,13 +90,9 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val pairs = ApproxDedup.ngramJaccardPairs(
         docs.select("doc_id", "text"), n = 2, maxId = 300, threshold = 0.10)
-      val comps = graft.operators.ConnectedComponents.starComponents(
-        docs.filter(col("doc_id") < 300).select("doc_id"),
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
-      comps
-        .withColumn("cluster_size",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+      graft.operators.ConnectedComponents.dedupClusters(
+          docs.filter(col("doc_id") < 300).select("doc_id"), pairs,
+          graft.operators.ConnectedComponents.starComponents(_, _))
         .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
         .orderBy("doc_id")
     }),

@@ -25,38 +25,53 @@ object TextSources {
   val rows = 1000
 
   private def line(i: Int): (Long, String, String, String) =
-    (i.toLong, s"name_${i % 97}", f"${(i * 37 % 10000) / 100.0}%.2f",
+    (i.toLong, s"name_${i % 97}",
+      // Locale.ROOT: a comma-decimal default locale would corrupt both
+      // fixture formats (5-field CSV rows, invalid JSON numbers).
+      String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box((i * 37 % 10000) / 100.0)),
       s"tag${i % 5}")
 
-  /** One-file CSV fixture at a stable path. */
-  def csvFixture: File = synchronized {
-    val f = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_source_fixture.csv").toFile
-    if (!f.exists()) {
-      val sb = new StringBuilder("id,name,val,tag\n")
-      for (i <- 0 until rows) {
-        val (id, n, v, t) = line(i)
-        sb ++= s"$id,$n,$v,$t\n"
+  /** Write-once fixture at a stable path: content goes to a temp file
+    * first and moves into place atomically, so a killed JVM can never
+    * leave a truncated file that `exists()` would then trust forever. */
+  private def fixture(name: String, content: => String): File =
+    synchronized {
+      val f = Paths.get(System.getProperty("java.io.tmpdir"), name).toFile
+      if (!f.exists()) {
+        val tmp = Files.createTempFile(f.toPath.getParent, name, ".tmp")
+        Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        try
+          Files.move(tmp, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost a race with another JVM — its complete file wins
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+        }
       }
-      Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+      f
     }
-    f
-  }
+
+  /** One-file CSV fixture at a stable path. */
+  def csvFixture: File = fixture("graft_source_fixture.csv", {
+    val sb = new StringBuilder("id,name,val,tag\n")
+    for (i <- 0 until rows) {
+      val (id, n, v, t) = line(i)
+      sb ++= s"$id,$n,$v,$t\n"
+    }
+    sb.toString
+  })
 
   /** One-file JSONL fixture at a stable path (same logical rows). */
-  def jsonlFixture: File = synchronized {
-    val f = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_source_fixture.jsonl").toFile
-    if (!f.exists()) {
-      val sb = new StringBuilder
-      for (i <- 0 until rows) {
-        val (id, n, v, t) = line(i)
-        sb ++= s"""{"id":$id,"name":"$n","val":$v,"tag":"$t"}\n"""
-      }
-      Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+  def jsonlFixture: File = fixture("graft_source_fixture.jsonl", {
+    val sb = new StringBuilder
+    for (i <- 0 until rows) {
+      val (id, n, v, t) = line(i)
+      sb ++= s"""{"id":$id,"name":"$n","val":$v,"tag":"$t"}\n"""
     }
-    f
-  }
+    sb.toString
+  })
 
   private val schema = "id BIGINT, name STRING, val DOUBLE, tag STRING"
 

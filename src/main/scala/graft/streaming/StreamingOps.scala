@@ -134,25 +134,34 @@ object StreamingOps {
     val r = k / bands
     def shingle(df: DataFrame, idAs: String, shAs: String) = df
       .select(col("doc_id").as(idAs), shingleHashes64(col("text"), n).as(shAs))
+    // The stream side carries its shingle array through the band
+    // explode (no streaming self-join exists to re-attach it); the
+    // STATIC corpus side is banded as bare (id, band) rows and its
+    // shingle arrays re-join only for deduped candidates — the
+    // broadcast is 1× the corpus shingle footprint, not ×bands.
     val newSide = shingle(stream, "new_id", "sh_new")
       .select(col("new_id"), col("sh_new"),
         posexplode(bandHashes(minhashSignature(col("sh_new"), k), bands, r))
           .as(Seq("band_idx", "band_hash")))
-    val corpusSide = shingle(corpus, "corpus_id", "sh_corpus")
-      .select(col("corpus_id"), col("sh_corpus"),
+    val corpusSh = shingle(corpus, "corpus_id", "sh_corpus")
+    val corpusBands = corpusSh
+      .select(col("corpus_id"),
         posexplode(bandHashes(minhashSignature(col("sh_corpus"), k), bands, r))
           .as(Seq("band_idx", "band_hash")))
     newSide
-      .join(broadcast(corpusSide), Seq("band_idx", "band_hash"))
+      .join(broadcast(corpusBands), Seq("band_idx", "band_hash"))
+      // candidate dedup BEFORE verification: one Jaccard per pair,
+      // not one per shared band. State holds one entry per candidate
+      // pair (band collisions only, small) — bound it with an
+      // upstream watermark + dropDuplicatesWithinWatermark for
+      // unbounded streams.
+      .select("new_id", "sh_new", "corpus_id")
+      .dropDuplicates("new_id", "corpus_id")
+      .join(broadcast(corpusSh), "corpus_id")
       .withColumn("jaccard",
         round(jaccard(col("sh_new"), col("sh_corpus")), 6))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
-      // A pair sharing several bands would emit once per band;
-      // dedup state holds one entry per FLAGGED pair (near-dups
-      // only, tiny) — bound it with an upstream watermark +
-      // dropDuplicatesWithinWatermark for unbounded streams.
-      .dropDuplicates("new_id", "corpus_id")
   }
 
   /** The reference pipeline as a stream (S6): file source over a
