@@ -68,6 +68,22 @@ object EventQueries {
         .orderBy("cohort_wk", "week_no")
     }),
 
+    // Rolling one-hour window per user: a time-RANGE frame over the
+    // µs event-time axis (counts + exact-decimal sum of the trailing
+    // hour at every event). RANGE on the long µs column, not ROWS —
+    // the frame adapts to event density, the defining property of a
+    // time-window aggregate. One partitioned window, no self-join.
+    "q_events_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600L * 1000 * 1000, 0)
+      withUs(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     // Time-weighted average: each observation weighted by its holding
     // duration (until the next event), the correct summary for
     // irregularly-sampled series (a plain AVG over-weights bursts).
@@ -158,6 +174,15 @@ object EventQueries {
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY cohort_wk, week_no
         |ORDER BY cohort_wk, week_no""".stripMargin,
+    "q_events_rolling" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_events_twa" ->
       """SELECT user_id,
         |  round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE), 9) AS twa,

@@ -54,6 +54,23 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "text"),
         n = 2, maxId = 300, threshold = 0.2)),
 
+    // Exact tier of incremental dedup: drop new-batch docs whose
+    // exact content already exists in the corpus — an anti-join on
+    // the portable md5 content hash (the cheap screen that runs
+    // BEFORE the MinHash near-dup tier; at scale the corpus side is
+    // a persisted hash index, and the anti-join shuffles 16-byte
+    // hashes, never text).
+    "q_dedup_exact_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newB = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val corpus = docs.filter(col("doc_id") < 400)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      newB.join(corpus, Seq("h"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup: screen the doc_id ≥ 400 "new batch" against
     // the < 400 corpus. Oracle is the brute-force cross-slice 3-gram
     // Jaccard: sound here because every qualifying pair on this
@@ -266,6 +283,12 @@ object LlmQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_exact_incremental" ->
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id < 400 AND md5(c.text) = md5(n.text))
+        |ORDER BY n.doc_id""".stripMargin,
     // Brute-force cross-slice 3-gram Jaccard (string shingles; the
     // engine's hashed-shingle Jaccard is equal absent collisions).
     "q_dedup_incremental" ->
