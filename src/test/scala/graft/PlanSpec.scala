@@ -53,6 +53,28 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("BroadcastHashJoin"))
   }
 
+  test("q_contamination: benchmark gram side broadcasts; no gram strings in the join") {
+    val f = formatted("q_contamination")
+    assert(f.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast")
+  }
+
+  test("q_lateral_topn: LATERAL decorrelates to WindowGroupLimit, not a loop join") {
+    val f = formatted("q_lateral_topn")
+    assert(f.contains("WindowGroupLimit"),
+      "correlated ORDER BY/LIMIT must compile to a group-limit window")
+    assert(!f.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must not fall back to a nested loop")
+  }
+
+  test("q_agg_salted: two aggregation exchanges (salted partial, final)") {
+    val f = formatted("q_agg_salted")
+    // formatted mode lists exchange args as "Arguments: hashpartitioning(...)"
+    val exchanges = "hashpartitioning\\(".r.findAllIn(f).length
+    assert(exchanges >= 2,
+      s"expected the salted partial + final re-aggregate exchanges, saw $exchanges")
+  }
+
   test("q_sort_limit_topk: top-k avoids a global sort") {
     assert(plan("q_sort_limit_topk").collect {
       case t: TakeOrderedAndProjectExec => t }.nonEmpty)
