@@ -183,4 +183,27 @@ object StreamingOps {
     }.toDF("file", "block_idx", "block")
     FirehoseDecoder.decodeBlocks(blocks).drop("block_idx", "event_idx")
   }
+
+  /** Idempotent foreachBatch sink (S13): partitioned-overwrite
+    * parquet keyed by the micro-batch id — the standard production
+    * pattern for exactly-once delivery to sinks without transactional
+    * streaming support. A batch replayed after a crash (same batchId)
+    * OVERWRITES its own partition instead of appending duplicates, so
+    * end-to-end semantics stay exactly-once even though foreachBatch
+    * alone is at-least-once. Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set here,
+    * scoped to the write) so only the replayed batch's partition is
+    * touched, not the whole table.
+    */
+  def idempotentBatchWriter(outDir: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch
+      .withColumn("__batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .partitionBy("__batch_id")
+      .parquet(outDir)
+  }
 }

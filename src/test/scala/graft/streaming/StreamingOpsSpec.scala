@@ -185,6 +185,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, 1.0)))
   }
 
+  test("S13 idempotent foreachBatch sink: replaying a batch id leaves no dupes") {
+    val out = Files.createTempDirectory("graft_s13").toFile.getAbsolutePath
+    val writer = StreamingOps.idempotentBatchWriter(out)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    writer(b0, 0L)
+    writer(Seq((3L, "c")).toDF("id", "v"), 1L)
+    // crash-replay of batch 0 with the same content: partition
+    // overwrite, not append
+    writer(b0, 0L)
+    val all = spark.read.parquet(out)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(all.sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"replay must not duplicate batch 0: ${all.toSeq}")
+  }
+
   test("S10 left-outer interval join emits unmatched clicks with nulls " +
       "after the watermark passes") {
     val clicks = MemoryStream[(Long, Int)](spark)
