@@ -60,9 +60,17 @@ object LlmQueries {
     // BEFORE the MinHash near-dup tier; at scale the corpus side is
     // a persisted hash index, and the anti-join shuffles 16-byte
     // hashes, never text).
+    // The natural fixtures carry almost no exact cross-slice dups
+    // (0/0/1 at sf0.001/0.01/0.1), which would leave the anti-join's
+    // DROP behavior untested — so the new batch additionally contains
+    // 20 relabeled corpus texts (doc_id+1000) that MUST be dropped at
+    // every scale factor; the oracle plants the same rows.
     "q_dedup_exact_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
       val newB = docs.filter(col("doc_id") >= 400)
+        .select("doc_id", "text").union(planted)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       val corpus = docs.filter(col("doc_id") < 400)
         .select(md5(col("text").cast("binary")).as("h")).distinct()
@@ -284,8 +292,12 @@ object LlmQueries {
         |WHERE jaccard >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_exact_incremental" ->
-      """SELECT n.doc_id FROM documents n
-        |WHERE n.doc_id >= 400 AND NOT EXISTS (
+      """WITH newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20)
+        |SELECT n.doc_id FROM newb n
+        |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id < 400 AND md5(c.text) = md5(n.text))
         |ORDER BY n.doc_id""".stripMargin,

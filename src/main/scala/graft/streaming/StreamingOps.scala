@@ -190,18 +190,17 @@ object StreamingOps {
     * streaming support. A batch replayed after a crash (same batchId)
     * OVERWRITES its own partition instead of appending duplicates, so
     * end-to-end semantics stay exactly-once even though foreachBatch
-    * alone is at-least-once. Requires
-    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set here,
-    * scoped to the write) so only the replayed batch's partition is
-    * touched, not the whole table.
+    * alone is at-least-once. Dynamic partition-overwrite is passed as
+    * a WRITER option (truly scoped to this write — a session-conf set
+    * here would leak and silently change unrelated overwrite writes
+    * to keep stale partitions).
     */
   def idempotentBatchWriter(outDir: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch
       .withColumn("__batch_id", lit(batchId))
       .write
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("__batch_id")
       .parquet(outDir)

@@ -57,6 +57,12 @@ class PlanSpec extends SparkSpec {
     val f = formatted("q_contamination")
     assert(f.contains("BroadcastHashJoin"),
       "benchmark side must broadcast")
+    // The join key must be the 64-bit gram HASH, not the gram string:
+    // formatted attribute refs carry an L suffix for bigint columns.
+    assert("gram#\\d+L".r.findFirstIn(f).isDefined,
+      "join gram column must be a bigint hash")
+    assert("gram#\\d+(?!L)[,\\]]".r.findFirstIn(f).isEmpty,
+      "no string-typed gram column may appear in the plan")
   }
 
   test("q_lateral_topn: LATERAL decorrelates to WindowGroupLimit, not a loop join") {
