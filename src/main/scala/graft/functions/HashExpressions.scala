@@ -61,6 +61,16 @@ object HashExpressions {
       DotProductFF(GraftColumnBridge.expression(a),
         GraftColumnBridge.expression(b)))
 
+  /** One-pass int8 quantization diagnostics of an `array<float>`
+    * embedding: struct(scale, q, max_abs_err, cos_recon). Replaces
+    * three interpreted `aggregate(zip_with(...))` HOFs per row (the
+    * r4 bench hot spot in q_embed_quantize) with a single codegen'd
+    * loop; bit-identical to the HOF formulation (and the DuckDB
+    * oracle) — see [[QuantizeReconFD.compute]] for the invariants. */
+  def quantizeRecon(embedding: Column): Column =
+    GraftColumnBridge.column(
+      QuantizeReconFD(GraftColumnBridge.expression(embedding)))
+
   /** Jaccard similarity |A∩B| / |A∪B| of two `array<bigint>` columns
     * treated as sets (inputs pre-deduped). Hash-set loop instead of
     * the `array_intersect`+`array_union` pair, which materializes two
@@ -293,6 +303,80 @@ object DotProductFF {
       i += 1
     }
     acc
+  }
+}
+
+case class QuantizeReconFD(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = QuantizeReconFD.schema
+  override def prettyName: String = "quantize_recon_fd"
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeReconFD.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.QuantizeReconFD.compute($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeReconFD = copy(child = newChild)
+}
+
+object QuantizeReconFD {
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false),
+      nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false),
+    StructField("cos_recon", DoubleType, nullable = false)))
+
+  /** Bit-compatibility invariants with the HOF/oracle formulation it
+    * replaces (each step exactly mirrors a Spark built-in the DuckDB
+    * oracle also reproduces):
+    *   - scale = greatest(max|xᵢ| (float), 1e-12f).toDouble / 127.0
+    *     (float abs/max are exact; starting the max at 1e-12f equals
+    *     `greatest` incl. the empty-array null case);
+    *   - qᵢ = round(xᵢ/scale, 0) with Spark `Round` semantics —
+    *     BigDecimal.valueOf HALF_UP, not rint (half-to-even) and not
+    *     floor(v+0.5) (unrepresentable-tie drift);
+    *   - deqᵢ = byte(qᵢ).toDouble · scale; |qᵢ| ≤ 127 by the scale
+    *     definition so the byte round-trip is lossless;
+    *   - dot products accumulate sequentially in double, in list
+    *     order (same as [[DotProductFF]] / `list_inner_product`).
+    */
+  // Return type must be the concrete InternalRow (not Any): the
+  // codegen'd assignment target is typed InternalRow and janino
+  // refuses the Object→InternalRow conversion, silently disabling
+  // whole-stage codegen for the plan.
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 1e-12f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs.toDouble / 127.0
+    val q = new Array[Byte](n)
+    var maxErr = 0.0
+    var dotED = 0.0
+    var dotEE = 0.0
+    var dotDD = 0.0
+    i = 0
+    while (i < n) {
+      val e = arr.getFloat(i).toDouble
+      val r = java.math.BigDecimal.valueOf(e / scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      q(i) = r.toByte
+      val d = q(i).toDouble * scale
+      val err = math.abs(e - d)
+      if (err > maxErr) maxErr = err
+      dotED += e * d
+      dotEE += e * e
+      dotDD += d * d
+      i += 1
+    }
+    val cos = dotED / (math.sqrt(dotEE) * math.sqrt(dotDD))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new GenericArrayData(q), maxErr, cos))
   }
 }
 

@@ -72,7 +72,8 @@ object ApproxDedup {
     * `threshold`. `docs` must have (doc_id, text).
     */
   def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   eager: Boolean = false): DataFrame = {
     val r = k / bands
     // Shingles are hashed to longs immediately: signatures, bands and
     // the Jaccard verification all run on 8-byte hashes, never on the
@@ -80,10 +81,13 @@ object ApproxDedup {
     // three times (banding + both verification sides) — cache it
     // rather than re-shingling; at real scale this is a checkpoint of
     // the shingled corpus, the standard shape of a dedup pipeline.
-    // NOTE: the cache is deliberately not unpersisted here (the
-    // returned frame is lazy; callers act on it later) — repeated
-    // invocations in one session pin one copy each until LRU
-    // eviction. Long-lived sessions should unpersist or checkpoint.
+    // Cache lifecycle: with the default `eager = false` the returned
+    // frame is lazy and the shingle cache lives until the SESSION
+    // evicts it (fine for one-shot jobs; repeated invocations in a
+    // long-lived session pin one shingled copy each until LRU).
+    // `eager = true` materializes the (small) pair output via
+    // localCheckpoint and unpersists the shingled corpus before
+    // returning — the long-session shape.
     val withSh = docs
       .select(col("doc_id"), shingleHashes64(col("text"), n).as("sh"))
       .cache()
@@ -101,7 +105,7 @@ object ApproxDedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     // Verification joins fetch the shingle sets only for candidates.
-    cand
+    val out = cand
       .join(withSh.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("sh", "sh_a"), "a_id")
       .join(withSh.withColumnRenamed("doc_id", "b_id")
@@ -110,7 +114,22 @@ object ApproxDedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+    finishEager(out, eager, withSh)
   }
+
+  /** Shared eager tail: materialize the (small) result via
+    * localCheckpoint, then release the big cached intermediates.
+    * Checkpoint blocks of the RESULT are dropped by the
+    * ContextCleaner once the returned frame is unreferenced, so
+    * nothing is pinned for the session's lifetime. */
+  private def finishEager(out: DataFrame, eager: Boolean,
+                          cached: DataFrame*): DataFrame =
+    if (!eager) out
+    else {
+      val cp = out.localCheckpoint()
+      cached.foreach(_.unpersist(blocking = false))
+      cp
+    }
 
   /** Incremental corpus dedup — the production shape: screen a NEW
     * batch of documents against an EXISTING corpus without
@@ -130,7 +149,8 @@ object ApproxDedup {
     */
   def incrementalMinhash(newDocs: DataFrame, corpus: DataFrame,
                          n: Int = 3, k: Int = 32, bands: Int = 8,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         eager: Boolean = false): DataFrame = {
     val r = k / bands
     def shingled(df: DataFrame, idAs: String, shAs: String) = df
       .select(col("doc_id").as(idAs),
@@ -147,7 +167,7 @@ object ApproxDedup {
         Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id")
       .distinct()
-    cand
+    val out = cand
       .join(newSh, "new_id")
       .join(corpusSh, "corpus_id")
       .withColumn("jaccard",
@@ -155,6 +175,7 @@ object ApproxDedup {
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
       .orderBy("new_id", "corpus_id")
+    finishEager(out, eager, newSh, corpusSh)
   }
 
   /** doc → (doc_id, simhash): 64-bit SimHash fingerprint — per-token
@@ -177,11 +198,42 @@ object ApproxDedup {
     * untouched) — larger thresholds are best-effort, since a pair
     * differing in all four chunks never co-buckets. Verification via
     * `bit_count(a ^ b)` — both codegen'd built-ins.
+    *
+    * Identical fingerprints are collapsed BEFORE the bucket join (the
+    * [[simhashGroups]] insight applied to the doc-pair surface): the
+    * chunk join runs on DISTINCT fingerprints only, and doc pairs are
+    * re-expanded from per-fingerprint member lists afterwards.
+    * Previously each doc entered the join individually, so the
+    * candidate space was quadratic in duplicate-group size AND each
+    * same-fingerprint pair was generated 4× (once per matching chunk)
+    * before `distinct()` — 7 s at sf0.1 vs ~1 s collapsed. The doc-
+    * pair OUTPUT is still inherently quadratic in group size (that's
+    * the contract); for duplicate-heavy corpora at scale prefer
+    * [[simhashGroups]], whose output is group pairs. The collapsed
+    * member list is one row per fingerprint — O(group size) memory in
+    * a task, vs O(group²) join rows before.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    chunkBucketPairs(simhashOf(docs), "doc_id", Seq.empty, maxHamming)
-      .withColumnRenamed("rep_a", "a_id").withColumnRenamed("rep_b", "b_id")
-      .orderBy("a_id", "b_id")
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val groups = simhashOf(docs)
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep_id"),
+        collect_list(col("doc_id")).as("ids"))
+    // Same-fingerprint docs: every intra-group pair, hamming 0 (the
+    // old path produced these through all-4-chunks candidates).
+    val intra = groups
+      .select(col("ids"), explode(col("ids")).as("a_id"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0).as("hamming"))
+    // Distinct-fingerprint pairs expand to member cross products;
+    // member ids can interleave across groups, so re-orient per pair.
+    val inter = chunkBucketPairs(groups, "rep_id", Seq("ids"), maxHamming)
+      .select(col("hamming"), col("ids_b"), explode(col("ids_a")).as("x_id"))
+      .select(col("hamming"), col("x_id"), explode(col("ids_b")).as("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("hamming"))
+    intra.unionByName(inter).orderBy("a_id", "b_id")
+  }
 
   /** Shared 16-bit-chunk candidate join: rows of (`idCol`, simhash,
     * carried...) → hamming-verified pairs keyed (rep_a < rep_b) with
@@ -223,7 +275,8 @@ object ApproxDedup {
     * near-dup information while bounding the banded join's pair space
     * to distinct contents — duplicate multiplicity stops mattering. */
   def minhashGroups(docs: DataFrame, n: Int = 3, k: Int = 32,
-                    bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                    bands: Int = 8, threshold: Double = 0.5,
+                    eager: Boolean = false): DataFrame = {
     // cached: consumed by the pair generation AND both size joins —
     // uncached, the full-corpus content-collapse shuffle would run 3×
     val reps = docs
@@ -234,15 +287,16 @@ object ApproxDedup {
         first(col("text")).as("text"))
       .cache()
     val pairs = minhashPairs(reps.select("doc_id", "text"),
-      n, k, bands, threshold)
+      n, k, bands, threshold, eager)
     val sizes = reps.select(col("doc_id"), col("n_docs"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_docs", "n_a"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("n_docs", "n_b"), "b_id")
       .select("a_id", "b_id", "jaccard", "n_a", "n_b")
       .orderBy("a_id", "b_id")
+    finishEager(out, eager, reps)
   }
 
   /** Scale path for duplicate-heavy corpora (web crawls): collapse

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFns
 
 /** Embedding storage/compression ops for training-data pipelines:
   * symmetric int8 quantization (4× smaller than float32, the standard
@@ -31,22 +30,18 @@ object EmbeddingOps {
 
   /** (vec_id, scale, q) frame plus reconstruction diagnostics:
     * max absolute error (bounded by scale/2) and the cosine between
-    * the original and reconstructed vectors. */
-  def quantized(embeddings: DataFrame): DataFrame = {
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    val scaled = embeddings
-      .withColumn("scale", i8Scale(col("embedding")))
-      .withColumn("q", quantizeI8(col("embedding"), col("scale")))
-      .withColumn("deq", dequantizeI8(col("q"), col("scale")))
-    scaled.select(col("vec_id"), col("scale"), col("q"),
-      aggregate(
-        zip_with(col("embedding"), col("deq"),
-          (a, b) => abs(a.cast("double") - b)),
-        lit(0.0), (acc, x) => greatest(acc, x)).as("max_abs_err"),
-      (dotD(col("embedding"), col("deq")) /
-        (sqrt(VectorFns.dot(col("embedding"), col("embedding"))) *
-         sqrt(dotD(col("deq"), col("deq"))))).as("cos_recon"))
-  }
+    * the original and reconstructed vectors.
+    *
+    * One codegen'd pass per row ([[graft.functions.QuantizeReconFD]])
+    * — bit-identical to the `aggregate(zip_with(...))` HOF
+    * formulation it replaced, which evaluated interpreted and was the
+    * r4 bench hot spot (4.8 s driver / 0.74 s local at sf0.1). */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.HashExpressions.quantizeRecon(col("embedding"))
+          .as("d"))
+      .select(col("vec_id"), col("d.scale").as("scale"),
+        col("d.q").as("q"), col("d.max_abs_err").as("max_abs_err"),
+        col("d.cos_recon").as("cos_recon"))
 }

@@ -27,23 +27,30 @@ object EventQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ordered funnel view → click → purchase: a user advances a stage
     // only with a LATER event of the next type (strict event-time
-    // order, the defining property vs a mere type-count). Three
-    // conditional min-aggregations chained by user_id joins — each
-    // stage is a narrow (user_id, t) frame, so the chain shuffles
-    // |users| rows twice, never the event log.
+    // order, the defining property vs a mere type-count). One pass:
+    // three chained conditional-min window aggregates over the SAME
+    // user_id partitioning (unbounded frames, no sort) — the event
+    // log shuffles once, the per-user collapse reuses that
+    // partitioning, and the final 1-row count is a map-side partial
+    // agg. The previous formulation scanned events 3× and joined
+    // twice (r4 bench: 4.5 s driver vs ~1 s for this plan).
     "q_events_funnel" -> ((s, d) => {
-      val ev = withUs(Tables.events(s, d)).select("user_id", "event_type", "ts_us")
-      val t1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val t2 = ev.join(t1, "user_id")
-        .filter(col("event_type") === "click" && col("ts_us") > col("t1"))
-        .groupBy("user_id").agg(min("ts_us").as("t2"))
-      val t3 = ev.join(t2, "user_id")
-        .filter(col("event_type") === "purchase" && col("ts_us") > col("t2"))
-        .groupBy("user_id").agg(min("ts_us").as("t3"))
-      t1.agg(count(lit(1)).as("n_view"))
-        .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+      val w = Window.partitionBy("user_id")
+      val ev = withUs(Tables.events(s, d))
+        .select("user_id", "event_type", "ts_us")
+      ev
+        .withColumn("t1", min(when(col("event_type") === "view",
+          col("ts_us"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t1"), col("ts_us"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t2"), col("ts_us"))).over(w))
+        .groupBy("user_id")
+        .agg(first("t1").as("t1"), first("t2").as("t2"),
+          first("t3").as("t3"))
+        .agg(count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_after"),
+          count(col("t3")).as("n_purchase_after"))
     }),
 
     // Weekly cohort retention: users bucketed by first-seen week,

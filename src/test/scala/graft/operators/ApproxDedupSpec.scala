@@ -168,4 +168,32 @@ class ApproxDedupSpec extends SparkSpec {
         s"pair $k counts ($na,$nb) != 10x ($oa,$ob)")
     }
   }
+
+  test("eager minhash paths release the shingle caches " +
+      "(long-lived-session lifecycle)") {
+    def liveCached(): Int = spark.sparkContext.getPersistentRDDs.size
+    // Same rows either way.
+    val lazyRows = ApproxDedup.minhashPairs(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3).collect().toSet
+    spark.sharedState.cacheManager.clearCache()
+    val before = liveCached()
+    val eagerDf = ApproxDedup.minhashPairs(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3, eager = true)
+    assert(eagerDf.collect().toSet == lazyRows)
+    // The big shingled-corpus cache is gone; at most the (small)
+    // localCheckpointed RESULT remains, and it is ContextCleaner-
+    // collected once the frame is unreferenced.
+    assert(liveCached() - before <= 1,
+      s"shingle cache leaked: ${spark.sparkContext.getPersistentRDDs}")
+    // incremental + groups variants: same discipline (groups caches
+    // reps AND shingles — both must be released).
+    val beforeInc = liveCached()
+    ApproxDedup.incrementalMinhash(df, df, n = 2, k = 32, bands = 8,
+      threshold = 0.3, eager = true).collect()
+    assert(liveCached() - beforeInc <= 1)
+    val beforeGrp = liveCached()
+    ApproxDedup.minhashGroups(df, n = 2, k = 32, bands = 8,
+      threshold = 0.3, eager = true).collect()
+    assert(liveCached() - beforeGrp <= 2)
+  }
 }
