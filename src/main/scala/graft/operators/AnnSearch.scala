@@ -69,12 +69,57 @@ object AnnSearch {
       .select("a_id", "b_id", "cos_sim", "rk")
   }
 
+  /** Per-vector array of struct(sim, cell) against a broadcast
+    * centroid list — the shared assignment kernel of the IVF path
+    * (argmax = `array_max`: highest sim, ties to the higher cell). */
+  private def cellSimsFor(centroids: Array[(Int, Seq[Float])])(
+      vec: Column): Column = array(centroids.map {
+    case (cid, cvec) =>
+      struct(VectorFns.cosine(vec, typedLit(cvec)).as("sim"),
+        lit(cid).as("cell"))
+  }: _*)
+
+  /** Lloyd refinement of an IVF coarse quantizer, as DataFrame ops:
+    * each iteration assigns every vector to its argmax-cosine cell
+    * (per-row projection against the broadcast centroids) and
+    * recomputes each cell's centroid as the position-wise mean —
+    * one `posexplode` + `groupBy(cell, pos).avg` pass over the
+    * corpus, collecting only `nCentroids` rows back per iteration.
+    * Cells that attract no vectors keep their previous centroid.
+    * At 100 TB each iteration is one shuffle of (cell, pos, value)
+    * triples with map-side partial aggregation — the standard
+    * distributed-k-means shape; nothing corpus-sized ever reaches
+    * the driver.
+    */
+  def refineCentroids(e: DataFrame, init: Array[(Int, Seq[Float])],
+                      iters: Int): Array[(Int, Seq[Float])] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cell",
+        array_max(cellSimsFor(cents)(col("embedding"))).getField("cell"))
+      val next = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), x => x.getField("m").cast("float"))
+            .as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer of `nCentroids`
-    * centroid vectors (a deterministic sample of the corpus — k-means
-    * would refine these; the assignment/probe machinery is identical),
-    * every vector assigned to its nearest centroid, queries probing
-    * their `nProbe` nearest cells. The per-cell search is the exact
-    * brute kernel.
+    * centroid vectors — seeded with the `nCentroids` lowest-id
+    * vectors (deterministic), optionally refined with `kmeansIters`
+    * Lloyd iterations ([[refineCentroids]]) — every vector assigned
+    * to its nearest centroid, queries probing their `nProbe` nearest
+    * cells. The per-cell search is the exact brute kernel.
     *
     * Scale shape: assignment is a per-row projection against a
     * broadcast centroid table (driver collects only `nCentroids`
@@ -82,19 +127,18 @@ object AnnSearch {
     * standard IVF trade of recall for a 1/nCells candidate fraction.
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
-              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 8, nProbe: Int = 2,
+              kmeansIters: Int = 0): DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
-    // deterministic coarse quantizer: the nCentroids lowest-id vectors
-    val centroids: Array[(Int, Seq[Float])] = e
+    // deterministic coarse quantizer seed: the nCentroids lowest-id
+    // vectors, Lloyd-refined if asked
+    val seed: Array[(Int, Seq[Float])] = e
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-    def cellSims(vec: Column): Column = array(centroids.map {
-      case (cid, cvec) =>
-        struct(VectorFns.cosine(vec, typedLit(cvec)).as("sim"),
-          lit(cid).as("cell"))
-    }: _*)
+    val centroids = refineCentroids(e, seed, kmeansIters)
+    def cellSims(vec: Column): Column = cellSimsFor(centroids)(vec)
     // assignment: argmax similarity over the broadcast centroid array
     val assigned = e.withColumn("cell",
       array_max(cellSims(col("embedding"))).getField("cell"))

@@ -125,8 +125,41 @@ object LlmQueries {
     "q_ann_lsh" -> ((s, d) =>
       AnnSearch.lshTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
 
+    // kmeansIters=2: Lloyd-refined coarse quantizer (AnnSearchSpec
+    // pins the recall improvement over the raw lowest-id seed).
     "q_ann_ivf" -> ((s, d) =>
-      AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
+      AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
+        kmeansIters = 2)),
+
+    // Hash-proof gate for the ANN machinery: per-query recall@5 of
+    // the LSH and IVF paths against the exact brute-force top-5.
+    // Everything here is DuckDB-reproducible — cosine is a sequential
+    // double accumulation (DotProductFF == list_inner_product), the
+    // seeded hyperplanes are emitted into the oracle SQL as double
+    // literals, and the IVF side uses the deterministic lowest-id
+    // quantizer (kmeansIters=0; the refined quantizer stays on
+    // q_ann_ivf, whose distributed-avg centroids are not
+    // SQL-replayable bit-for-bit).
+    "q_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      def pairs(df: DataFrame) = df.select("a_id", "b_id")
+      val brute = pairs(AnnSearch.bruteTopK(e, k = 5, maxId = 200))
+      val lsh = pairs(AnnSearch.lshTopK(e, k = 5, maxId = 200))
+      val ivf = pairs(AnnSearch.ivfTopK(e, k = 5, maxId = 200,
+        kmeansIters = 0))
+      def hits(ann: DataFrame, as: String) =
+        brute.join(ann, Seq("a_id", "b_id"), "left_semi")
+          .groupBy("a_id").agg(count(lit(1)).as(as))
+      brute.select("a_id").distinct()
+        .join(hits(lsh, "hl"), Seq("a_id"), "left")
+        .join(hits(ivf, "hi"), Seq("a_id"), "left")
+        .select(col("a_id"),
+          round(coalesce(col("hl"), lit(0L)) / lit(5.0), 6)
+            .as("recall_lsh"),
+          round(coalesce(col("hi"), lit(0L)) / lit(5.0), 6)
+            .as("recall_ivf"))
+        .orderBy("a_id")
+    }),
 
     "q_text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -243,7 +276,94 @@ object LlmQueries {
   private def stopList(lang: String): String =
     TextAnalysis.profiles(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q_ann_recall oracle: replays the full brute + LSH + IVF pipeline
+    * in DuckDB. The seeded hyperplanes are baked in as double
+    * literals (the exact double values of the float planes Spark
+    * uses, emitted via Float→Double→toString round-trip); cosine is
+    * `list_inner_product` over DOUBLE[] — bit-equal to the sequential
+    * double accumulation of [[graft.functions.DotProductFF]]; IVF
+    * assignment/probe tie-breaks (sim DESC, cell DESC) mirror Spark's
+    * lexicographic `array_max`/`array_sort` on (sim, cell) structs. */
+  private val annRecallOracle: String = {
+    def cosD(a: String, b: String) =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a))" +
+        s" * sqrt(list_inner_product($b, $b)))"
+    val lshTables = AnnSearch.planes(4, 4, 64).zipWithIndex.map {
+      case (tp, t) =>
+        val bucket = tp.zipWithIndex.map { case (p, j) =>
+          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product(v, $lits) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS table_idx, $bucket AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |brute AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |                 b.vec_id ASC) AS rk
+       |    FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+       |  WHERE rk <= 5),
+       |lshb AS ($lshTables),
+       |lshc AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM lshb x JOIN lshb y
+       |    ON x.table_idx = y.table_idx AND x.bucket = y.bucket
+       |   AND x.vec_id <> y.vec_id),
+       |lshtop AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      row_number() OVER (PARTITION BY c.a_id
+       |        ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |                 c.b_id ASC) AS rk
+       |    FROM lshc c JOIN e a ON c.a_id = a.vec_id
+       |                JOIN e b ON c.b_id = b.vec_id)
+       |  WHERE rk <= 5),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+       |sims AS (
+       |  SELECT e.vec_id, cent.cell, ${cosD("e.v", "cent.cv")} AS sim
+       |  FROM e CROSS JOIN cent),
+       |asg AS (
+       |  SELECT vec_id AS b_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sims)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT vec_id AS a_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sims)
+       |  WHERE rn <= 2),
+       |ivfc AS (
+       |  SELECT a_id, b_id FROM prb JOIN asg USING (cell)
+       |  WHERE a_id <> b_id),
+       |ivftop AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      row_number() OVER (PARTITION BY c.a_id
+       |        ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |                 c.b_id ASC) AS rk
+       |    FROM ivfc c JOIN e a ON c.a_id = a.vec_id
+       |                JOIN e b ON c.b_id = b.vec_id)
+       |  WHERE rk <= 5),
+       |lh AS (SELECT brute.a_id, COUNT(*) AS hl FROM brute
+       |       JOIN lshtop USING (a_id, b_id) GROUP BY brute.a_id),
+       |ih AS (SELECT brute.a_id, COUNT(*) AS hi FROM brute
+       |       JOIN ivftop USING (a_id, b_id) GROUP BY brute.a_id)
+       |SELECT q.a_id,
+       |  round(COALESCE(hl, 0) / 5.0, 6) AS recall_lsh,
+       |  round(COALESCE(hi, 0) / 5.0, 6) AS recall_ivf
+       |FROM (SELECT DISTINCT a_id FROM brute) q
+       |LEFT JOIN lh ON q.a_id = lh.a_id
+       |LEFT JOIN ih ON q.a_id = ih.a_id
+       |ORDER BY q.a_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_recall" -> annRecallOracle,
     "q_text_tokens" ->
       s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

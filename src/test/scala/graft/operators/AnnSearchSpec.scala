@@ -51,6 +51,34 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall > 0.10)
   }
 
+  test("k-means refinement improves IVF recall over the lowest-id seed") {
+    val e = Tables.embeddings(spark, dir)
+    val brute = AnnSearch.bruteTopK(e, k = 5, maxId = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double =
+      AnnSearch.ivfTopK(e, k = 5, maxId = 100, nCentroids = 8,
+        nProbe = 2, kmeansIters = iters).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .count(brute.contains).toDouble / brute.size
+    val (r0, r3) = (recall(0), recall(3))
+    info(f"IVF recall@5: seed=$r0%.3f, 3 Lloyd iters=$r3%.3f")
+    assert(r3 > r0,
+      f"Lloyd refinement did not improve recall ($r0%.3f -> $r3%.3f)")
+  }
+
+  test("refineCentroids keeps empty cells and converges toward " +
+      "stable assignments") {
+    val e = Tables.embeddings(spark, dir).filter("vec_id < 100")
+    val seed = e.filter("vec_id < 8")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    val r1 = AnnSearch.refineCentroids(e, seed, 1)
+    // all 8 cells survive, every centroid keeps the embedding dim
+    assert(r1.length == 8 && r1.forall(_._2.length == seed.head._2.length))
+    // refinement moved at least one centroid off its seed vector
+    assert(r1.zip(seed).exists { case ((_, a), (_, b)) => a != b })
+  }
+
   test("bucketing is deterministic across invocations") {
     val e = Tables.embeddings(spark, dir)
     val b1 = AnnSearch.bucketed(e).collect()
