@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,39 +30,114 @@ case class Frame(media_id: Long, frame_idx: Int, offsetMs: Long,
 /** Multimodal-column plumbing: decode / feature-extract / resize /
   * frame-sample over binary columns with typed metadata.
   *
-  * The Spark side is real — `Dataset[MediaRecord]` with case-class
-  * encoders, batched `mapPartitions` for the imperative decode stage
-  * (one codec init per partition, the same pattern a JNI/FFI codec
-  * needs), metadata predicates that prune before any byte is
-  * touched. The codec itself is a clearly marked deterministic STUB:
-  * this container ships no image/audio libraries, so `decodeStub`
-  * derives "pixels" from the bytes arithmetically; a real deployment
-  * swaps in javax.imageio / ffmpeg behind the same signature.
+  * The image path is REAL end-to-end: the synthetic corpus carries
+  * genuine PNG payloads (encoded with `javax.imageio` — in the JDK,
+  * no external dependency), [[decodeImage]] decodes actual pixels,
+  * and [[resizeHalf]] box-filters the decoded plane and re-encodes.
+  * The Spark side is `Dataset[MediaRecord]` with case-class encoders,
+  * batched `mapPartitions` for the imperative decode stage (one codec
+  * init per partition, the same pattern a JNI/FFI codec needs), and
+  * metadata predicates that prune before any byte is touched.
+  *
+  * Audio/video remain a clearly marked deterministic STUB
+  * ([[decodeStub]]): no audio/video codec ships in the JDK or this
+  * container; a real deployment swaps in ffmpeg behind the same
+  * signature.
   */
 object MultimodalOps {
-  /** Deterministic synthetic corpus (seeded arithmetic, no RNG):
-    * media_id-derived bytes so every run and executor agrees. */
+  // Never spill codec scratch to executor-local tmp files: decode
+  // entirely from/to heap buffers.
+  ImageIO.setUseCache(false)
+
+  /** Deterministic grayscale test pattern for `media_id`: pixel
+    * (x, y) = (id*131 + y*31 + x*7) mod 251 — seeded arithmetic so
+    * every run and executor encodes the identical image. */
+  private def syntheticImage(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 131 + y * 31 + x * 7) % 251).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** PNG-encode via the JDK's ImageIO writer (lossless; the decoded
+    * plane round-trips exactly, which the spec pins). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic corpus: image rows carry REAL PNG bytes
+    * of a seeded test pattern; audio/video payloads are seeded opaque
+    * bytes (no JDK codec exists to produce real ones). */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val len = 256 + (id % 7).toInt * 64
-      val bytes = Array.tabulate(len)(i => ((id * 131 + i * 31) % 251).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta("png", 32 + (id % 4).toInt * 16,
-          32 + (id % 3).toInt * 16, 0L)
-        case "audio" => MediaMeta("wav", 0, 0, 1000L + id % 5000)
-        case _       => MediaMeta("mp4", 64, 48, 2000L + id % 8000)
+      kind match {
+        case "image" =>
+          val w = 32 + (id % 4).toInt * 16
+          val h = 32 + (id % 3).toInt * 16
+          MediaRecord(id, kind, encodePng(syntheticImage(id, w, h)),
+            MediaMeta("png", w, h, 0L))
+        case "audio" =>
+          val len = 256 + (id % 7).toInt * 64
+          val bytes =
+            Array.tabulate(len)(i => ((id * 131 + i * 31) % 251).toByte)
+          MediaRecord(id, kind, bytes, MediaMeta("wav", 0, 0, 1000L + id % 5000))
+        case _ =>
+          val len = 256 + (id % 7).toInt * 64
+          val bytes =
+            Array.tabulate(len)(i => ((id * 131 + i * 31) % 251).toByte)
+          MediaRecord(id, kind, bytes, MediaMeta("mp4", 64, 48, 2000L + id % 8000))
       }
-      MediaRecord(id, kind, bytes, meta)
     }
   }
 
-  /** STUB decode — ??? in a real deployment this calls an image
-    * codec (javax.imageio / libjpeg via FFI); none ships in this
-    * container, so it derives a deterministic fake "pixel" plane from
+  /** REAL image decode: `javax.imageio` parses the PNG byte stream.
+    * Single-band (grayscale) images are read as raw raster samples —
+    * NOT via `getRGB`, whose linear-gray→sRGB color-space conversion
+    * gamma-distorts the values (7 becomes 46); multi-band color
+    * images reduce to luminance with ITU-R 601 integer weights
+    * ((299r + 587g + 114b) / 1000 — deterministic integer math). */
+  def decodeImage(content: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(content))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    val gray = raster.getNumBands == 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          if (gray) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            (299 * r + 587 * g + 114 * b) / 1000
+          }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** STUB decode for audio/video — ??? a real deployment calls an
+    * A/V codec (ffmpeg via FFI) here; none ships in the JDK or this
+    * container, so it derives a deterministic fake sample plane from
     * the payload bytes. Signature and batch shape are the real
     * contract. */
   def decodeStub(content: Array[Byte], meta: MediaMeta): Array[Int] = {
@@ -68,37 +148,59 @@ object MultimodalOps {
     }
   }
 
-  /** Feature extraction: batched mapPartitions — codec state would be
-    * initialized once per partition here (the executor-side pattern
-    * for any native decoder); features are a 16-bin normalized
-    * byte-value histogram of the decoded plane. */
+  /** Feature extraction: batched mapPartitions — codec state is
+    * initialized once per partition (the executor-side pattern for
+    * any native decoder); features are a 16-bin normalized
+    * value histogram of the decoded plane — REAL pixels for images,
+    * stub samples for audio/video. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
-      // per-partition "codec init" happens here (stubbed)
+      // per-partition codec init: keep ImageIO off tmp-file caching
+      ImageIO.setUseCache(false)
       records.map { r =>
-        val pixels = decodeStub(r.content, r.meta)
+        val plane =
+          if (r.kind == "image") decodeImage(r.content)
+          else decodeStub(r.content, r.meta)
         val hist = new Array[Float](16)
         var i = 0
-        while (i < pixels.length) { hist(pixels(i) / 16) += 1f; i += 1 }
-        val total = math.max(pixels.length, 1).toFloat
+        while (i < plane.length) { hist(plane(i) / 16) += 1f; i += 1 }
+        val total = math.max(plane.length, 1).toFloat
         MediaFeatures(r.media_id, r.kind, 16, hist.map(_ / total))
       }
     }
   }
 
-  /** Resize stub: halves both dimensions, keeping every other
-    * "pixel" byte — the metadata transform is real, the resample is
-    * the stubbed codec step. */
+  /** REAL image resize: decode the PNG, box-filter each 2×2 block to
+    * its integer mean (pure integer math — bit-deterministic across
+    * executors, unlike Graphics2D interpolation), re-encode as PNG.
+    * Non-image rows pass through untouched. */
   def resizeHalf(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.kind != "image") r
-      else r.copy(
-        content = r.content.zipWithIndex.collect {
-          case (b, i) if i % 2 == 0 => b },
-        meta = r.meta.copy(width = r.meta.width / 2,
-          height = r.meta.height / 2))
+      else {
+        val src = decodeImage(r.content)
+        val (w, h) = (r.meta.width, r.meta.height)
+        val (ow, oh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+        val dst = new BufferedImage(ow, oh, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = dst.getRaster
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val (x0, y0) = (math.min(2 * x, w - 1), math.min(2 * y, h - 1))
+            val (x1, y1) = (math.min(2 * x + 1, w - 1), math.min(2 * y + 1, h - 1))
+            val s = src(y0 * w + x0) + src(y0 * w + x1) +
+              src(y1 * w + x0) + src(y1 * w + x1)
+            raster.setSample(x, y, 0, s / 4)
+            x += 1
+          }
+          y += 1
+        }
+        r.copy(content = encodePng(dst),
+          meta = r.meta.copy(width = ow, height = oh))
+      }
     }
   }
 
@@ -120,7 +222,8 @@ object MultimodalOps {
   }
 
   /** The full multimodal pipeline as one frame: metadata-pruned scan
-    * → features, joined with frame counts for videos. */
+    * → features (real PNG decode for images), joined with frame
+    * counts for videos. */
   def pipeline(spark: SparkSession, n: Int = 300): DataFrame = {
     val corpus = syntheticCorpus(spark, n)
     val feats = extractFeatures(corpus).toDF()

@@ -16,6 +16,39 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(imgs.count() == 10)
   }
 
+  test("image payloads are real PNGs that round-trip through ImageIO") {
+    val imgs = MultimodalOps.syntheticCorpus(spark, 30)
+      .filter(col("kind") === "image").collect()
+    imgs.foreach { r =>
+      // PNG magic
+      assert((r.content(0) & 0xff) == 0x89 &&
+        r.content.slice(1, 4).map(_.toChar).mkString == "PNG")
+      val px = MultimodalOps.decodeImage(r.content)
+      assert(px.length == r.meta.width * r.meta.height)
+      // decoded pixels are the seeded pattern, losslessly recovered
+      val w = r.meta.width
+      px.zipWithIndex.foreach { case (v, i) =>
+        val (x, y) = (i % w, i / w)
+        assert(v == ((r.media_id * 131 + y * 31 + x * 7) % 251).toInt,
+          s"pixel ($x,$y) of ${r.media_id}")
+      }
+    }
+  }
+
+  test("a known image decodes to its exact histogram") {
+    import java.awt.image.BufferedImage
+    // 4x4 grayscale: one pixel per 16-value bin -> uniform histogram
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 16).foreach(i => img.getRaster.setSample(i % 4, i / 4, 0, i * 16))
+    val png = MultimodalOps.encodePng(img)
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(0L, "image", png, MediaMeta("png", 4, 4, 0L))))
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.features.forall(v => math.abs(v - 1f / 16) < 1e-6),
+      s"expected uniform 1/16 bins, got ${f.features.toSeq}")
+  }
+
   test("feature extraction: normalized 16-bin histogram per media") {
     val feats = MultimodalOps.extractFeatures(
       MultimodalOps.syntheticCorpus(spark, 30)).collect()
@@ -27,15 +60,27 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
-  test("resize halves image dimensions only") {
-    val orig = MultimodalOps.syntheticCorpus(spark, 30).collect()
-      .map(r => r.media_id -> r.meta).toMap
+  test("resize halves image dimensions and box-filters real pixels") {
+    val origRecs = MultimodalOps.syntheticCorpus(spark, 30).collect()
+    val orig = origRecs.map(r => r.media_id -> r.meta).toMap
+    val srcPx = origRecs.filter(_.kind == "image")
+      .map(r => r.media_id -> MultimodalOps.decodeImage(r.content)).toMap
     val out = MultimodalOps.resizeHalf(
       MultimodalOps.syntheticCorpus(spark, 30)).collect()
     out.foreach { r =>
       if (r.kind == "image") {
-        assert(r.meta.width == orig(r.media_id).width / 2)
-        assert(r.meta.height == orig(r.media_id).height / 2)
+        val m = orig(r.media_id)
+        assert(r.meta.width == m.width / 2)
+        assert(r.meta.height == m.height / 2)
+        // each output pixel is the integer mean of its 2x2 source block
+        val (src, dst) = (srcPx(r.media_id), MultimodalOps.decodeImage(r.content))
+        val (w, ow) = (m.width, r.meta.width)
+        dst.zipWithIndex.foreach { case (v, i) =>
+          val (x, y) = (i % ow, i / ow)
+          val s = src(2 * y * w + 2 * x) + src(2 * y * w + 2 * x + 1) +
+            src((2 * y + 1) * w + 2 * x) + src((2 * y + 1) * w + 2 * x + 1)
+          assert(v == s / 4, s"resampled pixel ($x,$y) of ${r.media_id}")
+        }
       } else assert(r.meta == orig(r.media_id))
     }
   }
