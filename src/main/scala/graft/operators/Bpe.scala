@@ -1,0 +1,142 @@
+package graft.operators
+
+import java.util.Locale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A real byte-pair-encoding tokenizer: a deterministic trainer that
+  * learns a merge table from a corpus sample, and a distributed
+  * encoder that applies the broadcast merge ranks per document.
+  *
+  * Production shape mirrored here: tokenizers are trained OFFLINE on
+  * a bounded sample (driver-side, like any vocabulary artifact) and
+  * applied AT SCALE as a narrow per-row pass — [[tokenCounts]] is one
+  * `mapPartitions` over the corpus with the ranks map broadcast once,
+  * no shuffle, no UDF registration. At 100 TB only the application
+  * runs on the cluster; the merge table is a few KB of driver state.
+  *
+  * Determinism: training breaks count ties by lexicographically
+  * smallest pair, so the merge table is a pure function of the sample
+  * text; encoding merges the lowest-rank adjacent pair first (the
+  * standard BPE apply order), so counts are a pure function of
+  * (text, merges).
+  */
+object Bpe {
+  /** Pre-tokenizer: alpha runs, digit runs, single non-space marks —
+    * the same segmentation shape as most published BPE vocabularies
+    * (and as [[TextAnalysis.bpePattern]], whose count this refines). */
+  val preTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val preTokenRe = preTokenPattern.r
+
+  def preTokens(text: String): Seq[String] =
+    preTokenRe.findAllIn(text.toLowerCase(Locale.ROOT)).toSeq
+
+  /** Learn `nMerges` merges from `texts`: classic BPE over pre-token
+    * frequencies. Each round merges the most frequent adjacent symbol
+    * pair (ties → lexicographically smallest pair). Stops early when
+    * no pair repeats. */
+  def train(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    // word-frequency table over pre-tokens; each word is a symbol seq
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach(t => preTokens(t).foreach(w =>
+      freq.update(w, freq.getOrElse(w, 0L) + 1L)))
+    var words: Vector[(Vector[String], Long)] =
+      freq.toVector.sortBy(_._1).map { case (w, n) =>
+        (w.map(_.toString).toVector, n)
+      }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toVector
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (syms, n) => (mergePair(syms, best), n) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def mergePair(syms: Vector[String],
+                        pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+        out += syms(j) + syms(j + 1); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  def ranks(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Encode one pre-token: repeatedly merge the lowest-rank adjacent
+    * pair until none of the learned merges applies. */
+  def encodeWord(word: String,
+                 rk: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        rk.get(p).foreach(r =>
+          if (r < bestRank) { bestRank = r; bestPair = p })
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else {
+        syms = mergePair(syms, bestPair)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  def encode(text: String, rk: Map[(String, String), Int]): Seq[String] =
+    preTokens(text).flatMap(encodeWord(_, rk))
+
+  /** Deterministic bounded training sample: the `n` lowest-id
+    * documents (TakeOrderedAndProject — never a full sort), collected
+    * to the driver exactly like any offline vocabulary build. */
+  def trainOnSample(docs: DataFrame, idCol: String, textCol: String,
+                    sampleN: Int, nMerges: Int): Seq[(String, String)] = {
+    val sample = docs.orderBy(col(idCol)).limit(sampleN)
+      .select(textCol).collect().map(_.getString(0)).toSeq
+    train(sample, nMerges)
+  }
+
+  /** Distributed application: per-document real-BPE token counts in
+    * one narrow pass, merge ranks broadcast once per job. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ranks(merges))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, text) => (id, encode(text, rk).length) }
+      }
+      .toDF(idCol, "bpe_tokens")
+  }
+}

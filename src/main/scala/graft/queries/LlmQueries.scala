@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.MultimodalOps
-import graft.operators.{AnnSearch, ApproxDedup, TextAnalysis}
+import graft.operators.{AnnSearch, ApproxDedup, Bpe, TextAnalysis}
 
 /** Query registrations for the LLM-training-data operator pack:
   * approximate dedup (MinHash-LSH / SimHash / n-gram Jaccard),
@@ -218,6 +218,40 @@ object LlmQueries {
         .orderBy("split")),
 
     // Concat-and-chunk context packing (2048-token windows per lang).
+    // Real-BPE token counts: merge table trained on the 200 lowest-id
+    // docs (deterministic offline-vocabulary shape), applied in one
+    // narrow broadcast pass. No DuckDB equivalent exists for the
+    // iterative merge, so this key is rows-only; BpeSpec pins Spark's
+    // counts exactly against an independent sequential reference
+    // encoder on a golden doc set.
+    "q_text_tokens_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val merges = Bpe.trainOnSample(docs, "doc_id", "text",
+        sampleN = 200, nMerges = 200)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing under REAL tokenizer budgets: same prefix-sum
+    // window operator as q_pack_sequences, but the per-doc token
+    // count is the trained-BPE count instead of the whitespace
+    // heuristic — the shape a production pretraining pipeline runs.
+    "q_pack_sequences_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainOnSample(docs.select(col("doc_id"),
+        col("text")), "doc_id", "text", sampleN = 200, nMerges = 200)
+      val counts = Bpe.tokenCounts(docs.select("doc_id", "text"),
+        "doc_id", "text", merges)
+      graft.operators.SequencePacking.packWindows(
+        docs.select("doc_id", "lang")
+          .join(counts, "doc_id")
+          .select(col("doc_id"), col("lang"),
+            col("bpe_tokens").cast("long").as("t")),
+        "lang", "doc_id", "t", budget = 2048)
+        .select("doc_id", "lang", "window_id", "offset_in_window")
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) =>
       graft.operators.SequencePacking.packWindows(
         Tables.documents(s, d)
