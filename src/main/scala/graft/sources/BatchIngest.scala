@@ -47,18 +47,18 @@ object BatchIngest {
   def ingestOnce(spark: SparkSession, stagingGlob: String,
                  processedLog: String): DataFrame = {
     import spark.implicits._
-    // Pin the batch's file set BEFORE touching the log: the fresh list
-    // is collected (file-listing metadata, same order of size as any
-    // driver-side file index) and the returned plan is built from the
-    // explicit path set. A plan that kept the anti-join against the
-    // log would re-read the log on any re-resolution — after the
-    // append below, that would anti-join the whole batch away and
-    // silently return zero rows.
-    val freshPaths = unprocessed(spark, stagingGlob, processedLog)
-      .select("path").as[String].collect().toSeq
+    // Pin the batch's file set BEFORE touching the log: the fresh
+    // path frame is localCheckpoint()ed (eager), which materializes
+    // it on the executors and truncates its lineage to a LogicalRDD —
+    // the returned plan no longer references the log, so the append
+    // below cannot anti-join the whole batch away on plan
+    // re-resolution, and the path set never transits the driver (at
+    // many-million-file scale the listing stays distributed).
+    val pinned = unprocessed(spark, stagingGlob, processedLog)
+      .select("path").localCheckpoint()
     val fresh = spark.read.format("binaryFile").load(stagingGlob)
       .select(col("path"), col("content"))
-      .join(broadcast(freshPaths.toDF("path")), Seq("path"), "left_semi")
+      .join(broadcast(pinned), Seq("path"), "left_semi")
     val blocks = fresh
       .as[(String, Array[Byte])]
       .flatMap { case (file, content) =>
@@ -70,7 +70,7 @@ object BatchIngest {
       .drop("block_idx", "event_idx")
     // Mark processed regardless of downstream outcome — the
     // reference's track_file runs even after send errors (:167-174).
-    freshPaths.toDF("path").write.mode(SaveMode.Append).parquet(processedLog)
+    pinned.write.mode(SaveMode.Append).parquet(processedLog)
     events
   }
 }
