@@ -283,8 +283,10 @@ object WindowQueries {
         |    FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
     // session_window semantics: sessions merge while the gap to the
-    // previous event is ≤ 30 min; start = first event, end = last
-    // event + 30 min.
+    // previous event is ≤ 30 min (INCLUSIVE at the exact boundary —
+    // SessionWindowBoundarySpec pins that Spark merges an event
+    // arriving exactly `gap` later and splits 1 µs after); start =
+    // first event, end = last event + 30 min.
     "q_events_session_window" ->
       """WITH s AS (
         |  SELECT user_id, value, ts_us,

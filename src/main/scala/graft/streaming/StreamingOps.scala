@@ -123,13 +123,28 @@ object StreamingOps {
     * (same banding, same verification kernel). Stateless stream-static
     * equi-join on (band_idx, band_hash): the corpus banding is planned
     * into each micro-batch (precompute + persist it in production);
-    * no streaming state accrues, so a day-long ingest costs the same
-    * per batch as the first one. The same shape with the benchmark
-    * gram set as the static side is a streaming contamination screen.
+    * no streaming state accrues in the join itself. The same shape
+    * with the benchmark gram set as the static side is a streaming
+    * contamination screen.
+    *
+    * State bound: the candidate dedup keeps one state entry per
+    * (new_id, corpus_id) pair. On an UNBOUNDED stream pass
+    * `eventTime = Some((tsColumn, delay))` — the stream side gets
+    * `withWatermark(tsColumn, delay)` and the dedup becomes
+    * `dropDuplicatesWithinWatermark`, so entries expire once the
+    * watermark passes them. Without it (`None`, fine for bounded
+    * replays and tests) the plain `dropDuplicates` state grows with
+    * the number of distinct candidate pairs for the stream's
+    * lifetime.
+    *
+    * @param eventTime optional (event-time column on `stream`,
+    *                  watermark delay e.g. "10 minutes") bounding
+    *                  dedup state on unbounded streams
     */
   def dedupScreen(stream: DataFrame, corpus: DataFrame, n: Int = 3,
                   k: Int = 32, bands: Int = 8,
-                  threshold: Double = 0.5): DataFrame = {
+                  threshold: Double = 0.5,
+                  eventTime: Option[(String, String)] = None): DataFrame = {
     import graft.operators.ApproxDedup._
     val r = k / bands
     def shingle(df: DataFrame, idAs: String, shAs: String) = df
@@ -139,24 +154,35 @@ object StreamingOps {
     // STATIC corpus side is banded as bare (id, band) rows and its
     // shingle arrays re-join only for deduped candidates — the
     // broadcast is 1× the corpus shingle footprint, not ×bands.
-    val newSide = shingle(stream, "new_id", "sh_new")
-      .select(col("new_id"), col("sh_new"),
+    val streamSide = eventTime match {
+      case Some((tsCol, delay)) => stream.withWatermark(tsCol, delay)
+        .select(col("doc_id").as("new_id"), col(tsCol).as("__et"),
+          shingleHashes64(col("text"), n).as("sh_new"))
+      case None => shingle(stream, "new_id", "sh_new")
+    }
+    val carry = Seq(col("new_id"), col("sh_new")) ++
+      (if (eventTime.isDefined) Seq(col("__et")) else Nil)
+    val newSide = streamSide
+      .select(carry :+
         posexplode(bandHashes(minhashSignature(col("sh_new"), k), bands, r))
-          .as(Seq("band_idx", "band_hash")))
+          .as(Seq("band_idx", "band_hash")): _*)
     val corpusSh = shingle(corpus, "corpus_id", "sh_corpus")
     val corpusBands = corpusSh
       .select(col("corpus_id"),
         posexplode(bandHashes(minhashSignature(col("sh_corpus"), k), bands, r))
           .as(Seq("band_idx", "band_hash")))
-    newSide
+    val candidates = newSide
       .join(broadcast(corpusBands), Seq("band_idx", "band_hash"))
       // candidate dedup BEFORE verification: one Jaccard per pair,
-      // not one per shared band. State holds one entry per candidate
-      // pair (band collisions only, small) — bound it with an
-      // upstream watermark + dropDuplicatesWithinWatermark for
-      // unbounded streams.
-      .select("new_id", "sh_new", "corpus_id")
-      .dropDuplicates("new_id", "corpus_id")
+      // not one per shared band.
+      .select(Seq(col("new_id"), col("sh_new"), col("corpus_id")) ++
+        (if (eventTime.isDefined) Seq(col("__et")) else Nil): _*)
+    val deduped = eventTime match {
+      case Some(_) =>
+        candidates.dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      case None => candidates.dropDuplicates("new_id", "corpus_id")
+    }
+    deduped
       .join(broadcast(corpusSh), "corpus_id")
       .withColumn("jaccard",
         round(jaccard(col("sh_new"), col("sh_corpus")), 6))

@@ -185,6 +185,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, 1.0)))
   }
 
+  test("S12 dedup screen with eventTime bounds state via " +
+      "dropDuplicatesWithinWatermark and flags the same dups") {
+    val ms = MemoryStream[(Long, Int, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "minute", "text")
+      .withColumn("ts", expr(
+        "timestampadd(MINUTE, minute, TIMESTAMP'2024-01-01 00:00:00')"))
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "an entirely separate reference document about shuffle plans"))
+      .toDF("doc_id", "text")
+    ms.addData(
+      (1L, 0, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, 1, "totally novel incoming text with no corpus overlap at all"))
+    val screened = StreamingOps.dedupScreen(stream, corpus, n = 3,
+      threshold = 0.5, eventTime = Some(("ts", "10 minutes")))
+    // the plan must carry the watermark-bounded dedup operator, not
+    // the unbounded one
+    assert(screened.queryExecution.logical.toString
+      .contains("DeduplicateWithinWatermark"),
+      "expected a DeduplicateWithinWatermark node in the plan")
+    val out = runToMemory(screened, "s12wm", mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10L, 1.0)))
+  }
+
   test("S13 idempotent foreachBatch sink: replaying a batch id leaves no dupes") {
     val out = Files.createTempDirectory("graft_s13").toFile.getAbsolutePath
     val writer = StreamingOps.idempotentBatchWriter(out)
