@@ -130,6 +130,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
       }
+      // Untimed: drop caches operators built internally (shingled
+      // corpora etc.) so no query pins storage memory for — or warms
+      // data of — the queries after it.
+      finally spark.catalog.clearCache()
     }
     val registry = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = registry.map { case (name, fn) => name -> timed(name, fn) }

@@ -127,16 +127,26 @@ object Bpe {
   /** Distributed application: per-document real-BPE token counts in
     * one narrow pass, merge ranks broadcast once per job. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[(String, String)]): DataFrame = {
+                  merges: Seq[(String, String)]): DataFrame =
+    withTokenCounts(docs.select(col(idCol).cast("long"), col(textCol)),
+      textCol, merges).drop(textCol)
+
+  /** Append a real-BPE token-count column to `docs`, preserving every
+    * existing column — one narrow pass, NO join: downstream consumers
+    * (e.g. sequence packing) get (id, shard, ..., tokens) without
+    * shuffling the corpus back against its own counts. */
+  def withTokenCounts(docs: DataFrame, textCol: String,
+                      merges: Seq[(String, String)],
+                      outCol: String = "bpe_tokens"): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(ranks(merges))
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val rk = bc.value
-        it.map { case (id, text) => (id, encode(text, rk).length) }
-      }
-      .toDF(idCol, "bpe_tokens")
+    val outSchema = docs.schema
+      .add(outCol, org.apache.spark.sql.types.IntegerType, nullable = false)
+    val idx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { it =>
+      val rk = bc.value
+      it.map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ encode(r.getString(idx), rk).length))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -240,14 +240,14 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val merges = Bpe.trainOnSample(docs.select(col("doc_id"),
         col("text")), "doc_id", "text", sampleN = 200, nMerges = 200)
-      val counts = Bpe.tokenCounts(docs.select("doc_id", "text"),
-        "doc_id", "text", merges)
+      // counts appended in the same pass — no corpus-vs-counts join;
+      // the only shuffle is the packing window's partitionBy(lang)
+      val counted = Bpe.withTokenCounts(
+        docs.select("doc_id", "lang", "text"), "text", merges)
+        .select(col("doc_id"), col("lang"),
+          col("bpe_tokens").cast("long").as("t"))
       graft.operators.SequencePacking.packWindows(
-        docs.select("doc_id", "lang")
-          .join(counts, "doc_id")
-          .select(col("doc_id"), col("lang"),
-            col("bpe_tokens").cast("long").as("t")),
-        "lang", "doc_id", "t", budget = 2048)
+        counted, "lang", "doc_id", "t", budget = 2048)
         .select("doc_id", "lang", "window_id", "offset_in_window")
         .orderBy("doc_id")
     }),
