@@ -52,6 +52,47 @@ object TextQueries {
             .as("avg_tokens"))
         .orderBy("lang")),
 
+    // Within-document repetition signals (the Gopher/MassiveText
+    // repetition filters): fraction of 3-gram occurrences that are
+    // repeats, and the share of bigram occurrences taken by the most
+    // frequent bigram. Pure per-row higher-order functions — the
+    // top-bigram multiplicity is a linear fold over the SORTED bigram
+    // array (longest equal run), so no explode/groupBy shuffle exists
+    // anywhere: at 100 TB this stays a narrow projection.
+    "q_text_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      // guard: sequence(1, 0) would DESCEND ([1,0]) for docs shorter
+      // than n tokens — emit an empty gram list instead
+      def grams(n: Int) = when(size(toks) >= n, transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(typedLit(Seq.empty[String]))
+      val runState = struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("best"))
+      def maxMultiplicity(arr: org.apache.spark.sql.Column) =
+        aggregate(array_sort(arr), runState,
+          (st, x) => {
+            val run = when(x === st.getField("prev"),
+              st.getField("run") + 1).otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best"))
+      Tables.documents(s, d)
+        .withColumn("bi", grams(2))
+        .withColumn("tri", grams(3))
+        .select(col("doc_id"),
+          size(col("bi")).as("n_bigrams"),
+          size(col("tri")).as("n_trigrams"),
+          round(when(size(col("tri")) > 0,
+            lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+              size(col("tri"))).otherwise(0.0), 6).as("dup3_frac"),
+          round(when(size(col("bi")) > 0,
+            maxMultiplicity(col("bi")).cast("double") / size(col("bi")))
+            .otherwise(0.0), 6).as("top2_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document quality signals: token count, vocabulary richness,
     // stopword ratio — the cheap heuristics used to filter training
     // corpora before expensive model-based scoring.
@@ -72,6 +113,35 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Bigram/trigram lists via DuckDB list comprehensions over a
+    // 1-based range; top-bigram multiplicity via unnest + group.
+    // Fractions rounded to 6 on both sides (identical IEEE division
+    // order: 1.0 - distinct/total and max/total).
+    "q_text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bi,
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |       FOR i IN range(1, len(w) - 1)] AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents)),
+        |top2 AS (
+        |  SELECT doc_id, MAX(cnt) AS m FROM (
+        |    SELECT doc_id, b, COUNT(*) AS cnt
+        |    FROM g, unnest(bi) AS u(b)
+        |    GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(len(bi) AS INT) AS n_bigrams,
+        |  CAST(len(tri) AS INT) AS n_trigrams,
+        |  round(CASE WHEN len(tri) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+        |    ELSE 0.0 END, 6) AS dup3_frac,
+        |  round(CASE WHEN len(bi) > 0
+        |    THEN CAST(m AS DOUBLE) / len(bi)
+        |    ELSE 0.0 END, 6) AS top2_frac
+        |FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
