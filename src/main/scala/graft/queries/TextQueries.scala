@@ -93,6 +93,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus n-gram frequency table (the CCNet/wordcount shape): top
+    // 100 trigrams by occurrence count, ties broken by gram text.
+    // Scale: explode feeds a hash aggregate with map-side partial
+    // counts, so the shuffle carries one (gram, partial_count) row
+    // per distinct gram per task — not one row per occurrence; the
+    // top-100 is a TakeOrderedAndProject, never a global sort.
+    "q_text_ngram_freq" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val tri = when(size(toks) >= 3, transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+        .otherwise(typedLit(Seq.empty[String]))
+      Tables.documents(s, d)
+        .select(explode(tri).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(100)
+    }),
+
     // Per-document quality signals: token count, vocabulary richness,
     // stopword ratio — the cheap heuristics used to filter training
     // corpora before expensive model-based scoring.
@@ -113,6 +134,17 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // LIMIT under a deterministic total order (n DESC, gram ASC) is
+    // stable across engines: both take the identical first 100 rows.
+    "q_text_ngram_freq" ->
+      """SELECT g AS gram, COUNT(*) AS n
+        |FROM (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 FOR i IN range(1, len(w) - 1)]) AS g
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |GROUP BY g
+        |ORDER BY n DESC, gram
+        |LIMIT 100""".stripMargin,
     // Bigram/trigram lists via DuckDB list comprehensions over a
     // 1-based range; top-bigram multiplicity via unnest + group.
     // Fractions rounded to 6 on both sides (identical IEEE division
