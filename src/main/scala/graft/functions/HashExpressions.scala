@@ -80,6 +80,17 @@ object HashExpressions {
     GraftColumnBridge.column(
       JaccardSetsLL(GraftColumnBridge.expression(a),
         GraftColumnBridge.expression(b)))
+
+  /** One-pass within-document repetition signals over a token array:
+    * struct(n_bigrams, n_trigrams, dup3_frac, top2_frac). Replaces an
+    * interpreted `aggregate(array_sort(...))` longest-run fold that
+    * was the r5 bench hot spot (10.9 s → sub-second at sf0.1). Gram
+    * equality is decided on 64-bit window hashes (same kernel as
+    * [[ngramHashes64]]) rather than gram strings — identical results
+    * absent xxhash64 collisions, the q_dedup_exact_hash trade. */
+  def repetitionStats(tokens: Column): Column =
+    GraftColumnBridge.column(
+      RepetitionStats(GraftColumnBridge.expression(tokens)))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -409,5 +420,71 @@ object JaccardSetsLL {
     i = 0
     while (i < nb) { if (set.contains(b.getLong(i))) inter += 1; i += 1 }
     inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.schema
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionStats.compute($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats = copy(child = newChild)
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_trigrams", IntegerType, nullable = false),
+    StructField("dup3_frac", DoubleType, nullable = false),
+    StructField("top2_frac", DoubleType, nullable = false)))
+
+  /** Fraction formulations mirror the oracle exactly:
+    * dup3 = 1.0 - distinct/total (double division, same op order as
+    * `1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)/len(tri)`);
+    * top2 = maxRun/total. Empty gram lists yield 0.0 (bigrams: a
+    * 1-token doc) — matching the query-level guards. */
+  // Concrete InternalRow return type: see QuantizeReconFD note.
+  def compute(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = tokens.numElements()
+    val tokH = NgramHashes64.hashTokens(tokens)
+    def gramHashes(n: Int): Array[Long] =
+      if (m < n) Array.emptyLongArray
+      else {
+        val out = new Array[Long](m - n + 1)
+        var w = 0
+        while (w <= m - n) {
+          var h = 0xCBF29CE484222325L
+          var j = w
+          while (j < w + n) { h = h * NgramHashes64.MixPrime + tokH(j); j += 1 }
+          out(w) = NgramHashes64.finalizeMix(h)
+          w += 1
+        }
+        out
+      }
+    val bi = gramHashes(2)
+    val tri = gramHashes(3)
+    java.util.Arrays.sort(bi)
+    java.util.Arrays.sort(tri)
+    var distinct3 = if (tri.length > 0) 1 else 0
+    var i = 1
+    while (i < tri.length) { if (tri(i) != tri(i - 1)) distinct3 += 1; i += 1 }
+    var best = if (bi.length > 0) 1 else 0
+    var run = best
+    i = 1
+    while (i < bi.length) {
+      if (bi(i) == bi(i - 1)) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    val dup3 =
+      if (tri.length > 0) 1.0 - distinct3.toDouble / tri.length else 0.0
+    val top2 = if (bi.length > 0) best.toDouble / bi.length else 0.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bi.length, tri.length, dup3, top2))
   }
 }
