@@ -185,9 +185,15 @@ object FirehoseDecoder {
     * (events, blocks, files — `kinesis-to-humio.py:114-117,133`) as
     * an `Observation` evaluated during the action, zero extra passes.
     * Read `obs.get` after the first action on the returned frame. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def observed(events: DataFrame):
       (DataFrame, org.apache.spark.sql.Observation) = {
-    val obs = org.apache.spark.sql.Observation("firehose_metrics")
+    // Unique listener key per call: a fixed name can cross listener
+    // registrations when concurrent actions share one session (seen
+    // as a rare flake under parallel test suites).
+    val obs = org.apache.spark.sql.Observation(
+      s"firehose_metrics_${obsSeq.incrementAndGet()}")
     val withObs = events.observe(obs,
       count(lit(1)).as("events"),
       approx_count_distinct(concat_ws("#", col("file"), col("block_idx")))
