@@ -63,7 +63,18 @@ object GraftExtensions {
         "top_k_structs(payload_struct, score, tiebreak, k) - bounded " +
           "top-k aggregate by (score DESC, tiebreak ASC)"),
       (c: Seq[Expression]) => TopKAgg.withCasts(c(0), c(1), c(2),
-        c(3).eval().asInstanceOf[Number].intValue())))
+        c(3).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("repetition_stats"),
+      info("graft.functions.RepetitionStats", "repetition_stats",
+        "repetition_stats(array<string>) - struct(n_bigrams, " +
+          "n_trigrams, dup3_frac, top2_frac) repetition signals"),
+      (c: Seq[Expression]) => RepetitionStats(c.head)),
+    (FunctionIdentifier("ngram_strings"),
+      info("graft.functions.NgramStrings", "ngram_strings",
+        "ngram_strings(array<string>, n) - all space-joined n-token " +
+          "window strings, in order"),
+      (c: Seq[Expression]) => NgramStrings(c.head,
+        c(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-built session (tests, REPL). */
   def registerFunctions(spark: SparkSession): Unit =

@@ -91,6 +91,14 @@ object HashExpressions {
   def repetitionStats(tokens: Column): Column =
     GraftColumnBridge.column(
       RepetitionStats(GraftColumnBridge.expression(tokens)))
+
+  /** All space-joined n-token window STRINGS (non-distinct, in
+    * order) — the codegen'd counterpart of
+    * `transform(sequence(...), i -> concat_ws(" ", ...))` for
+    * operators whose output needs the gram text itself. */
+  def ngramStrings(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramStrings(GraftColumnBridge.expression(tokens), n))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -486,5 +494,52 @@ object RepetitionStats {
     val top2 = if (bi.length > 0) best.toDouble / bi.length else 0.0
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bi.length, tri.length, dup3, top2))
+  }
+}
+
+case class NgramStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"window size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_strings"
+  override protected def nullSafeEval(input: Any): Any =
+    NgramStrings.compute(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramStrings.compute($c, $n)")
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramStrings = copy(child = newChild)
+}
+
+object NgramStrings {
+  private val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** All space-joined n-token windows, in order, full windows only
+    * (same value surface as the `transform(sequence(...),
+    * concat_ws(...))` formulation it replaces — that HOF's
+    * per-element interpreted lambdas made q_text_ngram_freq the
+    * slowest bench query). */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n)
+      return new GenericArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val toks =
+      new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val win = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val out =
+      new Array[org.apache.spark.unsafe.types.UTF8String](m - n + 1)
+    var w = 0
+    while (w <= m - n) {
+      var j = 0
+      while (j < n) { win(j) = toks(w + j); j += 1 }
+      out(w) = org.apache.spark.unsafe.types.UTF8String
+        .concatWs(Space, win: _*)
+      w += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 }

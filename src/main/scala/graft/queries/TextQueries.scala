@@ -79,12 +79,10 @@ object TextQueries {
     // per distinct gram per task — not one row per occurrence; the
     // top-100 is a TakeOrderedAndProject, never a global sort.
     "q_text_ngram_freq" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val tri = when(size(toks) >= 3, transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-        .otherwise(typedLit(Seq.empty[String]))
+      // native gram-string kernel: the interpreted transform/
+      // concat_ws lambda formulation was the slowest bench query
+      val tri = graft.functions.HashExpressions
+        .ngramStrings(split(col("text"), " "), 3)
       Tables.documents(s, d)
         .select(explode(tri).as("gram"))
         .groupBy("gram")

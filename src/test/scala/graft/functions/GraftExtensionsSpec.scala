@@ -46,6 +46,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlN.getSeq[Long](0).size == 4) // 4 sliding bigrams
     assert(sqlN.getSeq[Long](1).size == 2) // strides at 0 and 2
 
+    val sqlR = spark.sql(
+      """SELECT ngram_strings(toks, 2) AS g2,
+        |       repetition_stats(toks) AS r
+        |FROM ext_toks""".stripMargin).head()
+    // all sliding bigrams, in order, space-joined
+    assert(sqlR.getSeq[String](0) == Seq("a b", "b c", "c d", "d e"))
+    val r = sqlR.getStruct(1)
+    assert(r.getInt(0) == 4 && r.getInt(1) == 3) // 4 bigrams, 3 trigrams
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.25) // no repeats
+    // repetition case: 'a b a b a b' -> top2 = 3/5, dup3 = 1 - 2/4
+    val rep = Seq(Tuple1(Seq("a", "b", "a", "b", "a", "b"))).toDF("toks")
+      .select(HashExpressions.repetitionStats(col("toks")).as("r")).head()
+        .getStruct(0)
+    assert(rep.getDouble(2) == 0.5 && rep.getDouble(3) == 0.6)
+    // short-doc edges: 1 token -> all-zero; 2 tokens -> 1 bigram
+    val short1 = Seq(Tuple1(Seq("x"))).toDF("toks")
+      .select(HashExpressions.ngramStrings(col("toks"), 2).as("g"),
+        HashExpressions.repetitionStats(col("toks")).as("r")).head()
+    assert(short1.getSeq[String](0).isEmpty)
+    assert(short1.getStruct(1).getDouble(3) == 0.0)
+
     val groups = Seq((1L, 10L, 1.0), (1L, 11L, 3.0), (1L, 12L, 2.0))
       .toDF("g", "tie", "score")
     groups.createOrReplaceTempView("ext_groups")
