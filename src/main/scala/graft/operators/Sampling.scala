@@ -95,4 +95,29 @@ object Sampling {
       .filter(md5Bucket(col(key), 100) <
         coalesce(col("rate"), lit(defaultRate)))
       .drop("rate")
+
+  /** Reproducible global training-order shuffle WITHOUT a global
+    * sort: each row gets a portable md5 `shuffle_key`, a `shard`
+    * (key mod `shards`), and its position within the shard
+    * (`row_number` over a shard-partitioned window ordered by key).
+    * Consumers read shards in id order, rows in position order —
+    * a deterministic permutation of the corpus that any engine with
+    * md5 can reproduce row-for-row.
+    *
+    * Scale: one hash shuffle on `shard` + per-shard sorts, exactly
+    * like any partitioned window — shards bound the sort width, so
+    * 100 TB shuffles as `shards` independent sorts instead of one
+    * global range sort. More shards = more parallelism. */
+  def shuffleShards(df: DataFrame, key: String,
+                    shards: Int = 16): DataFrame = {
+    require(shards > 0)
+    // first 32 md5 bits: non-negative, so % == pmod on both engines
+    val k = conv(substring(md5(col(key).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(key))
+    df.withColumn("shuffle_key", k)
+      .withColumn("shard", (col("shuffle_key") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
 }

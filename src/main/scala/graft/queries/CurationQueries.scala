@@ -69,10 +69,33 @@ object CurationQueries {
           rates, defaultRate = 25)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")
-    })
+    }),
+
+    // Reproducible training-order shuffle: portable md5 key, shard
+    // assignment, shard-local position (16 independent window sorts,
+    // never one global sort).
+    "q_shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleShards(
+          Tables.documents(s, d).select("doc_id"), "doc_id", shards = 16)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"),
+          col("pos"))
+        .orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // row_number is deterministic here: the window order
+    // (shuffle_key, doc_id) is total within each shard.
+    "q_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(shuffle_key % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shuffle_key % 16
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_text_pii" ->
       s"""WITH c AS (
         |  SELECT c_custkey,
