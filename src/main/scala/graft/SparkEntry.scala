@@ -27,8 +27,10 @@ object SparkEntry {
       PipelineQueries.queries ++
       LlmQueries.queries ++
       CompositeQueries.queries ++
+      TpchQueries.queries ++
       CurationQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -42,7 +44,9 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++
       PipelineQueries.oracleSql ++
       CompositeQueries.oracleSql ++
+      TpchQueries.oracleSql ++
       LlmQueries.oracleSql ++
       CurationQueries.oracleSql ++
-      EventQueries.oracleSql
+      EventQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 }

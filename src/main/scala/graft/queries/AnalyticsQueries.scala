@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Product-analytics and corpus-diagnostics pack: activity ratios
+  * (DAU/MAU), statistical anomaly screens, embedding-space
+  * diagnostics, character-distribution quality signals, a composite
+  * keep/drop quality gate, and the corpus mixture report a training
+  * run starts from.
+  *
+  * Everything here is oracle-gated. The determinism discipline
+  * (SURVEY §7.4) shows up two ways worth naming:
+  *   - ratios are divisions of EXACT quantities (longs, or
+  *     decimal-sum-derived doubles), computed with the identical
+  *     expression tree in both engines — never a re-association;
+  *   - the char-distribution signal is Simpson diversity (1 − Σp²),
+  *     not Shannon entropy: p is rational so Σp² is exact integer
+  *     arithmetic until one final division, whereas entropy's
+  *     p·log p terms inherit libm ulp differences between JVM
+  *     `Math.log` and DuckDB's C `log` and cannot hash-match
+  *     reliably.
+  *
+  * Event time follows [[EventQueries]]: `ts div 1000` µs (SURVEY
+  * §7.4), `epoch_us(ts)` on the oracle side.
+  */
+object AnalyticsQueries {
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def withUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DAU/MAU engagement: daily active users joined to their month's
+    // active-user count; stickiness = dau/mau. Two count-distinct
+    // aggregations (day grain, month grain) + a broadcast join of the
+    // tiny month frame — the daily matrix stays |days| rows at any
+    // log size, and the distinct-user state shards by (day, user)
+    // during partial aggregation.
+    "q_events_dau" -> ((s, d) => {
+      val ev = withUs(Tables.events(s, d))
+        .select(col("user_id"),
+          date_trunc("day", timestamp_micros(col("ts_us"))).as("day"),
+          date_trunc("month", timestamp_micros(col("ts_us"))).as("month"))
+      val daily = ev.groupBy("day", "month")
+        .agg(countDistinct("user_id").as("dau"),
+          count(lit(1)).as("n_events"))
+      val monthly = ev.groupBy(col("month").as("m_month"))
+        .agg(countDistinct("user_id").as("mau"))
+      daily
+        .join(broadcast(monthly), col("month") === col("m_month"))
+        .select(col("day"), col("dau"), col("n_events"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 9)
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // Statistical anomaly screen: per-user mean/std over event values
+    // from exact decimal sufficient statistics (Σv, Σv² — one
+    // map-side-combined pass), then flag events beyond 2σ. The z
+    // computation is double math on identical exact-derived operands
+    // with the identical expression tree in both engines
+    // (mean = Σ/n; var = Σ²/n − mean²). Per-user stats broadcast
+    // back against the log: one fact shuffle total.
+    "q_events_anomaly" -> ((s, d) => {
+      val ev = withUs(Tables.events(s, d))
+        .select("user_id", "event_id", "value", "ts_us")
+      val stats = ev.groupBy(col("user_id").as("su_id"))
+        .agg(
+          (sum(dec(col("value"))).cast("double") / count(lit(1)))
+            .as("mean"),
+          (sum((dec(col("value")) * dec(col("value")))
+            .cast(DecimalType(28, 4))).cast("double") / count(lit(1)))
+            .as("meansq"),
+          count(lit(1)).as("n"))
+        .withColumn("std",
+          sqrt(col("meansq") - col("mean") * col("mean")))
+        .filter(col("n") >= 30 && col("std") > 0)
+      ev.join(broadcast(stats), col("user_id") === col("su_id"))
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("z"), 9).as("z"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Embedding-space diagnostics: per-vector L2 norm, extrema, and
+    // component signs. Per-row projection over the array column —
+    // zero shuffle; the fold is an in-order left fold on both engines
+    // (Spark `aggregate` HOF; DuckDB `list_reduce`), and IEEE
+    // addition starting from 0.0 makes the two folds bit-identical.
+    // At 100 TB this is the shape embedding QA runs as: narrow
+    // projection, pushed column pruning (only `embedding` read).
+    "q_embed_norm" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("int").as("dim"),
+          round(sqrt(expr(
+            "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))")),
+            9).as("l2_norm"),
+          round(expr(
+            "aggregate(embedding, cast(0 as double), (acc, x) -> greatest(acc, abs(cast(x as double))))"),
+            9).as("max_abs"),
+          expr("size(filter(embedding, x -> cast(x as double) > 0D))")
+            .cast("int").as("n_pos"))
+        .orderBy("vec_id")),
+
+    // Character-distribution quality: Simpson diversity 1 − Σp² and
+    // distinct-char count per document. Σ(cnt²) and total² are exact
+    // BIGINT arithmetic; ONE double division at the end (see object
+    // doc for why this beats Shannon entropy as an oracle-gated
+    // signal). Shape: explode to (doc, char) → two-level partial
+    // aggregation; the char alphabet bounds the intermediate at
+    // |docs|×|alphabet| rows however long the documents get.
+    "q_text_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("distinct_chars"),
+          sum(col("cnt") * col("cnt")).as("sumsq"),
+          sum(col("cnt")).as("total"))
+        .select(col("doc_id"), col("distinct_chars"),
+          round(lit(1.0) - col("sumsq").cast("double") /
+            (col("total") * col("total")).cast("double"), 9)
+            .as("char_diversity"))
+        .orderBy("doc_id")),
+
+    // Composite quality gate: the keep/drop decision a curation
+    // pipeline actually emits — first failing rule wins, with the
+    // measured signals alongside for audit. All signals are exact
+    // counts or single divisions of exact counts; the verdict CASE
+    // is ordered identically in both engines. Per-row projection:
+    // no shuffle except the output sort.
+    "q_quality_gate" -> ((s, d) => {
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      val total = length(col("text"))
+      val alphaRatio = alpha.cast("double") / total.cast("double")
+      val wsTokens = TextAnalysis.wsTokenCount(col("text")).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          alphaRatio.as("alpha_ratio"), wsTokens.as("ws_tokens"))
+        .withColumn("verdict",
+          when(col("n_chars") < 100, "too_short")
+            .when(col("n_chars") > 500, "too_long")
+            .when(col("ws_tokens") < 10, "too_few_tokens")
+            .when(col("alpha_ratio") < 0.6, "low_alpha")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("n_chars"), col("ws_tokens"),
+          round(col("alpha_ratio"), 9).as("alpha_ratio"),
+          col("verdict"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus mixture report: the (lang, source) composition table a
+    // training-mixture decision starts from — doc counts, token
+    // totals, and each cell's share of corpus tokens. Group sizes
+    // are exact longs; shares are one double division against the
+    // broadcast single-row corpus total. The report is |langs|×
+    // |sources| rows at any corpus size.
+    "q_corpus_mixture" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).as("toks"))
+      val cells = perDoc.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      val totals = perDoc.agg(sum(col("toks")).as("corpus_tokens"))
+      cells.crossJoin(broadcast(totals))
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          round(col("tokens").cast("double") /
+            col("corpus_tokens").cast("double"), 9).as("token_share"))
+        .orderBy("lang", "source")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_dau" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', make_timestamp(epoch_us(ts)))
+        |         AS TIMESTAMP) AS day,
+        |    CAST(date_trunc('month', make_timestamp(epoch_us(ts)))
+        |         AS TIMESTAMP) AS month
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, month, COUNT(DISTINCT user_id) AS dau,
+        |         COUNT(*) AS n_events
+        |  FROM ev GROUP BY day, month),
+        |monthly AS (
+        |  SELECT month AS m_month, COUNT(DISTINCT user_id) AS mau
+        |  FROM ev GROUP BY month)
+        |SELECT day, dau, n_events, mau,
+        |  ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 9) AS stickiness
+        |FROM daily JOIN monthly ON month = m_month
+        |ORDER BY day""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value FROM events),
+        |stats AS (
+        |  SELECT user_id AS su_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |      AS mean,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+        |                  CAST(value AS DECIMAL(18,2))
+        |                  AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+        |      AS meansq,
+        |    COUNT(*) AS n
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, event_id, value,
+        |  ROUND((value - mean) / sqrt(meansq - mean * mean), 9) AS z
+        |FROM ev JOIN stats ON user_id = su_id
+        |WHERE n >= 30 AND sqrt(meansq - mean * mean) > 0
+        |  AND abs((value - mean) / sqrt(meansq - mean * mean)) > 2.0
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(sqrt(list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (acc, x) -> acc + x)), 9) AS l2_norm,
+        |  ROUND(list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |    (acc, x) -> greatest(acc, x)), 9) AS max_abs,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "q_text_diversity" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, ch, COUNT(*) AS cnt
+        |  FROM chars WHERE ch <> '' GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS INT) AS distinct_chars,
+        |  ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) /
+        |        CAST(SUM(cnt) * SUM(cnt) AS DOUBLE), 9)
+        |    AS char_diversity
+        |FROM counts GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_gate" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  ROUND(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |             AS DOUBLE) / CAST(len(text) AS DOUBLE), 9)
+        |    AS alpha_ratio,
+        |  CASE
+        |    WHEN n_chars < 100 THEN 'too_short'
+        |    WHEN n_chars > 500 THEN 'too_long'
+        |    WHEN len(string_split(text, ' ')) < 10 THEN 'too_few_tokens'
+        |    WHEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |              AS DOUBLE) / CAST(len(text) AS DOUBLE) < 0.6
+        |      THEN 'low_alpha'
+        |    ELSE 'keep'
+        |  END AS verdict
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_corpus_mixture" ->
+      """WITH per_doc AS (
+        |  SELECT lang, source,
+        |         len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS tokens
+        |  FROM per_doc GROUP BY lang, source),
+        |totals AS (SELECT SUM(toks) AS corpus_tokens FROM per_doc)
+        |SELECT lang, source, n_docs, tokens,
+        |  ROUND(CAST(tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)
+        |    AS token_share
+        |FROM cells, totals
+        |ORDER BY lang, source""".stripMargin
+  )
+}
