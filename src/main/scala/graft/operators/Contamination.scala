@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share any
@@ -31,6 +34,58 @@ object Contamination {
           ApproxDedup.shingleHashes64(col("text"), n))).as("gram"))
     grams(train, "doc_id")
       .join(grams(benchmark, "bench_id"), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** [[overlap]] with a Bloom-filter pre-screen on the training side:
+    * the benchmark's gram hashes fold into one Bloom filter (Spark's
+    * native `BloomFilterAggregate` — codegen'd `might_contain`, no
+    * UDF serialization boundary), the filter ships to every task as a
+    * literal, and only grams that *might* be contaminated enter the
+    * exact-confirm join. Result-identical to [[overlap]] (false
+    * positives are killed by the join; a Bloom filter has no false
+    * negatives), so the same DuckDB oracle gates both.
+    *
+    * Scale: this is the 100 TB shape for decontamination — the
+    * training corpus's gram stream is reduced by (1 − fpp · ~1)
+    * before the shuffle, so the join moves only true-overlap +
+    * fpp-sized traffic instead of every training gram. The benchmark
+    * side is tiny by definition (eval sets, not corpora): its
+    * single-row Bloom build costs one pass over benchmark grams, and
+    * the driver holds only the filter bytes (`maxNumBits/8` ≤ 8 MB
+    * by construction — same order as AnnSearch's broadcast
+    * centroids).
+    */
+  def overlapBloom(train: DataFrame, benchmark: DataFrame, n: Int,
+                   fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(array_distinct(
+          ApproxDedup.shingleHashes64(col("text"), n))).as("gram"))
+    val benchGrams = grams(benchmark, "bench_id")
+    val items = benchGrams.select("gram").distinct()
+    // The benchmark gram count sizes the filter: m = -n·ln(p)/ln²2
+    // bits, capped at Spark's runtime-filter ceiling (8 MB).
+    val est = math.max(items.count(), 1L)
+    val numBits = math.min(
+      math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      67108864L)
+    val bloomAgg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(col("gram")),
+        Literal(est), Literal(numBits)).toAggregateExpression())
+    // One small driver row: the serialized filter becomes a foldable
+    // literal, which is what BloomFilterMightContain requires (and
+    // what lets it constant-fold into codegen on the fact side).
+    val bloomBytes = items.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes),
+        GraftColumnBridge.expression(col("gram"))))
+    grams(train, "doc_id")
+      .filter(mightContain)
+      .join(benchGrams, "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

@@ -120,4 +120,34 @@ object Sampling {
       .withColumn("shard", (col("shuffle_key") % shards).cast("int"))
       .withColumn("pos", row_number().over(w))
   }
+
+  /** Portable uniform in (0, 1] from the row key: the same 32 md5
+    * bits the bucket/shuffle functions use, shifted off zero so it's
+    * a valid base for `pow(u, 1/w)`. Any engine with md5 reproduces
+    * it exactly. */
+  def md5Uniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8),
+      16, 10).cast("double") + 1.0) / 4294967297.0
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res): rank rows by `u^(1/w)` with u = [[md5Uniform]] and take
+    * the global top-k — each row's selection probability is
+    * proportional to its weight, and the draw is DETERMINISTIC
+    * (md5-keyed, so reproducible run-to-run, layout-independent, and
+    * auditable from any engine — the property `DataFrame.sample`'s
+    * per-partition RNG cannot give a lineage-tracked corpus).
+    *
+    * Scale: a per-row projection + `TakeOrderedAndProject` (per-
+    * partition top-k heaps, driver merges k rows) — no global sort,
+    * no shuffle of the data itself. The classic reservoir formulation
+    * is sequential; ranking by the same keys is its order-free
+    * equivalent (Efraimidis & Spirakis 2006, Inf. Proc. Letters).
+    */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+                   k: Int): DataFrame = {
+    require(k > 0)
+    df.withColumn("es_key", pow(md5Uniform(key), lit(1.0) / weight))
+      .orderBy(col("es_key").desc, key.asc)
+      .limit(k)
+  }
 }

@@ -79,7 +79,32 @@ object CurationQueries {
           Tables.documents(s, d).select("doc_id"), "doc_id", shards = 16)
         .select(col("doc_id"), col("shuffle_key"), col("shard"),
           col("pos"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Bloom-prescreened contamination: same answer as
+    // q_contamination (the exact-confirm join kills Bloom false
+    // positives), same oracle — what changes is the plan: the
+    // training gram stream is filtered by a codegen'd might_contain
+    // against the benchmark's Bloom filter BEFORE the shuffle, the
+    // 100 TB decontamination shape.
+    "q_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      Contamination.overlapBloom(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450), n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Weighted sampling without replacement: Efraimidis–Spirakis
+    // ranking keys from portable md5 uniforms, top-100 by
+    // u^(1/n_chars) — longer docs proportionally likelier. The
+    // oracle replays the identical draw from the same md5 bits.
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedTopK(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars").cast("double"), k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,6 +157,36 @@ object CurationQueries {
         |FROM (SELECT * FROM g WHERE doc_id < 450) t
         |JOIN (SELECT * FROM g WHERE doc_id >= 450) b ON t.gram = b.gram
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Identical to q_contamination by construction: the Bloom
+    // prescreen is answer-preserving (no false negatives; positives
+    // die in the exact-confirm join).
+    "q_contamination_bloom" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 3, 2)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams,
+        |       count(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM (SELECT * FROM g WHERE doc_id < 450) t
+        |JOIN (SELECT * FROM g WHERE doc_id >= 450) b ON t.gram = b.gram
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // The oracle replays the exact draw: same md5 bits → same
+    // uniforms → same u^(1/w) ranking keys (pow ulp differences
+    // can't flip an order whose key gaps are ~1e-6; the printed key
+    // is rounded on both sides).
+    "q_sample_weighted" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) + 1.0) / 4294967297.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  ROUND(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 9) AS es_key
+        |FROM u
+        |ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+        |LIMIT 100""".stripMargin,
     "q_text_boilerplate" ->
       """SELECT gram, COUNT(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -68,4 +68,21 @@ class CurationSpec extends SparkSpec {
     val first = kept.select("doc_id").as[Long].collect().sorted
     assert(again.sameElements(first))
   }
+
+  test("overlapBloom is result-identical to overlap") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val train = docs.filter(col("doc_id") < 450)
+    val bench = docs.filter(col("doc_id") >= 450)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(Contamination.overlap(train, bench, n = 5))
+    assert(exact.nonEmpty, "fixture must actually contain overlap")
+    // Equal at the default fpp AND at an absurdly lossy one — the
+    // exact-confirm join must kill every extra Bloom candidate.
+    assert(rows(Contamination.overlapBloom(train, bench, n = 5)) == exact)
+    assert(rows(Contamination.overlapBloom(train, bench, n = 5,
+      fpp = 0.5)) == exact)
+  }
 }

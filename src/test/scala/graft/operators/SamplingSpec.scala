@@ -51,4 +51,37 @@ class SamplingSpec extends SparkSpec {
     for ((lang, n) <- perStratum)
       assert(sampled(lang) == (n + k - 1) / k, s"stratum $lang")
   }
+
+  test("weightedTopK matches a brute-force Efraimidis–Spirakis draw") {
+    val picked = Sampling.weightedTopK(
+        docs.select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars").cast("double"), k = 50)
+      .select("doc_id").as[Long].collect()
+    // Brute force on the driver from the same md5 uniforms.
+    val all = docs.select(col("doc_id"),
+        Sampling.md5Uniform(col("doc_id")).as("u"),
+        col("n_chars").cast("double").as("w"))
+      .collect().map(r => (r.getLong(0),
+        math.pow(r.getDouble(1), 1.0 / r.getDouble(2))))
+    val expect = all.sortBy { case (id, key) => (-key, id) }
+      .take(50).map(_._1)
+    assert(picked.toSeq == expect.toSeq)
+    // Layout independence.
+    val again = Sampling.weightedTopK(
+        docs.repartition(13).select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars").cast("double"), k = 50)
+      .select("doc_id").as[Long].collect()
+    assert(again.sameElements(picked))
+  }
+
+  test("weightedTopK selection tracks weights") {
+    // Two weight classes, 10:1 — the heavy class should dominate a
+    // 100-of-1000 draw (binomial mean ~91 of 100 picks heavy).
+    val rows = spark.range(1000)
+      .select(col("id"), when(col("id") < 500, 100.0).otherwise(10.0)
+        .as("w"))
+    val heavy = Sampling.weightedTopK(rows, col("id"), col("w"), k = 100)
+      .filter(col("w") === 100.0).count()
+    assert(heavy > 70, s"heavy-class picks: $heavy of 100")
+  }
 }
