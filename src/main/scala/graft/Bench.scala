@@ -158,9 +158,11 @@ object Bench {
     // Output dir is env-configurable: a driver launched from another
     // CWD would otherwise silently misplace the full per-query record.
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", ".")
-    try
+    try {
+      Files.createDirectories(Paths.get(outDir))
       Files.write(Paths.get(outDir, "BENCH_FULL.json"),
         (fullJson(results, sfDir) + "\n").getBytes(StandardCharsets.UTF_8))
+    }
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }

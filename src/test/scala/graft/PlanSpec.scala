@@ -149,4 +149,47 @@ class PlanSpec extends SparkSpec {
     assert(decodePlan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
       "decode must stay narrow end-to-end")
   }
+
+  test("q_contamination_bloom: codegen'd might_contain prescreens the " +
+      "training grams") {
+    val f = formatted("q_contamination_bloom")
+    assert(f.contains("might_contain"),
+      "Bloom prescreen must appear in the plan")
+    assert(f.contains("BroadcastHashJoin"),
+      "exact-confirm join must still broadcast the benchmark side")
+  }
+
+  test("q_sample_weighted: weighted draw is TakeOrderedAndProject, " +
+      "never a global sort") {
+    assert(plan("q_sample_weighted").collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+  }
+
+  test("q_tpch_q17: the decorrelated per-part average broadcasts back " +
+      "to the fact slice") {
+    val f = formatted("q_tpch_q17")
+    assert(f.contains("BroadcastHashJoin"),
+      "per-part avg frame must broadcast")
+    assert(f.contains("Keys [1]: [l_partkey"),
+      "expected the per-part aggregate the correlation decorrelates to")
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS compile to semi/anti hash joins, " +
+      "not loops") {
+    val f = formatted("q_tpch_q21")
+    assert(f.contains("LeftSemi"), "EXISTS must be a left-semi join")
+    assert(f.contains("LeftAnti"), "NOT EXISTS must be a left-anti join")
+    assert(!f.contains("BroadcastNestedLoopJoin") &&
+      !f.contains("CartesianProduct"),
+      "correlated subqueries must not fall back to loop joins")
+  }
+
+  test("q_tpch_q1: single pass — one partial+final aggregate pair, " +
+      "no second lineitem scan") {
+    // Count detail-section headers "(n) Scan parquet" — the tree
+    // rendering repeats each operator once more as an indented node.
+    val f = formatted("q_tpch_q1")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(f).length
+    assert(scans == 1, s"Q1 must read lineitem once, saw $scans scans")
+  }
 }
