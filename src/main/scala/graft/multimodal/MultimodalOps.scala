@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,10 +40,13 @@ case class Frame(media_id: Long, frame_idx: Int, offsetMs: Long,
   * init per partition, the same pattern a JNI/FFI codec needs), and
   * metadata predicates that prune before any byte is touched.
   *
-  * Audio/video remain a clearly marked deterministic STUB
-  * ([[decodeStub]]): no audio/video codec ships in the JDK or this
-  * container; a real deployment swaps in ffmpeg behind the same
-  * signature.
+  * The audio path is REAL too: payloads are genuine PCM-16 WAV files
+  * (written and parsed with `javax.sound.sampled` — also in the JDK),
+  * so [[decodeAudio]] reads actual samples through a real container
+  * parser, losslessly. Only VIDEO remains a clearly marked
+  * deterministic STUB ([[decodeStub]]): no video codec ships in the
+  * JDK or this container; a real deployment swaps in ffmpeg behind
+  * the same signature.
   */
 object MultimodalOps {
   // Never spill codec scratch to executor-local tmp files: decode
@@ -75,9 +79,40 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** 8 kHz mono signed-16-bit little-endian — the simplest canonical
+    * WAV shape; PCM is lossless so decoded samples round-trip
+    * exactly. */
+  val wavFormat = new AudioFormat(8000f, 16, 1, true, false)
+
+  /** Deterministic PCM samples for `media_id`: seeded integer
+    * arithmetic (no float synthesis), so every run and executor
+    * writes the identical waveform. */
+  def syntheticSamples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((id * 131 + i * 31) % 2003 - 1001) * 16).toShort)
+
+  /** REAL WAV encode via the JDK's audio writer: RIFF/WAVE container
+    * around the PCM frames. */
+  def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(raw), wavFormat,
+        samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic corpus: image rows carry REAL PNG bytes
-    * of a seeded test pattern; audio/video payloads are seeded opaque
-    * bytes (no JDK codec exists to produce real ones). */
+    * of a seeded test pattern; audio rows carry REAL PCM-16 WAV
+    * files of a seeded waveform; only video payloads are seeded
+    * opaque bytes (no JDK video codec exists to produce real ones).
+    */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -91,10 +126,10 @@ object MultimodalOps {
           MediaRecord(id, kind, encodePng(syntheticImage(id, w, h)),
             MediaMeta("png", w, h, 0L))
         case "audio" =>
-          val len = 256 + (id % 7).toInt * 64
-          val bytes =
-            Array.tabulate(len)(i => ((id * 131 + i * 31) % 251).toByte)
-          MediaRecord(id, kind, bytes, MediaMeta("wav", 0, 0, 1000L + id % 5000))
+          val n = 800 + (id % 5).toInt * 160
+          val durMs = n * 1000L / 8000L
+          MediaRecord(id, kind, encodeWav(syntheticSamples(id, n)),
+            MediaMeta("wav", 0, 0, durMs))
         case _ =>
           val len = 256 + (id % 7).toInt * 64
           val bytes =
@@ -135,8 +170,37 @@ object MultimodalOps {
     out
   }
 
-  /** STUB decode for audio/video — ??? a real deployment calls an
-    * A/V codec (ffmpeg via FFI) here; none ships in the JDK or this
+  /** REAL audio decode: `javax.sound.sampled` parses the RIFF/WAVE
+    * container and hands back the PCM frames; samples map to the
+    * 0–255 feature plane by their high byte (+128 bias) — integer
+    * math, bit-deterministic. PCM is lossless: the spec pins exact
+    * sample round-trip through encode→decode. */
+  def decodeAudio(content: Array[Byte]): Array[Int] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected s16le PCM, got $fmt")
+      val raw = in.readAllBytes()
+      Array.tabulate(raw.length / 2) { i =>
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort
+        (s >> 8) + 128
+      }
+    } finally in.close()
+  }
+
+  /** Raw decoded samples (for specs and signal features). */
+  def decodeAudioSamples(content: Array[Byte]): Array[Short] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    try {
+      val raw = in.readAllBytes()
+      Array.tabulate(raw.length / 2)(i =>
+        ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort)
+    } finally in.close()
+  }
+
+  /** STUB decode for video — ??? a real deployment calls a video
+    * codec (ffmpeg via FFI) here; none ships in the JDK or this
     * container, so it derives a deterministic fake sample plane from
     * the payload bytes. Signature and batch shape are the real
     * contract. */
@@ -152,16 +216,18 @@ object MultimodalOps {
     * initialized once per partition (the executor-side pattern for
     * any native decoder); features are a 16-bin normalized
     * value histogram of the decoded plane — REAL pixels for images,
-    * stub samples for audio/video. */
+    * REAL PCM samples for audio, stub samples for video. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       // per-partition codec init: keep ImageIO off tmp-file caching
       ImageIO.setUseCache(false)
       records.map { r =>
-        val plane =
-          if (r.kind == "image") decodeImage(r.content)
-          else decodeStub(r.content, r.meta)
+        val plane = r.kind match {
+          case "image" => decodeImage(r.content)
+          case "audio" => decodeAudio(r.content)
+          case _ => decodeStub(r.content, r.meta)
+        }
         val hist = new Array[Float](16)
         var i = 0
         while (i < plane.length) { hist(plane(i) / 16) += 1f; i += 1 }

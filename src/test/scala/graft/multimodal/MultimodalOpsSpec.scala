@@ -35,6 +35,36 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("audio payloads are real WAVs; PCM samples round-trip exactly") {
+    val auds = MultimodalOps.syntheticCorpus(spark, 30)
+      .filter(col("kind") === "audio").collect()
+    assert(auds.nonEmpty)
+    auds.foreach { r =>
+      // RIFF/WAVE container magic
+      assert(r.content.slice(0, 4).map(_.toChar).mkString == "RIFF" &&
+        r.content.slice(8, 12).map(_.toChar).mkString == "WAVE")
+      val n = 800 + (r.media_id % 5).toInt * 160
+      val decoded = MultimodalOps.decodeAudioSamples(r.content)
+      assert(decoded.sameElements(MultimodalOps.syntheticSamples(r.media_id, n)),
+        s"PCM round-trip of ${r.media_id}")
+      assert(r.meta.durationMs == n * 1000L / 8000L)
+    }
+  }
+
+  test("a known waveform decodes to its exact histogram") {
+    // 256 samples sweeping the 16-bit range uniformly: sample i has
+    // high byte i-128, so plane value i — one per bin value, uniform
+    // 16-bin histogram like the image case.
+    val samples = Array.tabulate[Short](256)(i => ((i - 128) << 8).toShort)
+    val wav = MultimodalOps.encodeWav(samples)
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(0L, "audio", wav, MediaMeta("wav", 0, 0, 32L))))
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.features.forall(v => math.abs(v - 1f / 16) < 1e-6),
+      s"expected uniform 1/16 bins, got ${f.features.toSeq}")
+  }
+
   test("a known image decodes to its exact histogram") {
     import java.awt.image.BufferedImage
     // 4x4 grayscale: one pixel per 16-value bin -> uniform histogram
