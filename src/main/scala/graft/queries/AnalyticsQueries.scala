@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -157,6 +158,62 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // Key-skew diagnostics: the distribution report you run on a
+    // join key BEFORE deciding whether to salt it ([[graft.operators
+    // .ScaleJoins]]). Per-key counts collapse map-side; quantiles
+    // come from the counts-of-counts HISTOGRAM (cnt → #keys with
+    // that cnt), whose size is the number of DISTINCT multiplicities
+    // — tens of rows at any fact-table size — so the one global
+    // cumulative window runs over a frame that never grows with the
+    // data (a global window over per-key rows would serialize
+    // billions of keys on one task). Rank positions are ceil(q·n) on
+    // exact longs — no interpolation, no float percentile — so the
+    // report is hash-identical on any engine.
+    "q_skew_report" -> ((s, d) => {
+      val cnts = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      val coc = cnts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+      val cum = coc.withColumn("cum",
+        sum(col("freq")).over(Window.orderBy(col("cnt").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val stats = cnts.agg(
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"),
+        sum(col("cnt")).as("total_rows"))
+      val quantile = (q: Double, name: String) =>
+        cum.crossJoin(broadcast(stats))
+          .filter(col("cum") >= ceil(lit(q) * col("n_keys")))
+          .agg(min(col("cnt")).as(name))
+      quantile(0.5, "p50_cnt")
+        .crossJoin(quantile(0.9, "p90_cnt"))
+        .crossJoin(quantile(0.99, "p99_cnt"))
+        .crossJoin(broadcast(stats))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+          round(col("max_cnt").cast("double") /
+            (col("total_rows").cast("double") /
+              col("n_keys").cast("double")), 9).as("skew_ratio"))
+    }),
+
+    // Event path mining: top-10 three-step event-type transitions —
+    // the "what do users do next" sequence query. Per-user total
+    // order (ts, event_id) feeds two lead() windows on ONE user_id
+    // shuffle; transition triples partial-aggregate map-side; top-10
+    // is TakeOrderedAndProject.
+    "q_events_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      withUs(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    }),
+
     // Corpus mixture report: the (lang, source) composition table a
     // training-mixture decision starts from — doc counts, token
     // totals, and each cell's share of corpus tokens. Group sizes
@@ -263,6 +320,43 @@ object AnalyticsQueries {
         |  END AS verdict
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_skew_report" ->
+      """WITH cnts AS (
+        |  SELECT l_orderkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cum AS (
+        |  SELECT cnt, SUM(freq) OVER (ORDER BY cnt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT cnt, COUNT(*) AS freq FROM cnts GROUP BY cnt)),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+        |         CAST(SUM(cnt) AS BIGINT) AS total_rows
+        |  FROM cnts)
+        |SELECT n_keys, total_rows, max_cnt,
+        |  (SELECT MIN(cnt) FROM cum, stats
+        |   WHERE cum >= ceil(0.5 * n_keys)) AS p50_cnt,
+        |  (SELECT MIN(cnt) FROM cum, stats
+        |   WHERE cum >= ceil(0.9 * n_keys)) AS p90_cnt,
+        |  (SELECT MIN(cnt) FROM cum, stats
+        |   WHERE cum >= ceil(0.99 * n_keys)) AS p99_cnt,
+        |  ROUND(CAST(max_cnt AS DOUBLE) /
+        |        (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 9)
+        |    AS skew_ratio
+        |FROM stats""".stripMargin,
+    "q_events_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |       COUNT(*) AS n
+        |FROM seq
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 10""".stripMargin,
     "q_corpus_mixture" ->
       """WITH per_doc AS (
         |  SELECT lang, source,
