@@ -166,6 +166,106 @@ object AnnSearch {
       .orderBy("a_id", "rk")
   }
 
+  /** Per-subspace L2 assignment: argmin ‖v − c‖² = argmax
+    * (2·v·c − ‖c‖²) — ‖v‖² is constant per row; ‖c‖² is a
+    * driver-side constant per code. Ties go to the higher code id
+    * (array_max on (score, code) structs), deterministically. */
+  private def pqAssign(subvec: Column, cents: Array[Seq[Float]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x).sum
+      struct((lit(2.0) * VectorFns.dot(subvec, typedLit(c)) - lit(c2))
+        .as("score"), lit(i).as("code"))
+    }: _*)).getField("code")
+
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * subspaces of `dim/m` dims; each subspace gets its own `k`-code
+    * codebook — seeded with the k lowest-id subvectors, refined with
+    * `iters` L2-Lloyd iterations. Each iteration is the same
+    * distributed shape as [[refineCentroids]]: per-row assignment
+    * against broadcast centroids, position-wise mean via one
+    * posexplode + groupBy pass; only m·k·(dim/m) floats ever reach
+    * the driver. */
+  def pqTrain(e: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+              iters: Int = 2): Array[Array[Seq[Float]]] = {
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sv = e.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("sv"))
+      var cents: Array[Seq[Float]] = sv.filter(col("vec_id") < k)
+        .orderBy("vec_id").collect().map(_.getSeq[Float](1)).toArray
+      for (_ <- 0 until iters) {
+        val next = sv
+          .withColumn("cell", pqAssign(col("sv"), cents))
+          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg("v").as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("pm"))
+          .select(col("cell"),
+            transform(col("pm"), x => x.getField("m").cast("float"))
+              .as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1))
+          .toMap
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          next.getOrElse(cid, old) }
+      }
+      cents
+    }.toArray
+  }
+
+  /** PQ-ADC approximate top-k: every corpus vector compresses to `m`
+    * small codes (m·log₂k bits — 4 bytes here vs 256 for the raw
+    * floats); a query scores a candidate by summing its subspace
+    * dot products against the candidate's CODEBOOK ENTRIES
+    * (asymmetric distance computation), then the top `rerank`
+    * approximate candidates re-rank by exact cosine.
+    *
+    * Scale shape: encoding is a per-row projection against broadcast
+    * codebooks; the ADC scan reads only (b_id, codes) — the 64×
+    * compression is what lets a 100 TB corpus's index fit hot
+    * storage; the only shuffle is the per-query top-k. Exact re-rank
+    * touches `rerank` full vectors per query, not the corpus.
+    */
+  def pqTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
+             m: Int = 8, codesPerSub: Int = 16, dim: Int = 64,
+             iters: Int = 2, rerank: Int = 15): DataFrame = {
+    val sub = dim / m
+    val e = embeddings.filter(col("vec_id") < maxId)
+    val books = pqTrain(e, m, codesPerSub, dim, iters)
+    val cb = typedLit(books.map(_.toSeq).toSeq)
+    // corpus side of the ADC scan: 4-byte codes ONLY — the raw
+    // vectors are fetched later, for re-rank candidates alone
+    val codes = e.select(col("vec_id").as("b_id"),
+      array((0 until m).map(s =>
+        pqAssign(slice(col("embedding"), s * sub + 1, sub), books(s))): _*)
+        .as("codes"))
+    val vecs = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val queries = e.select(col("vec_id").as("a_id"),
+      col("embedding").as("va"))
+    // ADC score: Σ_s dot(query subvector, codebook[s][code_b[s]])
+    val adc = (0 until m).map(s =>
+      VectorFns.dot(slice(col("va"), s * sub + 1, sub),
+        element_at(element_at(cb, s + 1),
+          col("codes").getItem(s) + 1))).reduce(_ + _)
+    val wApprox = Window.partitionBy("a_id")
+      .orderBy(col("approx").desc, col("b_id").asc)
+    val wExact = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    queries
+      .join(codes, col("a_id") =!= col("b_id"))
+      .withColumn("approx", adc)
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rerank)
+      .join(vecs, Seq("b_id"))
+      .withColumn("cos_sim",
+        round(VectorFns.cosine(col("va"), col("vb")), 6))
+      .withColumn("rk", row_number().over(wExact).cast("int"))
+      .filter(col("rk") <= k)
+      .select("a_id", "b_id", "cos_sim", "rk")
+      .orderBy("a_id", "rk")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = pairs co-bucketed
     * in any table, ranked exactly within each query's candidate set.
     */

@@ -131,6 +131,11 @@ object LlmQueries {
       AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
         kmeansIters = 2)),
 
+    // Product quantization + ADC + exact re-rank (AnnSearchSpec pins
+    // recall vs brute force and the 64x code compression).
+    "q_ann_pq" -> ((s, d) =>
+      AnnSearch.pqTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
+
     // Hash-proof gate for the ANN machinery: per-query recall@5 of
     // the LSH and IVF paths against the exact brute-force top-5.
     // Everything here is DuckDB-reproducible — cosine is a sequential
