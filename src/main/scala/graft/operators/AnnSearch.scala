@@ -180,38 +180,56 @@ object AnnSearch {
   /** Product-quantization codebooks: the embedding splits into `m`
     * subspaces of `dim/m` dims; each subspace gets its own `k`-code
     * codebook — seeded with the k lowest-id subvectors, refined with
-    * `iters` L2-Lloyd iterations. Each iteration is the same
-    * distributed shape as [[refineCentroids]]: per-row assignment
-    * against broadcast centroids, position-wise mean via one
-    * posexplode + groupBy pass; only m·k·(dim/m) floats ever reach
-    * the driver. */
+    * `iters` L2-Lloyd iterations. ALL subspaces train together: the
+    * corpus explodes once to (vec, subspace, subvector) rows, each
+    * iteration is ONE assignment + position-wise-mean pass over that
+    * frame (two Spark jobs per iteration total, not two per
+    * subspace — the per-job overhead of m separate trainings
+    * dominated the first cut). Only m·k·(dim/m) floats reach the
+    * driver per iteration. */
   def pqTrain(e: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
               iters: Int = 2): Array[Array[Seq[Float]]] = {
     val sub = dim / m
-    (0 until m).map { s =>
-      val sv = e.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("sv"))
-      var cents: Array[Seq[Float]] = sv.filter(col("vec_id") < k)
-        .orderBy("vec_id").collect().map(_.getSeq[Float](1)).toArray
-      for (_ <- 0 until iters) {
-        val next = sv
-          .withColumn("cell", pqAssign(col("sv"), cents))
-          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos").agg(avg("v").as("m"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-            .as("pm"))
-          .select(col("cell"),
-            transform(col("pm"), x => x.getField("m").cast("float"))
-              .as("centroid"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Float](1))
-          .toMap
-        cents = cents.zipWithIndex.map { case (old, cid) =>
-          next.getOrElse(cid, old) }
-      }
-      cents
-    }.toArray
+    val subvecs = array((0 until m).map(s =>
+      slice(col("embedding"), s * sub + 1, sub)): _*)
+    val sv = e.select(col("vec_id"),
+      posexplode(subvecs).as(Seq("s", "sv")))
+    // one collect seeds every subspace: the k lowest-id subvectors
+    val seedRows = sv.filter(col("vec_id") < k)
+      .select("vec_id", "s", "sv").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    var books: Array[Array[Seq[Float]]] = Array.tabulate(m, k)(
+      (s, c) => seedRows((c.toLong, s)))
+    for (_ <- 0 until iters) {
+      // per-subspace argmin ‖v − c‖² chosen through one 3-d literal:
+      // score(s, c) = 2·sv·cb[s][c] − ‖cb[s][c]‖²
+      val cb = typedLit(books.map(_.toSeq).toSeq)
+      val c2 = typedLit(books.map(_.map(_.map(x =>
+        x.toDouble * x).sum).toSeq).toSeq)
+      val cell = array_max(array((0 until k).map { c =>
+        struct((lit(2.0) * VectorFns.dot(col("sv"),
+          element_at(element_at(cb, col("s") + 1), c + 1)) -
+          element_at(element_at(c2, col("s") + 1), c + 1)).as("score"),
+          lit(c).as("code"))
+      }: _*)).getField("code")
+      val next = sv
+        .withColumn("cell", cell)
+        .select(col("s"), col("cell"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "cell", "pos").agg(avg("v").as("m"))
+        .groupBy("s", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("s"), col("cell"),
+          transform(col("pm"), x => x.getField("m").cast("float"))
+            .as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2))
+        .toMap
+      books = Array.tabulate(m, k)((s, c) =>
+        next.getOrElse((s, c), books(s)(c)))
+    }
+    books
   }
 
   /** PQ-ADC approximate top-k: every corpus vector compresses to `m`

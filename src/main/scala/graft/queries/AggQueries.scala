@@ -242,6 +242,36 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Count-min sketch point-frequency estimates (Spark's built-in
+    // mergeable CMS aggregate, fixed seed): the sketch folds
+    // distributedly (partial merge per partition — the property that
+    // makes CMS usable over a 100 TB stream), only its eps-by-delta
+    // byte table reaches the driver, and 20 probe keys read their
+    // estimates against the exact counts. CMS guarantees
+    // est ≥ exact and (w.h.p.) est ≤ exact + eps·N — both surfaced
+    // as columns and hard-asserted in AggSketchSpec; no DuckDB
+    // equivalent exists, so the key is spec-pinned rows-only.
+    "q_agg_cms" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val bytes = li.select(
+        expr("count_min_sketch(l_orderkey, 0.001d, 0.99d, 42)").as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val est = (0L until 20L).map(k => (k, cms.estimateCount(k)))
+        .toDF("l_orderkey", "est_cnt")
+      val exact = li.filter(col("l_orderkey") < 20)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("l_orderkey"), "left")
+        .select(col("l_orderkey"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+          col("est_cnt"),
+          (col("est_cnt") >= coalesce(col("exact_cnt"), lit(0L)))
+            .as("never_undercounts"))
+        .orderBy("l_orderkey")
+    }),
+
     // ROLLUP over a join: the Dataset-API rollup trips Spark's
     // ambiguous-self-join check against the Expand's duplicated
     // grouping attributes when combined with grouping() + orderBy, so

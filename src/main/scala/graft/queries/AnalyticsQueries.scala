@@ -214,6 +214,26 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // SCD2 validity intervals from a changelog: each event's value
+    // holds until the user's next event — the slowly-changing-
+    // dimension reconstruction every warehouse needs when only a
+    // change stream is stored. One lead() window on a per-user total
+    // order; at scale this is one shuffle of the changelog, and the
+    // interval form is what makes point-in-time joins range-joinable
+    // ([[graft.operators.RangeJoin]]).
+    "q_events_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      withUs(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts_us"))
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select("user_id", "event_id", "value", "valid_from_us",
+          "valid_to_us", "is_current")
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
     // Corpus mixture report: the (lang, source) composition table a
     // training-mixture decision starts from — doc counts, token
     // totals, and each cell's share of corpus tokens. Group sizes
@@ -357,6 +377,14 @@ object AnalyticsQueries {
         |GROUP BY 1
         |ORDER BY n DESC, path
         |LIMIT 10""".stripMargin,
+    "q_events_scd2" ->
+      """SELECT user_id, event_id, value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+        |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q_corpus_mixture" ->
       """WITH per_doc AS (
         |  SELECT lang, source,

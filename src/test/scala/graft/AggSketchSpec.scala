@@ -69,4 +69,22 @@ class AggSketchSpec extends SparkSpec {
         s"median $m outside [$lo, $hi] for ${r.getAs[String]("l_returnflag")}")
     }
   }
+
+  test("count-min sketch: never undercounts, overcount within eps*N") {
+    val rows = SparkEntry.queries("q_agg_cms")(spark, dir).collect()
+    assert(rows.length == 20)
+    val n = Tables.lineitem(spark, dir).count()
+    val epsN = math.ceil(0.001 * n).toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt"))
+      assert(r.getAs[Boolean]("never_undercounts") && est >= exact,
+        s"CMS undercounted key ${r.getLong(0)}: $est < $exact")
+      assert(est <= exact + epsN,
+        s"key ${r.getLong(0)}: overcount $est > $exact + $epsN")
+    }
+    // fixed seed → deterministic estimates run-to-run
+    val again = SparkEntry.queries("q_agg_cms")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("est_cnt")).toSeq ==
+      again.map(_.getAs[Long]("est_cnt")).toSeq)
+  }
 }
