@@ -114,7 +114,21 @@ object PipelineQueries {
       graft.sources.TextSources.readJsonl(s)
         .filter(col("val") > 50.0)
         .select("id", "name", "val")
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // ORC round-trip against the CSV twin of the same logical rows
+    // (DuckDB has no ORC reader — the shared fixture is what makes
+    // the format gate-able; see TextSources.orcFixtureDir).
+    "q_source_orc" -> ((s, _) => {
+      graft.sources.TextSources.csvFixture // the oracle reads this twin
+      graft.sources.TextSources.readOrc(s)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_val"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("tag")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,6 +143,14 @@ object PipelineQueries {
       s"""SELECT id, name, val
         |FROM read_json('${System.getProperty("java.io.tmpdir")}/graft_source_fixture.jsonl',
         |  columns={'id':'BIGINT','name':'VARCHAR','val':'DOUBLE','tag':'VARCHAR'})
-        |WHERE val > 50.0 ORDER BY id""".stripMargin
+        |WHERE val > 50.0 ORDER BY id""".stripMargin,
+    "q_source_orc" ->
+      s"""SELECT tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_source_fixture.csv',
+        |  header=true,
+        |  columns={'id':'BIGINT','name':'VARCHAR','val':'DOUBLE','tag':'VARCHAR'})
+        |GROUP BY tag ORDER BY tag""".stripMargin
   )
 }

@@ -81,4 +81,29 @@ object TextSources {
 
   def readJsonl(spark: SparkSession): DataFrame =
     spark.read.schema(schema).json(jsonlFixture.getAbsolutePath)
+
+  /** ORC round-trip of the SAME logical rows: Spark writes the
+    * fixture rows as ORC once per JVM, reads them back through the
+    * native ORC source. The DuckDB oracle reads the CSV twin of the
+    * identical rows — so a green gate proves the ORC writer+reader
+    * preserve every value (DuckDB has no ORC reader; the shared
+    * logical fixture is what makes the format oracle-checkable
+    * anyway). */
+  def orcFixtureDir(spark: SparkSession): File = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_source_fixture_orc").toFile
+    if (!new File(dir, "_SUCCESS").exists()) {
+      val data = (0 until rows).map { i =>
+        val (id, n, v, t) = line(i)
+        (id, n, v.toDouble, t)
+      }
+      spark.createDataFrame(data).toDF("id", "name", "val", "tag")
+        .coalesce(1)
+        .write.mode("overwrite").orc(dir.getAbsolutePath)
+    }
+    dir
+  }
+
+  def readOrc(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).orc(orcFixtureDir(spark).getAbsolutePath)
 }
