@@ -104,7 +104,55 @@ object CurationQueries {
           Tables.documents(s, d).select("doc_id", "n_chars"),
           col("doc_id"), col("n_chars").cast("double"), k = 100)
         .select(col("doc_id"), col("n_chars"),
-          round(col("es_key"), 9).as("es_key")))
+          round(col("es_key"), 9).as("es_key"))),
+
+    // THE pipeline: every curation stage composed as ONE declarative
+    // plan — quality gate (per-language thresholds) → exact dedup
+    // (lowest id per identical text) → benchmark decontamination
+    // (5-gram screen) → mixture downsampling (md5 buckets) → per-
+    // language report. Catalyst sees the whole dataflow: the gate's
+    // per-row predicates push into the scan, dedup is one hash
+    // window, the gram screen is the bounded hashed join, sampling
+    // is a shuffle-free projection. This is the end-to-end shape a
+    // 100 TB curation run executes — and the whole composition is
+    // replayed by the DuckDB oracle.
+    "q_pipeline_curation" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val wsTok = graft.operators.TextAnalysis.wsTokenCount(col("text"))
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("double") / length(col("text")).cast("double")
+      // 1. quality gate on the training slice (zh is exempt from the
+      // alpha rule — a latin-alphabet ratio means nothing for CJK)
+      val quality = docs.filter(col("doc_id") < 450)
+        .filter(col("n_chars").between(100, 500) && wsTok >= 10 &&
+          (alpha >= 0.6 || col("lang") === "zh"))
+      // 2. exact dedup: canonical = lowest doc_id per identical text
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(xxhash64(col("text")))
+      val canonical = quality
+        .withColumn("min_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("min_id")).drop("min_id")
+      // 3. decontamination against the benchmark slice
+      def grams(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), explode(array_distinct(graft.operators.ApproxDedup
+          .shingleHashes64(col("text"), 5))).as("gram"))
+      val contaminated = grams(canonical)
+        .join(grams(docs.filter(col("doc_id") >= 450))
+          .select(col("gram")), "gram")
+        .select("doc_id").distinct()
+      val clean = canonical.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. mixture downsampling on portable md5 buckets
+      val rates = Seq(("en", 100), ("es", 50), ("de", 50),
+        ("fr", 25), ("zh", 25)).toDF("lang", "rate")
+      val mixed = Sampling.sampleByRates(clean, "doc_id", "lang", rates,
+        defaultRate = 25)
+      // 5. the report a training run starts from
+      mixed.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wsTok).cast("long").as("tokens"))
+        .orderBy("lang")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,6 +235,46 @@ object CurationQueries {
         |FROM u
         |ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
         |LIMIT 100""".stripMargin,
+    // Replays the full five-stage composition; gram windows mirror
+    // the engine's NgramHashes64 kernel (incl. the short-doc
+    // fallback), dedup groups by the text itself (hash-invariant).
+    "q_pipeline_curation" ->
+      """WITH quality AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id < 450
+        |    AND n_chars BETWEEN 100 AND 500
+        |    AND len(string_split(text, ' ')) >= 10
+        |    AND (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |              AS DOUBLE) / CAST(len(text) AS DOUBLE) >= 0.6
+        |         OR lang = 'zh')),
+        |canon AS (
+        |  SELECT * FROM quality
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 3, 2)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM canon)),
+        |bg AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 3, 2)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id >= 450)),
+        |clean AS (
+        |  SELECT * FROM canon
+        |  WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id
+        |                       FROM cg JOIN bg ON cg.gram = bg.gram)),
+        |mixed AS (
+        |  SELECT * FROM clean
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 100 <
+        |        CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
+        |                  WHEN 'de' THEN 50 ELSE 25 END)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM mixed GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_boilerplate" ->
       """SELECT gram, COUNT(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
