@@ -184,6 +184,18 @@ class PlanSpec extends SparkSpec {
       "correlated subqueries must not fall back to loop joins")
   }
 
+  test("q_pipeline_curation: gate predicates reach the scan; no loop " +
+      "joins anywhere in the five-stage plan") {
+    val f = formatted("q_pipeline_curation")
+    assert(f.contains("LessThan(doc_id,450)"),
+      "training-slice predicate must push into the documents scan")
+    assert(f.contains("GreaterThanOrEqual(n_chars,100)"),
+      "quality-gate range must push into the scan")
+    assert(!f.contains("BroadcastNestedLoopJoin") &&
+      !f.contains("CartesianProduct"),
+      "no stage may degenerate to a loop join")
+  }
+
   test("q_tpch_q1: single pass — one partial+final aggregate pair, " +
       "no second lineitem scan") {
     // Count detail-section headers "(n) Scan parquet" — the tree
