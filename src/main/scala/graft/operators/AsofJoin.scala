@@ -30,7 +30,21 @@ object AsofJoin {
     *                  output, null when no right row is at-or-before)
     */
   def leftAsof(left: DataFrame, right: DataFrame, key: String, time: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, time, rightCols, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row
+    * with `rightTime >= leftTime` — the "next quote / next reading"
+    * lookup. Same union-and-window shape scanned in descending time
+    * order (the running `last` then sees exactly the at-or-after
+    * right rows, closest first). */
+  def leftAsofForward(left: DataFrame, right: DataFrame, key: String,
+                      time: String, rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, time, rightCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       time: String, rightCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c).copy(name = c)))
@@ -63,8 +77,12 @@ object AsofJoin {
           .isOrderable(f.dataType)))
         Seq(col("__r").asc_nulls_first)
       else Seq.empty
+    // Forward flips only the time direction: right-before-left at
+    // equal times keeps the inclusive (>= / <=) semantics in both
+    // scans, and the __r tie-break convention is unchanged.
+    val timeOrd = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc +: col("__side").asc +: tieBreak: _*)
+      .orderBy(timeOrd +: col("__side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = tagged.withColumn("__r",
       last(col("__r"), ignoreNulls = true).over(w))

@@ -214,6 +214,33 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // Keyword extraction: top-3 terms per document by a TF-IDF-shaped
+    // score. The score is the RATIONAL surrogate tf·N/df (exact
+    // integer product, one double division) rather than tf·ln(N/df):
+    // log is monotone in N/df, so per-document rankings are identical
+    // for any fixed N — and the rational form hash-matches across
+    // engines where ln's libm ulps cannot (the q_text_diversity
+    // argument). Shape: explode → (doc,term) count → term df join →
+    // per-doc ranked window; the df table is vocabulary-sized.
+    "q_text_keywords" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") /
+            col("df").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("score"), 9).as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // SCD2 validity intervals from a changelog: each event's value
     // holds until the user's next event — the slowly-changing-
     // dimension reconstruction every warehouse needs when only a
@@ -377,6 +404,28 @@ object AnalyticsQueries {
         |GROUP BY 1
         |ORDER BY n DESC, path
         |LIMIT 10""".stripMargin,
+    "q_text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, ROUND(score, 9) AS score, rk
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_events_scd2" ->
       """SELECT user_id, event_id, value,
         |  epoch_us(ts) AS valid_from_us,

@@ -148,6 +148,26 @@ object WindowQueries {
         .orderBy("a_event_id")
     }),
 
+    // Forward as-of: each click enriched with the user's NEXT
+    // purchase at-or-after it (same descending-scan window; see
+    // [[graft.operators.AsofJoin.leftAsofForward]]).
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("a_event_id"))
+      val wDedup = Window.partitionBy("user_id", "ts_us").orderBy("event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("b_event_id"), col("value").as("b_value"))
+      graft.operators.AsofJoin
+        .leftAsofForward(clicks, purchases, "user_id", "ts_us",
+          Seq("b_event_id", "b_value"))
+        .orderBy("a_event_id")
+    }),
+
     // Gap-based sessionization: lag + cumulative-sum of new-session
     // flags — the classic two-window formulation.
     "q_events_sessionize" -> ((s, d) => {
@@ -264,6 +284,21 @@ object WindowQueries {
         |SELECT a.user_id, a.ts_us, a.a_event_id, b.b_event_id, b.b_value
         |FROM a ASOF LEFT JOIN b
         |  ON a.user_id = b.user_id AND a.ts_us >= b.ts_us
+        |ORDER BY a_event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT user_id, ts_us, event_id AS a_event_id
+        |      FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts_us, b_event_id, b_value FROM (
+        |        SELECT user_id, ts_us, event_id AS b_event_id,
+        |               value AS b_value,
+        |               row_number() OVER (PARTITION BY user_id, ts_us
+        |                                  ORDER BY event_id) AS rn
+        |        FROM e WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT a.user_id, a.ts_us, a.a_event_id, b.b_event_id, b.b_value
+        |FROM a ASOF LEFT JOIN b
+        |  ON a.user_id = b.user_id AND a.ts_us <= b.ts_us
         |ORDER BY a_event_id""".stripMargin,
     "q_events_sessionize" ->
       """SELECT user_id, event_id, ts_us,

@@ -52,6 +52,37 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: leftAsofForward equals brute force on 50 seeded " +
+      "random datasets") {
+    val rnd = new scala.util.Random(5678)
+    for (round <- 1 to 50) {
+      val nk = 1 + rnd.nextInt(4)
+      val left = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(100).toLong, s"L$round-$i")
+      }
+      val right = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
+        (rnd.nextInt(nk).toLong, rnd.nextInt(120).toLong, s"R$round-$i")
+      }
+      // forward: EARLIEST right at-or-after; (k,t) ties resolve to the
+      // greatest carried struct, same convention as backward
+      val expected = left.map { l =>
+        val after = right.filter(r => r._1 == l._1 && r._2 >= l._2)
+        l._3 -> (if (after.isEmpty) null
+                 else {
+                   val tMin = after.map(_._2).min
+                   after.filter(_._2 == tMin).maxBy(_._3)._3
+                 })
+      }.toMap
+      val got = AsofJoin.leftAsofForward(
+        left.toDF("k", "t", "a_tag"), right.toDF("k", "t", "b_tag"),
+        "k", "t", Seq("b_tag"))
+        .collect()
+        .map(r => r.getAs[String]("a_tag") -> r.getAs[String]("b_tag"))
+        .toMap
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("non-unique (key,time) right rows pick the same row under any " +
       "partitioning") {
     val left = Seq((1L, 100L, "a")).toDF("k", "t", "a_tag")
