@@ -64,8 +64,11 @@ object AnalyticsQueries {
     // map-side-combined pass), then flag events beyond 2σ. The z
     // computation is double math on identical exact-derived operands
     // with the identical expression tree in both engines
-    // (mean = Σ/n; var = Σ²/n − mean²). Per-user stats broadcast
-    // back against the log: one fact shuffle total.
+    // (mean = Σ/n; var = Σ²/n − mean²). The stats frame scales with
+    // |users|, so it carries NO broadcast hint — the planner
+    // broadcasts it while it fits (as here) and falls back to a
+    // shuffle join on user_id at the 100M-user scale where a forced
+    // broadcast would OOM the executors.
     "q_events_anomaly" -> ((s, d) => {
       val ev = withUs(Tables.events(s, d))
         .select("user_id", "event_id", "value", "ts_us")
@@ -80,7 +83,7 @@ object AnalyticsQueries {
         .withColumn("std",
           sqrt(col("meansq") - col("mean") * col("mean")))
         .filter(col("n") >= 30 && col("std") > 0)
-      ev.join(broadcast(stats), col("user_id") === col("su_id"))
+      ev.join(stats, col("user_id") === col("su_id"))
         .withColumn("z", (col("value") - col("mean")) / col("std"))
         .filter(abs(col("z")) > 2.0)
         .select(col("user_id"), col("event_id"), col("value"),
