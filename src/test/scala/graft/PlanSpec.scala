@@ -196,6 +196,20 @@ class PlanSpec extends SparkSpec {
       "no stage may degenerate to a loop join")
   }
 
+  test("q_events_anomaly: stats join carries no forced broadcast — " +
+      "AQE picks broadcast at runtime from the ACTUAL frame size") {
+    // The per-user stats frame scales with |users|: a broadcast()
+    // hint would pin an OOM at 100M users. Here AQE must convert the
+    // shuffle join to a broadcast join at runtime, because the
+    // materialized frame is actually small — the adaptive final plan
+    // shows the conversion the static plan can't promise.
+    val df = SparkEntry.queries("q_events_anomaly")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"expected AQE to broadcast the small stats side:\n$finalPlan")
+  }
+
   test("q_tpch_q1: single pass — one partial+final aggregate pair, " +
       "no second lineitem scan") {
     // Count detail-section headers "(n) Scan parquet" — the tree
