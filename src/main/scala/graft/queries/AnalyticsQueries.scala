@@ -217,6 +217,31 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // Fuzzy entity matching (block-then-verify): a deterministically
+    // corrupted copy of every customer name (last two chars
+    // digit-swapped) is matched back against the clean names —
+    // prefix blocking turns the all-pairs O(n²) into an equi-join on
+    // the block key, and the levenshtein verify runs only within
+    // blocks. Both engines implement the same classic DP, so the
+    // integer distances (and the match set) are exactly equal. At
+    // 100 TB this is the entity-resolution shape: candidate
+    // generation by equi-join on a blocking key, bounded verify.
+    "q_fuzzy_match" -> ((s, d) => {
+      val corrupt = (c: Column) => concat(substring(c, 1, 17),
+        translate(substring(c, 18, 1), "0123456789", "1032547698"))
+      val clean = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+      val dirty = Tables.customer(s, d)
+        .select(col("c_custkey").as("d_custkey"),
+          corrupt(col("c_name")).as("d_name"))
+      dirty.join(clean,
+          substring(col("d_name"), 1, 16) === substring(col("c_name"), 1, 16))
+        .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+        .filter(col("dist") <= 1)
+        .select("d_custkey", "c_custkey", "dist")
+        .orderBy("d_custkey", "c_custkey")
+    }),
+
     // Keyword extraction: top-3 terms per document by a TF-IDF-shaped
     // score. The score is the RATIONAL surrogate tf·N/df (exact
     // integer product, one double division) rather than tf·ln(N/df):
@@ -407,6 +432,21 @@ object AnalyticsQueries {
         |GROUP BY 1
         |ORDER BY n DESC, path
         |LIMIT 10""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH clean AS (
+        |  SELECT c_custkey, c_name FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS d_custkey,
+        |    substring(c_name, 1, 17) ||
+        |    translate(substring(c_name, 18, 1),
+        |              '0123456789', '1032547698') AS d_name
+        |  FROM customer)
+        |SELECT d_custkey, c_custkey,
+        |       levenshtein(d_name, c_name) AS dist
+        |FROM dirty JOIN clean
+        |  ON substring(d_name, 1, 16) = substring(c_name, 1, 16)
+        |WHERE levenshtein(d_name, c_name) <= 1
+        |ORDER BY d_custkey, c_custkey""".stripMargin,
     "q_text_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
