@@ -235,7 +235,7 @@ object AnalyticsQueries {
         .select(col("c_custkey").as("d_custkey"),
           corrupt(col("c_name")).as("d_name"))
       dirty.join(clean,
-          substring(col("d_name"), 1, 16) === substring(col("c_name"), 1, 16))
+          substring(col("d_name"), 1, 17) === substring(col("c_name"), 1, 17))
         .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
         .filter(col("dist") <= 1)
         .select("d_custkey", "c_custkey", "dist")
@@ -444,7 +444,7 @@ object AnalyticsQueries {
         |SELECT d_custkey, c_custkey,
         |       levenshtein(d_name, c_name) AS dist
         |FROM dirty JOIN clean
-        |  ON substring(d_name, 1, 16) = substring(c_name, 1, 16)
+        |  ON substring(d_name, 1, 17) = substring(c_name, 1, 17)
         |WHERE levenshtein(d_name, c_name) <= 1
         |ORDER BY d_custkey, c_custkey""".stripMargin,
     "q_text_keywords" ->
