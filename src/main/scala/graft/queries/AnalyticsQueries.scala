@@ -269,6 +269,53 @@ object AnalyticsQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // Markov transition matrix over event types: P(next | current)
+    // from one lead() pass — counts are exact longs, each probability
+    // is ONE double division, and the matrix is |types|² rows at any
+    // log size (the cumulative window runs over that tiny frame).
+    "q_events_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wCur = Window.partitionBy("cur")
+      withUs(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("next", lead(col("event_type"), 1).over(w))
+        .filter(col("next").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(wCur))
+        .select(col("cur"), col("next"), col("cnt"),
+          round(col("cnt").cast("double") / col("total").cast("double"), 9)
+            .as("prob"))
+        .orderBy("cur", "next")
+    }),
+
+    // Label-pair similarity matrix: mean cosine between embedding
+    // classes over the bounded id range (the brute-force-baseline
+    // convention of q_sim_topk). Per-pair cosines round to 6 decimals
+    // BEFORE the exact decimal sum, so the group means are
+    // order-independent and cross-engine identical (the q_agg_corr
+    // rule applied to float kernels). The symmetric cell key
+    // (least, greatest) folds both pair directions together.
+    "q_sim_matrix" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("la"),
+        col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("embedding").as("vb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos",
+          round(graft.functions.VectorFns.cosine(col("va"), col("vb")), 6))
+        .groupBy(least(col("la"), col("lb")).as("label_lo"),
+          greatest(col("la"), col("lb")).as("label_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("cos").cast(DecimalType(18, 12))).cast("double") /
+            count(lit(1))).as("mean_cos"))
+        .select(col("label_lo"), col("label_hi"), col("n_pairs"),
+          round(col("mean_cos"), 9).as("mean_cos"))
+        .orderBy("label_lo", "label_hi")
+    }),
+
     // SCD2 validity intervals from a changelog: each event's value
     // holds until the user's next event — the slowly-changing-
     // dimension reconstruction every warehouse needs when only a
@@ -469,6 +516,37 @@ object AnalyticsQueries {
         |SELECT doc_id, term, tf, df, ROUND(score, 9) AS score, rk
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+    "q_events_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next
+        |  FROM events),
+        |cnts AS (
+        |  SELECT cur, next, COUNT(*) AS cnt
+        |  FROM seq WHERE next IS NOT NULL GROUP BY cur, next)
+        |SELECT cur, next, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) /
+        |        CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE), 9)
+        |    AS prob
+        |FROM cnts
+        |ORDER BY cur, next""".stripMargin,
+    "q_sim_matrix" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT least(a.label, b.label) AS label_lo,
+        |         greatest(a.label, b.label) AS label_hi,
+        |    CAST(round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) *
+        |       sqrt(list_inner_product(b.v, b.v))), 6)
+        |      AS DECIMAL(18,12)) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT label_lo, label_hi, COUNT(*) AS n_pairs,
+        |  ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 9) AS mean_cos
+        |FROM pairs GROUP BY label_lo, label_hi
+        |ORDER BY label_lo, label_hi""".stripMargin,
     "q_events_scd2" ->
       """SELECT user_id, event_id, value,
         |  epoch_us(ts) AS valid_from_us,
