@@ -269,6 +269,56 @@ object AnalyticsQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // RFM segmentation: recency / frequency / monetary quintiles per
+    // user — the classic customer-value segmentation. Per-user
+    // aggregates are exact (max ts, count, decimal sum); the three
+    // ntile(5) windows order by exact values with user_id tiebreaks,
+    // so bucket edges are identical on any engine; the corpus-max
+    // reference time is a broadcast single row.
+    "q_events_rfm" -> ((s, d) => {
+      val ev = withUs(Tables.events(s, d))
+      val per = ev.groupBy("user_id")
+        .agg(max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("value"))).cast("double").as("monetary"))
+      val ref = ev.agg(max(col("ts_us")).as("ref_us"))
+      val rW = Window.orderBy(col("recency_us").asc, col("user_id").asc)
+      val fW = Window.orderBy(col("frequency").desc, col("user_id").asc)
+      val mW = Window.orderBy(col("monetary").desc, col("user_id").asc)
+      per.crossJoin(broadcast(ref))
+        .withColumn("recency_us", col("ref_us") - col("last_us"))
+        .withColumn("r_q", ntile(5).over(rW))
+        .withColumn("f_q", ntile(5).over(fW))
+        .withColumn("m_q", ntile(5).over(mW))
+        .select(col("user_id"), col("recency_us"), col("frequency"),
+          col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+          concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+        .orderBy("user_id")
+    }),
+
+    // Exponentially weighted moving average per user (α = 0.3):
+    // EMA is inherently recursive, so it runs as an in-order fold
+    // over each user's event-time-sorted value list — Spark's
+    // `aggregate` HOF seeded with x₀, DuckDB's `list_reduce` (which
+    // inits with the first element): the SAME left fold, hence
+    // bit-identical doubles. State per user is one list; at scale
+    // this shards by user like every sessionization — and a user's
+    // history must fit a task, the same precondition every
+    // collect_list-based operator documents.
+    "q_events_ema" -> ((s, d) => {
+      val ev = withUs(Tables.events(s, d))
+      ev.groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("value")))).as("h"))
+        .select(col("user_id"),
+          size(col("h")).cast("int").as("n_events"),
+          round(expr(
+            "aggregate(slice(transform(h, e -> e.value), 2, size(h) - 1)," +
+              " transform(h, e -> e.value)[0]," +
+              " (acc, x) -> 0.3D * x + 0.7D * acc)"), 9).as("ema"))
+        .orderBy("user_id")
+    }),
+
     // Markov transition matrix over event types: P(next | current)
     // from one lead() pass — counts are exact longs, each probability
     // is ONE double division, and the matrix is |types|² rows at any
@@ -516,6 +566,36 @@ object AnalyticsQueries {
         |SELECT doc_id, term, tf, df, ROUND(score, 9) AS score, rk
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+    "q_events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id),
+        |ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
+        |SELECT user_id, ref_us - last_us AS recency_us, frequency,
+        |  monetary,
+        |  ntile(5) OVER (ORDER BY ref_us - last_us, user_id) AS r_q,
+        |  ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+        |  ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+        |  CAST(ntile(5) OVER (ORDER BY ref_us - last_us, user_id)
+        |       AS VARCHAR) ||
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+        |       AS VARCHAR) ||
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+        |       AS VARCHAR) AS segment
+        |FROM per, ref
+        |ORDER BY user_id""".stripMargin,
+    "q_events_ema" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |    array_agg(value ORDER BY epoch_us(ts), event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+        |  ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 9)
+        |    AS ema
+        |FROM h
+        |ORDER BY user_id""".stripMargin,
     "q_events_markov" ->
       """WITH seq AS (
         |  SELECT event_type AS cur,
