@@ -269,6 +269,29 @@ object AnalyticsQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // Longest activity streak per user — the gaps-and-islands
+    // pattern: distinct active days, then `day − row_number()` is
+    // constant exactly within a run of consecutive days, so one
+    // groupBy on that island key measures every streak. Day numbers
+    // are integer µs-division (no timestamp/timezone surface at
+    // all); two narrow shuffles on user_id.
+    "q_events_streak" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day_no")
+      val days = withUs(Tables.events(s, d))
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day_no"))
+        .distinct()
+      val islands = days
+        .withColumn("island", col("day_no") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("streak"))
+      islands.groupBy("user_id")
+        .agg(sum(col("streak")).as("active_days"),
+          max(col("streak")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // RFM segmentation: recency / frequency / monetary quintiles per
     // user — the classic customer-value segmentation. Per-user
     // aggregates are exact (max ts, count, decimal sum); the three
@@ -566,6 +589,22 @@ object AnalyticsQueries {
         |SELECT doc_id, term, tf, df, ROUND(score, 9) AS score, rk
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+    "q_events_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_no
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id,
+        |    day_no - row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY day_no) AS island
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, island, COUNT(*) AS streak
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, CAST(SUM(streak) AS BIGINT) AS active_days,
+        |  MAX(streak) AS longest_streak, COUNT(*) AS n_streaks
+        |FROM streaks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_events_rfm" ->
       """WITH per AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
