@@ -34,6 +34,33 @@ object AnalyticsQueries {
   private def withUs(df: DataFrame): DataFrame =
     df.withColumn("ts_us", expr("ts div 1000"))
 
+  /** Exact 1-based global rank over a strict total order, computed
+    * WITHOUT a global single-task window: range-partition on the
+    * sort key (each partition owns a contiguous slice of the total
+    * order), count rows per partition, turn those counts into
+    * exclusive prefix offsets with a broadcast theta self-join over
+    * the #partitions-row counts frame (bounded by cluster config,
+    * never by data — and no unpartitioned WindowExec anywhere), and
+    * add each row's per-partition row_number to its partition's
+    * offset. Two narrow shuffles of the input frame; no task ever
+    * holds more than its range slice. `keys` must define a strict
+    * total order (callers tiebreak on a unique id).
+    */
+  private def globalRank(df: DataFrame, rankCol: String,
+      keys: Column*): DataFrame = {
+    val ranged = df.repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val cnts = ranged.groupBy("_pid").agg(count(lit(1)).as("_pc"))
+    val offs = cnts
+      .join(broadcast(cnts.select(col("_pid").as("_pid2"),
+        col("_pc").as("_pc2"))), col("_pid2") < col("_pid"), "left")
+      .groupBy("_pid").agg(coalesce(sum(col("_pc2")), lit(0L)).as("_off"))
+    val w = Window.partitionBy("_pid").orderBy(keys: _*)
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn(rankCol, col("_off") + row_number().over(w))
+      .drop("_pid", "_off")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DAU/MAU engagement: daily active users joined to their month's
     // active-user count; stickiness = dau/mau. Two count-distinct
@@ -294,10 +321,16 @@ object AnalyticsQueries {
 
     // RFM segmentation: recency / frequency / monetary quintiles per
     // user — the classic customer-value segmentation. Per-user
-    // aggregates are exact (max ts, count, decimal sum); the three
-    // ntile(5) windows order by exact values with user_id tiebreaks,
-    // so bucket edges are identical on any engine; the corpus-max
-    // reference time is a broadcast single row.
+    // aggregates are exact (max ts, count, decimal sum). Quintiles
+    // are NOT ntile() windows — a global ntile serializes every user
+    // through one task — but reproduce ntile's semantics exactly:
+    // each dimension's strict total order (value, user_id tiebreak)
+    // gets an exact DISTRIBUTED rank via [[globalRank]] (range
+    // shuffle + bounded per-partition offsets), then the closed form
+    // bucket(rank, n) = ntile's first-(n mod k)-buckets-get-one-extra
+    // rule assigns the quintile. Output is bit-identical to the
+    // ntile(5) oracle; no operator sees more than one partition's
+    // rows. The corpus-max reference time is a broadcast single row.
     "q_events_rfm" -> ((s, d) => {
       val ev = withUs(Tables.events(s, d))
       val per = ev.groupBy("user_id")
@@ -305,14 +338,26 @@ object AnalyticsQueries {
           count(lit(1)).as("frequency"),
           sum(dec(col("value"))).cast("double").as("monetary"))
       val ref = ev.agg(max(col("ts_us")).as("ref_us"))
-      val rW = Window.orderBy(col("recency_us").asc, col("user_id").asc)
-      val fW = Window.orderBy(col("frequency").desc, col("user_id").asc)
-      val mW = Window.orderBy(col("monetary").desc, col("user_id").asc)
-      per.crossJoin(broadcast(ref))
+      val base = per.crossJoin(broadcast(ref))
         .withColumn("recency_us", col("ref_us") - col("last_us"))
-        .withColumn("r_q", ntile(5).over(rW))
-        .withColumn("f_q", ntile(5).over(fW))
-        .withColumn("m_q", ntile(5).over(mW))
+      val nUsers = per.agg(count(lit(1)).as("_n"))
+      // ntile(k) from a 1-based exact rank: q = n div k buckets of
+      // size q+1 first (n mod k of them), size q after. Integer
+      // ceil((a)/(b)) = (a + b - 1) div b; IF short-circuits, so the
+      // q = 0 (n < k) case never evaluates the div-by-q branch.
+      val ntileOf = (rank: String) => expr(
+        s"CAST(IF($rank <= (_n % 5) * ((_n div 5) + 1), " +
+          s"($rank + (_n div 5)) div ((_n div 5) + 1), " +
+          s"(_n % 5) + ($rank - (_n % 5) * ((_n div 5) + 1) + " +
+          s"(_n div 5) - 1) div (_n div 5)) AS INT)")
+      val ranked = globalRank(globalRank(globalRank(base,
+        "r_rank", col("recency_us").asc, col("user_id").asc),
+        "f_rank", col("frequency").desc, col("user_id").asc),
+        "m_rank", col("monetary").desc, col("user_id").asc)
+      ranked.crossJoin(broadcast(nUsers))
+        .withColumn("r_q", ntileOf("r_rank"))
+        .withColumn("f_q", ntileOf("f_rank"))
+        .withColumn("m_q", ntileOf("m_rank"))
         .select(col("user_id"), col("recency_us"), col("frequency"),
           col("monetary"), col("r_q"), col("f_q"), col("m_q"),
           concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
