@@ -130,13 +130,16 @@ object AnnSearch {
               nCentroids: Int = 8, nProbe: Int = 2,
               kmeansIters: Int = 0): DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
-    // deterministic coarse quantizer seed: the nCentroids lowest-id
-    // vectors, Lloyd-refined if asked
+    // deterministic coarse quantizer seed: the nCentroids lowest ids
+    // ACTUALLY PRESENT (a TakeOrdered pull, so id gaps or non-zero-
+    // based corpora seed fine), renumbered 0..n-1 by rank;
+    // Lloyd-refined if asked
     val seed: Array[(Int, Seq[Float])] = e
-      .filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id").asc).limit(nCentroids)
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
     val centroids = refineCentroids(e, seed, kmeansIters)
     def cellSims(vec: Column): Column = cellSimsFor(centroids)(vec)
     // assignment: argmax similarity over the broadcast centroid array
@@ -194,12 +197,19 @@ object AnnSearch {
       slice(col("embedding"), s * sub + 1, sub)): _*)
     val sv = e.select(col("vec_id"),
       posexplode(subvecs).as(Seq("s", "sv")))
-    // one collect seeds every subspace: the k lowest-id subvectors
-    val seedRows = sv.filter(col("vec_id") < k)
+    // one collect seeds every subspace: the subvectors of the k
+    // lowest ids ACTUALLY PRESENT (broadcast TakeOrdered semi-join —
+    // id gaps or non-zero-based corpora seed fine), code c taking
+    // the rank-c id's subvector
+    val seedIds = e.select(col("vec_id"))
+      .orderBy(col("vec_id").asc).limit(k)
+    val seedRows = sv.join(broadcast(seedIds), "vec_id")
       .select("vec_id", "s", "sv").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val rankedIds = seedRows.keys.map(_._1).toArray.distinct.sorted
+    require(rankedIds.nonEmpty, "pqTrain: empty corpus")
     var books: Array[Array[Seq[Float]]] = Array.tabulate(m, k)(
-      (s, c) => seedRows((c.toLong, s)))
+      (s, c) => seedRows((rankedIds(c % rankedIds.length), s)))
     for (_ <- 0 until iters) {
       // per-subspace argmin ‖v − c‖² chosen through one 3-d literal:
       // score(s, c) = 2·sv·cb[s][c] − ‖cb[s][c]‖²

@@ -203,11 +203,73 @@ class PlanSpec extends SparkSpec {
     // shuffle join to a broadcast join at runtime, because the
     // materialized frame is actually small — the adaptive final plan
     // shows the conversion the static plan can't promise.
+    // The action must run on THIS DataFrame's QueryExecution —
+    // df.write builds a separate one, leaving df's plan un-executed
+    // and the assertion reading static planning, not the runtime
+    // conversion. collect() executes df's own adaptive plan;
+    // isFinalPlan=true proves AQE finished re-planning before we
+    // read the join strategy out of it.
     val df = SparkEntry.queries("q_events_anomaly")(spark, dir)
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"),
+      s"adaptive plan must have finalized:\n$finalPlan")
     assert(finalPlan.contains("BroadcastHashJoin"),
       s"expected AQE to broadcast the small stats side:\n$finalPlan")
+  }
+
+  test("registry-wide: no unpartitioned window operator outside the " +
+      "allow-list") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // A window with no partition spec moves EVERY row to one task —
+    // the one plan shape that cannot survive a 100× scale-up (the
+    // r5 q_events_rfm defect class). Allow-list entries require a
+    // boundedness justification: the operator's INPUT must be
+    // provably O(config) or O(small-distinct), never O(data).
+    val allowed = Map(
+      "q_skew_report" -> ("counts-of-counts histogram: the window's " +
+        "input is one row per DISTINCT per-key multiplicity — tens " +
+        "of rows at any fact-table size"))
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def unpartitioned(q: String): Seq[String] =
+      flatten(plan(q)).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+    val offenders = for {
+      q <- SparkEntry.queries.keys.toSeq.sorted
+      if !allowed.contains(q)
+      node <- unpartitioned(q)
+    } yield s"$q ($node)"
+    assert(offenders.isEmpty,
+      s"unpartitioned window operators outside the allow-list:\n  " +
+        offenders.mkString("\n  "))
+    // Allow-list accuracy: a listed query that no longer has the
+    // window must be removed, so the list can't rot into a blanket
+    // exemption.
+    for ((q, why) <- allowed)
+      assert(unpartitioned(q).nonEmpty,
+        s"$q no longer contains an unpartitioned window — drop it " +
+          s"from the allow-list (was justified as: $why)")
+  }
+
+  test("q_events_rfm: quintile ranks come from partitioned windows " +
+      "over range slices, never a global ntile") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val f = formatted("q_events_rfm")
+    assert(!f.contains("ntile"),
+      "rfm must not plan a global ntile — quintiles come from the " +
+        "closed-form bucket over a distributed rank")
+    assert(f.contains("row_number"),
+      "expected per-range-slice row_number ranks in the plan")
   }
 
   test("q_tpch_q1: single pass — one partial+final aggregate pair, " +

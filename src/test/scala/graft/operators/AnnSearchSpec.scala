@@ -113,6 +113,23 @@ class AnnSearchSpec extends SparkSpec {
     assert(r1.zip(seed).exists { case ((_, a), (_, b)) => a != b })
   }
 
+  test("seeding tolerates id gaps and non-zero-based corpora") {
+    import org.apache.spark.sql.functions._
+    // drop every third id and shift the rest up by 1000: the old
+    // vec_id < k seed would find nothing and throw; rank-based
+    // seeding must train and search fine
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 3 =!= 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000L))
+    val books = AnnSearch.pqTrain(e, m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    val ivf = AnnSearch.ivfTopK(e, k = 5, maxId = 1100,
+      nCentroids = 8, nProbe = 2).collect()
+    assert(ivf.nonEmpty, "IVF over a gapped, shifted corpus must return rows")
+    val pq = AnnSearch.pqTopK(e, k = 5, maxId = 1100).collect()
+    assert(pq.nonEmpty, "PQ over a gapped, shifted corpus must return rows")
+  }
+
   test("bucketing is deterministic across invocations") {
     val e = Tables.embeddings(spark, dir)
     val b1 = AnnSearch.bucketed(e).collect()
