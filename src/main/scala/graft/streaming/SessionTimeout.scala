@@ -34,22 +34,69 @@ class SessionTimeoutProcessor(gapMs: Long)
     sess = getHandle.getValueState[(Long, Long, Long)]("sess",
       Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
 
+  /** Folds the batch's rows in EVENT-TIME order and closes sessions
+    * inline whenever a gap exceeds `gapMs` — output is a function of
+    * the event times alone, never of microbatch boundaries or arrival
+    * order. (The previous cut merged any event into the open session
+    * if it arrived before the watermark passed the pending timer: a
+    * next-batch event with gap > gapMs produced ONE merged session
+    * where a batch replay produces two.) The timer remains solely the
+    * no-further-data close; every has-more-data close happens here.
+    */
   override def handleInputRows(user: Long,
                                rows: Iterator[(Long, java.sql.Timestamp)],
                                timerValues: TimerValues)
       : Iterator[TimedOutSession] = {
+    val evs = rows.map(_._2.getTime).toArray.sorted
+    if (evs.isEmpty) return Iterator.empty
     var (start, last, n) =
       if (sess.exists()) sess.get() else (Long.MaxValue, Long.MinValue, 0L)
     val prevTimer = if (n > 0) Some(last + gapMs) else None
-    rows.foreach { case (_, ts) =>
-      val ms = ts.getTime
-      start = math.min(start, ms); last = math.max(last, ms); n += 1
+    val out = scala.collection.mutable.ListBuffer.empty[TimedOutSession]
+    var i = 0
+    if (n == 0) { start = evs(0); last = evs(0); n = 1; i = 1 }
+    else {
+      // Events OLDER than the open session (possible under a lateness
+      // allowance): chain backward while each bridges the gap to the
+      // session start; what can't chain is a detached earlier cluster
+      // that gap-splits among itself and emits now — those sessions
+      // can never grow again (anything older still is sub-watermark).
+      val nBefore = evs.indexWhere(_ >= start) match {
+        case -1 => evs.length
+        case x => x
+      }
+      var bi = nBefore - 1
+      while (bi >= 0 && start - evs(bi) <= gapMs) {
+        start = evs(bi); n += 1; bi -= 1
+      }
+      if (bi >= 0) {
+        var (s0, l0, c0) = (evs(0), evs(0), 1L)
+        for (j <- 1 to bi) {
+          if (evs(j) - l0 > gapMs) {
+            out += TimedOutSession(user, s0, l0, c0)
+            s0 = evs(j); c0 = 0L
+          }
+          l0 = evs(j); c0 += 1
+        }
+        out += TimedOutSession(user, s0, l0, c0)
+      }
+      i = nBefore
+    }
+    while (i < evs.length) {
+      val ms = evs(i)
+      if (ms - last > gapMs) {
+        out += TimedOutSession(user, start, last, n)
+        start = ms; n = 0L
+      }
+      if (ms > last) last = ms
+      n += 1
+      i += 1
     }
     sess.update((start, last, n))
     // re-arm: one live timer per key
     prevTimer.foreach(getHandle.deleteTimer)
     getHandle.registerTimer(last + gapMs)
-    Iterator.empty
+    out.iterator
   }
 
   override def handleExpiredTimer(user: Long, timerValues: TimerValues,
