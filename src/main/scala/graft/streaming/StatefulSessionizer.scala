@@ -26,6 +26,16 @@ case class SessState(n: Long, start: Long, last: Long)
   * the state store shards with the shuffle, expires via processing-
   * time timeout, and holds O(active users), not O(events): the shape
   * that stays bounded on an unbounded stream.
+  *
+  * 100 TB state hygiene: with hundreds of millions of live users the
+  * state must not sit on the JVM heap (the default HDFS-backed
+  * provider keeps its working map in memory). Production config —
+  * verified green in StatefulSessionizerSpec:
+  * `spark.sql.streaming.stateStore.providerClass =
+  * ...state.RocksDBStateStoreProvider` (off-heap, local-disk-backed)
+  * plus `...rocksdb.changelogCheckpointing.enabled = true` so each
+  * commit uploads the batch's delta instead of re-snapshotting the
+  * full store.
   */
 object StatefulSessionizer {
   /** Sessionize: emits a ClosedSession whenever a user's gap exceeds

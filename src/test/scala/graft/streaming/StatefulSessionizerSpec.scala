@@ -32,6 +32,56 @@ class StatefulSessionizerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap close-out runs green on the RocksDB state store " +
+      "(the 100 TB state-hygiene config)") {
+    // At scale the per-user session state must NOT live on the JVM
+    // heap: the RocksDB provider keeps state off-heap and spills to
+    // local disk, and changelog checkpointing makes per-batch commits
+    // incremental (upload the delta, not the full store). This runs
+    // the exact S6 scenario under that production config.
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevClog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val ms = MemoryStream[SessEvent](spark)
+      val q = StatefulSessionizer.sessions(ms.toDS(),
+          gapMs = 30 * 60 * 1000L,
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout
+            .NoTimeout())
+        .writeStream.format("memory").queryName("fmgs_rocks")
+        .outputMode("append").start()
+      try {
+        ms.addData(SessEvent(1, 1, ts(0)), SessEvent(1, 2, ts(10)),
+          SessEvent(2, 3, ts(5)))
+        q.processAllAvailable()
+        assert(spark.table("fmgs_rocks").count() == 0)
+        ms.addData(SessEvent(1, 4, ts(130)))
+        q.processAllAvailable()
+        val closed = spark.table("fmgs_rocks").as[ClosedSession].collect()
+        assert(closed.toSeq == Seq(ClosedSession(1, 2, ts(0), ts(10))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      prevClog match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
+
   test("batch adapter agrees with the window-based sessionizer") {
     val d = "/root/testdata/sf0.001"
     val events = Tables.events(spark, d)
