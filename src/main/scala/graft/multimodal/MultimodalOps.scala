@@ -43,33 +43,44 @@ case class Frame(media_id: Long, frame_idx: Int, offsetMs: Long,
   * The audio path is REAL too: payloads are genuine PCM-16 WAV files
   * (written and parsed with `javax.sound.sampled` — also in the JDK),
   * so [[decodeAudio]] reads actual samples through a real container
-  * parser, losslessly. Only VIDEO remains a clearly marked
-  * deterministic STUB ([[decodeStub]]): no video codec ships in the
-  * JDK or this container; a real deployment swaps in ffmpeg behind
-  * the same signature.
+  * parser, losslessly. The VIDEO path is a REAL container parse as
+  * well: payloads are Y4M (YUV4MPEG2) streams — the standard
+  * uncompressed interchange container (ffmpeg/mplayer's
+  * `yuv4mpegpipe`) — [[encodeY4m]] writes the stream header + FRAME
+  * sections and [[decodeY4m]] demuxes them back to luma planes,
+  * handling Cmono/C420/C422/C444 subsampling. COMPRESSED codecs
+  * (H.264 & co.) are descoped: no codec ships in the JDK or this
+  * container; a real deployment puts ffmpeg behind these same
+  * signatures and batch shapes.
   */
 object MultimodalOps {
   // Never spill codec scratch to executor-local tmp files: decode
   // entirely from/to heap buffers.
   ImageIO.setUseCache(false)
 
-  /** Deterministic grayscale test pattern for `media_id`: pixel
-    * (x, y) = (id*131 + y*31 + x*7) mod 251 — seeded arithmetic so
-    * every run and executor encodes the identical image. */
-  private def syntheticImage(id: Long, w: Int, h: Int): BufferedImage = {
+  /** Luma plane → JDK grayscale image (shared by the image synth and
+    * the video frame-sampler's PNG re-encode). */
+  def lumaToImage(plane: Array[Int], w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) {
-        raster.setSample(x, y, 0, ((id * 131 + y * 31 + x * 7) % 251).toInt)
-        x += 1
-      }
+      while (x < w) { raster.setSample(x, y, 0, plane(y * w + x)); x += 1 }
       y += 1
     }
     img
   }
+
+  /** Deterministic grayscale test pattern for (`media_id`, frame):
+    * pixel (x, y) = (id*131 + f*17 + y*31 + x*7) mod 251 — seeded
+    * arithmetic so every run and executor encodes identical bytes. */
+  def syntheticLuma(id: Long, f: Int, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i =>
+      ((id * 131 + f * 17 + (i / w) * 31 + (i % w) * 7) % 251).toInt)
+
+  private def syntheticImage(id: Long, w: Int, h: Int): BufferedImage =
+    lumaToImage(syntheticLuma(id, 0, w, h), w, h)
 
   /** PNG-encode via the JDK's ImageIO writer (lossless; the decoded
     * plane round-trips exactly, which the spec pins). */
@@ -108,10 +119,89 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** A demuxed Y4M stream: geometry, frame rate, and one luma plane
+    * per frame. */
+  case class Y4mClip(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                     frames: Seq[Array[Int]]) {
+    def frameMs: Long = 1000L * fpsDen / fpsNum
+  }
+
+  /** REAL Y4M (YUV4MPEG2) encode: ASCII stream header
+    * (`YUV4MPEG2 W.. H.. F..:.. Ip A1:1 Cmono`) followed by one
+    * `FRAME` section per frame carrying the raw luma plane. Cmono
+    * keeps the payload chroma-free — the same single-plane convention
+    * as the grayscale PNG path. */
+  def encodeY4m(frames: Seq[Array[Int]], w: Int, h: Int,
+                fpsNum: Int = 1, fpsDen: Int = 1): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    frames.foreach { f =>
+      require(f.length == w * h, s"frame plane ${f.length} != ${w * h}")
+      bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var i = 0
+      while (i < f.length) { bos.write(f(i) & 0xff); i += 1 }
+    }
+    bos.toByteArray
+  }
+
+  /** REAL Y4M demux: parses the stream-header tokens (W/H/F/C; I/A/X
+    * params don't affect demux), walks the FRAME sections, and
+    * extracts each frame's luma plane — skipping chroma for C420/
+    * C422/C444 streams, so foreign (ffmpeg-written) files demux too.
+    * Strict about magics and truncation: a corrupt stream fails
+    * loudly, never silently yields partial frames. */
+  def decodeY4m(content: Array[Byte]): Y4mClip = {
+    val nl = content.indexOf('\n'.toByte)
+    require(nl > 0, "missing Y4M stream header")
+    val header = new String(content, 0, nl,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val toks = header.split(' ')
+    require(toks(0) == "YUV4MPEG2", s"not a Y4M stream: ${toks(0)}")
+    var (w, h, fn, fd, cs) = (-1, -1, 25, 1, "C420")
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val p = t.substring(1).split(':')
+          fn = p(0).toInt; fd = p(1).toInt
+        case 'C' => cs = t
+        case _ => () // interlacing/aspect/extensions: demux-neutral
+      }
+    }
+    require(w > 0 && h > 0, s"Y4M header missing geometry: $header")
+    require(fn > 0 && fd > 0, s"Y4M header has invalid frame rate: $header")
+    val lumaLen = w * h
+    val chromaLen =
+      if (cs == "Cmono") 0
+      else if (cs.startsWith("C420")) (w / 2) * (h / 2) * 2
+      else if (cs.startsWith("C422")) (w / 2) * h * 2
+      else if (cs.startsWith("C444")) w * h * 2
+      else throw new IllegalArgumentException(s"unsupported colourspace $cs")
+    val frames = Seq.newBuilder[Array[Int]]
+    var pos = nl + 1
+    while (pos < content.length) {
+      val eol = content.indexOf('\n'.toByte, pos)
+      require(eol >= pos, "truncated FRAME header")
+      val marker = new String(content, pos, eol - pos,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(marker.startsWith("FRAME"),
+        s"expected FRAME marker, got: $marker")
+      val p = eol + 1
+      require(p + lumaLen + chromaLen <= content.length,
+        "truncated frame payload")
+      frames += Array.tabulate(lumaLen)(i =>
+        java.lang.Byte.toUnsignedInt(content(p + i)))
+      pos = p + lumaLen + chromaLen
+    }
+    Y4mClip(w, h, fn, fd, frames.result())
+  }
+
   /** Deterministic synthetic corpus: image rows carry REAL PNG bytes
     * of a seeded test pattern; audio rows carry REAL PCM-16 WAV
-    * files of a seeded waveform; only video payloads are seeded
-    * opaque bytes (no JDK video codec exists to produce real ones).
+    * files of a seeded waveform; video rows carry REAL Y4M streams
+    * of seeded per-frame luma planes at 1 fps.
     */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -131,10 +221,11 @@ object MultimodalOps {
           MediaRecord(id, kind, encodeWav(syntheticSamples(id, n)),
             MediaMeta("wav", 0, 0, durMs))
         case _ =>
-          val len = 256 + (id % 7).toInt * 64
-          val bytes =
-            Array.tabulate(len)(i => ((id * 131 + i * 31) % 251).toByte)
-          MediaRecord(id, kind, bytes, MediaMeta("mp4", 64, 48, 2000L + id % 8000))
+          val (w, h) = (64, 48)
+          val nFrames = 2 + (id % 7).toInt
+          val frames = (0 until nFrames).map(f => syntheticLuma(id, f, w, h))
+          MediaRecord(id, kind, encodeY4m(frames, w, h),
+            MediaMeta("y4m", w, h, nFrames * 1000L))
       }
     }
   }
@@ -199,17 +290,17 @@ object MultimodalOps {
     } finally in.close()
   }
 
-  /** STUB decode for video — ??? a real deployment calls a video
-    * codec (ffmpeg via FFI) here; none ships in the JDK or this
-    * container, so it derives a deterministic fake sample plane from
-    * the payload bytes. Signature and batch shape are the real
-    * contract. */
-  def decodeStub(content: Array[Byte], meta: MediaMeta): Array[Int] = {
-    val w = math.max(meta.width, 1)
-    val h = math.max(meta.height, 1)
-    Array.tabulate(math.min(w * h, 4096)) { i =>
-      java.lang.Byte.toUnsignedInt(content(i % content.length))
+  /** REAL video decode: [[decodeY4m]] demuxes the container; the
+    * feature plane is every frame's luma samples concatenated, so
+    * the histogram covers the whole clip. */
+  def decodeVideo(content: Array[Byte]): Array[Int] = {
+    val clip = decodeY4m(content)
+    val out = new Array[Int](clip.frames.map(_.length).sum)
+    var off = 0
+    clip.frames.foreach { f =>
+      System.arraycopy(f, 0, out, off, f.length); off += f.length
     }
+    out
   }
 
   /** Feature extraction: batched mapPartitions — codec state is
@@ -226,7 +317,7 @@ object MultimodalOps {
         val plane = r.kind match {
           case "image" => decodeImage(r.content)
           case "audio" => decodeAudio(r.content)
-          case _ => decodeStub(r.content, r.meta)
+          case _ => decodeVideo(r.content)
         }
         val hist = new Array[Float](16)
         var i = 0
@@ -270,19 +361,22 @@ object MultimodalOps {
     }
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame
-    * every `everyMs` of duration; frame bytes are a deterministic
-    * slice (stub for a real demuxer). flatMap keeps it narrow — one
-    * task explodes its own videos, no shuffle. */
+  /** Frame sampling for video rows: REAL demux — [[decodeY4m]] walks
+    * the FRAME sections, one output row per sampled frame (every
+    * `everyMs` of stream time, from the header's frame rate), each
+    * re-encoded as a standalone PNG through the shipped ImageIO path
+    * so downstream image operators consume frames directly. flatMap
+    * keeps it narrow — one task explodes its own videos, no shuffle.
+    */
   def sampleFrames(media: Dataset[MediaRecord],
                    everyMs: Long = 1000): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val nFrames = math.max((r.meta.durationMs / everyMs).toInt, 1)
-      (0 until nFrames).map { f =>
-        val start = (f * r.content.length / nFrames)
-        val end = ((f + 1) * r.content.length / nFrames)
-        Frame(r.media_id, f, f * everyMs, r.content.slice(start, end))
+      val clip = decodeY4m(r.content)
+      val stride = math.max((everyMs / clip.frameMs).toInt, 1)
+      Range(0, clip.frames.length, stride).map { fi =>
+        Frame(r.media_id, fi, fi * clip.frameMs,
+          encodePng(lumaToImage(clip.frames(fi), clip.width, clip.height)))
       }
     }
   }

@@ -115,16 +115,63 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling yields duration-proportional frames, concat preserves bytes") {
+  test("video payloads are real Y4M streams; a golden clip demuxes to " +
+      "pinned frame hashes") {
+    def md5(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    // golden clip: id=7, 8x4, 3 frames at 2 fps — byte layout and
+    // hashes pinned against an independent reference construction
+    val frames = (0 until 3).map(f => MultimodalOps.syntheticLuma(7L, f, 8, 4))
+    val clip = MultimodalOps.encodeY4m(frames, 8, 4, fpsNum = 2)
+    assert(new String(clip.take(9), "US-ASCII") == "YUV4MPEG2",
+      "stream must open with the YUV4MPEG2 magic")
+    assert(md5(clip) == "c32ca85761a041fe86ae77011975e645",
+      "golden clip bytes drifted")
+    val dec = MultimodalOps.decodeY4m(clip)
+    assert(dec.width == 8 && dec.height == 4 &&
+      dec.fpsNum == 2 && dec.fpsDen == 1 && dec.frameMs == 500L)
+    val expected = Seq("2aa28035c97b5cc24d286b19bc93e3d9",
+      "3c24a979feb3f0c834b8056818c14966",
+      "27f7643af8981462ba7fdbff46ec492c")
+    assert(dec.frames.map(f => md5(f.map(_.toByte))) == expected,
+      "demuxed luma planes must hash to the pinned values")
+    dec.frames.zip(frames).foreach { case (a, b) =>
+      assert(a.sameElements(b), "lossless luma round-trip")
+    }
+    // C420 streams (ffmpeg's default) demux too: luma extracted,
+    // chroma skipped
+    val lumaLen = 8 * 4
+    val chroma = Array.fill((8 / 2) * (4 / 2) * 2)(128.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    bos.write("FRAME\n".getBytes("US-ASCII"))
+    frames.head.foreach(v => bos.write(v & 0xff))
+    bos.write(chroma)
+    val dec420 = MultimodalOps.decodeY4m(bos.toByteArray)
+    assert(dec420.frames.length == 1 &&
+      dec420.frames.head.sameElements(frames.head),
+      "C420 luma must extract with chroma skipped")
+  }
+
+  test("frame sampling demuxes real frames; each is a decodable PNG " +
+      "of the source luma") {
     val corpus = MultimodalOps.syntheticCorpus(spark, 30)
     val frames = MultimodalOps.sampleFrames(corpus, everyMs = 1000).collect()
     val videos = corpus.filter(col("kind") === "video").collect()
     val byId = frames.groupBy(_.media_id)
     videos.foreach { v =>
       val fs = byId(v.media_id).sortBy(_.frame_idx)
-      assert(fs.length == math.max((v.meta.durationMs / 1000).toInt, 1))
-      assert(fs.flatMap(_.frame_bytes).sameElements(v.content),
-        "frame slices must tile the payload")
+      // 1 fps synthetic clips sampled at 1000ms: every frame
+      assert(fs.length == (v.meta.durationMs / 1000L).toInt)
+      fs.foreach { fr =>
+        val px = MultimodalOps.decodeImage(fr.frame_bytes)
+        assert(px.sameElements(MultimodalOps.syntheticLuma(
+          v.media_id, fr.frame_idx, v.meta.width, v.meta.height)),
+          s"frame ${fr.frame_idx} of ${v.media_id} must decode to the " +
+            "source luma plane")
+        assert(fr.offsetMs == fr.frame_idx * 1000L)
+      }
     }
   }
 
