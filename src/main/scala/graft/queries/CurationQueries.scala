@@ -117,43 +117,68 @@ object CurationQueries {
     // 100 TB curation run executes — and the whole composition is
     // replayed by the DuckDB oracle.
     "q_pipeline_curation" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
       val wsTok = graft.operators.TextAnalysis.wsTokenCount(col("text"))
-      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-        .cast("double") / length(col("text")).cast("double")
-      // 1. quality gate on the training slice (zh is exempt from the
-      // alpha rule — a latin-alphabet ratio means nothing for CJK)
-      val quality = docs.filter(col("doc_id") < 450)
-        .filter(col("n_chars").between(100, 500) && wsTok >= 10 &&
-          (alpha >= 0.6 || col("lang") === "zh"))
-      // 2. exact dedup: canonical = lowest doc_id per identical text
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(xxhash64(col("text")))
-      val canonical = quality
-        .withColumn("min_id", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("min_id")).drop("min_id")
-      // 3. decontamination against the benchmark slice
-      def grams(df: org.apache.spark.sql.DataFrame) = df.select(
-        col("doc_id"), explode(array_distinct(graft.operators.ApproxDedup
-          .shingleHashes64(col("text"), 5))).as("gram"))
-      val contaminated = grams(canonical)
-        .join(grams(docs.filter(col("doc_id") >= 450))
-          .select(col("gram")), "gram")
-        .select("doc_id").distinct()
-      val clean = canonical.join(contaminated, Seq("doc_id"), "left_anti")
-      // 4. mixture downsampling on portable md5 buckets
-      val rates = Seq(("en", 100), ("es", 50), ("de", 50),
-        ("fr", 25), ("zh", 25)).toDF("lang", "rate")
-      val mixed = Sampling.sampleByRates(clean, "doc_id", "lang", rates,
-        defaultRate = 25)
       // 5. the report a training run starts from
-      mixed.groupBy("lang")
+      curatedDocs(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(wsTok).cast("long").as("tokens"))
         .orderBy("lang")
+    }),
+
+    // The pipeline's SINK: the curated set lands as a doc_id-bucketed,
+    // within-bucket-sorted table ([[graft.sinks.CuratedCorpusSink]]),
+    // then reads BACK from that layout — so the round trip through
+    // the bucketed files is itself oracle-gated, and every downstream
+    // join on doc_id scans it with no Exchange (CuratedCorpusSinkSpec
+    // pins the consumer plan).
+    "q_pipeline_curation_sink" -> ((s, d) => {
+      import graft.sinks.CuratedCorpusSink
+      CuratedCorpusSink.write(
+          curatedDocs(s, d).select("doc_id", "lang", "n_chars"),
+          table = "graft_curated_corpus", buckets = 16)
+        .orderBy("doc_id")
     })
   )
+
+  /** Stages 1–4 of the curation pipeline — quality gate → exact
+    * dedup → decontamination → mixture downsampling — as ONE
+    * declarative frame: Catalyst sees the whole dataflow (gate
+    * predicates push into the scan, dedup is one hash window, the
+    * gram screen is the bounded hashed join, sampling is a
+    * shuffle-free projection). Shared by the report query and the
+    * bucketed sink. */
+  def curatedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val wsTok = graft.operators.TextAnalysis.wsTokenCount(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text")).cast("double")
+    // 1. quality gate on the training slice (zh is exempt from the
+    // alpha rule — a latin-alphabet ratio means nothing for CJK)
+    val quality = docs.filter(col("doc_id") < 450)
+      .filter(col("n_chars").between(100, 500) && wsTok >= 10 &&
+        (alpha >= 0.6 || col("lang") === "zh"))
+    // 2. exact dedup: canonical = lowest doc_id per identical text
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("text")))
+    val canonical = quality
+      .withColumn("min_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_id")).drop("min_id")
+    // 3. decontamination against the benchmark slice
+    def grams(df: DataFrame) = df.select(
+      col("doc_id"), explode(array_distinct(graft.operators.ApproxDedup
+        .shingleHashes64(col("text"), 5))).as("gram"))
+    val contaminated = grams(canonical)
+      .join(grams(docs.filter(col("doc_id") >= 450))
+        .select(col("gram")), "gram")
+      .select("doc_id").distinct()
+    val clean = canonical.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. mixture downsampling on portable md5 buckets
+    val rates = Seq(("en", 100), ("es", 50), ("de", 50),
+      ("fr", 25), ("zh", 25)).toDF("lang", "rate")
+    Sampling.sampleByRates(clean, "doc_id", "lang", rates,
+      defaultRate = 25)
+  }
 
   def oracleSql: Map[String, String] = Map(
     // row_number is deterministic here: the window order
@@ -275,6 +300,44 @@ object CurationQueries {
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |FROM mixed GROUP BY lang ORDER BY lang""".stripMargin,
+    // The sink key replays stages 1–4 and returns the curated rows
+    // themselves — identical CTEs to q_pipeline_curation minus the
+    // report aggregate; the engine side additionally round-trips the
+    // rows through the bucketed table files.
+    "q_pipeline_curation_sink" ->
+      """WITH quality AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id < 450
+        |    AND n_chars BETWEEN 100 AND 500
+        |    AND len(string_split(text, ' ')) >= 10
+        |    AND (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |              AS DOUBLE) / CAST(len(text) AS DOUBLE) >= 0.6
+        |         OR lang = 'zh')),
+        |canon AS (
+        |  SELECT * FROM quality
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 3, 2)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM canon)),
+        |bg AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 3, 2)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id >= 450)),
+        |clean AS (
+        |  SELECT * FROM canon
+        |  WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id
+        |                       FROM cg JOIN bg ON cg.gram = bg.gram))
+        |SELECT doc_id, lang, n_chars FROM clean
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::BIGINT % 100 <
+        |      CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
+        |                WHEN 'de' THEN 50 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """SELECT gram, COUNT(*) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
