@@ -178,16 +178,28 @@ object ApproxDedup {
     finishEager(out, eager, newSh, corpusSh)
   }
 
-  /** doc → (doc_id, simhash): 64-bit SimHash fingerprint — per-token
-    * xxhash64, each bit votes ±1, fingerprint bit j set iff the vote
-    * sum is positive. The bit-vote loop is the native codegen'd
-    * [[graft.functions.SimHash64]] expression (the equivalent nested
-    * `aggregate` HOF evaluated interpreted and dominated the bench). */
+  /** doc → (doc_id, simhash): SimHash fingerprint — per-token 60-bit
+    * PORTABLE hash (the md5-hex-prefix trick the sampling operators
+    * use, widened to 15 nibbles), each bit votes ±1, fingerprint bit
+    * j set iff the vote sum is positive. The bit-vote loop is the
+    * native codegen'd [[graft.functions.SimHash64]] expression (the
+    * equivalent nested `aggregate` HOF evaluated interpreted and
+    * dominated the bench).
+    *
+    * md5 instead of xxhash64 is what makes the WHOLE simhash surface
+    * hash-gateable: any engine with md5 recomputes identical
+    * fingerprints, so the DuckDB oracle replays fingerprints, groups,
+    * and hamming pairs bit-for-bit (pigeonhole completeness at
+    * hamming ≤ 3 makes the oracle's brute-force pair scan equal the
+    * engine's chunk-bucketed one). Bits 60–63 never vote positive
+    * (every hash < 2⁶⁰) and are 0 on both engines; the ~6% bit-width
+    * loss is irrelevant to near-dup discrimination. */
   def simhashOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("__toks_hashes",
         transform(array_distinct(split(col("text"), " ")),
-          t => xxhash64(t)))
+          t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
+            .cast("long")))
       .withColumn("simhash",
         graft.functions.HashExpressions.simhash64(col("__toks_hashes")))
       .select(col("doc_id"), col("simhash"))

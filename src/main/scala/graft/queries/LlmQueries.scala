@@ -16,11 +16,15 @@ import graft.operators.{AnnSearch, ApproxDedup, Bpe, TextAnalysis}
   * (string-set Jaccard), `q_sample_stratified`, `q_sample_split`
   * (portable md5 buckets), `q_embed_quantize` (IEEE-deterministic
   * diagnostics) and `q_pack_sequences` are SQL-expressible and
-  * hash-matched against DuckDB. The remaining hash-based operators
-  * (xxhash64 signatures, LSH buckets) have no DuckDB equivalent —
-  * those keys take the driver's rows-only check and are pinned by
-  * `ApproxDedupSpec` / `AnnSearchSpec` / `TextAnalysisSpec` /
-  * `SamplingSpec` against Scala-computed ground truth instead.
+  * hash-matched against DuckDB. The simhash keys replay FULLY
+  * (portable md5-derived fingerprints + brute-force hamming —
+  * exactly the chunk-bucketed result, by pigeonhole completeness at
+  * hamming ≤ 3); the minhash keys take the brute-force Jaccard
+  * oracle (sound here: all qualifying pairs sit at j ≥ 0.9 where
+  * LSH recall is complete). Only the ANN bucketing variants and BPE
+  * tokenization remain rows-only, pinned by `ApproxDedupSpec` /
+  * `AnnSearchSpec` / `TextAnalysisSpec` / `SamplingSpec` against
+  * Scala-computed ground truth instead.
   */
 object LlmQueries {
 
@@ -401,8 +405,100 @@ object LlmQueries {
        |ORDER BY q.a_id""".stripMargin
   }
 
+  /** DuckDB replay of the PORTABLE simhash fingerprints
+    * ([[graft.operators.ApproxDedup.simhashOf]]): per distinct token,
+    * a 60-bit hash from the md5 hex prefix; 60 bit-vote sums; bit j
+    * of the fingerprint set iff vote j is positive (bits 60–63 are 0
+    * on both engines — no token hash reaches them). Generated
+    * programmatically: 60 SUM(CASE...) columns + a 60-term OR fold,
+    * the same shape the engine's codegen'd SimHash64 kernel loops
+    * over. */
+  private val simhashFpCtes: String = {
+    val votes = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val fold = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+       |    AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS th
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fold AS simhash FROM votes)""".stripMargin
+  }
+
+  /** 3-token shingle sets from the strings themselves (hash-set
+    * Jaccard equals string-set Jaccard absent 64-bit collisions);
+    * greatest(len-1, 2) mirrors the engine's short-doc fallback. */
+  private def shingleCte(source: String): String =
+    s"""d AS (
+       |  SELECT doc_id, n_docs,
+       |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 2)),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id, n_docs, string_split(text, ' ') AS toks
+       |        FROM $source))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_recall" -> annRecallOracle,
+    // Brute-force 3-gram Jaccard over all doc pairs. Sound as the
+    // LSH oracle on THIS corpus because every qualifying pair has
+    // j ≥ 0.9, where 8-band/4-row recall is complete (per-pair miss
+    // probability (1-j⁴)⁸ ≤ 3e-5, deterministic for fixed data) —
+    // the q_dedup_incremental argument; this very gate asserts the
+    // equality holds.
+    "q_dedup_minhash" ->
+      s"""WITH ${shingleCte("(SELECT doc_id, 1 AS n_docs, text FROM documents)")}
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Same soundness argument over content-collapsed representatives
+    // (grouping by the text itself replays the engine's xxhash64
+    // content collapse absent collisions).
+    "q_dedup_minhash_groups" ->
+      s"""WITH reps AS (
+        |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_docs, text
+        |  FROM documents GROUP BY text),
+        |${shingleCte("reps")}
+        |SELECT a_id, b_id, jaccard, n_a, n_b FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+        |    a.n_docs AS n_a, b.n_docs AS n_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Full fingerprint replay + brute-force hamming pair scan: equals
+    // the engine's chunk-bucketed candidates EXACTLY (not just with
+    // high probability) — pigeonhole completeness at hamming ≤ 3.
+    "q_dedup_simhash" ->
+      s"""WITH $simhashFpCtes
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_simhash_groups" ->
+      s"""WITH $simhashFpCtes,
+        |groups AS (
+        |  SELECT simhash, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+        |  FROM fp GROUP BY simhash)
+        |SELECT a.rep_id AS rep_a, b.rep_id AS rep_b,
+        |  a.n_docs AS n_a, b.n_docs AS n_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM groups a JOIN groups b ON a.rep_id < b.rep_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY rep_a, rep_b""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
