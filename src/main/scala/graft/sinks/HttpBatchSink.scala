@@ -22,6 +22,21 @@ object HttpBatchSink {
   case class Payload(tags: Map[String, String],
                      events: Seq[(Long, Map[String, String])])
 
+  /** The tags + events envelope for one (file, block)-scoped batch. */
+  private def payloadOf(file: String, batch: Seq[Row]): Payload = {
+    val head = batch.head
+    Payload(
+      Map("logStreamPrefix" -> head.getAs[String]("logStreamPrefix"),
+        "logGroup" -> head.getAs[String]("logGroup")),
+      batch.map { r =>
+        (r.getAs[Long]("timestamp"), Map(
+          "id" -> r.getAs[String]("id"),
+          "message" -> r.getAs[String]("message"),
+          "file" -> file,
+          "logStream" -> r.getAs[String]("logStream")))
+      })
+  }
+
   /** Sink `events` (the FirehoseDecoder.decode output schema). Groups
     * rows by (file, block) so tags stay constant within a batch, then
     * flushes every `batchSize` events or at block end. Returns the
@@ -45,21 +60,9 @@ object HttpBatchSink {
         var curKey: (String, Int) = null
         val batch = scala.collection.mutable.ArrayBuffer.empty[Row]
         def flush(): Unit = if (batch.nonEmpty) {
-          val file = curKey._1
-          val head = batch.head
-          val payload = Payload(
-            Map("logStreamPrefix" -> head.getAs[String]("logStreamPrefix"),
-              "logGroup" -> head.getAs[String]("logGroup")),
-            batch.toSeq.map { r =>
-              (r.getAs[Long]("timestamp"), Map(
-                "id" -> r.getAs[String]("id"),
-                "message" -> r.getAs[String]("message"),
-                "file" -> file,
-                "logStream" -> r.getAs[String]("logStream")))
-            })
           // Log-and-continue (kinesis-to-humio.py:154-158): the
           // reference drops failed batches after logging.
-          if (!post(payload)) failures.add(1)
+          if (!post(payloadOf(curKey._1, batch.toSeq))) failures.add(1)
           batch.clear()
         }
         rows.foreach { r =>
@@ -71,5 +74,60 @@ object HttpBatchSink {
         flush()
       }
     failures.value
+  }
+
+  /** The delivery policy the reference LACKS (it logs and drops,
+    * kinesis-to-humio.py:154-158 — that at-most-once mode stays
+    * available as [[write]]): each batch retries up to `maxRetries`
+    * times with exponential backoff (`backoffMs << attempt` between
+    * tries), and a batch that exhausts its retries lands in the
+    * returned DEAD-LETTER frame — the input schema unchanged, so the
+    * caller re-drives it through any sink (parquet for offline
+    * replay, or this method again once the endpoint heals).
+    *
+    * Delivery happens EXACTLY ONCE, eagerly, inside this call: the
+    * dead-letter frame is localCheckpointed before returning, so
+    * consuming the result (counting it, writing it, re-posting it)
+    * never re-executes the posts. A `post` that throws counts as a
+    * failed attempt, like one returning false — transport exceptions
+    * must not kill the executor mid-partition. Batch granularity is
+    * all-or-nothing (the reference's contract), so a retry after a
+    * failure never double-delivers individual events.
+    */
+  def writeWithRetry(events: DataFrame, batchSize: Int = 5000,
+                     maxRetries: Int = 3, backoffMs: Long = 10)
+                    (post: Payload => Boolean): DataFrame = {
+    val dead = events
+      .repartition(col("file"), col("block_idx"))
+      .sortWithinPartitions("file", "block_idx", "event_idx")
+      .mapPartitions { rows: Iterator[Row] =>
+        def attempt(p: Payload): Boolean = {
+          var tries = 0
+          var ok = try post(p) catch { case _: Exception => false }
+          while (!ok && tries < maxRetries) {
+            Thread.sleep(backoffMs << tries)
+            tries += 1
+            ok = try post(p) catch { case _: Exception => false }
+          }
+          ok
+        }
+        val deadRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var curKey: (String, Int) = null
+        val batch = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def flush(): Unit = if (batch.nonEmpty) {
+          if (!attempt(payloadOf(curKey._1, batch.toSeq)))
+            deadRows ++= batch
+          batch.clear()
+        }
+        rows.foreach { r =>
+          val key = (r.getAs[String]("file"), r.getAs[Int]("block_idx"))
+          if (key != curKey) { flush(); curKey = key }
+          batch += r
+          if (batch.size >= batchSize) flush()
+        }
+        flush()
+        deadRows.iterator
+      }(org.apache.spark.sql.Encoders.row(events.schema))
+    dead.localCheckpoint()
   }
 }
