@@ -1,9 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare — and
+  * plan_flags.json, the per-query SCALE-ANTIPATTERN scan the local
+  * gate (tools/verify_local.py) fails on: unpartitioned window
+  * operators, nested-loop joins, cartesian products. Plans are
+  * checked here, with typed operator access, rather than grepped
+  * from explain text downstream. */
 object Verify {
+
+  /** Scale-antipattern flags for one physical plan (adaptive nodes
+    * unwrapped). These are the shapes that cannot survive a 100×
+    * scale-up: a window over one task, an O(n·m) join. A nested-loop/
+    * cartesian join whose build side is PROVABLY single-row (a global
+    * no-grouping aggregate, possibly under projections/exchanges, or
+    * a cross of such) is the legitimate broadcast-scalar pattern used
+    * throughout the registry and is not flagged — it is O(n), not
+    * O(n·m). */
+  def planFlags(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    // NOTE: always a.inputPlan, never a.executedPlan — on an adaptive
+    // plan the latter triggers final-plan materialization, i.e. RUNS
+    // the query (it cost a silent 8× on the whole verify pass before
+    // this was caught). The static shape is what the gate audits.
+    def singleRow(x: SparkPlan): Boolean = x match {
+      case a: AdaptiveSparkPlanExec => singleRow(a.inputPlan)
+      case qs: QueryStageExec => singleRow(qs.plan)
+      case r: ReusedExchangeExec => singleRow(r.child)
+      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+      case j: BroadcastNestedLoopJoinExec =>
+        singleRow(j.left) && singleRow(j.right)
+      case c: CartesianProductExec => singleRow(c.left) && singleRow(c.right)
+      case u if u.children.size == 1 => singleRow(u.children.head)
+      case _ => false
+    }
+    def flatten(x: SparkPlan): Seq[SparkPlan] = {
+      val kids = x match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      x +: kids.flatMap(flatten)
+    }
+    flatten(p).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        "unpartitioned_window"
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        "unpartitioned_window"
+      case j: BroadcastNestedLoopJoinExec
+          if !singleRow(if (j.buildSide == BuildRight) j.right else j.left) =>
+        "nested_loop_join"
+      case c: CartesianProductExec
+          if !singleRow(c.left) && !singleRow(c.right) =>
+        "cartesian_product"
+    }.distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: only run/dump queries whose name starts with
@@ -19,10 +78,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val flags = scala.collection.mutable.SortedMap.empty[String, Seq[String]]
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach {
       case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          flags(name) = planFlags(df.queryExecution.executedPlan)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
@@ -30,6 +93,10 @@ object Verify {
         // corpora) must not accumulate across a 100+-query session.
         finally spark.catalog.clearCache()
     }
+    Files.writeString(Paths.get(s"$outDir/plan_flags.json"),
+      flags.map { case (k, fs) =>
+        s""""$k": [${fs.map(f => s""""$f"""").mkString(", ")}]"""
+      }.mkString("{", ",\n ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

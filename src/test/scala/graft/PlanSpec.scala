@@ -231,9 +231,12 @@ class PlanSpec extends SparkSpec {
       "q_skew_report" -> ("counts-of-counts histogram: the window's " +
         "input is one row per DISTINCT per-key multiplicity — tens " +
         "of rows at any fact-table size"))
+    // a.inputPlan, NOT a.executedPlan: on an un-executed adaptive
+    // plan the latter materializes every query stage — it would
+    // silently EXECUTE all 165 queries inside this test.
     def flatten(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
         case qs: QueryStageExec => Seq(qs.plan)
         case other => other.children
       }

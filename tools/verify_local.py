@@ -118,6 +118,63 @@ def compare(name, spark_df, oracle_df):
     return None
 
 
+# Scale-antipattern allow-list: every entry needs a boundedness
+# justification (the PlanSpec discipline). A NEW query appearing here
+# without one is a gate failure by construction.
+PLAN_FLAG_ALLOW = {
+    # counts-of-counts histogram: the window's input is one row per
+    # DISTINCT per-key multiplicity — tens of rows at any fact size
+    "q_skew_report": {"unpartitioned_window"},
+    # globalRank's prefix-offset theta self-join: both sides are the
+    # per-partition counts frame — #partitions rows, bounded by
+    # cluster config, never by data (AnalyticsQueries.globalRank)
+    "q_events_rfm": {"nested_loop_join"},
+    # cross of two fixed-cardinality dims (region 5 × nation≤5 rows
+    # at every SF) — the operator's contract is a dim×dim cross
+    "q_join_cross": {"nested_loop_join"},
+    # non-equi theta join: broadcast side is nation, fixed 25 rows at
+    # every SF; BNLJ is the only physical plan for `<` predicates
+    "q_join_theta": {"nested_loop_join"},
+    # brute-force exact tier, N bounded by contract (vec_id < 200/300
+    # filter pushed to scan); the scale path is q_ann_lsh / q_ann_ivf
+    # which bucket first (SimilarityQueries scaladoc)
+    "q_sim_topk": {"nested_loop_join"},
+    "q_dedup_embed_cosine": {"nested_loop_join"},
+    # label-pair matrix over the same bounded vec_id<200 baseline
+    # convention as q_sim_topk (AnalyticsQueries scaladoc)
+    "q_sim_matrix": {"nested_loop_join"},
+    # bounded-N bigram-Jaccard exact tier (maxId=300); scale path
+    # is the minhash/LSH banded join (LlmQueries scaladoc)
+    "q_dedup_ngram": {"nested_loop_join"},
+    # PQ ADC / recall audit both contain a brute-force exact-baseline
+    # pass, bounded maxId=200 by contract; the production path is the
+    # bucketed LSH/IVF probe (AnnSearch scaladoc)
+    "q_ann_pq": {"nested_loop_join"},
+    "q_ann_recall": {"nested_loop_join"},
+}
+
+
+def check_plan_flags(out_dir):
+    """Fail on scale antipatterns (emitted by graft.Verify as
+    plan_flags.json: unpartitioned windows, nested-loop joins,
+    cartesian products) outside the justified allow-list."""
+    import os
+    path = f"{out_dir}/plan_flags.json"
+    if not os.path.exists(path):  # older Verify output
+        print("WARN plan_flags.json missing — plan checklist skipped")
+        return 0
+    flags = json.load(open(path))
+    n_bad = 0
+    for name, fs in sorted(flags.items()):
+        bad = set(fs) - PLAN_FLAG_ALLOW.get(name, set())
+        if bad:
+            print(f"FAIL {name}: scale antipattern(s) {sorted(bad)} "
+                  f"(unpartitioned window / loop join — would not "
+                  f"survive 100x)")
+            n_bad += 1
+    return n_bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -152,6 +209,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"OK   {name} ({len(spark_df)} rows)")
             n_ok += 1
+    n_bad += check_plan_flags(out_dir)
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
 
