@@ -30,7 +30,8 @@ object SparkEntry {
       TpchQueries.queries ++
       CurationQueries.queries ++
       EventQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -48,5 +49,6 @@ object SparkEntry {
       LlmQueries.oracleSql ++
       CurationQueries.oracleSql ++
       EventQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++
+      CorpusQueries.oracleSql
 }

@@ -121,6 +121,46 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Token-budget admission — the "take N tokens of wiki, M of web"
+    * step every pretraining mixture ends with: within each group,
+    * admit rows in deterministic portable-md5 key order until the
+    * group's token budget is reached (the first row CROSSING the
+    * budget is still admitted, so every non-empty budget yields at
+    * least one row and budgets are met, not undershot). The md5 order
+    * makes the admitted set reproducible run-to-run, layout-
+    * independent, and auditable from any engine with md5 — and, like
+    * [[shuffleShards]], already shuffled for training.
+    *
+    * `budgets` must carry `groupCols` plus a `token_budget` column;
+    * it is broadcast (mixture configs are a handful of cells). Rows
+    * in groups absent from `budgets` are dropped — an explicit
+    * mixture config admits nothing it doesn't name.
+    *
+    * Scale: one hash shuffle on the group key + per-group sort (the
+    * partitioned-window shape). Admission is inherently sequential in
+    * the chosen order WITHIN a group, so a group's rows must sort in
+    * one task's spill budget — with (lang, source)-grained cells that
+    * is the same precondition as every partitioned window here. If a
+    * single cell outgrows a task, the two-pass per-shard-offset trick
+    * (`AnalyticsQueries.globalRank`) computes the same cumulative
+    * sums with range slices; not needed at cell grain.
+    */
+  def admitByTokenBudget(df: DataFrame, key: String,
+                         groupCols: Seq[String], tokens: Column,
+                         budgets: DataFrame): DataFrame = {
+    val k = conv(substring(md5(col(key).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__admit_key"), col(key))
+    df.withColumn("__admit_key", k)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w).cast("long"))
+      .join(broadcast(budgets), groupCols)
+      .filter(col("cum_tokens") - col("n_tokens") < col("token_budget"))
+      .drop("__admit_key", "token_budget")
+  }
+
   /** Portable uniform in (0, 1] from the row key: the same 32 md5
     * bits the bucket/shuffle functions use, shifted off zero so it's
     * a valid base for `pow(u, 1/w)`. Any engine with md5 reproduces

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.Sampling
+
+/** Corpus-construction pack: the three data-curation operators that
+  * sit between "filtered corpus" and "training run" in an LLM data
+  * pipeline — token-budget mixture admission, n-gram-LM quality
+  * scoring (the CCNet/KenLM perplexity-filter shape), and exact
+  * duplicated-substring detection (the Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better"
+  * operator family).
+  *
+  * Determinism (SURVEY §7.4): every score is either an exact integer
+  * aggregate, ONE double division, or a round-before-exact-decimal-
+  * sum mean (the q_sim_matrix rule) — no libm transcendentals, so
+  * every key here hash-matches its DuckDB oracle bit-for-bit. The
+  * LM score is deliberately the MEAN BIGRAM PROBABILITY, not its log
+  * (perplexity's exp/log would drag in libm); it induces the same
+  * keep/drop ordering for a threshold filter.
+  *
+  * Scale notes are per-operator below; the common theme is that
+  * nothing shuffles document text — shuffles carry gram keys, md5
+  * window hashes, or (group, count) cells.
+  */
+object CorpusQueries {
+
+  /** Bigram occurrences of each document: one narrow projection
+    * (split + transform + explode), no shuffle. */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-budget mixture admission: each (lang, source) cell keeps
+    // documents in portable-md5 order until half the cell's tokens
+    // are admitted (budgets derived in-plan keep the query self-
+    // contained; production passes a config frame — same broadcast).
+    // Scale: budgets are |cells| rows (broadcast); admission is one
+    // partitioned window — see Sampling.admitByTokenBudget's scaladoc
+    // for the per-cell boundedness argument and the globalRank
+    // escape hatch.
+    "q_mixture_budget" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.operators.TextAnalysis.wsTokenCount(col("text"))
+            .as("toks"))
+      val budgets = perDoc.groupBy("lang", "source")
+        .agg(expr("sum(toks) div 2").as("token_budget"))
+      Sampling.admitByTokenBudget(perDoc, "doc_id",
+          Seq("lang", "source"), col("toks"), budgets)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-LM quality score: train an unsmoothed bigram model on
+    // the corpus itself (cnt(w1,w2) / cnt(w1·) over bigram
+    // occurrences), then score each document by its mean bigram
+    // probability — the self-scoring shape of a CCNet-style
+    // perplexity filter (low score = improbable token transitions =
+    // gibberish/boilerplate candidates). Each probability is one
+    // double division rounded to 9, the mean is an exact decimal sum
+    // (order-independent) over those — cross-engine bit-identical.
+    // Scale: two word-count aggregations + one equi-join keyed on
+    // grams + one doc_id re-aggregation — the canonical shuffle-on-
+    // small-keys shape; the model "table" is never collected or
+    // broadcast, it stays a distributed join side (vocabulary² does
+    // not fit a broadcast at corpus scale).
+    "q_text_lm_score" -> ((s, d) => {
+      val big = bigrams(s, d)
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      val p = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          round(col("cnt2").cast("double") / col("cnt1").cast("double"),
+            9).as("p"))
+      big.join(p, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /
+            count(lit(1)), 9).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact duplicated-substring detection: every 30-char window of
+    // every document (stride 1, so shared spans match regardless of
+    // alignment — the property Lee et al. get from suffix arrays),
+    // hashed with portable md5; a window is duplicated iff its
+    // content appears in ≥ 2 distinct documents. Output is the
+    // per-document duplicated-span profile used to drop or trim.
+    // Scale: the window frame is ~n_chars rows of 32-char hashes —
+    // a constant factor over the corpus, shuffled ONCE on the hash
+    // (never the text); production cuts the constant with content-
+    // defined anchors (winnowing) behind the same groupBy, and the
+    // within-doc pre-distinct below already collapses repeated
+    // windows before the shuffle.
+    "q_dedup_substring" -> ((s, d) => {
+      val wins = Tables.documents(s, d)
+        .filter(length(col("text")) >= 30)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 29)," +
+            " i -> md5(cast(substring(text, i, 30) as binary)))"))
+          .as("h"))
+      // distinct (doc, h) BEFORE the cross-doc count: map-side
+      // dedup of within-doc repeats, and makes count(*) ≡
+      // count(distinct doc_id) in the duplicate screen.
+      val docWins = wins.distinct()
+      val dups = docWins.groupBy("h")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      val perDoc = wins.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"))
+      val dupPer = wins.join(dups.select("h"), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      perDoc.join(dupPer, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_mixture_budget" ->
+      """WITH per_doc AS (
+        |  SELECT doc_id, lang, source,
+        |    len(string_split(text, ' ')) AS toks,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS admit_key
+        |  FROM documents),
+        |budgets AS (
+        |  SELECT lang, source,
+        |    CAST(SUM(toks) // 2 AS BIGINT) AS token_budget
+        |  FROM per_doc GROUP BY lang, source),
+        |cum AS (
+        |  SELECT doc_id, lang, source, toks,
+        |    SUM(toks) OVER (PARTITION BY lang, source
+        |                    ORDER BY admit_key, doc_id) AS cum_tokens
+        |  FROM per_doc)
+        |SELECT c.doc_id, c.lang, c.source,
+        |  CAST(c.toks AS BIGINT) AS n_tokens,
+        |  CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+        |FROM cum c JOIN budgets b USING (lang, source)
+        |WHERE c.cum_tokens - c.toks < b.token_budget
+        |ORDER BY c.doc_id""".stripMargin,
+    "q_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
+        |p AS (
+        |  SELECT w1, w2,
+        |    ROUND(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE), 9) AS p
+        |  FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+        |        / COUNT(*), 9) AS lm_score
+        |FROM big JOIN p USING (w1, w2)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH wins AS (
+        |  SELECT doc_id, md5(substring(text, i, 30)) AS h
+        |  FROM documents,
+        |    UNNEST(generate_series(1, length(text) - 29)) AS t(i)
+        |  WHERE length(text) >= 30),
+        |doc_wins AS (SELECT DISTINCT doc_id, h FROM wins),
+        |dups AS (
+        |  SELECT h FROM doc_wins GROUP BY h HAVING COUNT(*) >= 2),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id),
+        |dup_per AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_windows
+        |  FROM wins JOIN dups USING (h) GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(p.n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  ROUND(CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE)
+        |        / CAST(p.n_windows AS DOUBLE), 6) AS dup_frac
+        |FROM per_doc p LEFT JOIN dup_per d USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin
+  )
+}

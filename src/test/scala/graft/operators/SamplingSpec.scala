@@ -84,4 +84,40 @@ class SamplingSpec extends SparkSpec {
       .filter(col("w") === 100.0).count()
     assert(heavy > 70, s"heavy-class picks: $heavy of 100")
   }
+
+  test("token-budget admission meets each budget minimally and " +
+    "layout-independently") {
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("toks"))
+    val budgets = perDoc.groupBy("lang")
+      .agg(expr("sum(toks) div 3").as("token_budget"))
+    val budgetOf = budgets.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admitted = Sampling.admitByTokenBudget(
+      perDoc, "doc_id", Seq("lang"), col("toks"), budgets)
+    val byLang = admitted.groupBy("lang")
+      .agg(sum("n_tokens").as("got"), max("cum_tokens").as("maxcum"),
+        max(col("cum_tokens") - col("n_tokens")).as("maxbefore"),
+        min(col("cum_tokens") - col("n_tokens")).as("minbefore"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    for ((lang, got, maxcum, maxbefore, minbefore) <- byLang) {
+      val b = budgetOf(lang)
+      // budget met (the first crossing row is admitted)...
+      assert(got >= b, s"$lang: admitted $got < budget $b")
+      // ...and the admitted set is the exact md5-order prefix:
+      // contiguous cumulative sums, every row starting strictly
+      // under budget (so dropping any admitted row undershoots)
+      assert(maxcum == got, s"$lang: admitted rows not a prefix")
+      assert(maxbefore < b, s"$lang: row admitted at/after budget")
+      assert(minbefore == 0L, s"$lang first row not admitted")
+    }
+    // deterministic under a different physical layout
+    val again = Sampling.admitByTokenBudget(
+        perDoc.repartition(13), "doc_id", Seq("lang"), col("toks"),
+        budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
 }
