@@ -103,6 +103,38 @@ object CorpusQueries {
     // defined anchors (winnowing) behind the same groupBy, and the
     // within-doc pre-distinct below already collapses repeated
     // windows before the shuffle.
+    // The SCALE PATH for q_dedup_substring: content-defined chunking
+    // (LBFS-style) keeps only windows whose hash ≡ 0 (mod 8) —
+    // anchors chosen by CONTENT, so two documents sharing a span
+    // anchor at the same in-span offsets regardless of alignment
+    // (the property a fixed stride loses), at 1/8 the shuffle volume
+    // of stride-1. Recall is probabilistic (a shared span of L chars
+    // misses with ~(7/8)^(L-29)); the stride-1 operator above is the
+    // exhaustive tier, this is the 100 TB screen.
+    "q_dedup_cdc" -> ((s, d) => {
+      val anchors = Tables.documents(s, d)
+        .filter(length(col("text")) >= 30)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 29)," +
+            " i -> md5(cast(substring(text, i, 30) as binary)))"))
+          .as("h"))
+        .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+          % 8 === 0)
+      val docAnchors = anchors.distinct()
+      val dups = docAnchors.groupBy("h")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      val perDoc = anchors.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_anchors"))
+      val dupPer = anchors.join(dups.select("h"), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_anchors"))
+      perDoc.join(dupPer, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_anchors"),
+          coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+          round(coalesce(col("n_dup_anchors"), lit(0L)).cast("double") /
+            col("n_anchors").cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_substring" -> ((s, d) => {
       val wins = Tables.documents(s, d)
         .filter(length(col("text")) >= 30)
@@ -171,6 +203,30 @@ object CorpusQueries {
         |FROM big JOIN p USING (w1, w2)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_cdc" ->
+      """WITH anchors AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, md5(substring(text, i, 30)) AS h
+        |    FROM documents,
+        |      UNNEST(generate_series(1, length(text) - 29)) AS t(i)
+        |    WHERE length(text) >= 30)
+        |  WHERE ('0x' || substring(h, 1, 8))::BIGINT % 8 = 0),
+        |doc_anchors AS (SELECT DISTINCT doc_id, h FROM anchors),
+        |dups AS (
+        |  SELECT h FROM doc_anchors GROUP BY h HAVING COUNT(*) >= 2),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_anchors
+        |  FROM anchors GROUP BY doc_id),
+        |dup_per AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_anchors
+        |  FROM anchors JOIN dups USING (h) GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(p.n_anchors AS BIGINT) AS n_anchors,
+        |  CAST(COALESCE(d.n_dup_anchors, 0) AS BIGINT)
+        |    AS n_dup_anchors,
+        |  ROUND(CAST(COALESCE(d.n_dup_anchors, 0) AS DOUBLE)
+        |        / CAST(p.n_anchors AS DOUBLE), 6) AS dup_frac
+        |FROM per_doc p LEFT JOIN dup_per d USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     "q_dedup_substring" ->
       """WITH wins AS (
         |  SELECT doc_id, md5(substring(text, i, 30)) AS h

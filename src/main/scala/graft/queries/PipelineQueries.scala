@@ -116,6 +116,21 @@ object PipelineQueries {
         .select("id", "name", "val")
         .orderBy("id")),
 
+    // Hive-partitioned landing layout round trip: documents written
+    // partitionBy(lang), read back with a lang predicate that is
+    // satisfied by PRUNING (PartitionFilters in the scan — pinned by
+    // PartitionPruneSpec), so the other languages' files are never
+    // opened. Oracle compares against the source-of-truth table: the
+    // layout must be lossless.
+    "q_source_partitioned" -> ((s, d) =>
+      graft.sinks.PartitionedCorpusSink.writeAndRead(
+          graft.Tables.documents(s, d)
+            .select("doc_id", "n_chars", "lang"),
+          "graft_part_corpus", "lang")
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // ORC round-trip against the CSV twin of the same logical rows
     // (DuckDB has no ORC reader — the shared fixture is what makes
     // the format gate-able; see TextSources.orcFixtureDir).
@@ -144,6 +159,9 @@ object PipelineQueries {
         |FROM read_json('${System.getProperty("java.io.tmpdir")}/graft_source_fixture.jsonl',
         |  columns={'id':'BIGINT','name':'VARCHAR','val':'DOUBLE','tag':'VARCHAR'})
         |WHERE val > 50.0 ORDER BY id""".stripMargin,
+    "q_source_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "q_source_orc" ->
       s"""SELECT tag, COUNT(*) AS n,
         |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
