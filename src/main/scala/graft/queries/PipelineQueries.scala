@@ -131,6 +131,56 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Dynamic partition pruning over the same layout: the fact side's
+    // partition filter is not known until the DIM side is filtered at
+    // runtime — Catalyst injects a dynamicpruning subquery into the
+    // partitioned scan (reusing the dim's broadcast), so only the
+    // languages surviving the dim filter are read. At 100 TB this is
+    // the star-schema date/tenant-slice pattern: the fact scan
+    // shrinks by the dim's selectivity with no code on the fact side.
+    // DppSpec pins the runtime filter's presence in the scan.
+    "q_join_dpp" -> ((s, d) => {
+      import s.implicits._
+      val fact = graft.sinks.PartitionedCorpusSink.writeAndRead(
+        graft.Tables.documents(s, d)
+          .select("doc_id", "n_chars", "lang"),
+        "graft_part_corpus", "lang")
+      // the dim must be a real SOURCE: an inline LocalRelation's
+      // filter is constant-folded away before the PartitionPruning
+      // rule looks for a selective predicate, so DPP never fires on
+      // literal dims — exactly how it behaves in production, where
+      // dims are tables.
+      val dimDir = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_dim"
+      Seq(("en", "germanic"), ("de", "germanic"),
+        ("fr", "romance"), ("es", "romance"), ("zh", "sinitic"),
+        ("ja", "japonic"), ("ru", "slavic"), ("ar", "semitic"))
+        .toDF("lang", "family")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir)
+      fact.join(broadcast(dim.filter(col("family") === "germanic")),
+          Seq("lang"))
+        .groupBy("lang", "family")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang")
+    }),
+
+    // Nested-schema pruning: a struct-typed corpus lands in parquet;
+    // a reader touching one subfield must scan ONLY that subfield
+    // (ReadSchema struct<meta:struct<lang>> — pinned by DppSpec), not
+    // the whole struct. The oracle proves the nested round trip
+    // lossless on the surviving field.
+    "q_source_nested" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_nested"
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("meta.lang").as("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip against the CSV twin of the same logical rows
     // (DuckDB has no ORC reader — the shared fixture is what makes
     // the format gate-able; see TextSources.orcFixtureDir).
@@ -162,6 +212,13 @@ object PipelineQueries {
     "q_source_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q_join_dpp" ->
+      """SELECT lang, 'germanic' AS family, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_source_nested" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
     "q_source_orc" ->
       s"""SELECT tag, COUNT(*) AS n,
         |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
