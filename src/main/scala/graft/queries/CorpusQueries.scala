@@ -103,6 +103,27 @@ object CorpusQueries {
     // defined anchors (winnowing) behind the same groupBy, and the
     // within-doc pre-distinct below already collapses repeated
     // windows before the shuffle.
+    // Embedding-pipeline chunking: 50-token windows at stride 40
+    // (10-token overlap), the prep step every RAG / embedding /
+    // context-packing pipeline runs before encoding. Emits chunk
+    // coordinates + a portable content hash per chunk (not the text:
+    // at scale the chunk table is an INDEX, joined back to the corpus
+    // by doc_id when the text is needed). Pure per-row generation —
+    // no shuffle at all; the plan is scan → project → explode.
+    "q_text_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, greatest(1," +
+            " cast(ceil((size(ws) - 10) / 40.0) as int)) - 1)," +
+            " k -> struct(k AS chunk_id," +
+            " size(slice(ws, k * 40 + 1, 50)) AS n_tokens," +
+            " md5(cast(array_join(slice(ws, k * 40 + 1, 50), ' ')" +
+            " as binary)) AS chunk_hash))")).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"),
+          col("c.chunk_hash"))
+        .orderBy("doc_id", "chunk_id")),
+
     // The SCALE PATH for q_dedup_substring: content-defined chunking
     // (LBFS-style) keeps only windows whose hash ≡ 0 (mod 8) —
     // anchors chosen by CONTENT, so two documents sharing a span
@@ -203,6 +224,20 @@ object CorpusQueries {
         |FROM big JOIN p USING (w1, w2)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, k AS chunk_id,
+        |    list_slice(ws, k * 40 + 1, k * 40 + 50) AS c
+        |  FROM toks, UNNEST(generate_series(0,
+        |    GREATEST(1, CAST(CEIL((len(ws) - 10) / 40.0) AS INT)) - 1))
+        |    AS t(k))
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(c) AS INT) AS n_tokens,
+        |  md5(array_to_string(c, ' ')) AS chunk_hash
+        |FROM chunks
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_dedup_cdc" ->
       """WITH anchors AS (
         |  SELECT doc_id, h FROM (
