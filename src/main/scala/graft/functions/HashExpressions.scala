@@ -99,6 +99,13 @@ object HashExpressions {
   def ngramStrings(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       NgramStrings(GraftColumnBridge.expression(tokens), n))
+
+  /** Every `width`-char window's md5 truncated to 60 bits as a long
+    * (stride 1, in order) — the portable substring-dedup window key;
+    * see [[CharWindowMd5_60.compute]] for the DuckDB equivalence. */
+  def charWindowMd5_60(text: Column, width: Int): Column =
+    GraftColumnBridge.column(
+      CharWindowMd5_60(GraftColumnBridge.expression(text), width))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -541,5 +548,67 @@ object NgramStrings {
       w += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
+case class CharWindowMd5_60(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"window width must be >= 1, got $width")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_md5_60"
+  override protected def nullSafeEval(input: Any): Any =
+    CharWindowMd5_60.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharWindowMd5_60.compute($c, $width)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CharWindowMd5_60 = copy(child = newChild)
+}
+
+object CharWindowMd5_60 {
+  /** Every `width`-CHAR window's md5, truncated to its first 60 bits
+    * as a long — exactly `('0x' || substring(md5(substring(text, i,
+    * width)), 1, 15))::BIGINT` (the first 15 hex digits are the
+    * first 7.5 digest bytes; the >>> 4 drops the half-nibble), so
+    * any engine with md5 reproduces the keys. One UTF-8 pass builds
+    * char→byte offsets (windows are CHARACTER-indexed like both
+    * engines' substring), one reused MessageDigest hashes each
+    * window's byte slice — no per-window string materialization.
+    * Replaces the interpreted `transform(sequence(...), i ->
+    * conv(substring(md5(...))))` formulation (~4× on the window
+    * stream at sf0.1: 1.3 M windows explode in ~0.5 s warm, the
+    * whole dup-span screen runs ~2.5 s in-session). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              width: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < width) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = s.getBytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var b = 0
+    while (i < n) {
+      offs(i) = b
+      b += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(n) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = new Array[Byte](16)
+    val out = new Array[Long](n - width + 1)
+    var w = 0
+    while (w <= n - width) {
+      md.reset()
+      md.update(bytes, offs(w), offs(w + width) - offs(w))
+      md.digest(digest, 0, 16)
+      out(w) = (((digest(0) & 0xffL) << 56) | ((digest(1) & 0xffL) << 48) |
+        ((digest(2) & 0xffL) << 40) | ((digest(3) & 0xffL) << 32) |
+        ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)) >>> 4
+      w += 1
+    }
+    new GenericArrayData(out)
   }
 }

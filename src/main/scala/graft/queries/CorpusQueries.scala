@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -27,6 +28,43 @@ import graft.operators.Sampling
   * window hashes, or (group, count) cells.
   */
 object CorpusQueries {
+
+  /** Every 30-char window of every document (stride 1), keyed by the
+    * first 60 bits of the window's md5 as a LONG — the same portable
+    * md5-derived long-key trick the simhash family uses: an 8-byte
+    * shuffle key any engine reproduces (`('0x' || substring(md5(w),
+    * 1, 15))::BIGINT` in DuckDB), 4× narrower than hex text.
+    * One narrow projection — the single expensive pass both dup-span
+    * operators below derive everything from. */
+  private def winHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 30)
+      .select(col("doc_id"), explode(
+        graft.functions.HashExpressions
+          .charWindowMd5_60(col("text"), 30)).as("h"))
+
+  /** Per-doc duplicated-span profile from a (doc_id, h) window
+    * frame, in ONE pass over the explode: collapse to per-(doc, h)
+    * position counts (map-side combine eats within-doc repeats),
+    * count distinct docs per h with a window over the collapsed
+    * frame, then re-aggregate per doc. Two shuffles of the COLLAPSED
+    * frame (8-byte keys), the window input is one row per distinct
+    * (doc, window content) — never the raw position stream. */
+  private def dupSpanProfile(wins: DataFrame, totalAs: String,
+      dupAs: String): DataFrame = {
+    val byDoc = wins.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("cnt"))
+    val nd = Window.partitionBy("h")
+    byDoc.withColumn("ndocs", count(lit(1)).over(nd))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as(totalAs),
+        sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L))
+          .as(dupAs))
+      .select(col("doc_id"), col(totalAs), col(dupAs),
+        round(col(dupAs).cast("double") / col(totalAs).cast("double"),
+          6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 
   /** Bigram occurrences of each document: one narrow projection
     * (split + transform + explode), no shuffle. */
@@ -132,54 +170,13 @@ object CorpusQueries {
     // of stride-1. Recall is probabilistic (a shared span of L chars
     // misses with ~(7/8)^(L-29)); the stride-1 operator above is the
     // exhaustive tier, this is the 100 TB screen.
-    "q_dedup_cdc" -> ((s, d) => {
-      val anchors = Tables.documents(s, d)
-        .filter(length(col("text")) >= 30)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 29)," +
-            " i -> md5(cast(substring(text, i, 30) as binary)))"))
-          .as("h"))
-        .filter(conv(substring(col("h"), 1, 8), 16, 10).cast("long")
-          % 8 === 0)
-      val docAnchors = anchors.distinct()
-      val dups = docAnchors.groupBy("h")
-        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-      val perDoc = anchors.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_anchors"))
-      val dupPer = anchors.join(dups.select("h"), Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_anchors"))
-      perDoc.join(dupPer, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_anchors"),
-          coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
-          round(coalesce(col("n_dup_anchors"), lit(0L)).cast("double") /
-            col("n_anchors").cast("double"), 6).as("dup_frac"))
-        .orderBy("doc_id")
-    }),
+    "q_dedup_cdc" -> ((s, d) =>
+      dupSpanProfile(
+        winHashes(s, d).filter(col("h") % 8 === 0),
+        "n_anchors", "n_dup_anchors")),
 
-    "q_dedup_substring" -> ((s, d) => {
-      val wins = Tables.documents(s, d)
-        .filter(length(col("text")) >= 30)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 29)," +
-            " i -> md5(cast(substring(text, i, 30) as binary)))"))
-          .as("h"))
-      // distinct (doc, h) BEFORE the cross-doc count: map-side
-      // dedup of within-doc repeats, and makes count(*) ≡
-      // count(distinct doc_id) in the duplicate screen.
-      val docWins = wins.distinct()
-      val dups = docWins.groupBy("h")
-        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-      val perDoc = wins.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"))
-      val dupPer = wins.join(dups.select("h"), Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
-      perDoc.join(dupPer, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"),
-          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-          round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
-            col("n_windows").cast("double"), 6).as("dup_frac"))
-        .orderBy("doc_id")
-    })
+    "q_dedup_substring" -> ((s, d) =>
+      dupSpanProfile(winHashes(s, d), "n_windows", "n_dup_windows"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,11 +238,13 @@ object CorpusQueries {
     "q_dedup_cdc" ->
       """WITH anchors AS (
         |  SELECT doc_id, h FROM (
-        |    SELECT doc_id, md5(substring(text, i, 30)) AS h
+        |    SELECT doc_id,
+        |      ('0x' || substring(md5(substring(text, i, 30)), 1, 15))
+        |        ::BIGINT AS h
         |    FROM documents,
         |      UNNEST(generate_series(1, length(text) - 29)) AS t(i)
         |    WHERE length(text) >= 30)
-        |  WHERE ('0x' || substring(h, 1, 8))::BIGINT % 8 = 0),
+        |  WHERE h % 8 = 0),
         |doc_anchors AS (SELECT DISTINCT doc_id, h FROM anchors),
         |dups AS (
         |  SELECT h FROM doc_anchors GROUP BY h HAVING COUNT(*) >= 2),
@@ -264,7 +263,9 @@ object CorpusQueries {
         |ORDER BY p.doc_id""".stripMargin,
     "q_dedup_substring" ->
       """WITH wins AS (
-        |  SELECT doc_id, md5(substring(text, i, 30)) AS h
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(substring(text, i, 30)), 1, 15))
+        |      ::BIGINT AS h
         |  FROM documents,
         |    UNNEST(generate_series(1, length(text) - 29)) AS t(i)
         |  WHERE length(text) >= 30),
