@@ -272,6 +272,39 @@ object AggQueries {
         .orderBy("l_orderkey")
     }),
 
+    // Incremental sketch maintenance — the 100 TB distinct-count
+    // pattern: per-DAY HLL sketches are built once (one pass over the
+    // day's events), then ANY range rolls up by sketch UNION without
+    // rescanning the facts — here the month's MAU from 30 daily
+    // sketches. DataSketches HLL union is register-wise max, so
+    // union-of-daily ≡ sketch-of-month (asserted in AggSketchSpec,
+    // with the estimate within HLL's error bound of the exact MAU).
+    // At scale the daily sketch table is KBs/day and the union is a
+    // |days|-row aggregation; no DuckDB sketch equivalent →
+    // spec-pinned rows-only.
+    "q_sketch_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        date_trunc("day", timestamp_micros(expr("ts div 1000")))
+          .as("day"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          countDistinct("user_id").as("exact_dau"))
+      val monthly = daily
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_mau"))
+      val exact = ev
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(countDistinct("user_id").as("exact_mau"))
+      monthly.join(exact, Seq("month"))
+        .select(col("month"), col("n_days"), col("est_mau"),
+          col("exact_mau"),
+          (abs(col("est_mau") - col("exact_mau")).cast("double") /
+            col("exact_mau").cast("double") <= 0.05)
+            .as("within_bound"))
+        .orderBy("month")
+    }),
+
     // ROLLUP over a join: the Dataset-API rollup trips Spark's
     // ambiguous-self-join check against the Expand's duplicated
     // grouping attributes when combined with grouping() + orderBy, so

@@ -87,4 +87,34 @@ class AggSketchSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("est_cnt")).toSeq ==
       again.map(_.getAs[Long]("est_cnt")).toSeq)
   }
+
+  test("incremental HLL: union of daily sketches equals the direct " +
+    "month sketch and estimates MAU within bound") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_sketch_incremental")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (est, exact) =
+        (r.getAs[Long]("est_mau"), r.getAs[Long]("exact_mau"))
+      assert(r.getAs[Boolean]("within_bound"),
+        s"month ${r.get(0)}: estimate $est vs exact $exact drifts " +
+          s"past 5%")
+    }
+    // union-of-daily ≡ sketch-over-the-whole-month: HLL union is
+    // register-wise max, so incremental maintenance loses nothing
+    // vs a full rescan — the property that makes the daily table
+    // authoritative.
+    val ev = graft.Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("month", timestamp_micros(expr("ts div 1000")))
+        .as("month"))
+    val direct = ev.groupBy("month")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("direct_est"))
+      .collect().map(r => r.get(0) -> r.getAs[Long]("direct_est"))
+      .toMap
+    for (r <- rows)
+      assert(r.getAs[Long]("est_mau") == direct(r.get(0)),
+        s"month ${r.get(0)}: union-of-daily != direct sketch")
+  }
 }
