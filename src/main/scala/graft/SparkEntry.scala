@@ -31,7 +31,8 @@ object SparkEntry {
       CurationQueries.queries ++
       EventQueries.queries ++
       AnalyticsQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -50,5 +51,6 @@ object SparkEntry {
       CurationQueries.oracleSql ++
       EventQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++
-      CorpusQueries.oracleSql
+      CorpusQueries.oracleSql ++
+      GraphQueries.oracleSql
 }

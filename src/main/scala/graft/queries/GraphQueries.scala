@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.PageRank
+
+/** Graph-ranking pack. Entity importance over the customer–supplier
+  * transaction graph: nodes are customers and suppliers, an
+  * undirected edge per distinct trading pair (both directions fed to
+  * the directed kernel). The LLM-pipeline reading: the same shape
+  * ranks documents over a similarity/citation graph for
+  * importance-weighted corpus sampling; the relational tables just
+  * give the gate a real bipartite graph with a DuckDB ground truth.
+  *
+  * Determinism: [[PageRank]] runs in fixed-point integer arithmetic,
+  * so all three unrolled iterations replay bit-for-bit in the
+  * oracle's CTE chain — an ITERATIVE operator under the hash gate,
+  * like the connected-components closure.
+  */
+object GraphQueries {
+
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> ((s, d) =>
+      PageRank.ranks(edges(s, d), iterations = 3)
+        .select(col("node"), col("rank").as("rank_fp"),
+          round(col("rank").cast("double") / 1e12, 9).as("rank_norm"))
+        .orderBy("node"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (
+        |  SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank
+        |  FROM nodes),
+        |r1 AS (
+        |  SELECT nd.node, (150000000000 // (SELECT n FROM nn)) +
+        |    ((85 * COALESCE(s.in_sum, 0)) // 100) AS rank
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(SUM(r.rank // d.deg) AS BIGINT) AS in_sum
+        |    FROM edges e JOIN r0 r ON e.src = r.node
+        |    JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) s USING (node)),
+        |r2 AS (
+        |  SELECT nd.node, (150000000000 // (SELECT n FROM nn)) +
+        |    ((85 * COALESCE(s.in_sum, 0)) // 100) AS rank
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(SUM(r.rank // d.deg) AS BIGINT) AS in_sum
+        |    FROM edges e JOIN r1 r ON e.src = r.node
+        |    JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) s USING (node)),
+        |r3 AS (
+        |  SELECT nd.node, (150000000000 // (SELECT n FROM nn)) +
+        |    ((85 * COALESCE(s.in_sum, 0)) // 100) AS rank
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(SUM(r.rank // d.deg) AS BIGINT) AS in_sum
+        |    FROM edges e JOIN r2 r ON e.src = r.node
+        |    JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) s USING (node))
+        |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
+        |  ROUND(CAST(rank AS DOUBLE) / 1e12, 9) AS rank_norm
+        |FROM r3 ORDER BY node""".stripMargin
+  )
+}
