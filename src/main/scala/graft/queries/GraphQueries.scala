@@ -21,8 +21,17 @@ import graft.operators.PageRank
 object GraphQueries {
 
   private def edges(s: SparkSession, d: String): DataFrame = {
+    // distinct-project BOTH sides before the join: the edge set only
+    // needs (order → cust) × (order → supp), so collapsing each side
+    // to its distinct pairs first keeps the join linear in the
+    // distinct relationships instead of multiplying per-order row
+    // counts (at 100 TB the raw join's intermediate is the whole
+    // fact table × per-key multiplicity; pre-distinct it is the
+    // relationship table, orders-of-magnitude smaller).
     val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
+      .select("o_orderkey", "o_custkey").distinct()
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey").distinct(),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
