@@ -148,6 +148,59 @@ object EventQueries {
         .select(col("user_id"), col("hour_no"),
           last(col("value"), ignoreNulls = true).over(ffill).as("filled"))
         .orderBy("user_id", "hour_no")
+    }),
+
+    // CEP-style pattern matching: each user's event history becomes a
+    // string of type initials (event-time order), and sequence
+    // patterns are RE2-portable regexes over it — `vc+p` counts
+    // non-overlapping view→click⁺→purchase funnels, `s.*e` flags an
+    // error anywhere after signup. The regex-over-sequence trick is
+    // the poor man's MATCH_RECOGNIZE, and the per-user string is the
+    // same fits-one-task precondition as every sessionizer here.
+    // Scale: one user_id shuffle, then per-row regex — no joins, no
+    // further shuffles.
+    "q_events_pattern" -> ((s, d) =>
+      withUs(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts_us"),
+          col("event_id"), col("event_type")))).as("h"))
+        .select(col("user_id"),
+          concat_ws("", expr(
+            "transform(h, e -> substring(e.event_type, 1, 1))"))
+            .as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          regexp_count(col("seq"), lit("vc+p")).cast("long")
+            .as("n_funnels"),
+          col("seq").rlike("s.*e").as("error_after_signup"))
+        .orderBy("user_id")),
+
+    // Winsorization (p05/p95 clipping) — the outlier-control step a
+    // value column gets before training-statistics jobs. Thresholds
+    // come from ONE exact-percentile aggregate (broadcast single
+    // row); the clip is a per-row projection. Per-user audit output:
+    // events clipped and the winsorized mean (clipped values rounded
+    // to 6 before the exact decimal sum — the q_sim_matrix rule,
+    // since clamp outputs mix raw doubles with the interpolated
+    // percentile threshold).
+    "q_events_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "value")
+      val bounds = ev.agg(
+        percentile(col("value"), lit(0.05)).as("lo"),
+        percentile(col("value"), lit(0.95)).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")).as("w"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .cast("long").as("clipped"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("clipped")).as("n_clipped"),
+          round(sum(round(col("w"), 6).cast(DecimalType(18, 12)))
+            .cast("double") / count(lit(1)), 6).as("mean_winsorized"))
+        .orderBy("user_id")
     })
   )
 
@@ -230,6 +283,34 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM grid g LEFT JOIN per_hour p
         |  ON g.user_id = p.user_id AND g.hour_no = p.hour_no
-        |ORDER BY g.user_id, g.hour_no""".stripMargin
+        |ORDER BY g.user_id, g.hour_no""".stripMargin,
+    "q_events_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |               ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT)
+        |    AS n_funnels,
+        |  regexp_matches(seq, 's.*e') AS error_after_signup
+        |FROM seqs ORDER BY user_id""".stripMargin,
+    "q_events_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    CASE WHEN value < lo THEN lo
+        |         WHEN value > hi THEN hi ELSE value END AS w,
+        |    CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END
+        |      AS clipped
+        |  FROM events, bounds)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+        |  ROUND(CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(18,12)))
+        |             AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
