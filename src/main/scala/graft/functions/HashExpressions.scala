@@ -106,6 +106,13 @@ object HashExpressions {
   def charWindowMd5_60(text: Column, width: Int): Column =
     GraftColumnBridge.column(
       CharWindowMd5_60(GraftColumnBridge.expression(text), width))
+
+  /** Asymmetric containment |A∩B| / |A| of two `array<bigint>` set
+    * columns ([[ContainmentLL]]) — the quoted-inside detector. */
+  def containmentLL(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      ContainmentLL(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -610,5 +617,40 @@ object CharWindowMd5_60 {
       w += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+case class ContainmentLL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "containment_ll"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ContainmentLL.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ContainmentLL.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ContainmentLL =
+    copy(left = newLeft, right = newRight)
+}
+
+object ContainmentLL {
+  /** |A∩B| / |A| for pre-deduped long arrays — the ASYMMETRIC
+    * overlap measure: 1.0 means A's grams all appear in B (A quoted
+    * inside B), regardless of how much bigger B is. Same hash-set
+    * loop as [[JaccardSetsLL]], normalized by the LEFT side only. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    if (na == 0) return 0.0
+    val nb = b.numElements()
+    val set = new java.util.HashSet[Long](nb * 2)
+    var i = 0
+    while (i < nb) { set.add(b.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < na) { if (set.contains(a.getLong(i))) inter += 1; i += 1 }
+    inter.toDouble / na.toDouble
   }
 }

@@ -337,6 +337,32 @@ object ApproxDedup {
 
   /** Exact n-gram Jaccard over a bounded id range (brute-force
     * baseline / verifier for the LSH paths). */
+  /** Asymmetric n-gram CONTAINMENT pairs: |A∩B| / |A| ≥ threshold —
+    * catches a small document quoted/embedded inside a larger one,
+    * which symmetric Jaccard structurally misses (the union term
+    * drowns the small side). Emits ORDERED pairs (a contained-in b),
+    * both directions screened. Same bounded-N brute-force baseline
+    * contract as [[ngramJaccardPairs]]; the scale path buckets by
+    * minhash bands first, identical to the Jaccard tier (band recall
+    * is a function of Jaccard, and containment ≥ t with |B| ≤ K·|A|
+    * implies Jaccard ≥ t/(1+K) — screen with the band join, verify
+    * with containment). */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
+                            maxId: Long = 300,
+                            threshold: Double = 0.8): DataFrame = {
+    val withSh = docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id"), shingleHashes64(col("text"), n).as("sh"))
+    withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        col("a_id") =!= col("b_id"))
+      .withColumn("containment", round(
+        graft.functions.HashExpressions.containmentLL(
+          col("sh_a"), col("sh_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxId: Long = 300,
                         threshold: Double = 0.3): DataFrame = {
     // Jaccard over hashed shingles: 8-byte comparisons instead of

@@ -58,6 +58,14 @@ object LlmQueries {
         Tables.documents(s, d).select("doc_id", "text"),
         n = 2, maxId = 300, threshold = 0.2)),
 
+    // Asymmetric containment |A∩B|/|A|: flags a doc whose 3-gram set
+    // is ≥80% contained in another — the quoted/embedded-document
+    // case symmetric Jaccard structurally misses. Ordered pairs.
+    "q_dedup_containment" -> ((s, d) =>
+      ApproxDedup.ngramContainmentPairs(
+        Tables.documents(s, d).select("doc_id", "text"),
+        n = 3, maxId = 300, threshold = 0.8)),
+
     // Exact tier of incremental dedup: drop new-batch docs whose
     // exact content already exists in the corpus — an anti-join on
     // the portable md5 content hash (the cheap screen that runs
@@ -545,6 +553,24 @@ object LlmQueries {
         |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+    // String-shingle replay of the hashed-kernel containment (equal
+    // absent collisions, like q_dedup_ngram); n=3 windows with the
+    // same short-doc one-window fallback as the engine kernel.
+    "q_dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 1, 2)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 300))
+        |SELECT a_id, b_id, containment FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(a.sh), 6) AS containment
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+        |WHERE containment >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_exact_incremental" ->
       """WITH newb AS (

@@ -146,6 +146,9 @@ PLAN_FLAG_ALLOW = {
     # bounded-N bigram-Jaccard exact tier (maxId=300); scale path
     # is the minhash/LSH banded join (LlmQueries scaladoc)
     "q_dedup_ngram": {"nested_loop_join"},
+    # same bounded-N baseline contract; scale path screens with the
+    # band join then verifies containment (ApproxDedup scaladoc)
+    "q_dedup_containment": {"nested_loop_join"},
     # PQ ADC / recall audit both contain a brute-force exact-baseline
     # pass, bounded maxId=200 by contract; the production path is the
     # bucketed LSH/IVF probe (AnnSearch scaladoc)
