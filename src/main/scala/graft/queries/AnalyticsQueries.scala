@@ -472,6 +472,28 @@ object AnalyticsQueries {
           round(col("tokens").cast("double") /
             col("corpus_tokens").cast("double"), 9).as("token_share"))
         .orderBy("lang", "source")
+    }),
+
+    // Integer-arithmetic weighted Lloyd's k-means over (quantity,
+    // floor-dollar price): two unrolled assign+update rounds from
+    // fixed literal seeds, replayed exactly by the oracle's CTE
+    // chain. The point set collapses to distinct feature pairs with
+    // multiplicities first — the iterations then cost the distinct
+    // feature space, not the row count. The LLM-pipeline reading:
+    // the same kernel is the IVF/PQ codebook trainer
+    // ([[graft.operators.AnnSearch]]) under a hash gate instead of a
+    // recall floor. See [[graft.operators.KMeans]] for why every
+    // step is exact integer.
+    "q_ml_kmeans" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      graft.operators.KMeans.fit(pts,
+        Seq((0, 10L, 15000L), (1, 20L, 35000L),
+          (2, 30L, 55000L), (3, 40L, 75000L)),
+        iterations = 2)
+        .orderBy("cid")
     })
   )
 
@@ -733,6 +755,44 @@ object AnalyticsQueries {
         |  ROUND(CAST(tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)
         |    AS token_share
         |FROM cells, totals
-        |ORDER BY lang, source""".stripMargin
+        |ORDER BY lang, source""".stripMargin,
+    // Unrolled-iteration replay of the integer k-means: row_number
+    // (dist, cid) is the same tie-break as Spark's lexicographic
+    // struct-min; all arithmetic is BIGINT so both engines are exact.
+    "q_ml_kmeans" ->
+      """WITH pts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y,
+        |         COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c0(cid, cx, cy) AS (
+        |  VALUES (0, 10, 15000), (1, 20, 35000),
+        |         (2, 30, 55000), (3, 40, 75000)),
+        |a1 AS (
+        |  SELECT x, y, w, cid, dist,
+        |         ROW_NUMBER() OVER (PARTITION BY x, y
+        |           ORDER BY dist, cid) AS rn
+        |  FROM (SELECT p.x, p.y, p.w, c.cid,
+        |          (p.x - c.cx) * (p.x - c.cx) +
+        |          (p.y - c.cy) * (p.y - c.cy) AS dist
+        |        FROM pts p CROSS JOIN c0 c)),
+        |c1 AS (
+        |  SELECT cid,
+        |    CAST(SUM(x * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cx,
+        |    CAST(SUM(y * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cy
+        |  FROM a1 WHERE rn = 1 GROUP BY cid),
+        |a2 AS (
+        |  SELECT x, y, w, cid, dist,
+        |         ROW_NUMBER() OVER (PARTITION BY x, y
+        |           ORDER BY dist, cid) AS rn
+        |  FROM (SELECT p.x, p.y, p.w, c.cid,
+        |          (p.x - c.cx) * (p.x - c.cx) +
+        |          (p.y - c.cy) * (p.y - c.cy) AS dist
+        |        FROM pts p CROSS JOIN c1 c))
+        |SELECT cid, CAST(SUM(w) AS BIGINT) AS n_pts,
+        |  CAST(SUM(x * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cx,
+        |  CAST(SUM(y * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cy,
+        |  CAST(SUM(dist * w) AS BIGINT) AS sse
+        |FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
   )
 }

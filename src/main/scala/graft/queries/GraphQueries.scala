@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.PageRank
+import graft.operators.{PageRank, TriangleCount}
 
 /** Graph-ranking pack. Entity importance over the customer–supplier
   * transaction graph: nodes are customers and suppliers, an
@@ -40,11 +40,28 @@ object GraphQueries {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Part co-purchase graph: an undirected edge per distinct pair of
+    * parts appearing in the same order. Per-order pair generation is
+    * quadratic in order size, which TPC-H bounds at 7 lineitems — at
+    * 100 TB the same bound comes from the order contract, not data
+    * volume, so the edge build stays linear in the fact table. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("k"),
+        col("l_partkey").as("b")), Seq("k"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s, d) =>
       PageRank.ranks(edges(s, d), iterations = 3)
         .select(col("node"), col("rank").as("rank_fp"),
           round(col("rank").cast("double") / 1e12, 9).as("rank_norm"))
+        .orderBy("node")),
+    "q_graph_triangles" -> ((s, d) =>
+      TriangleCount.perNode(coPurchaseEdges(s, d))
         .orderBy("node"))
   )
 
@@ -91,6 +108,27 @@ object GraphQueries {
         |    GROUP BY e.dst) s USING (node))
         |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
         |  ROUND(CAST(rank AS DOUBLE) / 1e12, 9) AS rank_norm
-        |FROM r3 ORDER BY node""".stripMargin
+        |FROM r3 ORDER BY node""".stripMargin,
+    // Lexicographic orientation (a<b<c): the triangle SET — and so the
+    // per-node counts — is identical under any total node order, which
+    // is what makes the Spark side's degree-ordered orientation (the
+    // skew-proof one) hash-match this plain form.
+    "q_graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.a = e1.b
+        |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri)
+        |SELECT node, COUNT(*) AS triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin
   )
 }
