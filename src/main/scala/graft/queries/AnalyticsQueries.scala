@@ -494,6 +494,22 @@ object AnalyticsQueries {
           (2, 30L, 55000L), (3, 40L, 75000L)),
         iterations = 2)
         .orderBy("cid")
+    }),
+
+    // Pareto frontier of (price, quantity), minimize both: the line
+    // items no other line item beats on both axes. [[graft.operators
+    // .Skyline]] computes it with range-partitioned running minima
+    // bridged by a #partitions-row prefix-min frame — never a global
+    // window — while the oracle replays the single-window form the
+    // distributed plan is provably equal to. Frontier x values are
+    // unique (y strictly decreases along the frontier), so the
+    // ORDER BY x is a strict total order on both sides.
+    "q_skyline_2d" -> ((s, d) => {
+      val pts = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice")).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      graft.operators.Skyline.frontier2d(pts).orderBy("x")
     })
   )
 
@@ -793,6 +809,23 @@ object AnalyticsQueries {
         |  CAST(SUM(x * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cx,
         |  CAST(SUM(y * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cy,
         |  CAST(SUM(dist * w) AS BIGINT) AS sse
-        |FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+        |FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+    // Single global-order window over distinct pairs — the form the
+    // engine's range-partitioned prefix-min plan is equal to on any
+    // partitioning (dominance on distinct points = some lexicographic
+    // predecessor has y <= mine).
+    "q_skyline_2d" ->
+      """WITH pts AS (
+        |  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+        |         CAST(l_quantity AS BIGINT) AS y,
+        |         COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |scan AS (
+        |  SELECT x, y, w,
+        |    MIN(y) OVER (ORDER BY x, y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |  FROM pts)
+        |SELECT x, y, CAST(w AS BIGINT) AS w FROM scan
+        |WHERE m IS NULL OR m > y ORDER BY x""".stripMargin
   )
 }

@@ -137,6 +137,31 @@ object CurationQueries {
           curatedDocs(s, d).select("doc_id", "lang", "n_chars"),
           table = "graft_curated_corpus", buckets = 16)
         .orderBy("doc_id")
+    }),
+
+    // Z-order layout audit: Morton-interleave (partkey, suppkey)
+    // ([[graft.functions.ZOrder]], codegen'd bit twiddling), tile the
+    // curve into 1024-cell buckets (= aligned 32x32 quadtree squares),
+    // and report each tile's min/max per dimension — exactly the
+    // file-level statistics a 100 TB table clustered by this key
+    // would expose, where tile_area staying near 1024 (vs the full
+    // domain for a single-column sort) is WHY a 2-D predicate prunes:
+    // a query on (partkey range AND suppkey range) touches only tiles
+    // whose box intersects it.
+    "q_layout_zorder" -> ((s, d) => {
+      import graft.functions.ZOrder
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"))
+      li.select(col("x"), col("y"),
+          ZOrder.z16(col("x"), col("y")).as("z"))
+        .groupBy(shiftrightunsigned(col("z"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"),
+          ((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+            .as("tile_area"))
+        .orderBy("bucket")
     })
   )
 
@@ -354,6 +379,32 @@ object CurationQueries {
         |  FROM documents)
         |WHERE b < CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
         |                    WHEN 'de' THEN 50 ELSE 25 END
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // The same mask-spread interleave, step by step in BIGINT — every
+    // shift/and/or is exact 64-bit on both engines.
+    "q_layout_zorder" ->
+      """WITH b AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS x,
+        |         CAST(l_suppkey AS BIGINT) AS y
+        |  FROM lineitem),
+        |s0 AS (SELECT x, y, x & 65535 AS vx, y & 65535 AS vy FROM b),
+        |s1 AS (SELECT x, y,
+        |  ((vx | (vx << 8)) & 16711935) AS vx,
+        |  ((vy | (vy << 8)) & 16711935) AS vy FROM s0),
+        |s2 AS (SELECT x, y,
+        |  ((vx | (vx << 4)) & 252645135) AS vx,
+        |  ((vy | (vy << 4)) & 252645135) AS vy FROM s1),
+        |s3 AS (SELECT x, y,
+        |  ((vx | (vx << 2)) & 858993459) AS vx,
+        |  ((vy | (vy << 2)) & 858993459) AS vy FROM s2),
+        |s4 AS (SELECT x, y,
+        |  ((vx | (vx << 1)) & 1431655765) AS vx,
+        |  ((vy | (vy << 1)) & 1431655765) AS vy FROM s3),
+        |z AS (SELECT x, y, (vx | (vy << 1)) AS z FROM s4)
+        |SELECT (z >> 10) AS bucket, COUNT(*) AS n,
+        |  MIN(x) AS x_min, MAX(x) AS x_max,
+        |  MIN(y) AS y_min, MAX(y) AS y_max,
+        |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS tile_area
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{PageRank, TriangleCount}
+import graft.operators.{BfsHops, PageRank, TriangleCount}
 
 /** Graph-ranking pack. Entity importance over the customer–supplier
   * transaction graph: nodes are customers and suppliers, an
@@ -62,7 +62,19 @@ object GraphQueries {
         .orderBy("node")),
     "q_graph_triangles" -> ((s, d) =>
       TriangleCount.perNode(coPurchaseEdges(s, d))
-        .orderBy("node"))
+        .orderBy("node")),
+    // Reachability radius from one nation's suppliers across the
+    // trading graph: hop-1 = their customers, hop-2 = co-suppliers
+    // of those customers, hop-3 = second-degree customers. The
+    // LLM-pipeline reading: seed-set expansion over a similarity
+    // graph (find everything within k hops of a curated seed corpus).
+    "q_graph_hops" -> ((s, d) => {
+      val sources = graft.Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 1)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      BfsHops.hops(edges(s, d), sources, rounds = 3)
+        .orderBy("node")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,6 +141,43 @@ object GraphQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri)
         |SELECT node, COUNT(*) AS triangles
-        |FROM corners GROUP BY node ORDER BY node""".stripMargin
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+    // Unrolled BFS replay: each dk relaxes ONLY the frontier
+    // (dist = k-1), mirroring the engine's Pregel-style expansion;
+    // the min-combine makes the result identical to relax-everything.
+    "q_graph_hops" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |d0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node,
+        |         CAST(0 AS BIGINT) AS dist
+        |  FROM supplier WHERE s_nationkey = 1),
+        |d1 AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dist + 1 AS dist
+        |    FROM d0 f JOIN edges e ON e.src = f.node
+        |    WHERE f.dist = 0) GROUP BY node),
+        |d2 AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dist + 1 AS dist
+        |    FROM d1 f JOIN edges e ON e.src = f.node
+        |    WHERE f.dist = 1) GROUP BY node),
+        |d3 AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2
+        |    UNION ALL
+        |    SELECT e.dst AS node, f.dist + 1 AS dist
+        |    FROM d2 f JOIN edges e ON e.src = f.node
+        |    WHERE f.dist = 2) GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist
+        |FROM d3 ORDER BY node""".stripMargin
   )
 }

@@ -129,6 +129,10 @@ PLAN_FLAG_ALLOW = {
     # per-partition counts frame — #partitions rows, bounded by
     # cluster config, never by data (AnalyticsQueries.globalRank)
     "q_events_rfm": {"nested_loop_join"},
+    # same prefix-min theta self-join shape over the per-partition
+    # min-y frame — #partitions rows, bounded by cluster config
+    # (operators/Skyline.frontier2d)
+    "q_skyline_2d": {"nested_loop_join"},
     # cross of two fixed-cardinality dims (region 5 × nation≤5 rows
     # at every SF) — the operator's contract is a dim×dim cross
     "q_join_cross": {"nested_loop_join"},
