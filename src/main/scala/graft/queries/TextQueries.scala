@@ -91,6 +91,21 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Misra–Gries heavy hitters: tokens with frequency > N/(k+1),
+    // found by a bounded-memory per-partition screen + exact recount
+    // of the candidate union ([[graft.operators.HeavyHitters]] —
+    // shuffles candidates, never the vocabulary). The fixture's
+    // synthetic vocabulary (~31 tokens) is smaller than k, so here
+    // the summary degenerates to exact tracking — HeavyHittersSpec
+    // stresses the eviction path on vocab >> k; the gate pins the
+    // deterministic output contract.
+    "q_text_heavyhitters" -> ((s, d) =>
+      graft.operators.HeavyHitters.frequent(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token")),
+        k = 100)
+        .orderBy("token")),
+
     // Per-document quality signals: token count, vocabulary richness,
     // stopword ratio — the cheap heuristics used to filter training
     // corpora before expensive model-based scoring.
@@ -111,6 +126,16 @@ object TextQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The MG screen + exact recount provably equals the plain
+    // HAVING-threshold wordcount — which is the oracle.
+    "q_text_heavyhitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS n_total FROM t)
+        |SELECT token, CAST(n AS BIGINT) AS n FROM c, tot
+        |WHERE n * 101 > n_total ORDER BY token""".stripMargin,
     // LIMIT under a deterministic total order (n DESC, gram ASC) is
     // stable across engines: both take the identical first 100 rows.
     "q_text_ngram_freq" ->
