@@ -148,6 +148,40 @@ object CurationQueries {
     // domain for a single-column sort) is WHY a 2-D predicate prunes:
     // a query on (partkey range AND suppkey range) touches only tiles
     // whose box intersects it.
+    // Corpus drift audit: chi-square contribution of every
+    // (lang, source) cell between two corpus shards (even/odd
+    // doc_id stands in for yesterday/today) — the monitoring query a
+    // pipeline runs per ingest batch to catch a source going dark or
+    // a language mix shifting. Determinism: the chi-square numerator
+    // (o·N − n_shard·t)² and denominator N·n_shard·t are EXACT
+    // BIGINTs; only the final division is double, on identical
+    // operands with an identical expression tree in both engines.
+    // Scale: one groupBy over (lang, source) — cells, not documents,
+    // cross the single-row totals frame; contributions stay per-cell
+    // (no float total), so nothing depends on summation order.
+    "q_corpus_drift" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_a"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L))
+            .as("n_b"))
+      val tot = cells.agg(sum("n_a").as("na_tot"),
+        sum("n_b").as("nb_tot"))
+      val t = col("n_a") + col("n_b")
+      val n = col("na_tot") + col("nb_tot")
+      val dA = col("n_a") * n - col("na_tot") * t
+      val dB = col("n_b") * n - col("nb_tot") * t
+      cells.crossJoin(broadcast(tot)) // single-row totals frame
+        .withColumn("chi2_cell", round(
+          (dA * dA).cast("double") / (n * col("na_tot") * t).cast("double")
+            + (dB * dB).cast("double") / (n * col("nb_tot") * t).cast("double"),
+          9))
+        .select(col("lang"), col("source"), col("n_a"), col("n_b"),
+          col("chi2_cell"))
+        .orderBy("lang", "source")
+    }),
+
     "q_layout_zorder" -> ((s, d) => {
       import graft.functions.ZOrder
       val li = Tables.lineitem(s, d)
@@ -380,6 +414,33 @@ object CurationQueries {
         |WHERE b < CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
         |                    WHEN 'de' THEN 50 ELSE 25 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Exact-integer chi-square pieces; the one double division uses
+    // the identical operand pair and expression order as the engine.
+    "q_corpus_drift" ->
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (
+        |  SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+        |         CAST(SUM(n_b) AS BIGINT) AS nb_tot
+        |  FROM cells)
+        |SELECT lang, source, n_a, n_b,
+        |  ROUND(
+        |    CAST((n_a * (na_tot + nb_tot) - na_tot * (n_a + n_b)) *
+        |         (n_a * (na_tot + nb_tot) - na_tot * (n_a + n_b))
+        |      AS DOUBLE) /
+        |    CAST((na_tot + nb_tot) * na_tot * (n_a + n_b) AS DOUBLE)
+        |    +
+        |    CAST((n_b * (na_tot + nb_tot) - nb_tot * (n_a + n_b)) *
+        |         (n_b * (na_tot + nb_tot) - nb_tot * (n_a + n_b))
+        |      AS DOUBLE) /
+        |    CAST((na_tot + nb_tot) * nb_tot * (n_a + n_b) AS DOUBLE),
+        |  9) AS chi2_cell
+        |FROM cells, tot ORDER BY lang, source""".stripMargin,
     // The same mask-spread interleave, step by step in BIGINT — every
     // shift/and/or is exact 64-bit on both engines.
     "q_layout_zorder" ->
