@@ -31,15 +31,23 @@ object BfsHops {
     * dist = the true unweighted shortest distance (≤ rounds). */
   def hops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    // Eager localCheckpoint on the loop inputs and the per-round
+    // state: without it round k's plan re-embeds the edge extraction
+    // and every earlier round's joins, and both planning time and
+    // recomputation grow geometrically with the round count (the
+    // [[PageRank]] lesson; same discipline as ConnectedComponents).
+    val e = edges.localCheckpoint(true)
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
     for (k <- 1 to rounds) {
       val frontier = dist.filter(col("dist") === (k - 1))
       val relaxed = frontier
-        .join(edges, frontier("node") === edges("src"))
+        .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), lit(k.toLong).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
     }
     dist
   }

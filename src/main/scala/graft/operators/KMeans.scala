@@ -74,7 +74,11 @@ object KMeans {
           expr("sum(x * w) div sum(w)").as("cx"),
           expr("sum(y * w) div sum(w)").as("cy"),
           sum(col("dist") * col("w")).as("sse"))
-      centroids = out.select("cid", "cx", "cy")
+      // ≤ k rows — checkpointing severs the loop lineage so iteration
+      // i+1's plan broadcasts a stored k-row table instead of
+      // re-embedding (and re-executing) iteration i's full
+      // assign+update sub-DAG (the [[PageRank]] lesson).
+      centroids = out.select("cid", "cx", "cy").localCheckpoint(true)
     }
     out
   }

@@ -33,13 +33,25 @@ object PageRank {
     * graph — that also removes dangling nodes by construction). */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // Eager localCheckpoint on every frame the loop re-reads: without
+    // it each iteration's plan tree re-embeds (and re-executes) the
+    // upstream edge extraction, and the nested logical plan grows
+    // geometrically — at sf0.1 the un-truncated form spent ~100 s in
+    // driver-side planning + recomputation for a 600 k-edge graph.
+    // Same discipline as [[ConnectedComponents]]; the per-iteration
+    // rank checkpoint additionally pre-bakes each rank vector, so
+    // deg is joined against a stored table, not a sub-DAG.
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
     val nFrame = nodes.agg(count(lit(1)).as("n"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var r = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), expr(s"$Scale div n").as("rank"))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = e
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst"), expr("rank div deg").as("c"))
@@ -50,6 +62,7 @@ object PageRank {
         .select(col("node"), expr(
           s"(${15 * (Scale / 100)} div n) +" +
             " ((85 * coalesce(in_sum, 0L)) div 100)").as("rank"))
+        .localCheckpoint(true)
     }
     r
   }

@@ -201,6 +201,60 @@ object EventQueries {
           round(sum(round(col("w"), 6).cast(DecimalType(18, 12)))
             .cast("double") / count(lit(1)), 6).as("mean_winsorized"))
         .orderBy("user_id")
+    }),
+
+    // First/last-touch attribution: each purchase credits the
+    // earliest and the latest view/click STRICTLY BEFORE it (the
+    // marketing-attribution primitive). One user_id shuffle; the
+    // running min/max window frames reuse that partitioning. The
+    // argmin/argmax is the sortable-string trick: zero-padded
+    // (ts_us, event_id) prefix makes lexicographic MIN/MAX equal
+    // numeric order — byte-identical in both engines, and the
+    // event_id pad keeps the order strict under ts ties.
+    "q_events_attrib" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tk = when(col("event_type").isin("view", "click"),
+        concat(lpad(col("ts_us").cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0"),
+          col("event_type")))
+      withUs(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"), tk.as("tk"))
+        .withColumn("fk", min(col("tk")).over(w))
+        .withColumn("lk", max(col("tk")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          substring(col("fk"), 1, 20).cast("long").as("ft_us"),
+          substring(col("fk"), 33, 100).as("ft_type"),
+          substring(col("lk"), 1, 20).cast("long").as("lt_us"),
+          substring(col("lk"), 33, 100).as("lt_type"))
+        .orderBy("event_id")
+    }),
+
+    // Concurrent-interval counting by boundary sweep: lineitems
+    // pending shipment per day, from the [o_orderdate, l_shipdate]
+    // interval of each lineitem. The classic formulation self-joins
+    // intervals (O(n·m) — dies at any scale); the sweep emits +1/−1
+    // boundary deltas, collapses them to one row per day, and takes
+    // a DISTRIBUTED prefix sum over day order ([[PrefixSum]]: range
+    // shuffle + per-partition scan + broadcast carry-in). Rows
+    // crossing the scan are |distinct days|, and no window sees more
+    // than one partition.
+    "q_events_overlap" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+      val deltas = iv
+        .select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+        .unionAll(iv.select(
+          date_add(to_date(col("l_shipdate")), 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum(col("delta")).as("delta"))
+      graft.operators.PrefixSum
+        .prefixSum(deltas, col("delta"), "in_transit", col("day"))
+        .select("day", "delta", "in_transit")
+        .orderBy("day")
     })
   )
 
@@ -311,6 +365,50 @@ object EventQueries {
         |  CAST(SUM(clipped) AS BIGINT) AS n_clipped,
         |  ROUND(CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(18,12)))
         |             AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same sortable-string argmin/argmax: ASCII digit padding makes
+    // string MIN/MAX equal numeric (ts_us, event_id) order in both
+    // engines; substring parse-back is position-identical.
+    "q_events_attrib" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type IN ('view', 'click') THEN
+        |      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |      lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type
+        |    END AS tk
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    MIN(tk) OVER win AS fk, MAX(tk) OVER win AS lk
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(substring(fk, 1, 20) AS BIGINT) AS ft_us,
+        |  substring(fk, 33) AS ft_type,
+        |  CAST(substring(lk, 1, 20) AS BIGINT) AS lt_us,
+        |  substring(lk, 33) AS lt_type
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // Single cumulative window over per-day deltas — the form the
+    // engine's range-partitioned carry-in scan is provably equal to
+    // (prefix sums are associative; partition boundaries only move
+    // which pass adds which term).
+    "q_events_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_orderdate, l_shipdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE) + 1 AS day, -1 AS delta
+        |  FROM iv),
+        |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+        |      FROM d GROUP BY day)
+        |SELECT day, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS in_transit
+        |FROM g ORDER BY day""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long)], parts: Int): Map[Long, Long] =
+    PrefixSum.prefixSum(
+      rows.toDF("k", "v").repartition(parts), col("v"), "ps", col("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("ps")).toMap
+
+  private def expected(rows: Seq[(Long, Long)]): Map[Long, Long] =
+    rows.sortBy(_._1).scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (k, v)) => (k, acc + v)
+    }.tail.toMap
+
+  test("equals the single-window scan on mixed-sign values") {
+    val rows = Seq[(Long, Long)](
+      (5, 3), (1, -2), (9, 7), (3, 0), (7, -5), (2, 10), (8, 1),
+      (4, -1), (6, 4), (10, -3))
+    assert(run(rows, 1) == expected(rows))
+    assert(run(rows, 7) == expected(rows))
+  }
+
+  test("partition-count invariant: carry-in compensates any range split") {
+    val rows = (1L to 200L).map(k => (k, k % 13 - 6))
+    val base = expected(rows)
+    for (p <- Seq(1, 3, 32, 64)) assert(run(rows, p) == base)
+  }
+
+  test("preserves the input row set and existing columns") {
+    val df = Seq((3L, 10L, "c"), (1L, 5L, "a"), (2L, 7L, "b"))
+      .toDF("k", "v", "tag")
+    val out = PrefixSum.prefixSum(df, col("v"), "ps", col("k"))
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[String]("tag")).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getAs[Long]("ps")).toSeq == Seq(5L, 12L, 22L))
+  }
+
+  test("no unpartitioned window in the physical plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Descend into AQE wrappers — a bare plan.collect stops at
+    // AdaptiveSparkPlanExec and would pass vacuously.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val df = (1L to 50L).map(k => (k, k)).toDF("k", "v")
+    val plan = PrefixSum.prefixSum(df, col("v"), "ps", col("k"))
+      .queryExecution.executedPlan
+    val windows = flatten(plan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-partition scan window")
+    val bad = windows.filter(_.partitionSpec.isEmpty).map(_.nodeName)
+    assert(bad.isEmpty, s"unpartitioned windows: $bad")
+  }
+}
