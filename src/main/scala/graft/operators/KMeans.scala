@@ -50,6 +50,10 @@ object KMeans {
     require(iterations >= 1, "need at least one iteration")
     val spark = points.sparkSession
     import spark.implicits._
+    // The point set is scanned once per iteration; checkpointing it
+    // keeps each scan a stored-table read instead of re-executing the
+    // caller's distinct-collapse (or whatever built it) every round.
+    val pts = points.localCheckpoint(true)
     var centroids = seeds.toDF("cid", "cx", "cy")
       .select(col("cid"), col("cx").cast("long"), col("cy").cast("long"))
     var out: DataFrame = null
@@ -59,7 +63,7 @@ object KMeans {
       // order-insensitive, so determinism survives
       val cArr = centroids.agg(collect_list(
         struct(col("cid"), col("cx"), col("cy"))).as("cs"))
-      val assigned = points.crossJoin(broadcast(cArr))
+      val assigned = pts.crossJoin(broadcast(cArr))
         .withColumn("m", array_min(transform(col("cs"), c =>
           struct(
             ((col("x") - c.getField("cx")) *

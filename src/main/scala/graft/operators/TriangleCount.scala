@@ -40,8 +40,17 @@ object TriangleCount {
     * with a < b, both columns the same integral type. Returns
     * (node, triangles) for every node in at least one triangle. */
   def perNode(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    // Eager localCheckpoint on every multiply-consumed frame: the
+    // plan below reads `e` four times (both union sides, via deg and
+    // und) and `oriented` three times (adj build + both probe
+    // joins), and Catalyst does NOT share common sub-plans across a
+    // DAG — un-truncated, each consumer re-executes the upstream
+    // edge build (an expensive self-join + distinct for the
+    // co-purchase graph), turning an ~11 s job into ~100 s at sf0.1
+    // (the [[PageRank]] lesson, fan-out flavor).
+    val e = edges.localCheckpoint(true)
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
     val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): src is the strictly smaller endpoint key
     val oriented = und
@@ -50,10 +59,12 @@ object TriangleCount {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(true)
     // one sorted out-neighbor array per node (≤ O(sqrt edges) long
     // under the degree orientation, so no array is a memory hazard)
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true)
     // every triangle {u,v,w} with src u has v and w in N+(u) and the
     // closing edge (v, w) oriented too, i.e. w ∈ N+(u) ∩ N+(v)
     val tris = oriented
