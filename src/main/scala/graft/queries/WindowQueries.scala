@@ -199,7 +199,36 @@ object WindowQueries {
           col("session_window.start").cast("timestamp_ntz").as("s_start"),
           col("session_window.end").cast("timestamp_ntz").as("s_end"),
           col("n"), col("sum_value"))
-        .orderBy("user_id", "s_start"))
+        .orderBy("user_id", "s_start")),
+
+    // Running COUNT(DISTINCT) over a window — which neither engine
+    // supports natively — via the first-occurrence decomposition:
+    // mark each (user, type)'s first event, then a running sum of
+    // the marks counts distinct types seen so far. The mark window
+    // is partitioned by user_id (NOT (user, type), which would cost
+    // a second shuffle) and ordered type-first: within a user each
+    // type is one contiguous run, so `lag(event_type) != event_type`
+    // IS the first occurrence. One Exchange, two in-partition sorts
+    // — survives any user count; the naive size(collect_set() OVER)
+    // carries a growing set per row and has no DuckDB equivalent.
+    "q_win_distinct_running" -> ((s, d) => {
+      val wByType = Window.partitionBy("user_id")
+        .orderBy("event_type", "ts_us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"))
+        .withColumn("first_seen",
+          when(lag(col("event_type"), 1).over(wByType).isNull ||
+            lag(col("event_type"), 1).over(wByType) =!= col("event_type"),
+            1).otherwise(0))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us"),
+          sum(col("first_seen")).over(wRun).cast("int").as("n_types_seen"))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -345,6 +374,26 @@ object WindowQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, s_start""".stripMargin
+        |ORDER BY user_id, s_start""".stripMargin,
+    // Same first-occurrence decomposition; (ts_us, event_id) is a
+    // strict total order (event_id unique), so the lag marks and the
+    // running sum replay identically.
+    "q_win_distinct_running" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN LAG(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY event_type, ts_us, event_id)
+        |           IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM e)
+        |SELECT user_id, event_id, event_type, ts_us,
+        |  CAST(SUM(first_seen) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS n_types_seen
+        |FROM f ORDER BY user_id, event_id""".stripMargin
   )
 }
