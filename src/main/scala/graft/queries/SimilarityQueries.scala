@@ -110,6 +110,14 @@ object SimilarityQueries {
     // on any engine.
     "q_embed_gram" -> ((s, d) =>
       Tables.embeddings(s, d)
+        // spread the N·d²/2 per-row CPU across the cluster even when
+        // the scan yields few splits (a 20 k-vector parquet is one
+        // 128 MB split — and one task — without this); the shuffle
+        // moves only N vector rows, orders of magnitude cheaper than
+        // the outer-product work it parallelizes. Hash on vec_id:
+        // deterministic placement, and the sum is exact-integer so
+        // placement couldn't change the result anyway.
+        .repartition(col("vec_id"))
         .withColumn("q", expr(
           "transform(embedding, x -> CAST(round(round(" +
             "CAST(x AS DOUBLE), 6) * 1000000, 0) AS BIGINT))"))
