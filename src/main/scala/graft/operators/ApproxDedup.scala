@@ -89,6 +89,9 @@ object ApproxDedup {
     // localCheckpoint and unpersists the shingled corpus before
     // returning — the long-session shape.
     val withSh = docs
+      // spread the shingle-hash CPU across the cluster before the
+      // kernel runs — a sub-128 MB corpus file scans as ONE task
+      .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashes64(col("text"), n).as("sh"))
       .cache()
     val banded = withSh
@@ -153,6 +156,7 @@ object ApproxDedup {
                          eager: Boolean = false): DataFrame = {
     val r = k / bands
     def shingled(df: DataFrame, idAs: String, shAs: String) = df
+      .repartition(col("doc_id")) // CPU-spread (see minhashPairs)
       .select(col("doc_id").as(idAs),
         shingleHashes64(col("text"), n).as(shAs))
       .cache()
@@ -196,6 +200,9 @@ object ApproxDedup {
     * loss is irrelevant to near-dup discrimination. */
   def simhashOf(docs: DataFrame): DataFrame =
     docs
+      // per-token md5 + bit-vote CPU spread across the cluster, not
+      // file splits (a sub-128 MB corpus file scans as one task)
+      .repartition(col("doc_id"))
       .withColumn("__toks_hashes",
         transform(array_distinct(split(col("text"), " ")),
           t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)

@@ -143,7 +143,10 @@ object Bpe {
     val outSchema = docs.schema
       .add(outCol, org.apache.spark.sql.types.IntegerType, nullable = false)
     val idx = docs.schema.fieldIndex(textCol)
-    docs.mapPartitions { it =>
+    // the per-document merge loop is serial CPU; spread it across the
+    // cluster rather than file splits (a sub-128 MB corpus file scans
+    // as ONE task, which would run the whole corpus's BPE serially)
+    docs.repartition(col(textCol)).mapPartitions { it =>
       val rk = bc.value
       it.map(r => org.apache.spark.sql.Row.fromSeq(
         r.toSeq :+ encode(r.getString(idx), rk).length))

@@ -32,7 +32,10 @@ object Contamination {
       .select(col("doc_id").as(idAs),
         explode(array_distinct(
           ApproxDedup.shingleHashes64(col("text"), n))).as("gram"))
-    grams(train, "doc_id")
+    // train-side shingling is the bulk CPU; spread it across the
+    // cluster rather than file splits (the benchmark side is tiny by
+    // definition — eval sets — and needs no shuffle)
+    grams(train.repartition(col("doc_id")), "doc_id")
       .join(grams(benchmark, "bench_id"), "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
@@ -83,7 +86,7 @@ object Contamination {
     val mightContain = GraftColumnBridge.column(
       BloomFilterMightContain(Literal(bloomBytes),
         GraftColumnBridge.expression(col("gram"))))
-    grams(train, "doc_id")
+    grams(train.repartition(col("doc_id")), "doc_id") // CPU-spread
       .filter(mightContain)
       .join(benchGrams, "gram")
       .groupBy("doc_id")

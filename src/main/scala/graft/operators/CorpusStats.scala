@@ -33,6 +33,9 @@ object CorpusStats {
   /** Grams whose document frequency ≥ `minDf`: (gram, df). */
   def boilerplateGrams(docs: DataFrame, n: Int, minDf: Long): DataFrame =
     docs
+      // n-gram explode CPU spread across the cluster, not file
+      // splits (a sub-128 MB corpus file scans as one task)
+      .repartition(col("text"))
       .select(explode(array_distinct(ngrams(col("text"), n))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

@@ -279,6 +279,12 @@ object AnalyticsQueries {
     // per-doc ranked window; the df table is vocabulary-sized.
     "q_text_keywords" -> ((s, d) => {
       val toks = Tables.documents(s, d)
+        .select("doc_id", "text")
+        // tokenization CPU spread across the cluster, not file
+        // splits (sub-128 MB corpus file = one split = one task);
+        // tf and df each re-tokenize — two parallel passes beat
+        // materializing the token stream at corpus scale
+        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))

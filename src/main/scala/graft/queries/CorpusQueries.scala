@@ -39,6 +39,11 @@ object CorpusQueries {
   private def winHashes(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(length(col("text")) >= 30)
+      .select("doc_id", "text")
+      // the per-char window-hash kernel is the CPU; spread it across
+      // the cluster rather than across file splits (a sub-128 MB
+      // corpus file is ONE split — one task — without this)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(
         graft.functions.HashExpressions
           .charWindowMd5_60(col("text"), 30)).as("h"))
@@ -70,6 +75,10 @@ object CorpusQueries {
     * (split + transform + explode), no shuffle. */
   private def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select("doc_id", "text")
+      // explode CPU must not be bound to file-split count (see
+      // winHashes); the shuffle carries only the raw documents
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
