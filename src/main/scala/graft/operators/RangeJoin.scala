@@ -48,4 +48,37 @@ object RangeJoin {
       .filter(col(t) >= col(start) && col(t) <= col(end))
       .drop("__band")
   }
+
+  /** Inner join of interval set `a` to every OVERLAPPING interval in
+    * set `b` (inclusive bounds: overlap ⟺ aStart ≤ bEnd ∧
+    * bStart ≤ aEnd) — the interval×interval companion to
+    * [[pointInInterval]], as an equi-join on shared bands.
+    *
+    * A pair can share MANY bands, so candidates meet more than once;
+    * deduplication happens before the overlap verification by keeping
+    * only the pair's FIRST shared band (`max(floor(aStart/band),
+    * floor(bStart/band))` — both sides can compute it per candidate
+    * row, no distinct() shuffle needed). Row expansion per interval
+    * is length/band + 1; the shuffle is a hash partition on the band
+    * — the same 100 TB shape as the point variant, where the naive
+    * plan is the O(n·m) theta join.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      band: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(band > 0, "band must be positive")
+    def bandOf(c: Column): Column = floor(c / band).cast("long")
+    val ea = a.withColumn("__band",
+      explode(sequence(bandOf(col(aStart)), bandOf(col(aEnd)))))
+    val eb = b.withColumn("__band",
+      explode(sequence(bandOf(col(bStart)), bandOf(col(bEnd)))))
+    ea.join(eb, ("__band" +: keys).toSeq)
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      // first-shared-band guard: emit each overlapping pair exactly
+      // once without a distinct() pass over the candidate stream
+      .filter(col("__band") ===
+        greatest(bandOf(col(aStart)), bandOf(col(bStart))))
+      .drop("__band")
+  }
 }

@@ -458,6 +458,32 @@ object CompositeQueries {
           band = 7)
         .groupBy("i_key").agg(count(lit(1)).as("n_in_window"))
         .orderBy("i_key")
+    }),
+
+    // Interval×interval overlap join (two sampled order-window sets,
+    // 7- and 14-day windows) — banded equi-join with a first-shared-
+    // band guard instead of the O(n·m) theta join; see
+    // [[RangeJoin.intervalOverlap]]. The per-a overlap profile is the
+    // output (count + first partner), the usual shape for conflict /
+    // co-occurrence detection over time ranges.
+    "q_join_interval" -> ((s, d) => {
+      def day(c: Column): Column =
+        datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
+      val a = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_key"),
+          day(col("o_orderdate")).as("a_s"))
+        .withColumn("a_e", col("a_s") + 6)
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").as("b_key"),
+          day(col("o_orderdate")).as("b_s"))
+        .withColumn("b_e", col("b_s") + 13)
+      RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+          band = 7)
+        .groupBy("a_key").agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_key")).as("first_b"))
+        .orderBy("a_key")
     })
   )
 
@@ -689,6 +715,27 @@ object CompositeQueries {
         |               CAST(o_orderdate AS DATE)) AS p_day
         |   FROM orders) p
         |ON p.p_day BETWEEN i.s_day AND i.s_day + 6
-        |GROUP BY i_key ORDER BY i_key""".stripMargin
+        |GROUP BY i_key ORDER BY i_key""".stripMargin,
+    // The banded engine plan is set-equal to this plain overlap
+    // theta join (each pair survives exactly one band by the
+    // first-shared-band guard).
+    "q_join_interval" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key,
+        |    date_diff('day', DATE '1992-01-01',
+        |              CAST(o_orderdate AS DATE)) AS a_s,
+        |    date_diff('day', DATE '1992-01-01',
+        |              CAST(o_orderdate AS DATE)) + 6 AS a_e
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |    date_diff('day', DATE '1992-01-01',
+        |              CAST(o_orderdate AS DATE)) AS b_s,
+        |    date_diff('day', DATE '1992-01-01',
+        |              CAST(o_orderdate AS DATE)) + 13 AS b_e
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT a_key, COUNT(*) AS n_overlaps, MIN(b_key) AS first_b
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |GROUP BY a_key ORDER BY a_key""".stripMargin
   )
 }

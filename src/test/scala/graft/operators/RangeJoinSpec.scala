@@ -50,4 +50,40 @@ class RangeJoinSpec extends SparkSpec {
       .count()
     assert(got == 1L)
   }
+
+  test("intervalOverlap equals brute force, exactly once per pair") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 30) {
+      val as = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
+        val s0 = rnd.nextInt(200).toLong
+        (s"a$round-$i", s0, s0 + rnd.nextInt(30))
+      }
+      val bs = Seq.tabulate(1 + rnd.nextInt(20)) { i =>
+        val s0 = rnd.nextInt(200).toLong
+        (s"b$round-$i", s0, s0 + rnd.nextInt(30))
+      }
+      val expected = (for {
+        (aid, as0, ae0) <- as
+        (bid, bs0, be0) <- bs
+        if as0 <= be0 && bs0 <= ae0
+      } yield (aid, bid)).toSet
+      for (band <- Seq(1L, 7L, 64L)) {
+        val got = RangeJoin.intervalOverlap(
+          as.toDF("aid", "as0", "ae0"), bs.toDF("bid", "bs0", "be0"),
+          "as0", "ae0", "bs0", "be0", band)
+          .select("aid", "bid").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        assert(got.toSet == expected, s"round $round band $band")
+        assert(got.length == expected.size,
+          s"round $round band $band: duplicate pairs emitted")
+      }
+    }
+  }
+
+  test("intervalOverlap negative domains and inclusive touch points") {
+    val as = Seq(("a", -5L, -1L)).toDF("aid", "as0", "ae0")
+    val bs = Seq(("b", -1L, 3L)).toDF("bid", "bs0", "be0")
+    assert(RangeJoin.intervalOverlap(
+      as, bs, "as0", "ae0", "bs0", "be0", band = 4).count() == 1L)
+  }
 }
