@@ -1,21 +1,33 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided parquet tables
   * (`/root/testdata/sf*` — see FIXTURES.md §B).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-  * default; we read it as epoch-nano LongType via the
-  * `nanosAsLong` legacy conf (set lazily, runtime-settable). All
-  * event-time arithmetic downstream uses `ts_us = ts div 1000`, which
-  * matches DuckDB's microsecond truncation of the same column.
+  * `events.ts` has shipped in two physical layouts across testdata
+  * generations: parquet TIMESTAMP(NANOS) (read as epoch-nano LongType
+  * via the `nanosAsLong` legacy conf) and plain TIMESTAMP(MICROS)
+  * (read as a timestamp type). The loader normalizes BOTH to the
+  * engine-wide contract — `ts` is epoch-NANOS LongType — so all
+  * downstream event-time arithmetic (`ts_us = ts div 1000`) and every
+  * DuckDB oracle (`epoch_us(ts)`) see identical microsecond values
+  * regardless of which layout the driver generated. The timestamp →
+  * long conversion is `unix_micros * 1000`, exact for µs data; the
+  * session timezone is pinned UTC by every entrypoint, so NTZ wall
+  * clocks convert without offset.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -307,7 +307,7 @@ object MultimodalOps {
     * initialized once per partition (the executor-side pattern for
     * any native decoder); features are a 16-bin normalized
     * value histogram of the decoded plane — REAL pixels for images,
-    * REAL PCM samples for audio, stub samples for video. */
+    * REAL PCM samples for audio, REAL Y4M luma planes for video. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
