@@ -92,23 +92,30 @@ object SimilarityQueries {
 
     // Distributed Gram matrix Σ x·xᵀ over the WHOLE corpus — the
     // input to PCA/whitening/low-rank compression of an embedding
-    // store. Per row, the upper-triangle outer product is built
-    // in-task from the array (nested indexed `transform`s, d(d+1)/2
-    // entries), exploded, and partially aggregated per (i, j) BEFORE
-    // the shuffle — so the exchange carries ≤ d² rows per task
-    // regardless of corpus size, and no pair join ever forms. CPU is
-    // the unavoidable N·d²/2 multiplies; output is d(d+1)/2 rows at
-    // ANY scale. Determinism AND speed: elements are quantized once
-    // per vector to ×1e6 fixed-point LONGs (the [[PageRank]]
-    // discipline — a DECIMAL(18,12)-product version of this kernel
-    // was hash-identical but 4× slower: BigDecimal multiplies in the
-    // N·d²/2 hot loop), products are exact long multiplies, and only
-    // the ≤ d² aggregate rows pay a DECIMAL(25,0) sum (exact,
-    // overflow-safe past long at ~1e18-row corpora). gram_e12 is the
-    // exact fixed-point answer; gram derives from it by two
+    // store. Each task folds its rows into ONE flat d(d+1)/2 long
+    // accumulator (primitive while-loops, no per-entry row objects),
+    // so the exchange carries exactly d(d+1)/2 rows per task
+    // regardless of corpus size and no pair join ever forms. CPU is
+    // the unavoidable N·d²/2 multiply-adds; output is d(d+1)/2 rows
+    // at ANY scale. (An earlier explode-of-structs version of the
+    // same dataflow spent 6× the kernel's total time allocating
+    // 2080 structs per row before the partial agg could collapse
+    // them — the accumulator IS the partial agg, one array per
+    // task.) Determinism: elements are quantized once per vector to
+    // ×1e6 fixed-point LONGs via [[quantE6]], which replicates
+    // Spark's round()-expression semantics digit for digit, products
+    // are exact long multiplies, and only the per-task aggregate
+    // rows pay a DECIMAL(25,0) sum (exact, overflow-safe at any
+    // corpus size). Per-task accumulator overflow cannot happen
+    // under the unit-norm contract (|x| ≤ 1 → |q| ≤ 1e6 → |product|
+    // ≤ 1e12; long overflows at 9.2e18): the accumulator drains
+    // every 4M rows, bounding any partial at 4e18 even for
+    // adversarial non-normalized inputs. gram_e12 is the exact
+    // fixed-point answer; gram derives from it by two
     // correctly-rounded IEEE steps (int64→double, ÷1e12), identical
     // on any engine.
-    "q_embed_gram" -> ((s, d) =>
+    "q_embed_gram" -> ((s, d) => {
+      import s.implicits._
       Tables.embeddings(s, d)
         // spread the N·d²/2 per-row CPU across the cluster even when
         // the scan yields few splits (a 20 k-vector parquet is one
@@ -118,23 +125,69 @@ object SimilarityQueries {
         // deterministic placement, and the sum is exact-integer so
         // placement couldn't change the result anyway.
         .repartition(col("vec_id"))
-        .withColumn("q", expr(
-          "transform(embedding, x -> CAST(round(round(" +
-            "CAST(x AS DOUBLE), 6) * 1000000, 0) AS BIGINT))"))
-        .select(explode(expr(
-          """flatten(transform(q, (xi, i) ->
-            |  transform(slice(q, i + 1, size(q) - i),
-            |    (xj, j) -> named_struct(
-            |      'i', i, 'j', i + j, 'p', xi * xj))))""".stripMargin))
-          .as("e"))
-        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+        .select("embedding").as[Array[Float]]
+        .mapPartitions { vecs =>
+          var dim = 0
+          var acc: Array[Long] = null
+          var qbuf: Array[Long] = null
+          var n = 0
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+          def drain(): Unit = if (acc != null && n > 0) {
+            var k = 0; var i = 0
+            while (i < dim) {
+              var j = i
+              while (j < dim) { out += ((i, j, acc(k))); j += 1; k += 1 }
+              i += 1
+            }
+            java.util.Arrays.fill(acc, 0L); n = 0
+          }
+          while (vecs.hasNext) {
+            val v = vecs.next()
+            if (acc == null) {
+              dim = v.length
+              acc = new Array[Long](dim * (dim + 1) / 2)
+              qbuf = new Array[Long](dim)
+            }
+            var i = 0
+            while (i < dim) { qbuf(i) = quantE6(v(i).toDouble); i += 1 }
+            var k = 0; i = 0
+            while (i < dim) {
+              val qi = qbuf(i); var j = i
+              while (j < dim) { acc(k) += qi * qbuf(j); j += 1; k += 1 }
+              i += 1
+            }
+            n += 1
+            if (n >= 4000000) drain()
+          }
+          drain()
+          out.iterator
+        }
+        .toDF("i", "j", "p")
         .groupBy("i", "j")
         .agg(expr("CAST(SUM(CAST(p AS DECIMAL(25,0))) AS BIGINT)")
           .as("gram_e12"))
         .withColumn("gram",
           col("gram_e12").cast("double") / lit(1e12))
-        .orderBy("i", "j"))
+        .orderBy("i", "j")
+    })
   )
+
+  /** ×1e6 fixed-point quantization replicating the SQL expression
+    * `CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000, 0) AS
+    * BIGINT)` step for step: Spark's `round(double, s)` is
+    * BigDecimal-of-decimal-string + HALF_UP (Round#nullSafeEval), the
+    * `* 1000000` is one IEEE double multiply, and the final
+    * round-to-integer runs through the same decimal-string path — so
+    * this kernel and the DuckDB oracle (whose `round` has identical
+    * decimal-string semantics) see bit-equal longs. Kept out of the
+    * inner d² loop: called N·d times, never N·d². */
+  private[queries] def quantE6(x: Double): Long = {
+    val r6 = new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val p = r6 * 1e6
+    new java.math.BigDecimal(java.lang.Double.toString(p))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 
   private val cosExpr =
     """list_inner_product(CAST(a.embedding AS DOUBLE[]),
