@@ -7,14 +7,14 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** The rest of the TPC-H query-shape family (Q1, Q2, Q4, Q7, Q8, Q9,
-  * Q12, Q13, Q16, Q17, Q21, Q22), adapted to the driver's synthetic
-  * schema: the testdata has no `partsupp`, `l_commitdate` /
+  * Q11, Q12, Q13, Q16, Q17, Q20, Q21, Q22), adapted to the driver's
+  * synthetic schema: the testdata has no `partsupp`, `l_commitdate` /
   * `l_receiptdate` / `l_shipmode`, `o_comment`, or `c_phone`, so each
   * query keeps its *plan shape* (the part that matters for an engine:
   * which joins, which aggregates, which subquery rewrites) and swaps
   * the missing columns for available ones. Together with
   * [[CompositeQueries]] (Q3/Q5/Q6/Q10/Q14/Q15/Q18/Q19) this covers
-  * every TPC-H pattern expressible on the driver schema.
+  * all 22 TPC-H patterns on the driver schema.
   *
   * These generalize the reference's single count-and-forward dataflow
   * (`kinesis-to-humio.py:114-117,133`) the same way the rest of the
@@ -287,6 +287,74 @@ object TpchQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Q11 shape (important inventory positions): a grouped aggregate
+    // HAVING-filtered against a scalar fraction of the SAME
+    // aggregate computed globally — the spec's ps_supplycost ×
+    // ps_availqty value surrogate is extendedprice × quantity from
+    // lineitem (no partsupp in the schema), nation-scoped on the
+    // supplier side. Catalyst plans the uncorrelated scalar subquery
+    // as an independent subtree broadcast into the HAVING filter —
+    // the fact table is scanned twice but shuffled only on
+    // l_partkey; at 100 TB the second scan is the textbook candidate
+    // for exchange/subtree reuse, which Spark applies when the two
+    // subtrees are syntactically identical (they are). Both engines
+    // sum exact decimals and derive the threshold with one cast and
+    // one IEEE multiply — identical doubles, no boundary drift.
+    "q_tpch_q11" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q11")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q11")
+      s.sql(
+        """SELECT l_partkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS part_value
+          |FROM lineitem_q11 JOIN supplier_q11 ON l_suppkey = s_suppkey
+          |WHERE s_nationkey = 7
+          |GROUP BY l_partkey
+          |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+          |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |   FROM lineitem_q11 JOIN supplier_q11 ON l_suppkey = s_suppkey
+          |   WHERE s_nationkey = 7) * 0.001
+          |ORDER BY part_value DESC, l_partkey""".stripMargin)
+    }),
+
+    // Q20 shape (suppliers with excess share): the spec's nested
+    // IN-chain (partsupp availability vs half the shipped quantity),
+    // hand-decorrelated the way the optimizer should: per-(supplier,
+    // part) shipped quantity in the window year, per-part totals as
+    // a second aggregate over the FIRST one (never a rescan), the
+    // half-share screen joined on the narrow per-part frame, and the
+    // surviving supplier keys applied as a LEFT SEMI join. Both
+    // aggregate frames are bounded by |parts matching the name
+    // screen| × |suppliers| — broadcastable at any fact-table scale.
+    // Share compare: exact decimal sums, one cast each, one IEEE
+    // multiply-compare — deterministic cross-engine.
+    "q_tpch_q20" -> ((s, d) => {
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+      val partTot = shipped.groupBy(col("l_partkey").as("tp"))
+        .agg(sum(col("supp_qty")).as("part_qty"))
+      val qualified = shipped
+        .join(broadcast(partTot), col("l_partkey") === col("tp"))
+        .filter(col("supp_qty").cast("double") >
+          lit(0.5) * col("part_qty").cast("double"))
+        .select(col("l_suppkey").as("qual_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(qualified, col("s_suppkey") === col("qual_suppkey"),
+          "left_semi")
+        .filter(col("s_nationkey") < 13)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    }),
+
     // Q21 shape (suppliers who kept orders waiting): the
     // triple-correlated EXISTS / NOT EXISTS chain — a semi-join and
     // an anti-join against the same fact table, both on l_orderkey.
@@ -498,6 +566,39 @@ object TpchQueries {
         |JOIN part_avg ON l_partkey = ap_partkey
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q_tpch_q11" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 7
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+        |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |   WHERE s_nationkey = 7) * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey AS tp, SUM(supp_qty) AS part_qty
+        |  FROM shipped GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM shipped JOIN tot ON l_partkey = tp
+        |  WHERE CAST(supp_qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE))
+        |  AND s_nationkey < 13
+        |ORDER BY s_name, s_suppkey""".stripMargin,
     "q_tpch_q21" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM supplier
