@@ -124,6 +124,99 @@ object Bpe {
     train(sample, nMerges)
   }
 
+  /** DISTRIBUTED trainer: classic BPE (Sennrich et al., ACL'16 —
+    * public algorithm) with the word-frequency table living on the
+    * cluster for the whole run; only ONE row — the argmax pair —
+    * reaches the driver per merge round.
+    *
+    * Scale shape vs [[trainOnSample]] (which collects a bounded text
+    * sample and is the right call when a sample suffices): here the
+    * vocabulary can be arbitrarily large. The corpus is read ONCE
+    * into (symbols, freq) — at 100 TB the word-vocab frame is
+    * millions of rows, not the corpus — and every round is two
+    * narrow jobs over that frame: adjacent-pair explode + partial
+    * agg (shuffle carries distinct pairs only), then a
+    * TakeOrdered(1) under the (-count, a, b) total order, so the
+    * tie-break is deterministic and no round sorts the full pair
+    * set. The merge applies as a broadcast single-pair rewrite in a
+    * typed map — no shuffle; the frame re-checkpoints every few
+    * rounds (the [[PageRank]] iterative-lineage lesson). Result is a
+    * pure function of the corpus, bit-equal to the serial reference
+    * [[train]] on the same text (pinned by BpeSpec).
+    */
+  def trainDistributed(docs: DataFrame, textCol: String,
+                       nMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(col(textCol)).as[String]
+      .flatMap(preTokens(_))
+      .groupBy(col("value").as("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      // same char-level seeding as the serial reference (String.map
+      // over chars) — not split-by-regex, whose empty-string edge
+      // semantics differ across engines
+      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+      .localCheckpoint(true)
+    // Right-size the vocab frame ONCE: per-round latency is
+    // scheduler-bound (every merge round launches a job over this
+    // frame), so partition for ~256k words/task instead of
+    // inheriting the corpus shuffle width — a 50k-word vocab runs
+    // each round as 2 tasks, a 100M-word vocab as ~400. The count is
+    // one extra job, paid once.
+    val nPart = math.max(2, (words.count() / 262144L).toInt)
+    words = words.repartition(nPart).localCheckpoint(true)
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    // the (-count, a, b) total order of the serial reference, applied
+    // distributively: per-partition min after an exact reduceByKey,
+    // then a driver min over one candidate per partition
+    implicit val argmaxOrd: Ordering[((String, String), Long)] =
+      Ordering.by { case ((a, b), n) => (-n, a, b) }
+    while (round < nMerges && !exhausted) {
+      // Pair counting as an RDD map-side combine: each task folds its
+      // words into a local pair→count map (no per-pair row objects),
+      // the shuffle carries only distinct (pair, partial) entries,
+      // and the argmax `min` action ships ONE candidate per partition
+      // to the driver. Plain RDD ops on purpose: an SQL
+      // explode/groupBy/TakeOrdered here re-plans and re-codegens
+      // EVERY round — 5x the wall time of the whole loop — for a
+      // dataflow this fixed.
+      val counts = words.rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        it.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = (syms(i), syms(i + 1))
+            m.update(p, m.getOrElse(p, 0L) + n)
+            i += 1
+          }
+        }
+        m.iterator
+      }.reduceByKey(_ + _)
+      // takeOrdered(1): per-partition best + driver merge, ONE job —
+      // isEmpty/min as separate actions would recount every pair
+      val best = counts.takeOrdered(1)(argmaxOrd)
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0)._1
+        merges += pair
+        words = words.map { case (syms, n) =>
+          (mergePair(syms.toVector, pair), n)
+        }
+        round += 1
+        // re-checkpoint every few rounds: deep map lineage would make
+        // round k replay every earlier rewrite, but a handful of
+        // narrow maps replay locally for free — checkpointing each
+        // round doubles the per-round job count for nothing (the
+        // [[PageRank]] lesson, amortized)
+        if (round % 4 == 0) words = words.localCheckpoint(true)
+      }
+    }
+    merges.result()
+  }
+
   /** Distributed application: per-document real-BPE token counts in
     * one narrow pass, merge ranks broadcast once per job. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,

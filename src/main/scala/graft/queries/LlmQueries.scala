@@ -249,6 +249,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer TRAINING at corpus scale: the word-frequency table
+    // never leaves the cluster; each merge round ships exactly one
+    // argmax row to the driver. Output is the learned merge table —
+    // a pure function of the corpus (deterministic (-count, a, b)
+    // tie-break), pinned bit-equal to the serial reference trainer
+    // by BpeSpec. No DuckDB oracle: the per-word merge rewrite is
+    // sequential-scan semantics SQL recursion can't express.
+    "q_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val merges = Bpe.trainDistributed(
+        Tables.documents(s, d).select("text"), "text", nMerges = 32)
+      merges.zipWithIndex
+        .map { case ((a, b), r) => (r, a, b, a + b) }
+        .toDF("rank", "left", "right", "merged")
+        .orderBy("rank")
+    }),
+
     // Sequence packing under REAL tokenizer budgets: same prefix-sum
     // window operator as q_pack_sequences, but the per-doc token
     // count is the trained-BPE count instead of the whitespace

@@ -73,6 +73,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed trainer is bit-equal to the serial reference " +
+      "trainer on the same corpus") {
+    import spark.implicits._
+    // the serial trainer is the independent ground truth: same
+    // algorithm, entirely driver-side, no Spark in the loop
+    val docs = Tables.documents(spark, dir).select("text")
+    val texts = docs.as[String].collect().toSeq
+    val serial = Bpe.train(texts, 40)
+    val distributed = Bpe.trainDistributed(docs, "text", 40)
+    assert(distributed == serial,
+      s"first divergence at rank ${
+        distributed.zip(serial).indexWhere { case (a, b) => a != b }}")
+  }
+
+  test("distributed trainer exhausts gracefully when the corpus runs " +
+      "out of repeating pairs") {
+    import spark.implicits._
+    val tiny = Seq("ab", "cd").toDF("text")
+    val merges = Bpe.trainDistributed(tiny, "text", 50)
+    // 2 single-use pairs exist; after merging both, nothing remains
+    assert(merges == Bpe.train(Seq("ab", "cd"), 50))
+    assert(merges.length <= 2)
+  }
+
   test("real-BPE counts refine the heuristic within sane bounds") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val merges = Bpe.trainOnSample(docs, "doc_id", "text",
