@@ -114,7 +114,62 @@ object SimilarityQueries {
     // fixed-point answer; gram derives from it by two
     // correctly-rounded IEEE steps (int64→double, ÷1e12), identical
     // on any engine.
-    "q_embed_gram" -> ((s, d) => {
+    "q_embed_gram" -> ((s, d) =>
+      gramE12(s, d)
+        .withColumn("gram",
+          col("gram_e12").cast("double") / lit(1e12))
+        .orderBy("i", "j")),
+
+    // Top principal direction of the corpus gram matrix — the PCA /
+    // whitening input stage, as two UNNORMALIZED power iterations
+    // v₂ = G²·1 in exact integer arithmetic. All the data-scale work
+    // (N·d²/2 gram accumulation) runs distributed above; the d(d+1)/2
+    // aggregate — bounded by the embedding-dim CONFIG, never the
+    // corpus — is the only thing collected, the same bounded-collect
+    // contract as the ANN codebooks (AnnSearch.scala). BigInteger
+    // matvecs are exact, so the DuckDB replay (HUGEINT CTE chain over
+    // the same gram) is bit-equal: at e12 fixed point the entries
+    // reach ~2e15 at sf0.1, v₂ components ~1.7e34 — inside both
+    // BigInteger (unbounded) and HUGEINT (1.7e38), which is why
+    // exactly TWO iterations: a third would overflow the oracle's
+    // 128-bit integers. The output surface normalizes by max |v₂ᵢ|
+    // with one double division and Spark's own round(·, 9) — the
+    // standard deterministic-surface discipline.
+    "q_embed_pca" -> ((s, d) => {
+      val g = gramE12(s, d).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val dim = g.map(_._2).max + 1
+      val G = Array.ofDim[java.math.BigInteger](dim, dim)
+      val zero = java.math.BigInteger.ZERO
+      for (i <- 0 until dim; j <- 0 until dim) G(i)(j) = zero
+      g.foreach { case (i, j, v) =>
+        val b = java.math.BigInteger.valueOf(v)
+        G(i)(j) = b; G(j)(i) = b
+      }
+      def matvec(v: Array[java.math.BigInteger]) =
+        Array.tabulate(dim) { i =>
+          var acc = zero
+          var j = 0
+          while (j < dim) { acc = acc.add(G(i)(j).multiply(v(j))); j += 1 }
+          acc
+        }
+      val ones = Array.fill(dim)(java.math.BigInteger.ONE)
+      val v2 = matvec(matvec(ones))
+      val mx = v2.map(_.abs).max
+      import s.implicits._
+      v2.toSeq.zipWithIndex
+        .map { case (v, i) =>
+          (i, v.doubleValue() / mx.doubleValue()) }
+        .toDF("i", "raw")
+        .select(col("i"), round(col("raw"), 9).as("v_norm"))
+        .orderBy("i")
+    })
+  )
+
+  /** The distributed e12 fixed-point gram aggregate (i ≤ j upper
+    * triangle, exact integers) shared by [[queries q_embed_gram]] and
+    * the PCA power iteration. */
+  private def gramE12(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       Tables.embeddings(s, d)
         // spread the N·d²/2 per-row CPU across the cluster even when
@@ -166,11 +221,7 @@ object SimilarityQueries {
         .groupBy("i", "j")
         .agg(expr("CAST(SUM(CAST(p AS DECIMAL(25,0))) AS BIGINT)")
           .as("gram_e12"))
-        .withColumn("gram",
-          col("gram_e12").cast("double") / lit(1e12))
-        .orderBy("i", "j")
-    })
-  )
+  }
 
   /** ×1e6 fixed-point quantization replicating the SQL expression
     * `CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000, 0) AS
@@ -256,6 +307,38 @@ object SimilarityQueries {
         |    AS DOUBLE) / 1e12 AS gram
         |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+    // Same gram CTE, then two exact 128-bit power iterations
+    // v2 = G²·1 (HUGEINT — which is why the engine stops at two:
+    // a third would overflow 1.7e38) and the one-division double
+    // surface.
+    "q_embed_pca" ->
+      """WITH ex0 AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(1, len(embedding))) AS i,
+        |    unnest(embedding) AS e
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |    CAST(round(round(CAST(e AS DOUBLE), 6) * 1000000, 0)
+        |      AS BIGINT) AS x
+        |  FROM ex0),
+        |gram AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(25,0))) AS BIGINT) AS g
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i),
+        |sym AS (
+        |  SELECT i, j, g FROM gram
+        |  UNION ALL SELECT j, i, g FROM gram WHERE i <> j),
+        |v1 AS (
+        |  SELECT i, SUM(CAST(g AS HUGEINT)) AS v FROM sym GROUP BY i),
+        |v2 AS (
+        |  SELECT s.i, SUM(CAST(s.g AS HUGEINT) * v1.v) AS v
+        |  FROM sym s JOIN v1 ON s.j = v1.i GROUP BY s.i),
+        |m AS (SELECT MAX(ABS(v)) AS mx FROM v2)
+        |SELECT i, ROUND(CAST(v AS DOUBLE) / CAST(mx AS DOUBLE), 9)
+        |  AS v_norm
+        |FROM v2, m ORDER BY i""".stripMargin
   )
 }
