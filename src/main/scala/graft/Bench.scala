@@ -43,7 +43,7 @@ object Bench {
     "q_array_funcs",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_ngram", "q_dedup_clusters", "q_contamination",
-    "q_text_stats", "q_text_langid",
+    "q_text_stats", "q_text_langid", "q_bpe_train", "q_embed_pca",
     "q_sim_topk", "q_ann_lsh", "q_ann_ivf",
     "q_events_sessionize", "q_range_join", "q_pack_sequences",
     "q_multimodal_pipeline",
