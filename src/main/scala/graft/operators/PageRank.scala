@@ -42,28 +42,31 @@ object PageRank {
     // rank checkpoint additionally pre-bakes each rank vector, so
     // deg is joined against a stored table, not a sub-DAG.
     val e = edges.localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct()
+    // (node, deg) in ONE frame: every node is a src by contract, so
+    // the degree aggregate already enumerates the node set — and
+    // carrying deg inside the rank vector saves a second per-
+    // iteration join (the rank frame is the broadcast side either
+    // way; one broadcast instead of two per round).
+    val nodesDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val nFrame = nodes.agg(count(lit(1)).as("n"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    var r = nodes.crossJoin(broadcast(nFrame))
-      .select(col("node"), expr(s"$Scale div n").as("rank"))
+    val nFrame = nodesDeg.agg(count(lit(1)).as("n"))
+    var r = nodesDeg.crossJoin(broadcast(nFrame))
+      .select(col("node"), col("deg"), expr(s"$Scale div n").as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("rank div deg").as("c"))
       val inSum = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("in_sum"))
-      r = nodes.join(inSum, Seq("node"), "left")
+      r = nodesDeg.join(inSum, Seq("node"), "left")
         .crossJoin(broadcast(nFrame))
-        .select(col("node"), expr(
+        .select(col("node"), col("deg"), expr(
           s"(${15 * (Scale / 100)} div n) +" +
             " ((85 * coalesce(in_sum, 0L)) div 100)").as("rank"))
         .localCheckpoint(true)
     }
-    r
+    r.select("node", "rank")
   }
 }

@@ -29,7 +29,10 @@ object GraphQueries {
     // fact table × per-key multiplicity; pre-distinct it is the
     // relationship table, orders-of-magnitude smaller).
     val pairs = Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey").distinct()
+      // no pre-distinct here: o_orderkey is the orders PK (one row
+      // per order), so a distinct is a pure extra shuffle; the final
+      // pairs-level distinct below guarantees the edge set either way
+      .select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey").distinct(),
         col("o_orderkey") === col("l_orderkey"))
