@@ -87,6 +87,24 @@ class BpeSpec extends SparkSpec {
         distributed.zip(serial).indexWhere { case (a, b) => a != b }}")
   }
 
+  test("distributed trainer matches the serial reference on seeded " +
+      "random corpora (adversarial ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // small alphabets force heavy count TIES, stressing the
+    // (-count, a, b) tie-break path on both sides
+    for (trial <- 1 to 3) {
+      val alpha = "abcd!?7 ".take(4 + trial)
+      val corpus = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length)))
+          .mkString)
+      val serial = Bpe.train(corpus, 25)
+      val dist = Bpe.trainDistributed(
+        corpus.toDF("text"), "text", 25)
+      assert(dist == serial, s"trial $trial diverged: $dist vs $serial")
+    }
+  }
+
   test("distributed trainer exhausts gracefully when the corpus runs " +
       "out of repeating pairs") {
     import spark.implicits._
