@@ -48,14 +48,23 @@ object GraphQueries {
     * quadratic in order size, which TPC-H bounds at 7 lineitems — at
     * 100 TB the same bound comes from the order contract, not data
     * volume, so the edge build stays linear in the fact table. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-    li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
-      .join(li.select(col("l_orderkey").as("k"),
-        col("l_partkey").as("b")), Seq("k"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    // one groupBy instead of a fact-table self-join: each order's
+    // parts collapse to a sorted SET in the aggregate (map-side
+    // combine, ≤7 elements by the order contract), and the a<b pairs
+    // expand from the array IN-TASK — the shuffle carries one row
+    // per lineitem, never the O(order_size²) pair blow-up the join
+    // form shipped, and within-order duplicate parts are deduped
+    // before pair expansion instead of after
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s, d) =>
