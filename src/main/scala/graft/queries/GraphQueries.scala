@@ -21,13 +21,14 @@ import graft.operators.{BfsHops, PageRank, TriangleCount}
 object GraphQueries {
 
   private def edges(s: SparkSession, d: String): DataFrame = {
-    // distinct-project BOTH sides before the join: the edge set only
-    // needs (order → cust) × (order → supp), so collapsing each side
-    // to its distinct pairs first keeps the join linear in the
-    // distinct relationships instead of multiplying per-order row
-    // counts (at 100 TB the raw join's intermediate is the whole
-    // fact table × per-key multiplicity; pre-distinct it is the
-    // relationship table, orders-of-magnitude smaller).
+    // distinct-project the MULTIPLICITY-carrying side before the
+    // join: the edge set only needs (order → cust) × (order → supp),
+    // so collapsing lineitem to its distinct (order, supp) pairs
+    // keeps the join linear in the distinct relationships instead of
+    // multiplying per-order row counts (at 100 TB the raw join's
+    // intermediate is the whole fact table × per-key multiplicity;
+    // pre-distinct it is the relationship table, orders-of-magnitude
+    // smaller). The orders side is already one row per key (PK).
     val pairs = Tables.orders(s, d)
       // no pre-distinct here: o_orderkey is the orders PK (one row
       // per order), so a distinct is a pure extra shuffle; the final

@@ -106,11 +106,12 @@ object SimilarityQueries {
     // Spark's round()-expression semantics digit for digit, products
     // are exact long multiplies, and only the per-task aggregate
     // rows pay a DECIMAL(25,0) sum (exact, overflow-safe at any
-    // corpus size). Per-task accumulator overflow cannot happen
-    // under the unit-norm contract (|x| ≤ 1 → |q| ≤ 1e6 → |product|
-    // ≤ 1e12; long overflows at 9.2e18): the accumulator drains
-    // every 4M rows, bounding any partial at 4e18 even for
-    // adversarial non-normalized inputs. gram_e12 is the exact
+    // corpus size). Per-task accumulator overflow CANNOT wrap: the
+    // kernel enforces |q| ≤ 4e6 (|x| ≤ 4 — unit-norm corpora sit at
+    // ≤ 1e6) and drains every 500k rows, bounding any partial at
+    // 500k·1.6e13 = 8e18 < Long.MaxValue; out-of-contract elements
+    // and ragged rows fail loudly instead of corrupting the sum.
+    // gram_e12 is the exact
     // fixed-point answer; gram derives from it by two
     // correctly-rounded IEEE steps (int64→double, ÷1e12), identical
     // on any engine.
@@ -134,10 +135,21 @@ object SimilarityQueries {
     // exactly TWO iterations: a third would overflow the oracle's
     // 128-bit integers. The output surface normalizes by max |v₂ᵢ|
     // with one double division and Spark's own round(·, 9) — the
-    // standard deterministic-surface discipline.
+    // standard deterministic-surface discipline. An empty corpus
+    // yields the empty frame (the oracle's CTE chain over zero rows),
+    // not a driver crash.
     "q_embed_pca" -> ((s, d) => {
       val g = gramE12(s, d).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      if (g.isEmpty) {
+        import s.implicits._
+        Seq.empty[(Int, Double)].toDF("i", "v_norm")
+      } else pcaOf(s, g)
+    })
+  )
+
+  private def pcaOf(s: SparkSession,
+                    g: Array[(Int, Int, Long)]): DataFrame = {
       val dim = g.map(_._2).max + 1
       val G = Array.ofDim[java.math.BigInteger](dim, dim)
       val zero = java.math.BigInteger.ZERO
@@ -163,8 +175,7 @@ object SimilarityQueries {
         .toDF("i", "raw")
         .select(col("i"), round(col("raw"), 9).as("v_norm"))
         .orderBy("i")
-    })
-  )
+  }
 
   /** The distributed e12 fixed-point gram aggregate (i ≤ j upper
     * triangle, exact integers) shared by [[queries q_embed_gram]] and
@@ -198,21 +209,40 @@ object SimilarityQueries {
           }
           while (vecs.hasNext) {
             val v = vecs.next()
-            if (acc == null) {
-              dim = v.length
-              acc = new Array[Long](dim * (dim + 1) / 2)
-              qbuf = new Array[Long](dim)
+            // null/empty rows contribute nothing (the SQL form's
+            // unnest-of-NULL semantics); a DIFFERENT dim is a broken
+            // fixed-dim embedding table — fail loudly rather than
+            // truncate or mis-index the triangle layout
+            if (v != null && v.length > 0) {
+              if (acc == null) {
+                dim = v.length
+                acc = new Array[Long](dim * (dim + 1) / 2)
+                qbuf = new Array[Long](dim)
+              }
+              require(v.length == dim,
+                s"gram kernel: ragged embedding (${v.length} vs $dim) " +
+                  "— the embeddings table contract is fixed-dim")
+              var i = 0
+              while (i < dim) {
+                val q = quantE6(v(i).toDouble)
+                // fixed-point contract |x| ≤ 4 (|q| ≤ 4e6): with the
+                // 500k-row drain below the partial sum is bounded by
+                // 500k·1.6e13 = 8e18 < Long.MaxValue — past that the
+                // kernel must fail, not wrap
+                require(math.abs(q) <= 4000000L,
+                  s"gram kernel: |element| > 4 after quantization ($q)" +
+                    " — rescale embeddings or widen the fixed point")
+                qbuf(i) = q; i += 1
+              }
+              var k = 0; i = 0
+              while (i < dim) {
+                val qi = qbuf(i); var j = i
+                while (j < dim) { acc(k) += qi * qbuf(j); j += 1; k += 1 }
+                i += 1
+              }
+              n += 1
+              if (n >= 500000) drain()
             }
-            var i = 0
-            while (i < dim) { qbuf(i) = quantE6(v(i).toDouble); i += 1 }
-            var k = 0; i = 0
-            while (i < dim) {
-              val qi = qbuf(i); var j = i
-              while (j < dim) { acc(k) += qi * qbuf(j); j += 1; k += 1 }
-              i += 1
-            }
-            n += 1
-            if (n >= 4000000) drain()
           }
           drain()
           out.iterator
