@@ -18,8 +18,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or on a live session via [[GraftExtensions.registerFunctions]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // theta→banded-equi-join rewrite; no-op until
+    // spark.graft.bandJoin.width is set (see BandJoinRule scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+  }
 }
 
 object GraftExtensions {

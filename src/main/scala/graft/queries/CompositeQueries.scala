@@ -460,6 +460,37 @@ object CompositeQueries {
         .orderBy("i_key")
     }),
 
+    // The SAME point-in-window semantics as q_range_join, but the
+    // join is written as the NAIVE theta predicate (p_day BETWEEN
+    // s_day AND e_day — the form Spark plans as an O(n·m)
+    // BroadcastNestedLoopJoin) and rewritten into the banded
+    // equi-join by the engine's own Catalyst rule
+    // ([[graft.plans.BandJoinRule]]), applied here with an explicit
+    // width so no session conf leaks across registry queries. The
+    // gate's plan scan proves the point: this query passes the
+    // no-nested-loop-join check BECAUSE the optimizer rule, not a
+    // hand-built dataflow, produced the plan. Session-extension
+    // installation (`spark.sql.extensions` → GraftExtensions +
+    // spark.graft.bandJoin.width) is exercised in BandJoinRuleSpec.
+    "q_join_band_auto" -> ((s, d) => {
+      def day(c: Column): Column =
+        datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
+      val pts = Tables.orders(s, d)
+        .select(day(col("o_orderdate")).as("p_day"))
+      val ivs = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("i_key"),
+          day(col("o_orderdate")).as("s_day"))
+        .withColumn("e_day", col("s_day") + 6)
+      val naive = pts.join(ivs,
+        pts("p_day") >= ivs("s_day") && pts("p_day") <= ivs("e_day"))
+      org.apache.spark.sql.GraftColumnBridge.ofRows(s,
+          graft.plans.BandJoinRule.rewrite(
+            org.apache.spark.sql.GraftColumnBridge.analyzed(naive), 7L))
+        .groupBy("i_key").agg(count(lit(1)).as("n_in_window"))
+        .orderBy("i_key")
+    }),
+
     // Interval×interval overlap join (two sampled order-window sets,
     // 7- and 14-day windows) — banded equi-join with a first-shared-
     // band guard instead of the O(n·m) theta join; see
@@ -705,6 +736,20 @@ object CompositeQueries {
         |  SELECT p_partkey, 'retail' AS metric, p_retailprice FROM part)
         |ORDER BY p_partkey, metric""".stripMargin,
     "q_range_join" ->
+      """SELECT i_key, COUNT(*) AS n_in_window FROM
+        |  (SELECT o_orderkey AS i_key,
+        |     date_diff('day', DATE '1992-01-01',
+        |               CAST(o_orderdate AS DATE)) AS s_day
+        |   FROM orders WHERE o_orderkey % 97 = 0) i
+        |JOIN
+        |  (SELECT date_diff('day', DATE '1992-01-01',
+        |               CAST(o_orderdate AS DATE)) AS p_day
+        |   FROM orders) p
+        |ON p.p_day BETWEEN i.s_day AND i.s_day + 6
+        |GROUP BY i_key ORDER BY i_key""".stripMargin,
+    // identical semantics to q_range_join: the engine side differs
+    // only in WHO builds the banded plan (the Catalyst rule)
+    "q_join_band_auto" ->
       """SELECT i_key, COUNT(*) AS n_in_window FROM
         |  (SELECT o_orderkey AS i_key,
         |     date_diff('day', DATE '1992-01-01',

@@ -10,4 +10,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Bridge to `private[sql]` Dataset.ofRows: wrap an explicitly
+    * rewritten LogicalPlan (e.g. [[graft.plans.BandJoinRule.rewrite]])
+    * back into a DataFrame. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (`private[sql]` via
+    * queryExecution on the classic API). */
+  def analyzed(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }
