@@ -78,6 +78,18 @@ class BandJoinRuleSpec extends SparkSpec {
     assert(base.size == 1)
   }
 
+  test("integer-typed points and bounds rewrite through the Long cast") {
+    val ip = (0 until 200).map(i => (i, i * 3 - 300)).toDF("pid", "t")
+    val ii = (0 until 40).map { i =>
+      val lo = i * 17 - 340; (i, lo, lo + 25)
+    }.toDF("iid", "lo", "hi")
+    def q = ip.join(ii, ip("t") >= ii("lo") && ip("t") <= ii("hi"))
+    val base = baseline(q)
+    val (rows, plan) = withRule(32)(q)
+    assert(rows == base)
+    assert(plan.contains("__graft_band"))
+  }
+
   test("guard: a cross-side equality conjunct suppresses the rewrite") {
     def q = points.withColumn("k", points("pid") % 10)
       .join(intervals.withColumn("k2", intervals("iid") % 10),
