@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite a point-in-range THETA join into the
   * banded EQUI-join of [[graft.operators.RangeJoin]] — automatically.
@@ -42,6 +42,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.bandJoin.width"
+
+  /** Hard per-row fan-out cap: an interval may expand to at most this
+    * many band rows. Generous for any sane width choice (a well-tuned
+    * band yields ~2 rows/interval); intervals beyond it raise a
+    * descriptive error instead of materializing an unbounded array. */
+  val MaxBandsPerRow = 4096L
 
   private def width: Option[Long] =
     try {
@@ -95,8 +101,13 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !j.isStreaming =>
         val conjuncts = splitConjunctivePredicates(cond)
+        // null-safe equality (<=>) hash-partitions just like =, so it
+        // suppresses the rewrite for the same reason
         val crossEq = conjuncts.exists {
           case EqualTo(a, b) =>
+            (from(a, left) && from(b, right)) ||
+              (from(a, right) && from(b, left))
+          case EqualNullSafe(a, b) =>
             (from(a, left) && from(b, right)) ||
               (from(a, right) && from(b, left))
           case _ => false
@@ -129,8 +140,34 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // Sequence is TimeZoneAwareExpression: without an explicit
             // zone it stays UNRESOLVED and fails plan validation, even
             // for integral sequences that never consult it
-            val bandSeq = new Sequence(bandOf(lo, w), bandOf(hi, w))
+            val bandLoE = bandOf(lo, w)
+            val bandHiE = bandOf(hi, w)
+            val rawSeq = new Sequence(bandLoE, bandHiE)
               .withTimeZone(conf.sessionLocalTimeZone)
+            val emptyBands = Literal.create(
+              Array.empty[Long], ArrayType(LongType, containsNull = false))
+            // Per-row fan-out guards the theta join never needed:
+            // (a) reversed bounds (lo > hi) match nothing under the
+            //     theta predicate, but Sequence would default to
+            //     step -1 and fabricate a DESCENDING band list —
+            //     emit zero bands instead;
+            // (b) an interval spanning more than MaxBandsPerRow bands
+            //     (an open-ended Long.MaxValue sentinel, or a width
+            //     chosen far too small) would materialize an
+            //     arbitrarily long array per row — fail LOUDLY with
+            //     the remedy in the message rather than let the
+            //     executor OOM or hit Sequence's opaque length error.
+            val bandSeq = CaseWhen(
+              Seq(
+                (GreaterThan(bandLoE, bandHiE), emptyBands),
+                (GreaterThan(Subtract(bandHiE, bandLoE),
+                  Literal(MaxBandsPerRow)),
+                  Cast(new RaiseError(Literal(
+                    s"BandJoinRule: interval spans more than " +
+                      s"$MaxBandsPerRow bands; raise $WidthConf or " +
+                      "exclude open-ended sentinel intervals")),
+                    ArrayType(LongType, containsNull = false)))),
+              Some(rawSeq))
             val intervalPlan = Generate(
               Explode(bandSeq),
               unrequiredChildIndex = Nil, outer = false,

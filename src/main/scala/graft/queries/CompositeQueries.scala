@@ -518,6 +518,21 @@ object CompositeQueries {
     })
   )
 
+  /** Shared by q_range_join and q_join_band_auto: both gates assert
+    * the same point-in-window semantics. */
+  private val rangeJoinOracle: String =
+    """SELECT i_key, COUNT(*) AS n_in_window FROM
+      |  (SELECT o_orderkey AS i_key,
+      |     date_diff('day', DATE '1992-01-01',
+      |               CAST(o_orderdate AS DATE)) AS s_day
+      |   FROM orders WHERE o_orderkey % 97 = 0) i
+      |JOIN
+      |  (SELECT date_diff('day', DATE '1992-01-01',
+      |               CAST(o_orderdate AS DATE)) AS p_day
+      |   FROM orders) p
+      |ON p.p_day BETWEEN i.s_day AND i.s_day + 6
+      |GROUP BY i_key ORDER BY i_key""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_tpch_q3" ->
       """SELECT l_orderkey,
@@ -735,32 +750,12 @@ object CompositeQueries {
         |  UNION ALL
         |  SELECT p_partkey, 'retail' AS metric, p_retailprice FROM part)
         |ORDER BY p_partkey, metric""".stripMargin,
-    "q_range_join" ->
-      """SELECT i_key, COUNT(*) AS n_in_window FROM
-        |  (SELECT o_orderkey AS i_key,
-        |     date_diff('day', DATE '1992-01-01',
-        |               CAST(o_orderdate AS DATE)) AS s_day
-        |   FROM orders WHERE o_orderkey % 97 = 0) i
-        |JOIN
-        |  (SELECT date_diff('day', DATE '1992-01-01',
-        |               CAST(o_orderdate AS DATE)) AS p_day
-        |   FROM orders) p
-        |ON p.p_day BETWEEN i.s_day AND i.s_day + 6
-        |GROUP BY i_key ORDER BY i_key""".stripMargin,
-    // identical semantics to q_range_join: the engine side differs
-    // only in WHO builds the banded plan (the Catalyst rule)
-    "q_join_band_auto" ->
-      """SELECT i_key, COUNT(*) AS n_in_window FROM
-        |  (SELECT o_orderkey AS i_key,
-        |     date_diff('day', DATE '1992-01-01',
-        |               CAST(o_orderdate AS DATE)) AS s_day
-        |   FROM orders WHERE o_orderkey % 97 = 0) i
-        |JOIN
-        |  (SELECT date_diff('day', DATE '1992-01-01',
-        |               CAST(o_orderdate AS DATE)) AS p_day
-        |   FROM orders) p
-        |ON p.p_day BETWEEN i.s_day AND i.s_day + 6
-        |GROUP BY i_key ORDER BY i_key""".stripMargin,
+    "q_range_join" -> rangeJoinOracle,
+    // the SAME oracle string on purpose: the two queries assert
+    // identical semantics, differing only in WHO builds the banded
+    // plan (hand dataflow vs the Catalyst rule) — sharing the val
+    // makes it impossible for the twin gates to drift apart
+    "q_join_band_auto" -> rangeJoinOracle,
     // The banded engine plan is set-equal to this plain overlap
     // theta join (each pair survives exactly one band by the
     // first-shared-band guard).

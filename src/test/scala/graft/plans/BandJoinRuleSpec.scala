@@ -111,6 +111,83 @@ class BandJoinRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("reversed bounds (lo > hi) emit zero bands, matching the " +
+      "theta join's empty result for those rows") {
+    val ri = Seq((1L, 100L, 0L), (2L, -50L, -10L), (3L, 5L, 5L))
+      .toDF("iid", "lo", "hi")
+    def q = points.join(ri,
+      points("t") >= ri("lo") && points("t") <= ri("hi"))
+    val base = baseline(q)
+    val (rows, plan) = withRule(16)(q)
+    assert(rows == base)
+    assert(plan.contains("__graft_band"))
+    // iid 1 ([100,0]) is empty under theta semantics — no row of the
+    // result may reference it
+    assert(!base.exists(_.endsWith("100,0]")))
+  }
+
+  test("an interval spanning more than the per-row cap raises a " +
+      "descriptive error instead of materializing the bands") {
+    val sentinel = Seq((1L, 0L, Long.MaxValue - 2))
+      .toDF("iid", "lo", "hi")
+    def q = points.join(sentinel,
+      points("t") >= sentinel("lo") && points("t") <= sentinel("hi"))
+    val err = intercept[Exception] {
+      withRule(16)(q)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("BandJoinRule")),
+      s"expected the rule's descriptive error, got: $err")
+  }
+
+  test("guard: a null-safe equality conjunct (<=>) suppresses the " +
+      "rewrite like a plain equality") {
+    def q = points.withColumn("k", points("pid") % 10)
+      .join(intervals.withColumn("k2", intervals("iid") % 10),
+        $"k" <=> $"k2" && $"t" >= $"lo" && $"t" <= $"hi")
+    val base = baseline(q)
+    val (rows, plan) = withRule(64)(q)
+    assert(rows == base)
+    assert(!plan.contains("__graft_band"))
+  }
+
+  test("builder-time path: a session created with GraftExtensions " +
+      "applies the rule from the width conf alone") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig, "builder must create a fresh session")
+      import s2.implicits._
+      val p2 = (0L until 100L).map(i => (i, i * 3)).toDF("pid", "t")
+      val i2 = (0L until 20L).map(i => (i, i * 13, i * 13 + 30))
+        .toDF("iid", "lo", "hi")
+      def q2 = p2.join(i2, p2("t") >= i2("lo") && p2("t") <= i2("hi"))
+      val before = q2.queryExecution.executedPlan.toString
+      assert(!before.contains("__graft_band"), "no-op until conf set")
+      val thetaRows = q2.collect().map(_.toString).sorted.toSeq
+      s2.conf.set(BandJoinRule.WidthConf, "32")
+      try {
+        val df = q2
+        val rows = df.collect().map(_.toString).sorted.toSeq
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_band"),
+          s"extension-injected rule did not fire:\n$plan")
+        assert(rows == thetaRows)
+      } finally s2.conf.unset(BandJoinRule.WidthConf)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("one-sided inequality (theta, not a band) is not rewritten") {
     def q = points.join(intervals, points("t") < intervals("lo"))
     val (rows, plan) = withRule(64)(q)
