@@ -31,6 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * [band(lo), band(hi)] — negative values band coarser around zero,
   * never incorrectly.
   *
+  * The INTERVAL-OVERLAP theta shape — `aS ≤ bE AND bS ≤ aE`, one
+  * start and one end per side, crossed — is rewritten too (the
+  * `RangeJoin.intervalOverlap` dataflow): BOTH sides explode to
+  * their band ranges, the join runs on band equality, and because a
+  * pair can share many bands, a first-shared-band conjunct
+  * `band = greatest(aS div W, bS div W)` dedups each pair without a
+  * distinct() — the overlap conjuncts guarantee that band lies in
+  * both ranges. The point shape takes priority when both match.
+  *
   * OPT-IN and bounded: fires only when `spark.graft.bandJoin.width`
   * is set to a positive long (the band width in point units — choose
   * ≈ the typical interval length; row expansion per interval is
@@ -86,6 +95,46 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bandOf(e: Expression, w: Long): Expression =
     IntegralDivide(Cast(e, LongType), Literal(w))
 
+  private val emptyBands = Literal.create(
+    Array.empty[Long], ArrayType(LongType, containsNull = false))
+
+  private def capError: Expression =
+    Cast(new RaiseError(Literal(
+      s"BandJoinRule: interval spans more than $MaxBandsPerRow " +
+        s"bands; raise $WidthConf or exclude open-ended sentinel " +
+        "intervals")),
+      ArrayType(LongType, containsNull = false))
+
+  /** Band list lo div w .. hi div w with the per-row fan-out guards
+    * the theta join never needed. `reversedEmpty`: the POINT shape
+    * emits zero bands for lo > hi (the predicate is unsatisfiable);
+    * the OVERLAP shape keeps the raw sequence (reversed endpoints
+    * can still satisfy the overlap predicate, and a descending
+    * sequence explodes to the same band SET), capping on the
+    * absolute span instead. */
+  private def guardedBandSeq(lo: Expression, hi: Expression, w: Long,
+                             reversedEmpty: Boolean): Expression = {
+    val (bandLoE, bandHiE) = (bandOf(lo, w), bandOf(hi, w))
+    val rawSeq = new Sequence(bandLoE, bandHiE)
+      .withTimeZone(conf.sessionLocalTimeZone)
+    val span =
+      if (reversedEmpty) Subtract(bandHiE, bandLoE)
+      else Abs(Subtract(bandHiE, bandLoE))
+    val branches =
+      (if (reversedEmpty) Seq((GreaterThan(bandLoE, bandHiE), emptyBands))
+       else Nil) :+
+        (GreaterThan(span, Literal(MaxBandsPerRow)), capError)
+    CaseWhen(branches, Some(rawSeq))
+  }
+
+  /** Attach an exploded band column to one side of the join. */
+  private def explodeBands(side: LogicalPlan, bands: Expression,
+                           name: String): (LogicalPlan, Attribute) = {
+    val attr = AttributeReference(name, LongType, nullable = false)()
+    (Generate(Explode(bands), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(attr), side), attr)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
     case Some(w) => rewrite(plan, w)
@@ -127,52 +176,33 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             }
           }.toSeq.headOption
         }
-        banded match {
-          case None => j
-          case Some((pt, lo, hi)) =>
+        // interval-overlap pattern (tried only when the point shape
+        // is absent): two upper-bound conjuncts with CROSSED sides —
+        // aS ≤ bE and bS ≤ aE — i.e. each side carries one start
+        // bounded by the other side's end
+        val overlap: Option[(Expression, Expression, Expression, Expression)] =
+          if (crossEq || banded.nonEmpty) None else {
+            val uppers = conjuncts.flatMap(upperBound)
+            uppers.iterator.flatMap { case (aS, bE) =>
+              uppers.collectFirst {
+                case (bS, aE) if integral(aS) && integral(bE) &&
+                    integral(bS) && integral(aE) &&
+                    from(aS, left) && from(bE, right) &&
+                    from(bS, right) && from(aE, left) =>
+                  (aS, aE, bS, bE)
+              }
+            }.toSeq.headOption
+          }
+        (banded, overlap) match {
+          case (Some((pt, lo, hi)), _) =>
             val (pointSide, intervalSide) =
               if (from(pt, left)) (left, right) else (right, left)
             val pBand = Alias(bandOf(pt, w), "__graft_band_p")()
             val pointPlan = Project(
               pointSide.output :+ pBand, pointSide)
-            val iBandAttr = AttributeReference(
-              "__graft_band_i", LongType, nullable = false)()
-            // Sequence is TimeZoneAwareExpression: without an explicit
-            // zone it stays UNRESOLVED and fails plan validation, even
-            // for integral sequences that never consult it
-            val bandLoE = bandOf(lo, w)
-            val bandHiE = bandOf(hi, w)
-            val rawSeq = new Sequence(bandLoE, bandHiE)
-              .withTimeZone(conf.sessionLocalTimeZone)
-            val emptyBands = Literal.create(
-              Array.empty[Long], ArrayType(LongType, containsNull = false))
-            // Per-row fan-out guards the theta join never needed:
-            // (a) reversed bounds (lo > hi) match nothing under the
-            //     theta predicate, but Sequence would default to
-            //     step -1 and fabricate a DESCENDING band list —
-            //     emit zero bands instead;
-            // (b) an interval spanning more than MaxBandsPerRow bands
-            //     (an open-ended Long.MaxValue sentinel, or a width
-            //     chosen far too small) would materialize an
-            //     arbitrarily long array per row — fail LOUDLY with
-            //     the remedy in the message rather than let the
-            //     executor OOM or hit Sequence's opaque length error.
-            val bandSeq = CaseWhen(
-              Seq(
-                (GreaterThan(bandLoE, bandHiE), emptyBands),
-                (GreaterThan(Subtract(bandHiE, bandLoE),
-                  Literal(MaxBandsPerRow)),
-                  Cast(new RaiseError(Literal(
-                    s"BandJoinRule: interval spans more than " +
-                      s"$MaxBandsPerRow bands; raise $WidthConf or " +
-                      "exclude open-ended sentinel intervals")),
-                    ArrayType(LongType, containsNull = false)))),
-              Some(rawSeq))
-            val intervalPlan = Generate(
-              Explode(bandSeq),
-              unrequiredChildIndex = Nil, outer = false,
-              qualifier = None, generatorOutput = Seq(iBandAttr),
-              intervalSide)
+            val (intervalPlan, iBandAttr) = explodeBands(intervalSide,
+              guardedBandSeq(lo, hi, w, reversedEmpty = true),
+              "__graft_band_i")
             // keep the original child order so downstream hints and
             // the output schema stay stable
             val (newLeft, newRight) =
@@ -183,6 +213,27 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             Project(j.output,
               Filter(cond,
                 Join(newLeft, newRight, Inner, Some(bandEq), hint)))
+          case (None, Some((aS, aE, bS, bE))) =>
+            // both sides explode to their band ranges; a pair can
+            // share MANY bands, so the FIRST shared band —
+            // greatest(band(aS), band(bS)), computable per candidate
+            // row — dedups without a distinct() (the
+            // RangeJoin.intervalOverlap argument: the conjuncts
+            // bS ≤ aE and aS ≤ bE guarantee that band lies in both
+            // ranges, for reversed endpoints too)
+            val (aPlan, aBand) = explodeBands(left,
+              guardedBandSeq(aS, aE, w, reversedEmpty = false),
+              "__graft_band_a")
+            val (bPlan, bBand) = explodeBands(right,
+              guardedBandSeq(bS, bE, w, reversedEmpty = false),
+              "__graft_band_b")
+            val firstShared = EqualTo(aBand,
+              Greatest(Seq(bandOf(aS, w), bandOf(bS, w))))
+            Project(j.output,
+              Filter(And(cond, firstShared),
+                Join(aPlan, bPlan, Inner,
+                  Some(EqualTo(aBand, bBand)), hint)))
+          case _ => j
         }
     }
 }

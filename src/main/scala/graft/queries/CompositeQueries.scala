@@ -515,8 +515,61 @@ object CompositeQueries {
         .groupBy("a_key").agg(count(lit(1)).as("n_overlaps"),
           min(col("b_key")).as("first_b"))
         .orderBy("a_key")
+    }),
+
+    // q_join_interval's twin under the OPTIMIZER-RULE path: the
+    // overlap condition written as the naive two-conjunct theta join
+    // (the BNLJ shape) and rewritten by BandJoinRule's interval-
+    // overlap branch — double-banded equi-join + first-shared-band
+    // dedup, produced by Catalyst instead of hand dataflow. Shares
+    // q_join_interval's oracle verbatim: the twin gates assert the
+    // same semantics by construction.
+    "q_join_interval_auto" -> ((s, d) => {
+      def day(c: Column): Column =
+        datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
+      val a = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_key"),
+          day(col("o_orderdate")).as("a_s"))
+        .withColumn("a_e", col("a_s") + 6)
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").as("b_key"),
+          day(col("o_orderdate")).as("b_s"))
+        .withColumn("b_e", col("b_s") + 13)
+      val naive = a.join(b,
+        a("a_s") <= b("b_e") && b("b_s") <= a("a_e"))
+      org.apache.spark.sql.GraftColumnBridge.ofRows(s,
+          graft.plans.BandJoinRule.rewrite(
+            org.apache.spark.sql.GraftColumnBridge.analyzed(naive), 7L))
+        .groupBy("a_key").agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_key")).as("first_b"))
+        .orderBy("a_key")
     })
   )
+
+  /** Shared by q_join_interval and q_join_interval_auto: both gates
+    * assert the same overlap semantics (the plain theta join — each
+    * banded pair survives exactly one band by the first-shared-band
+    * guard, whoever builds the bands). */
+  private val intervalOverlapOracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS a_key,
+      |    date_diff('day', DATE '1992-01-01',
+      |              CAST(o_orderdate AS DATE)) AS a_s,
+      |    date_diff('day', DATE '1992-01-01',
+      |              CAST(o_orderdate AS DATE)) + 6 AS a_e
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |b AS (
+      |  SELECT o_orderkey AS b_key,
+      |    date_diff('day', DATE '1992-01-01',
+      |              CAST(o_orderdate AS DATE)) AS b_s,
+      |    date_diff('day', DATE '1992-01-01',
+      |              CAST(o_orderdate AS DATE)) + 13 AS b_e
+      |  FROM orders WHERE o_orderkey % 89 = 0)
+      |SELECT a_key, COUNT(*) AS n_overlaps, MIN(b_key) AS first_b
+      |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+      |GROUP BY a_key ORDER BY a_key""".stripMargin
 
   /** Shared by q_range_join and q_join_band_auto: both gates assert
     * the same point-in-window semantics. */
@@ -759,23 +812,9 @@ object CompositeQueries {
     // The banded engine plan is set-equal to this plain overlap
     // theta join (each pair survives exactly one band by the
     // first-shared-band guard).
-    "q_join_interval" ->
-      """WITH a AS (
-        |  SELECT o_orderkey AS a_key,
-        |    date_diff('day', DATE '1992-01-01',
-        |              CAST(o_orderdate AS DATE)) AS a_s,
-        |    date_diff('day', DATE '1992-01-01',
-        |              CAST(o_orderdate AS DATE)) + 6 AS a_e
-        |  FROM orders WHERE o_orderkey % 97 = 0),
-        |b AS (
-        |  SELECT o_orderkey AS b_key,
-        |    date_diff('day', DATE '1992-01-01',
-        |              CAST(o_orderdate AS DATE)) AS b_s,
-        |    date_diff('day', DATE '1992-01-01',
-        |              CAST(o_orderdate AS DATE)) + 13 AS b_e
-        |  FROM orders WHERE o_orderkey % 89 = 0)
-        |SELECT a_key, COUNT(*) AS n_overlaps, MIN(b_key) AS first_b
-        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
-        |GROUP BY a_key ORDER BY a_key""".stripMargin
+    "q_join_interval" -> intervalOverlapOracle,
+    // verbatim twin of q_join_interval (same shared-semantics
+    // contract as the q_range_join / q_join_band_auto pair)
+    "q_join_interval_auto" -> intervalOverlapOracle
   )
 }

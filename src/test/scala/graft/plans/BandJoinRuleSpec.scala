@@ -188,6 +188,55 @@ class BandJoinRuleSpec extends SparkSpec {
     }
   }
 
+  private lazy val ivalsA: DataFrame =
+    (0L until 150L).map { i =>
+      val s = i * 11 - 800; (i, s, s + (i % 7) * 9)
+    }.toDF("a_key", "a_s", "a_e")
+
+  private lazy val ivalsB: DataFrame =
+    (0L until 90L).map { i =>
+      val s = i * 19 - 850; (i, s, s + (i % 5) * 16)
+    }.toDF("b_key", "b_s", "b_e")
+
+  test("interval-overlap theta join rewrites to the double-banded " +
+      "equi-join with first-shared-band dedup, results identical") {
+    def q = ivalsA.join(ivalsB,
+      ivalsA("a_s") <= ivalsB("b_e") && ivalsB("b_s") <= ivalsA("a_e"))
+    val base = baseline(q)
+    val (rows, plan) = withRule(32)(q)
+    assert(rows == base,
+      s"overlap rewrite changed the result: ${rows.size} vs ${base.size}")
+    assert(plan.contains("__graft_band_a") &&
+      plan.contains("__graft_band_b"), s"overlap rule did not fire:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("interval-overlap with reversed endpoints still matches the " +
+      "theta semantics (reversed rows can overlap)") {
+    // a_e < a_s on some rows: under the overlap predicate such rows
+    // can STILL pair (aS <= bE and bS <= aE can both hold) — zero
+    // bands would lose them, which is why the overlap shape keeps
+    // the raw (possibly descending) sequence
+    val ra = Seq((1L, 10L, 5L), (2L, 0L, 40L), (3L, -30L, -60L))
+      .toDF("a_key", "a_s", "a_e")
+    def q = ra.join(ivalsB,
+      ra("a_s") <= ivalsB("b_e") && ivalsB("b_s") <= ra("a_e"))
+    val base = baseline(q)
+    val (rows, plan) = withRule(16)(q)
+    assert(rows == base)
+    assert(plan.contains("__graft_band_a"))
+    assert(base.nonEmpty, "fixture must exercise the reversed branch")
+  }
+
+  test("overlap guard: the point-in-interval shape takes priority " +
+      "when both bound conjuncts sit on one side") {
+    def q = points.join(intervals,
+      points("t") >= intervals("lo") && points("t") <= intervals("hi"))
+    val (_, plan) = withRule(64)(q)
+    assert(plan.contains("__graft_band_p") &&
+      !plan.contains("__graft_band_a"))
+  }
+
   test("one-sided inequality (theta, not a band) is not rewritten") {
     def q = points.join(intervals, points("t") < intervals("lo"))
     val (rows, plan) = withRule(64)(q)
