@@ -49,16 +49,26 @@ object TriangleCount {
     // co-purchase graph), turning an ~11 s job into ~100 s at sf0.1
     // (the [[PageRank]] lesson, fan-out flavor).
     val e = edges.localCheckpoint(true)
-    val und = e.select(col("a").as("u"), col("b").as("v"))
-      .union(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): src is the strictly smaller endpoint key
-    val oriented = und
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
-      .filter(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")))
-      .select(col("u").as("src"), col("v").as("dst"))
+    // degree over the undirected edge list: one narrow single-column
+    // union (each canonical edge contributes to both endpoints)
+    val deg = e.select(col("a").as("n"))
+      .union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id) directly from the CANONICAL edges — the
+    // doubled both-directions frame would join 2x the rows only to
+    // filter half of them straight back out; picking the ordered
+    // endpoint pair per canonical edge is the same orientation at
+    // half the join input
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint(true)
     // one sorted out-neighbor array per node (≤ O(sqrt edges) long
     // under the degree orientation, so no array is a memory hazard)
