@@ -41,13 +41,13 @@ object TriangleCount {
     * (node, triangles) for every node in at least one triangle. */
   def perNode(edges: DataFrame): DataFrame = {
     // Eager localCheckpoint on every multiply-consumed frame: the
-    // plan below reads `e` four times (both union sides, via deg and
-    // und) and `oriented` three times (adj build + both probe
-    // joins), and Catalyst does NOT share common sub-plans across a
-    // DAG — un-truncated, each consumer re-executes the upstream
-    // edge build (an expensive self-join + distinct for the
-    // co-purchase graph), turning an ~11 s job into ~100 s at sf0.1
-    // (the [[PageRank]] lesson, fan-out flavor).
+    // plan below reads `e` three times (both degree-union sides and
+    // the orientation join) and `oriented` three times (adj build +
+    // both probe joins), and Catalyst does NOT share common sub-plans
+    // across a DAG — un-truncated, each consumer re-executes the
+    // upstream edge build (an expensive per-order pair expansion +
+    // distinct for the co-purchase graph), turning an ~11 s job into
+    // ~100 s at sf0.1 (the [[PageRank]] lesson, fan-out flavor).
     val e = edges.localCheckpoint(true)
     // degree over the undirected edge list: one narrow single-column
     // union (each canonical edge contributes to both endpoints)

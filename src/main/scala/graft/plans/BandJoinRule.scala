@@ -117,13 +117,19 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val (bandLoE, bandHiE) = (bandOf(lo, w), bandOf(hi, w))
     val rawSeq = new Sequence(bandLoE, bandHiE)
       .withTimeZone(conf.sessionLocalTimeZone)
-    val span =
-      if (reversedEmpty) Subtract(bandHiE, bandLoE)
-      else Abs(Subtract(bandHiE, bandLoE))
+    // span check in DOUBLE on purpose: a long Subtract overflows for
+    // opposite-sign extreme endpoints (the double-open-ended sentinel
+    // case) and would BYPASS the cap — doubles cannot overflow, and
+    // ulp-level imprecision near 2^53 is irrelevant against a 4096
+    // threshold
+    val span = Abs(Subtract(
+      Cast(bandHiE, org.apache.spark.sql.types.DoubleType),
+      Cast(bandLoE, org.apache.spark.sql.types.DoubleType)))
     val branches =
       (if (reversedEmpty) Seq((GreaterThan(bandLoE, bandHiE), emptyBands))
        else Nil) :+
-        (GreaterThan(span, Literal(MaxBandsPerRow)), capError)
+        (GreaterThan(span,
+          Literal(MaxBandsPerRow.toDouble)), capError)
     CaseWhen(branches, Some(rawSeq))
   }
 
@@ -161,11 +167,13 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               (from(a, right) && from(b, left))
           case _ => false
         }
+        // both shapes read the same upper-bound candidate list
+        val uppers =
+          if (crossEq) Nil else conjuncts.flatMap(upperBound)
         // candidate (pt, lo, hi) with pt and bounds on OPPOSITE sides
         val banded: Option[(Expression, Expression, Expression)] =
           if (crossEq) None else {
           val lowers = conjuncts.flatMap(lowerBound)
-          val uppers = conjuncts.flatMap(upperBound)
           lowers.iterator.flatMap { case (pt, lo) =>
             uppers.collectFirst {
               case (pt2, hi) if pt2.semanticEquals(pt) &&
@@ -182,7 +190,6 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // bounded by the other side's end
         val overlap: Option[(Expression, Expression, Expression, Expression)] =
           if (crossEq || banded.nonEmpty) None else {
-            val uppers = conjuncts.flatMap(upperBound)
             uppers.iterator.flatMap { case (aS, bE) =>
               uppers.collectFirst {
                 case (bS, aE) if integral(aS) && integral(bE) &&

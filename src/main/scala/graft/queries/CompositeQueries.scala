@@ -498,18 +498,7 @@ object CompositeQueries {
     // output (count + first partner), the usual shape for conflict /
     // co-occurrence detection over time ranges.
     "q_join_interval" -> ((s, d) => {
-      def day(c: Column): Column =
-        datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
-      val a = Tables.orders(s, d)
-        .filter(col("o_orderkey") % 97 === 0)
-        .select(col("o_orderkey").as("a_key"),
-          day(col("o_orderdate")).as("a_s"))
-        .withColumn("a_e", col("a_s") + 6)
-      val b = Tables.orders(s, d)
-        .filter(col("o_orderkey") % 89 === 0)
-        .select(col("o_orderkey").as("b_key"),
-          day(col("o_orderdate")).as("b_s"))
-        .withColumn("b_e", col("b_s") + 13)
+      val (a, b) = overlapFixture(s, d)
       RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
           band = 7)
         .groupBy("a_key").agg(count(lit(1)).as("n_overlaps"),
@@ -525,18 +514,7 @@ object CompositeQueries {
     // q_join_interval's oracle verbatim: the twin gates assert the
     // same semantics by construction.
     "q_join_interval_auto" -> ((s, d) => {
-      def day(c: Column): Column =
-        datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
-      val a = Tables.orders(s, d)
-        .filter(col("o_orderkey") % 97 === 0)
-        .select(col("o_orderkey").as("a_key"),
-          day(col("o_orderdate")).as("a_s"))
-        .withColumn("a_e", col("a_s") + 6)
-      val b = Tables.orders(s, d)
-        .filter(col("o_orderkey") % 89 === 0)
-        .select(col("o_orderkey").as("b_key"),
-          day(col("o_orderdate")).as("b_s"))
-        .withColumn("b_e", col("b_s") + 13)
+      val (a, b) = overlapFixture(s, d)
       val naive = a.join(b,
         a("a_s") <= b("b_e") && b("b_s") <= a("a_e"))
       org.apache.spark.sql.GraftColumnBridge.ofRows(s,
@@ -547,6 +525,27 @@ object CompositeQueries {
         .orderBy("a_key")
     })
   )
+
+  /** The interval fixture shared by q_join_interval and
+    * q_join_interval_auto — one builder so the twin gates (whose
+    * oracle is the shared [[intervalOverlapOracle]]) cannot drift:
+    * 7-day windows on every 97th order, 14-day on every 89th. */
+  private def overlapFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    def day(c: Column): Column =
+      datediff(to_date(c), lit("1992-01-01").cast("date")).cast("long")
+    val a = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("a_key"),
+        day(col("o_orderdate")).as("a_s"))
+      .withColumn("a_e", col("a_s") + 6)
+    val b = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("b_key"),
+        day(col("o_orderdate")).as("b_s"))
+      .withColumn("b_e", col("b_s") + 13)
+    (a, b)
+  }
 
   /** Shared by q_join_interval and q_join_interval_auto: both gates
     * assert the same overlap semantics (the plain theta join — each

@@ -225,7 +225,10 @@ class BandJoinRuleSpec extends SparkSpec {
     val (rows, plan) = withRule(16)(q)
     assert(rows == base)
     assert(plan.contains("__graft_band_a"))
-    assert(base.nonEmpty, "fixture must exercise the reversed branch")
+    // a REVERSED row (a_key 1 or 3) must actually pair, or the test
+    // no longer covers the descending-sequence branch it documents
+    assert(base.exists(r => r.startsWith("[1,") || r.startsWith("[3,")),
+      s"fixture must pair a reversed interval; got: $base")
   }
 
   test("overlap guard: the point-in-interval shape takes priority " +
