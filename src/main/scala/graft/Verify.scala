@@ -19,13 +19,30 @@ object Verify {
     * a cross of such) is the legitimate broadcast-scalar pattern used
     * throughout the registry and is not flagged — it is O(n), not
     * O(n·m). */
+  /** Join-key attribute names that smell like raw token / n-gram
+    * columns — the Zipfian-key class (q_text_lm_score's bigram join)
+    * where a plain shuffle equi-join puts a corpus fraction on one
+    * reducer at 100×. A SHUFFLE join keyed on one of these is flagged
+    * `hotkey_shuffle_join` and must be allow-listed with a written
+    * skew justification (broadcast head / salt / bounded key
+    * frequency); broadcast joins are exempt — they are the fix. */
+  private val tokenKeyNames = Set(
+    "w1", "w2", "w3", "tok", "token", "term", "word", "gram", "ngram",
+    "bigram", "trigram", "shingle")
+
   def planFlags(p: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    def tokenKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      keys.exists(_.collectFirst {
+        case a: AttributeReference
+            if tokenKeyNames(a.name.toLowerCase) => a
+      }.isDefined)
     // NOTE: always a.inputPlan, never a.executedPlan — on an adaptive
     // plan the latter triggers final-plan materialization, i.e. RUNS
     // the query (it cost a silent 8× on the whole verify pass before
@@ -60,6 +77,10 @@ object Verify {
       case c: CartesianProductExec
           if !singleRow(c.left) && !singleRow(c.right) =>
         "cartesian_product"
+      case j: SortMergeJoinExec if tokenKeyed(j.leftKeys) =>
+        "hotkey_shuffle_join"
+      case j: ShuffledHashJoinExec if tokenKeyed(j.leftKeys) =>
+        "hotkey_shuffle_join"
     }.distinct
   }
 

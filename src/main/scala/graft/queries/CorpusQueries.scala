@@ -29,6 +29,15 @@ import graft.operators.Sampling
   */
 object CorpusQueries {
 
+  /** Head/tail split threshold for the q_text_lm_score model join: a
+    * bigram is HEAD iff it carries > 1/lmHeadFanout of all bigram
+    * occurrences, so the head has at most lmHeadFanout rows
+    * (pigeonhole) — always broadcastable — and every tail key is
+    * bounded by N/lmHeadFanout occurrences — no hot reducer. 4096
+    * caps the broadcast at a few hundred KB while bounding the worst
+    * tail key to 0.025% of the corpus. */
+  val lmHeadFanout = 4096L
+
   /** Every 30-char window of every document (stride 1), keyed by the
     * first 60 bits of the window's md5 as a LONG — the same portable
     * md5-derived long-key trick the simhash family uses: an 8-byte
@@ -117,11 +126,26 @@ object CorpusQueries {
     // gibberish/boilerplate candidates). Each probability is one
     // double division rounded to 9, the mean is an exact decimal sum
     // (order-independent) over those — cross-engine bit-identical.
-    // Scale: two word-count aggregations + one equi-join keyed on
-    // grams + one doc_id re-aggregation — the canonical shuffle-on-
-    // small-keys shape; the model "table" is never collected or
-    // broadcast, it stays a distributed join side (vocabulary² does
-    // not fit a broadcast at corpus scale).
+    //
+    // Scale / SKEW: token bigrams are Zipfian, so the occurrence-
+    // stream ⋈ model equi-join must not shuffle raw gram keys — the
+    // top bigram alone would land a corpus-fraction on one reducer.
+    // The model therefore splits on a provable frequency threshold:
+    // the HEAD (any bigram carrying > 1/lmHeadFanout of all
+    // occurrences — at most lmHeadFanout rows by pigeonhole, the
+    // Misra-Gries bound of operators/HeavyHitters) is BROADCAST and
+    // scored map-side; the TAIL joins by shuffle, where every key is
+    // ≤ N/lmHeadFanout occurrences by construction — no reducer can
+    // receive more than 1/lmHeadFanout of the stream for one key.
+    // Head rows are screened out of the tail join by a broadcast
+    // anti-join, so hot occurrences never reach a shuffle at all.
+    // The head∪tail partition covers the model exactly once, and the
+    // doc-level mean is an order-independent exact decimal sum, so
+    // the result (and the oracle hash) is identical to the plain
+    // join. The model-build aggregations themselves are safe at any
+    // skew: partial (map-side) aggregation collapses hot grams per
+    // task before the shuffle; the c2 ⋈ c1 model join fans out per
+    // DISTINCT successor (vocabulary-bounded, not corpus-bounded).
     "q_text_lm_score" -> ((s, d) => {
       val big = bigrams(s, d)
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
@@ -129,8 +153,23 @@ object CorpusQueries {
       val p = c2.join(c1, "w1")
         .select(col("w1"), col("w2"),
           round(col("cnt2").cast("double") / col("cnt1").cast("double"),
-            9).as("p"))
-      big.join(p, Seq("w1", "w2"))
+            9).as("p"), col("cnt2"))
+      // single-row total → the allow-listed broadcast-scalar cross
+      val total = c2.agg(sum("cnt2").as("n_total"))
+      val pT = p.crossJoin(broadcast(total))
+      val pHead = pT
+        .filter(col("cnt2") * lmHeadFanout > col("n_total"))
+        .select("w1", "w2", "p")
+      val pTail = pT
+        .filter(col("cnt2") * lmHeadFanout <= col("n_total"))
+        .select("w1", "w2", "p")
+      val headScored = big.join(broadcast(pHead), Seq("w1", "w2"))
+      val tailScored = big
+        .join(broadcast(pHead.select("w1", "w2")), Seq("w1", "w2"),
+          "left_anti")
+        .join(pTail, Seq("w1", "w2"))
+      headScored.select("doc_id", "p")
+        .unionByName(tailScored.select("doc_id", "p"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /

@@ -283,4 +283,46 @@ class PlanSpec extends SparkSpec {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(f).length
     assert(scans == 1, s"Q1 must read lineitem once, saw $scans scans")
   }
+
+  test("planFlags catches a deliberately planted unsalted hot-key join") {
+    // The q_text_lm_score defect class, re-created on purpose: bigram
+    // occurrences shuffle-joined on the raw (w1, w2) gram key. The
+    // gate must flag it, so any future query that ships this shape
+    // fails verify_local unless allow-listed with a skew
+    // justification.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val occ = (1 to 200).map(i => (i.toLong, "the", s"w$i"))
+      .toDF("doc_id", "w1", "w2")
+    val model = (1 to 200).map(i => ("the", s"w$i", 0.1)).toDF("w1", "w2", "p")
+    // defeat auto-broadcast so the join plans as a shuffle join, the
+    // shape the gate exists for
+    val planted = occ.join(model.hint("shuffle_merge"), Seq("w1", "w2"))
+    assert(Verify.planFlags(planted.queryExecution.executedPlan)
+      .contains("hotkey_shuffle_join"),
+      "the gate must flag a shuffle equi-join keyed on raw gram columns")
+  }
+
+  test("q_text_lm_score: heavy head broadcasts; only the bounded tail " +
+      "shuffle-joins on gram keys") {
+    // The skew fix's shape, pinned: the heavy-hitter head of the
+    // bigram model reaches the occurrence stream through BROADCAST
+    // joins (score + anti-screen), so the only gram-keyed shuffle
+    // join left is the tail, whose per-key frequency is bounded by
+    // N/lmHeadFanout by construction (the verify_local allow-list
+    // entry's justification).
+    val f = formatted("q_text_lm_score")
+    val bhj = "BroadcastHashJoin".r.findAllIn(f).length
+    assert(bhj >= 2,
+      s"expected ≥2 broadcast joins (head score + anti screen), saw $bhj")
+    assert(f.contains("LeftAnti"),
+      "head occurrences must be screened out of the tail join by a " +
+        "broadcast anti-join")
+    // At sf0.001 the tail itself fits the auto-broadcast threshold
+    // (no flag at all); at larger SFs the tail plans as the one
+    // allow-listed gram-keyed shuffle join. Nothing else may flag.
+    val flags = Verify.planFlags(plan("q_text_lm_score"))
+    assert(flags.toSet.subsetOf(Set("hotkey_shuffle_join")),
+      s"only the allow-listed tail join may flag, saw $flags")
+  }
 }

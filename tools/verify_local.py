@@ -158,6 +158,13 @@ PLAN_FLAG_ALLOW = {
     # bucketed LSH/IVF probe (AnnSearch scaladoc)
     "q_ann_pq": {"nested_loop_join"},
     "q_ann_recall": {"nested_loop_join"},
+    # the TAIL of the head/tail bigram-model join: the broadcast
+    # heavy-hitter head (> N/4096 occurrences, ≤ 4096 rows by
+    # pigeonhole) is screened out by a broadcast anti-join first, so
+    # every key reaching this shuffle join is ≤ N/4096 occurrences —
+    # skew bounded by construction (CorpusQueries.lmHeadFanout;
+    # PlanFlagsSpec pins the broadcast head + anti-screen shape)
+    "q_text_lm_score": {"hotkey_shuffle_join"},
 }
 
 
@@ -176,8 +183,8 @@ def check_plan_flags(out_dir):
         bad = set(fs) - PLAN_FLAG_ALLOW.get(name, set())
         if bad:
             print(f"FAIL {name}: scale antipattern(s) {sorted(bad)} "
-                  f"(unpartitioned window / loop join — would not "
-                  f"survive 100x)")
+                  f"(unpartitioned window / loop join / unsalted "
+                  f"hot-key join — would not survive 100x)")
             n_bad += 1
     return n_bad
 
