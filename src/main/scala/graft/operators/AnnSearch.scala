@@ -83,10 +83,25 @@ object AnnSearch {
     * each iteration assigns every vector to its argmax-cosine cell
     * (per-row projection against the broadcast centroids) and
     * recomputes each cell's centroid as the position-wise mean —
-    * one `posexplode` + `groupBy(cell, pos).avg` pass over the
-    * corpus, collecting only `nCentroids` rows back per iteration.
-    * Cells that attract no vectors keep their previous centroid.
-    * At 100 TB each iteration is one shuffle of (cell, pos, value)
+    * one `posexplode` + `groupBy(cell, pos)` pass over the corpus,
+    * collecting only `nCentroids` rows back per iteration. Cells
+    * that attract no vectors keep their previous centroid.
+    *
+    * DETERMINISM (the [[KMeans]] integer-arithmetic discipline,
+    * applied to float embeddings): a naive `avg(v)` is a double fold
+    * in shuffle order — not replayable. Instead every component is
+    * quantized to exact micro-units (`round(v·1e6)` as LONG — one
+    * correctly-rounded double product per value), summed in exact
+    * integer arithmetic (order-independent), and the mean is two
+    * sequential IEEE divisions (`sum/n/1e6`) cast to float — every
+    * step exactly rounded, so any engine reproduces the centroid
+    * bit-for-bit and the q_ann_ivf DuckDB oracle can replay the
+    * unrolled iterations. Exactness bound: per-cell Σ|round(v·1e6)|
+    * must stay below 2⁵³ (cell size × max|v| < 9e9 — documented
+    * precondition; micro-quantization loses < 1e-6 per component,
+    * noise for a quantizer whose job is cell assignment).
+    *
+    * At 100 TB each iteration is one shuffle of (cell, pos, micro)
     * triples with map-side partial aggregation — the standard
     * distributed-k-means shape; nothing corpus-sized ever reaches
     * the driver.
@@ -99,7 +114,12 @@ object AnnSearch {
         array_max(cellSimsFor(cents)(col("embedding"))).getField("cell"))
       val next = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("v").cast("double") * lit(1e6), 0)
+            .cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("sm").cast("double") / col("n") / lit(1e6)).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))

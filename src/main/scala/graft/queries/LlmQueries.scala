@@ -21,10 +21,12 @@ import graft.operators.{AnnSearch, ApproxDedup, Bpe, TextAnalysis}
   * exactly the chunk-bucketed result, by pigeonhole completeness at
   * hamming ≤ 3); the minhash keys take the brute-force Jaccard
   * oracle (sound here: all qualifying pairs sit at j ≥ 0.9 where
-  * LSH recall is complete). Only the ANN bucketing variants and BPE
-  * tokenization remain rows-only, pinned by `ApproxDedupSpec` /
-  * `AnnSearchSpec` / `TextAnalysisSpec` / `SamplingSpec` against
-  * Scala-computed ground truth instead.
+  * LSH recall is complete). The LSH and IVF ANN paths replay FULLY
+  * in DuckDB (seeded hyperplanes as double literals; micro-quantized
+  * integer Lloyd means — see [[AnnSearch.refineCentroids]]); only
+  * the PQ codebook path and BPE tokenization remain rows-only,
+  * pinned by `AnnSearchSpec` / `BpeSpec` against Scala-computed
+  * ground truth instead.
   */
 object LlmQueries {
 
@@ -139,6 +141,8 @@ object LlmQueries {
 
     // kmeansIters=2: Lloyd-refined coarse quantizer (AnnSearchSpec
     // pins the recall improvement over the raw lowest-id seed).
+    // Hash-gated: the micro-quantized integer Lloyd means make both
+    // iterations DuckDB-replayable — see annIvfOracle.
     "q_ann_ivf" -> ((s, d) =>
       AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
         kmeansIters = 2)),
@@ -154,9 +158,9 @@ object LlmQueries {
     // double accumulation (DotProductFF == list_inner_product), the
     // seeded hyperplanes are emitted into the oracle SQL as double
     // literals, and the IVF side uses the deterministic lowest-id
-    // quantizer (kmeansIters=0; the refined quantizer stays on
-    // q_ann_ivf, whose distributed-avg centroids are not
-    // SQL-replayable bit-for-bit).
+    // quantizer (kmeansIters=0; the refined quantizer is exercised —
+    // and since the micro-quantized Lloyd means, also hash-gated —
+    // by q_ann_ivf's own unrolled-Lloyd oracle).
     "q_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       def pairs(df: DataFrame) = df.select("a_id", "b_id")
@@ -430,6 +434,122 @@ object LlmQueries {
        |ORDER BY q.a_id""".stripMargin
   }
 
+  /** Shared oracle fragment: sequential-double cosine (bit-equal to
+    * [[graft.functions.DotProductFF]] — the annRecallOracle
+    * precedent). */
+  private def cosD(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a))" +
+      s" * sqrt(list_inner_product($b, $b)))"
+
+  /** q_ann_lsh oracle: full DuckDB replay of the bucketed LSH top-k —
+    * the seeded hyperplanes emitted as double literals (exactly the
+    * float planes Spark uses, widened), bucket = sum of sign bits,
+    * candidates = co-bucketed pairs in any table, ranked by the same
+    * rounded cosine with (cos DESC, b_id ASC) ties. */
+  private val annLshOracle: String = {
+    val lshTables = AnnSearch.planes(4, 4, 64).zipWithIndex.map {
+      case (tp, t) =>
+        val bucket = tp.zipWithIndex.map { case (p, j) =>
+          val lits = p.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_inner_product(v, $lits) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS table_idx, $bucket AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |lshb AS ($lshTables),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM lshb x JOIN lshb y
+       |    ON x.table_idx = y.table_idx AND x.bucket = y.bucket
+       |   AND x.vec_id <> y.vec_id)
+       |SELECT a_id, b_id, cos_sim, rk FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(${cosD("a.v", "b.v")}, 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY c.a_id
+       |      ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |               c.b_id ASC) AS INT) AS rk
+       |  FROM cand c JOIN e a ON c.a_id = a.vec_id
+       |              JOIN e b ON c.b_id = b.vec_id)
+       |WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  }
+
+  /** q_ann_ivf oracle: the two Lloyd iterations of the coarse
+    * quantizer UNROLLED as CTEs (the q_ml_kmeans discipline) — exact
+    * because [[AnnSearch.refineCentroids]] computes centroid means in
+    * micro-quantized integer arithmetic: round(v·1e6) BIGINT sums
+    * (order-independent), two sequential IEEE divisions, cast to
+    * FLOAT. Assignment/probe tie-breaks (sim DESC, cell DESC) mirror
+    * Spark's lexicographic array_max on (sim, cell) structs; the
+    * final candidate ranking mirrors lshTopK's (cos DESC, b_id ASC).
+    */
+  private val annIvfOracle: String = {
+    // one Lloyd iteration: assign against c{n-1}, micro-integer
+    // means, float-cast centroids (empty cells keep the previous)
+    def iter(n: Int): String =
+      s"""s$n AS (
+         |  SELECT e.vec_id, c.cell, ${cosD("e.v", "c.cv")} AS sim
+         |  FROM e CROSS JOIN c${n - 1} c),
+         |a$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cell DESC) AS rn FROM s$n)
+         |  WHERE rn = 1),
+         |x$n AS (SELECT a.cell, e.v FROM a$n a JOIN e USING (vec_id)),
+         |m$n AS (
+         |  SELECT cell, i AS pos,
+         |    CAST(CAST(CAST(SUM(CAST(round(v[i] * 1000000.0, 0)
+         |          AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+         |      AS FLOAT) AS DOUBLE) AS mf
+         |  FROM x$n, UNNEST(generate_series(1, len(v))) AS t(i)
+         |  GROUP BY cell, i),
+         |g$n AS (
+         |  SELECT cell, list(mf ORDER BY pos) AS cv FROM m$n
+         |  GROUP BY cell),
+         |c$n AS (
+         |  SELECT p.cell, COALESCE(g$n.cv, p.cv) AS cv
+         |  FROM c${n - 1} p LEFT JOIN g$n USING (cell))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |c0 AS (
+       |  SELECT cell, v AS cv FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |      AS cell, v FROM e)
+       |  WHERE cell < 8),
+       |${iter(1)},
+       |${iter(2)},
+       |sf AS (
+       |  SELECT e.vec_id, c.cell, ${cosD("e.v", "c.cv")} AS sim
+       |  FROM e CROSS JOIN c2 c),
+       |asg AS (
+       |  SELECT vec_id AS b_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sf)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT vec_id AS a_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sf)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT a_id, b_id FROM prb JOIN asg USING (cell)
+       |  WHERE a_id <> b_id)
+       |SELECT a_id, b_id, cos_sim, rk FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(${cosD("a.v", "b.v")}, 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY c.a_id
+       |      ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |               c.b_id ASC) AS INT) AS rk
+       |  FROM cand c JOIN e a ON c.a_id = a.vec_id
+       |              JOIN e b ON c.b_id = b.vec_id)
+       |WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  }
+
   /** DuckDB replay of the PORTABLE simhash fingerprints
     * ([[graft.operators.ApproxDedup.simhashOf]]): per distinct token,
     * a 60-bit hash from the md5 hex prefix; 60 bit-vote sums; bit j
@@ -472,6 +592,8 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_recall" -> annRecallOracle,
+    "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle,
     // Brute-force 3-gram Jaccard over all doc pairs. Sound as the
     // LSH oracle on THIS corpus because every qualifying pair has
     // j ≥ 0.9, where 8-band/4-row recall is complete (per-pair miss
