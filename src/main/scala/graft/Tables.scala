@@ -24,10 +24,18 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType != LongType)
+    if (name == "events" && df.schema("ts").dataType != LongType) {
+      // The cast→unix_micros normalization is only wall-clock-exact
+      // for TIMESTAMP_NTZ layouts under a UTC session timezone.
+      // Every entrypoint pins UTC by convention; enforce it HERE so
+      // a future entrypoint that forgets cannot silently shift every
+      // event time by its zone offset (ADVICE r6).
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "events.ts normalization requires spark.sql.session.timeZone" +
+          "=UTC — set it in the SparkSession builder")
       df.withColumn("ts",
         unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-    else df
+    } else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -180,17 +180,24 @@ object SimilarityQueries {
   /** The distributed e12 fixed-point gram aggregate (i ≤ j upper
     * triangle, exact integers) shared by [[queries q_embed_gram]] and
     * the PCA power iteration. */
-  private def gramE12(s: SparkSession, d: String): DataFrame = {
+  private def gramE12(s: SparkSession, d: String): DataFrame =
+    gramE12Of(Tables.embeddings(s, d)
+      // spread the N·d²/2 per-row CPU across the cluster even when
+      // the scan yields few splits (a 20 k-vector parquet is one
+      // 128 MB split — and one task — without this); the shuffle
+      // moves only N vector rows, orders of magnitude cheaper than
+      // the outer-product work it parallelizes. Hash on vec_id:
+      // deterministic placement, and the sum is exact-integer so
+      // placement couldn't change the result anyway.
+      .repartition(col("vec_id")))
+
+  /** Kernel over an already-partitioned embeddings frame —
+    * package-private so GramGuardSpec can drive it with adversarial
+    * partition layouts. */
+  private[queries] def gramE12Of(emb: DataFrame): DataFrame = {
+      val s = emb.sparkSession
       import s.implicits._
-      Tables.embeddings(s, d)
-        // spread the N·d²/2 per-row CPU across the cluster even when
-        // the scan yields few splits (a 20 k-vector parquet is one
-        // 128 MB split — and one task — without this); the shuffle
-        // moves only N vector rows, orders of magnitude cheaper than
-        // the outer-product work it parallelizes. Hash on vec_id:
-        // deterministic placement, and the sum is exact-integer so
-        // placement couldn't change the result anyway.
-        .repartition(col("vec_id"))
+      val cells = emb
         .select("embedding").as[Array[Float]]
         .mapPartitions { vecs =>
           var dim = 0
@@ -245,12 +252,44 @@ object SimilarityQueries {
             }
           }
           drain()
+          // one (-1, dim, 0) marker per non-empty partition: the
+          // per-row require above only catches raggedness WITHIN a
+          // partition — two partitions that are internally consistent
+          // at different dims would otherwise silently mix triangle
+          // indices in the groupBy (ADVICE r6). The markers make the
+          // observed dims visible to a global guard below.
+          if (acc != null) out += ((-1, dim, 0L))
           out.iterator
         }
         .toDF("i", "j", "p")
         .groupBy("i", "j")
         .agg(expr("CAST(SUM(CAST(p AS DECIMAL(25,0))) AS BIGINT)")
           .as("gram_e12"))
+        // materialization barrier: the guard below branches off this
+        // frame, and without the barrier Catalyst pushes its i = -1
+        // filter beneath the groupBy, re-executing the N·d²/2 kernel
+        // for a handful of marker rows (exchange reuse only covered
+        // the cheap repartition shuffle — observed, not theorized).
+        // The checkpointed frame is d(d+1)/2 + #partitions rows —
+        // trivially small at any corpus size; the kernel runs ONCE
+        // (GramGuardSpec pins the barrier: the result plan reads the
+        // checkpoint RDD, with no MapPartitions kernel above it).
+        .localCheckpoint(true)
+      // Cross-partition dim guard: >1 distinct marker dim fails the
+      // QUERY, loudly, riding the result as the allow-listed
+      // broadcast single-row scalar cross.
+      val guard = cells.filter(col("i") === -1)
+        .agg(count_distinct(col("j")).as("nd"))
+        .select(when(col("nd") <= 1, lit(1)).otherwise(raise_error(
+          concat(lit("gram kernel: mixed embedding dims across " +
+            "partitions ("), col("nd"),
+            lit(" distinct) — the embeddings table contract is " +
+              "fixed-dim")))).as("__dim_ok"))
+      // the where() keeps the guard column REFERENCED — a bare drop
+      // lets Catalyst prune the projection and the raise_error with it
+      cells.filter(col("i") >= 0)
+        .crossJoin(broadcast(guard))
+        .where(col("__dim_ok") === 1).drop("__dim_ok")
   }
 
   /** ×1e6 fixed-point quantization replicating the SQL expression
