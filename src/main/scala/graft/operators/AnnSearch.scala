@@ -246,7 +246,15 @@ object AnnSearch {
         .withColumn("cell", cell)
         .select(col("s"), col("cell"),
           posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("s", "cell", "pos").agg(avg("v").as("m"))
+        // micro-quantized integer means — the refineCentroids
+        // determinism discipline, so the q_ann_pq oracle can replay
+        // both training iterations bit-for-bit
+        .groupBy("s", "cell", "pos")
+        .agg(sum(round(col("v").cast("double") * lit(1e6), 0)
+            .cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("s"), col("cell"), col("pos"),
+          (col("sm").cast("double") / col("n") / lit(1e6)).as("m"))
         .groupBy("s", "cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))

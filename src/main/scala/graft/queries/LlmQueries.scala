@@ -21,12 +21,13 @@ import graft.operators.{AnnSearch, ApproxDedup, Bpe, TextAnalysis}
   * exactly the chunk-bucketed result, by pigeonhole completeness at
   * hamming ≤ 3); the minhash keys take the brute-force Jaccard
   * oracle (sound here: all qualifying pairs sit at j ≥ 0.9 where
-  * LSH recall is complete). The LSH and IVF ANN paths replay FULLY
-  * in DuckDB (seeded hyperplanes as double literals; micro-quantized
-  * integer Lloyd means — see [[AnnSearch.refineCentroids]]); only
-  * the PQ codebook path and BPE tokenization remain rows-only,
-  * pinned by `AnnSearchSpec` / `BpeSpec` against Scala-computed
-  * ground truth instead.
+  * LSH recall is complete). ALL THREE ANN paths replay FULLY in
+  * DuckDB (seeded hyperplanes as double literals; micro-quantized
+  * integer Lloyd/PQ training means — see
+  * [[AnnSearch.refineCentroids]]; the PQ ADC left-associative term
+  * chain replayed via a pivot); only BPE tokenization remains
+  * rows-only, pinned by `BpeSpec` against an independent reference
+  * encoder instead.
   */
 object LlmQueries {
 
@@ -149,6 +150,9 @@ object LlmQueries {
 
     // Product quantization + ADC + exact re-rank (AnnSearchSpec pins
     // recall vs brute force and the 64x code compression).
+    // Hash-gated: training means are micro-quantized integers, so
+    // the full train+encode+ADC+rerank pipeline replays in DuckDB —
+    // see annPqOracle.
     "q_ann_pq" -> ((s, d) =>
       AnnSearch.pqTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
 
@@ -550,6 +554,106 @@ object LlmQueries {
        |ORDER BY a_id, rk""".stripMargin
   }
 
+  /** q_ann_pq oracle: the whole product-quantization pipeline
+    * unrolled — per-subspace codebooks seeded from the 16 lowest-id
+    * subvectors, two L2-Lloyd training iterations (micro-quantized
+    * integer means, the refineCentroids discipline), corpus encoding,
+    * the ADC scan, and the exact re-rank. Fidelity notes: the L2
+    * assignment score 2·v·c − ‖c‖² replays as
+    * `2*list_inner_product(sv,cv) − list_inner_product(cv,cv)` (both
+    * engines fold sequentially in double over float-widened values);
+    * Spark's per-row ADC `reduce(_ + _)` over the m subspace dots is
+    * a LEFT-ASSOCIATIVE double chain, so the oracle pivots the per-
+    * subspace terms and adds them with SQL's left-associative `+` —
+    * a SUM() aggregate would fold in arbitrary order and drift ulps.
+    * Ties everywhere break like Spark's lexicographic struct
+    * array_max: (score DESC, code DESC) / (approx DESC, b_id ASC).
+    */
+  private val annPqOracle: String = {
+    val m = 8
+    // one training iteration: assign every (vec, s) subvector to its
+    // argmax-score code against cb{n-1}, then micro-integer means
+    def trainIter(n: Int): String =
+      s"""sc$n AS (
+         |  SELECT s.vec_id, s.s, cb.code,
+         |    2.0 * list_inner_product(s.sv, cb.cv)
+         |      - list_inner_product(cb.cv, cb.cv) AS score
+         |  FROM sv s JOIN cb${n - 1} cb ON cb.s = s.s),
+         |a$n AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY score DESC, code DESC)
+         |      AS rn FROM sc$n)
+         |  WHERE rn = 1),
+         |x$n AS (
+         |  SELECT a.s, a.code, s.sv FROM a$n a
+         |  JOIN sv s ON s.vec_id = a.vec_id AND s.s = a.s),
+         |m$n AS (
+         |  SELECT s, code, i AS pos,
+         |    CAST(CAST(CAST(SUM(CAST(round(sv[i] * 1000000.0, 0)
+         |          AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+         |      AS FLOAT) AS DOUBLE) AS mf
+         |  FROM x$n, UNNEST(generate_series(1, 8)) AS t(i)
+         |  GROUP BY s, code, i),
+         |g$n AS (
+         |  SELECT s, code, list(mf ORDER BY pos) AS cv FROM m$n
+         |  GROUP BY s, code),
+         |cb$n AS (
+         |  SELECT p.s, p.code, COALESCE(g$n.cv, p.cv) AS cv
+         |  FROM cb${n - 1} p LEFT JOIN g$n USING (s, code))""".stripMargin
+    val adcSum = (0 until m).map(s =>
+      s"MAX(CASE WHEN s = $s THEN ts END)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |sv AS (
+       |  SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sv
+       |  FROM e, UNNEST(generate_series(0, ${m - 1})) AS t(s)),
+       |ranked AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |    AS INT) AS code
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |cb0 AS (
+       |  SELECT r.code, s.s, s.sv AS cv
+       |  FROM ranked r JOIN sv s USING (vec_id)),
+       |${trainIter(1)},
+       |${trainIter(2)},
+       |scf AS (
+       |  SELECT s.vec_id, s.s, cb.code,
+       |    2.0 * list_inner_product(s.sv, cb.cv)
+       |      - list_inner_product(cb.cv, cb.cv) AS score
+       |  FROM sv s JOIN cb2 cb ON cb.s = s.s),
+       |bcode AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY score DESC, code DESC)
+       |      AS rn FROM scf)
+       |  WHERE rn = 1),
+       |tterm AS (
+       |  SELECT q.vec_id AS a_id, b.vec_id AS b_id, q.s,
+       |    list_inner_product(q.sv, cb.cv) AS ts
+       |  FROM sv q JOIN bcode b ON q.s = b.s AND q.vec_id <> b.vec_id
+       |  JOIN cb2 cb ON cb.s = b.s AND cb.code = b.code),
+       |adc AS (
+       |  SELECT a_id, b_id, $adcSum AS approx
+       |  FROM tterm GROUP BY a_id, b_id),
+       |shortlist AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY approx DESC, b_id ASC) AS ark FROM adc)
+       |  WHERE ark <= 15)
+       |SELECT a_id, b_id, cos_sim, rk FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(${cosD("a.v", "b.v")}, 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY c.a_id
+       |      ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |               c.b_id ASC) AS INT) AS rk
+       |  FROM shortlist c JOIN e a ON c.a_id = a.vec_id
+       |                   JOIN e b ON c.b_id = b.vec_id)
+       |WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  }
+
   /** DuckDB replay of the PORTABLE simhash fingerprints
     * ([[graft.operators.ApproxDedup.simhashOf]]): per distinct token,
     * a 60-bit hash from the md5 hex prefix; 60 bit-vote sums; bit j
@@ -594,6 +698,7 @@ object LlmQueries {
     "q_ann_recall" -> annRecallOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_pq" -> annPqOracle,
     // Brute-force 3-gram Jaccard over all doc pairs. Sound as the
     // LSH oracle on THIS corpus because every qualifying pair has
     // j ≥ 0.9, where 8-band/4-row recall is complete (per-pair miss

@@ -25,6 +25,53 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(spread > 1, "hot key must land on multiple salts")
   }
 
+  test("saltedJoin bounds the per-reducer row count on a Zipfian fixture") {
+    // 200k-row power-law keys (s = 1.2, the q_text_lm_score class):
+    // the plain join's hottest reducer carries the whole hot key;
+    // salting must spread it so no reducer exceeds a salts-fraction
+    // bound. This is the 1000-executor wall-clock argument in
+    // deterministic form (SkewBench records the 60M-row version).
+    val salts = 8
+    val large = spark.range(200000)
+      .withColumn("u",
+        (pmod(xxhash64($"id"), lit(1 << 30)) + 1).cast("double")
+          / lit((1 << 30).toDouble))
+      .withColumn("k", least(lit(1000L), ceil(pow($"u", lit(-5.0))))
+        .cast("long"))
+      .select($"id", $"k")
+    val small = spark.range(1, 1001).select($"id".as("k"),
+      ($"id" * 7).as("w"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE coalescing merges these few-MB shuffles into ONE partition
+    // (a small-bytes artifact — at scale partitions exceed the
+    // advisory size and stay split), which would blind the
+    // per-reducer measurement; 64 reducers give the hot key a
+    // measurable concentration target
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      def maxPart(df: org.apache.spark.sql.DataFrame): Long = df
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect()(0).getLong(0)
+      val plain = large.join(small, "k")
+      val salted = ScaleJoins.saltedJoin(large, small, "k", salts)
+      assert(salted.count() == plain.count())
+      val hot = large.filter($"k" <= 2).count() // two hottest keys
+      val (mp, ms) = (maxPart(plain), maxPart(salted))
+      assert(mp >= hot / 2,
+        s"plain join must concentrate a hot key on one reducer " +
+          s"(max $mp, hot $hot)")
+      assert(ms <= mp / 2,
+        s"salted join must at least halve the reducer bound " +
+          s"(plain $mp, salted $ms)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("bucketized join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
