@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-replayable sketches: a portable HyperLogLog and a
+  * portable count-min sketch whose every step is reproducible,
+  * bit-for-bit, by any engine with `md5` and IEEE doubles — the same
+  * portability contract the simhash/minhash family established
+  * (md5-derived keys: Spark `conv(substring(md5(x),1,15),16,10)` ≡
+  * DuckDB `('0x'||substring(md5(x),1,15))::BIGINT`).
+  *
+  * Why alongside Spark's native sketches (`approx_count_distinct`,
+  * `count_min_sketch`, `hll_sketch_agg` — all demonstrated in
+  * AggSketchSpec): native sketch BYTES are engine-private, so a
+  * lineage pipeline can't audit a Spark-built sketch from another
+  * system. These sketches make the register/counter table itself the
+  * interchange format — tiny (m rows per group / d·w cells), exactly
+  * mergeable (register-wise MAX / cell-wise SUM, both map-side
+  * combining aggregates), and auditable anywhere.
+  *
+  * Determinism proof obligations, discharged once for the whole input
+  * domain rather than per-dataset:
+  *  - register index / rank: pure integer ops on md5 bits — portable
+  *    by construction;
+  *  - harmonic sum: Σ 2^(49−rank) as BIGINT (rank ≤ 49 ⇒ terms are
+  *    exact integers; ≤ m·2^48 < 2^61 ⇒ no overflow) — order
+  *    independent, portable;
+  *  - raw estimate: ONE double division of identical operands — IEEE
+  *    round-to-nearest on both engines, bit-identical;
+  *  - linear counting `round(m·ln(m/V))`: V ranges over [1, m−1], a
+  *    FINITE domain; a JVM sweep (PortableSketchSpec) shows the
+  *    closest any `m·ln(m/V)` comes to a .5 rounding boundary is
+  *    1.07e-4 (m = 4096), so the ≤1-ulp spread between libm
+  *    implementations (measured: 302/4095 inputs differ bitwise
+  *    between StrictMath.log and DuckDB 1.0 ln; 0/4095 differ after
+  *    rounding) can never flip the rounded BIGINT.
+  *
+  * Reference behaviors covered: the reference ships no sketches (its
+  * 296-line pipeline is exact counts only) — this is part of the
+  * 100 TB extension surface, where exact `COUNT(DISTINCT)` shuffles
+  * every distinct value but a register table shuffles ≤ m rows per
+  * group.
+  */
+object PortableSketch {
+
+  /** Register-count exponent: m = 2^P registers per group. */
+  val P = 12
+  val M: Int = 1 << P // 4096
+  /** Standard HLL bias constant α_m·m² for m = 4096, times the 2^49
+    * harmonic-sum scale — inlined as ONE double literal into both
+    * engines' SQL (Double.toString round-trips to identical bits in
+    * both parsers). */
+  private val AlphaM2Scaled: Double =
+    0.7213 / (1 + 1.079 / M) * M.toDouble * M.toDouble * math.pow(2, 49)
+  /** Scaled contribution of an EMPTY register: 2^0 · 2^49. */
+  private val EmptyTerm: Long = 1L << 49
+
+  /** First 60 md5 bits of the key's UTF-8 string form as a
+    * non-negative LONG — the repo's standard portable hash. */
+  def h60(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HLL rank (leading-zero count + 1) of the 48-bit value `w`, as a
+    * branch ladder usable VERBATIM in both Spark and DuckDB SQL —
+    * pure integer comparisons, zero float risk. w = 0 ⇒ rank 49. */
+  def rankSql(w: String): String =
+    "CASE " +
+      (1 to 48).map(r => s"WHEN $w >= ${1L << (48 - r)} THEN $r")
+        .mkString(" ") + " ELSE 49 END"
+
+  /** Per-(group, register) max-rank frame — THE sketch, as data. One
+    * map-side-combining aggregation; ≤ m rows per group regardless of
+    * input size. Columns: groupCols..., reg INT, r INT. */
+  def hllRegisters(df: DataFrame, key: Column,
+                   groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ h60(key).as("__h"): _*)
+      .select(g :+ (col("__h") % M).cast("int").as("reg") :+
+        expr(rankSql(s"(__h div $M)")).cast("int").as("r"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "reg": _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Merge register frames by register-wise MAX (HLL union — the
+    * property that makes daily sketch tables roll up to any range
+    * without rescanning facts) onto new group columns. `regroup`
+    * maps old group columns to the union grain (e.g. day → month). */
+  def hllUnion(registers: DataFrame, regroup: Seq[(Column, String)])
+  : DataFrame = {
+    val keys = regroup.map { case (c, n) => c.as(n) } :+ col("reg")
+    registers.groupBy(keys: _*).agg(max(col("r")).as("r"))
+  }
+
+  /** Cardinality estimate per group from a register frame: classic
+    * HLL with the linear-counting small-range branch, every operand
+    * integer until one shared double division / one ln on a finite
+    * proven-portable domain (see class doc). Emits `est` BIGINT. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String])
+  : DataFrame =
+    registers
+      .groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(count(lit(1)).as("present"),
+        sum(expr("cast(pow(2, 49 - r) as bigint)")).as("s_present"))
+      .select(groupCols.map(col) :+
+        expr(estSql("present", "s_present")).as("est"): _*)
+
+  /** The estimate expression over (present-register count, scaled
+    * harmonic partial sum) — identical text runs on both engines;
+    * DuckDB's oracle builds the same columns and applies this. */
+  def estSql(present: String, sPresent: String): String = {
+    val lit = java.lang.Double.toString(AlphaM2Scaled)
+    s"""CAST(CASE
+       |  WHEN CAST($lit AS DOUBLE) /
+       |       CAST($sPresent + ($M - $present) * $EmptyTerm AS DOUBLE)
+       |       <= ${2.5 * M} AND $present < $M
+       |  THEN round($M.0 * ln($M.0 / ($M - $present)))
+       |  ELSE round(CAST($lit AS DOUBLE) /
+       |       CAST($sPresent + ($M - $present) * $EmptyTerm AS DOUBLE))
+       |END AS BIGINT)""".stripMargin.replaceAll("\\s+", " ").trim
+  }
+
+  /** DuckDB-side register CTE body for `key` (a SQL expression of the
+    * source row) grouped by `groupSql` — mirrors [[hllRegisters]]. */
+  def duckRegistersSql(keyExpr: String, groupSql: Seq[String],
+                       from: String): String = {
+    val g = groupSql.mkString(", ")
+    s"""SELECT $g, h % $M AS reg,
+       |  MAX(${rankSql(s"(h // $M)")}) AS r
+       |FROM (SELECT $g,
+       |        ('0x' || substring(md5($keyExpr), 1, 15))::BIGINT AS h
+       |      FROM $from)
+       |GROUP BY $g, h % $M""".stripMargin
+  }
+
+  /** DuckDB-side estimate selection over a register CTE. */
+  def duckEstimateSql(groupSql: Seq[String], registersCte: String)
+  : String = {
+    val g = groupSql.mkString(", ")
+    s"""SELECT $g, ${estSql("present", "s_present")} AS est
+       |FROM (SELECT $g, COUNT(*) AS present,
+       |        SUM(CAST(power(2, 49 - r) AS BIGINT)) AS s_present
+       |      FROM $registersCte GROUP BY $g)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Portable count-min sketch
+  // ---------------------------------------------------------------
+
+  /** CMS depth (independent hash rows) and width (buckets per row):
+    * eps = e/W ≈ 0.13%, failure prob ≈ e^-D ≈ 1.8%. */
+  val D = 4
+  val W = 2048
+
+  /** The CMS as data: (j, bucket, cnt) cells, ≤ D·W rows total. The
+    * explode-then-count shape map-side combines to ≤ D·W cells per
+    * partition, so the shuffle is sketch-sized, not data-sized — the
+    * merge property that makes CMS usable over a 100 TB stream,
+    * materialized as an auditable table instead of opaque bytes. */
+  def cmsCells(df: DataFrame, key: Column): DataFrame =
+    df.select(key.cast("string").as("__k"))
+      .select(explode(expr(s"sequence(0, ${D - 1})")).as("j"), col("__k"))
+      .select(col("j"),
+        (h60(concat(col("j").cast("string"), lit(":"), col("__k"))) % W)
+          .cast("int").as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for `probes` (a one-column frame of
+    * keys): est(k) = min over rows j of cell(j, h_j(k)), absent cells
+    * counting 0. The cell table broadcasts (≤ D·W rows). */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame,
+                  keyCol: String): DataFrame =
+    probes
+      .select(col(keyCol), explode(expr(s"sequence(0, ${D - 1})")).as("j"))
+      .select(col(keyCol), col("j"),
+        (h60(concat(col("j").cast("string"), lit(":"),
+          col(keyCol).cast("string"))) % W).cast("int").as("bucket"))
+      .join(broadcast(cells), Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+}

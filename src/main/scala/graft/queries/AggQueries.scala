@@ -225,42 +225,58 @@ object AggQueries {
         .orderBy("o_orderstatus")),
 
     // Sketch aggregates — the scale path for distinct counts and
-    // quantiles: HLL++ and the Greenwald-Khanna quantile sketch are
-    // mergeable partial aggregates (map-side combine, fixed-size
-    // state), where exact countDistinct shuffles every distinct value
-    // and exact percentile collects the full column per group. No
-    // DuckDB oracle (sketch implementations differ across engines) —
-    // AggSketchSpec pins the error bounds against the exact answers.
-    "q_agg_approx" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01)
-            .as("approx_orders"),
-          approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
-            .as("approx_median"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
-
-    // Count-min sketch point-frequency estimates (Spark's built-in
-    // mergeable CMS aggregate, fixed seed): the sketch folds
-    // distributedly (partial merge per partition — the property that
-    // makes CMS usable over a 100 TB stream), only its eps-by-delta
-    // byte table reaches the driver, and 20 probe keys read their
-    // estimates against the exact counts. CMS guarantees
-    // est ≥ exact and (w.h.p.) est ≤ exact + eps·N — both surfaced
-    // as columns and hard-asserted in AggSketchSpec; no DuckDB
-    // equivalent exists, so the key is spec-pinned rows-only.
-    "q_agg_cms" -> ((s, d) => {
-      import s.implicits._
+    // quantiles: a register/sample table is a mergeable partial
+    // aggregate (map-side combine, fixed-size state), where exact
+    // countDistinct shuffles every distinct value and exact
+    // percentile collects the full column per group. This key uses
+    // graft's PORTABLE HLL (md5-derived registers, integer harmonic
+    // sums, a proven-portable ln domain — PortableSketch scaladoc),
+    // so DuckDB replays the estimate bit-for-bit and the key is
+    // hash-gated; Spark's native HLL++/GK sketches remain the
+    // engine-private fast path, demonstrated + error-bound-pinned in
+    // AggSketchSpec. The "approximate median" is the exact median of
+    // a deterministic md5 10% row sample — the portable analogue of
+    // a quantile sketch (sample, not full column, crosses the wire).
+    "q_agg_approx" -> ((s, d) => {
+      import graft.operators.PortableSketch
       val li = Tables.lineitem(s, d)
-      val bytes = li.select(
-        expr("count_min_sketch(l_orderkey, 0.001d, 0.99d, 42)").as("cms"))
-        .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      val est = (0L until 20L).map(k => (k, cms.estimateCount(k)))
-        .toDF("l_orderkey", "est_cnt")
+      val est = PortableSketch.hllEstimate(
+        PortableSketch.hllRegisters(li, col("l_orderkey"),
+          Seq("l_returnflag")),
+        Seq("l_returnflag")).withColumnRenamed("est", "est_orders")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          count(lit(1)).as("n"))
+      val med = li.filter(PortableSketch.h60(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 10 === 0)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("approx_median"))
+      est.join(exact, Seq("l_returnflag"))
+        .join(med, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("est_orders"),
+          col("exact_orders"), col("approx_median"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Count-min sketch point-frequency estimates over graft's
+    // PORTABLE CMS (md5-derived row hashes, cell-count table): the
+    // sketch folds distributedly (the explode→count shape map-side
+    // combines to ≤ D·W cells per partition — the property that
+    // makes CMS usable over a 100 TB stream), the ≤ 8192-cell table
+    // broadcasts to the probe join, and 20 probe keys read their
+    // estimates against the exact counts. CMS guarantees est ≥ exact
+    // and (w.h.p.) est ≤ exact + (e/W)·N — both surfaced as columns,
+    // hard-asserted in AggSketchSpec, and the whole computation is
+    // integer-only, so DuckDB replays it exactly (hash-gated).
+    // Spark's native count_min_sketch byte sketch is demonstrated in
+    // AggSketchSpec alongside.
+    "q_agg_cms" -> ((s, d) => {
+      import graft.operators.PortableSketch
+      val li = Tables.lineitem(s, d)
+      val cells = PortableSketch.cmsCells(li, col("l_orderkey"))
+      val probes = s.range(0, 20).toDF("l_orderkey")
+      val est = PortableSketch.cmsEstimate(cells, probes, "l_orderkey")
       val exact = li.filter(col("l_orderkey") < 20)
         .groupBy("l_orderkey").agg(count(lit(1)).as("exact_cnt"))
       est.join(exact, Seq("l_orderkey"), "left")
@@ -273,30 +289,34 @@ object AggQueries {
     }),
 
     // Incremental sketch maintenance — the 100 TB distinct-count
-    // pattern: per-DAY HLL sketches are built once (one pass over the
-    // day's events), then ANY range rolls up by sketch UNION without
-    // rescanning the facts — here the month's MAU from 30 daily
-    // sketches. DataSketches HLL union is register-wise max, so
-    // union-of-daily ≡ sketch-of-month (asserted in AggSketchSpec,
-    // with the estimate within HLL's error bound of the exact MAU).
-    // At scale the daily sketch table is KBs/day and the union is a
-    // |days|-row aggregation; no DuckDB sketch equivalent →
-    // spec-pinned rows-only.
+    // pattern: per-DAY HLL register frames are built once (one pass
+    // over the day's events), then ANY range rolls up by sketch
+    // UNION — register-wise MAX — without rescanning the facts:
+    // here the month's MAU from 30 daily frames. Union-of-daily ≡
+    // sketch-of-month (max is associative; asserted in
+    // PortableSketchSpec, with the estimate within HLL's error bound
+    // of the exact MAU). At scale the daily register table is
+    // ≤ 4096 rows/day and the union is a |days|·m-row aggregation.
+    // Uses graft's PORTABLE HLL, so DuckDB replays daily registers,
+    // the union, and the estimate bit-for-bit → hash-gated (the
+    // native DataSketches hll_sketch_agg/hll_union_agg path is
+    // demonstrated in AggSketchSpec).
     "q_sketch_incremental" -> ((s, d) => {
+      import graft.operators.PortableSketch
       val ev = Tables.events(s, d).select(col("user_id"),
         date_trunc("day", timestamp_micros(expr("ts div 1000")))
           .as("day"))
-      val daily = ev.groupBy("day")
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-          countDistinct("user_id").as("exact_dau"))
-      val monthly = daily
-        .groupBy(date_trunc("month", col("day")).as("month"))
-        .agg(count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_mau"))
+      val daily = PortableSketch.hllRegisters(ev, col("user_id"),
+        Seq("day"))
+      val monthly = PortableSketch.hllUnion(daily,
+        Seq(date_trunc("month", col("day")) -> "month"))
+      val est = PortableSketch.hllEstimate(monthly, Seq("month"))
+        .withColumnRenamed("est", "est_mau")
       val exact = ev
         .groupBy(date_trunc("month", col("day")).as("month"))
-        .agg(countDistinct("user_id").as("exact_mau"))
-      monthly.join(exact, Seq("month"))
+        .agg(countDistinct("user_id").as("exact_mau"),
+          countDistinct("day").as("n_days"))
+      est.join(exact, Seq("month"))
         .select(col("month"), col("n_days"), col("est_mau"),
           col("exact_mau"),
           (abs(col("est_mau") - col("exact_mau")).cast("double") /
@@ -511,6 +531,92 @@ object AggQueries {
         |  CAST(GROUPING(n_name) AS INT) AS g_n
         |$cnrFrom
         |GROUP BY GROUPING SETS ((r_name), (n_name), ())
-        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    // Portable-HLL replay: the oracle rebuilds the identical register
+    // frame from the same md5 bits (PortableSketch.duckRegistersSql
+    // emits the SAME integer rank ladder both engines run) and
+    // applies the SAME estimate expression — see PortableSketch for
+    // the domain-wide portability proof of the one ln branch.
+    "q_agg_approx" -> {
+      val ps = graft.operators.PortableSketch
+      s"""WITH regs AS (
+        |  ${ps.duckRegistersSql("CAST(l_orderkey AS VARCHAR)",
+             Seq("l_returnflag"), "lineitem")}),
+        |est AS (
+        |  ${ps.duckEstimateSql(Seq("l_returnflag"), "regs")}),
+        |exact AS (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |med AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_quantity, 0.5) AS approx_median
+        |  FROM lineitem
+        |  WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |           CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+        |  GROUP BY 1)
+        |SELECT e.l_returnflag, e.est AS est_orders, x.exact_orders,
+        |       m.approx_median, x.n
+        |FROM est e JOIN exact x USING (l_returnflag)
+        |           JOIN med m USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
+    },
+    // Portable-CMS replay: integer-only cell counts + min-over-rows.
+    "q_agg_cms" -> {
+      val (dd, ww) = (graft.operators.PortableSketch.D,
+        graft.operators.PortableSketch.W)
+      s"""WITH js AS (SELECT range AS j FROM range($dd)),
+        |cells AS (
+        |  SELECT j, ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+        |           CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % $ww
+        |           AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem CROSS JOIN js GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT p.range AS l_orderkey, js.j,
+        |    ('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':' ||
+        |      CAST(p.range AS VARCHAR)), 1, 15))::BIGINT % $ww AS bucket
+        |  FROM range(20) p CROSS JOIN js),
+        |est AS (
+        |  SELECT l_orderkey, MIN(COALESCE(cnt, 0)) AS est_cnt
+        |  FROM probes LEFT JOIN cells USING (j, bucket) GROUP BY 1),
+        |exact AS (
+        |  SELECT l_orderkey, COUNT(*) AS exact_cnt FROM lineitem
+        |  WHERE l_orderkey < 20 GROUP BY 1)
+        |SELECT e.l_orderkey, COALESCE(x.exact_cnt, 0) AS exact_cnt,
+        |  e.est_cnt,
+        |  e.est_cnt >= COALESCE(x.exact_cnt, 0) AS never_undercounts
+        |FROM est e LEFT JOIN exact x USING (l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin
+    },
+    // Portable-HLL union replay: daily registers → register-wise MAX
+    // roll-up → the same estimate expression.
+    "q_sketch_incremental" -> {
+      val ps = graft.operators.PortableSketch
+      s"""WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', make_timestamp(epoch_us(ts)))
+        |         AS TIMESTAMP) AS day
+        |  FROM events),
+        |daily AS (
+        |  ${ps.duckRegistersSql("CAST(user_id AS VARCHAR)",
+             Seq("day"), "ev")}),
+        |monthly AS (
+        |  SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+        |         reg, MAX(r) AS r
+        |  FROM daily GROUP BY 1, 2),
+        |est AS (
+        |  ${ps.duckEstimateSql(Seq("month"), "monthly")}),
+        |exact AS (
+        |  SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+        |         COUNT(DISTINCT user_id) AS exact_mau,
+        |         COUNT(DISTINCT day) AS n_days
+        |  FROM ev GROUP BY 1)
+        |SELECT e.month, x.n_days, e.est AS est_mau, x.exact_mau,
+        |  CAST(abs(e.est - x.exact_mau) AS DOUBLE) /
+        |    CAST(x.exact_mau AS DOUBLE) <= 0.05 AS within_bound
+        |FROM est e JOIN exact x USING (month)
+        |ORDER BY month""".stripMargin
+    }
   )
 }
