@@ -1,10 +1,33 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+
+/** Always-TRUE no-op predicate marking the overflow theta branch that
+  * [[BandJoinRule]] emits in `hybrid` overflow mode. The rule runs in
+  * a FIXPOINT optimizer batch, so the theta join it creates (which
+  * still matches the point-in-range shape by construction) must be
+  * self-identifying or the rule would re-split it every iteration;
+  * the marker travels inside the wide-interval Filter's condition —
+  * surviving conjunct splitting and pushdown, which relocate but
+  * never drop a predicate — and the rule skips any candidate join
+  * with a marker on either side. Non-foldable so ConstantFolding
+  * cannot erase it; codegens to the literal `true`. */
+case class BandOverflowMarker() extends LeafExpression with Predicate {
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def dataType: DataType = BooleanType
+  override def eval(input: InternalRow): Any = true
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    ev.copy(code = code"", isNull = FalseLiteral,
+      value = JavaCode.literal("true", BooleanType))
+}
 
 /** Optimizer rule: rewrite a point-in-range THETA join into the
   * banded EQUI-join of [[graft.operators.RangeJoin]] — automatically.
@@ -47,10 +70,37 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * existing cross-side equality conjunct (those joins already
   * hash-partition — and the guard also makes the rule idempotent,
   * since the rewritten join carries a band equality).
+  *
+  * Intervals wider than [[MaxBandsPerRow]] bands follow
+  * [[OverflowConf]]: `error` (default) raises a descriptive runtime
+  * error; `hybrid` unions the banded plan over the ≤cap intervals
+  * with the original theta join over the few over-cap ones (the
+  * open-ended-sentinel class) — the classic hybrid range join, which
+  * keeps any pre-existing slow-but-working query working. Shape
+  * caveat (documented, accepted): the overlap matcher admits any two
+  * crossed inequality conjuncts; if the two left-side expressions are
+  * not really an interval, per-row band ranges can be huge and land
+  * on the cap. See README "Band-join rule" for both caveats.
   */
 object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.bandJoin.width"
+
+  /** What to do with a POINT-shape interval whose band range exceeds
+    * [[MaxBandsPerRow]]:
+    *  - `error` (default): raise a descriptive runtime error — no
+    *    silent unbounded row explosion;
+    *  - `hybrid`: split the interval side at the cap. Narrow
+    *    intervals take the banded equi-join; overflow-wide ones (the
+    *    open-ended-sentinel class, typically a handful of rows) keep
+    *    the original theta join — Spark broadcasts the small wide
+    *    slice — and the two branches union. This is the classic
+    *    hybrid range join: correct for ANY interval width, with the
+    *    banded plan doing the bulk of the work. The OVERLAP shape
+    *    keeps `error` semantics regardless (a wide interval there
+    *    would need a 3-way split; use the explicit RangeJoin dataflow
+    *    if you have open-ended overlap intervals). */
+  val OverflowConf = "spark.graft.bandJoin.onOverflow"
 
   /** Hard per-row fan-out cap: an interval may expand to at most this
     * many band rows. Generous for any sane width choice (a well-tuned
@@ -105,31 +155,39 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         "intervals")),
       ArrayType(LongType, containsNull = false))
 
+  /** Band span |band(hi) − band(lo)| in DOUBLE on purpose: a long
+    * Subtract overflows for opposite-sign extreme endpoints (the
+    * double-open-ended sentinel case) and would BYPASS the cap —
+    * doubles cannot overflow, and ulp-level imprecision near 2^53 is
+    * irrelevant against a 4096 threshold. */
+  private def bandSpan(lo: Expression, hi: Expression, w: Long)
+  : Expression =
+    Abs(Subtract(
+      Cast(bandOf(hi, w), org.apache.spark.sql.types.DoubleType),
+      Cast(bandOf(lo, w), org.apache.spark.sql.types.DoubleType)))
+
   /** Band list lo div w .. hi div w with the per-row fan-out guards
     * the theta join never needed. `reversedEmpty`: the POINT shape
     * emits zero bands for lo > hi (the predicate is unsatisfiable);
     * the OVERLAP shape keeps the raw sequence (reversed endpoints
     * can still satisfy the overlap predicate, and a descending
     * sequence explodes to the same band SET), capping on the
-    * absolute span instead. */
+    * absolute span instead. `capToEmpty`: hybrid mode pre-filters
+    * over-cap rows into the theta branch, so the cap case emits zero
+    * bands (belt and braces — it is unreachable behind the filter)
+    * instead of an error. */
   private def guardedBandSeq(lo: Expression, hi: Expression, w: Long,
-                             reversedEmpty: Boolean): Expression = {
+                             reversedEmpty: Boolean,
+                             capToEmpty: Boolean = false): Expression = {
     val (bandLoE, bandHiE) = (bandOf(lo, w), bandOf(hi, w))
     val rawSeq = new Sequence(bandLoE, bandHiE)
       .withTimeZone(conf.sessionLocalTimeZone)
-    // span check in DOUBLE on purpose: a long Subtract overflows for
-    // opposite-sign extreme endpoints (the double-open-ended sentinel
-    // case) and would BYPASS the cap — doubles cannot overflow, and
-    // ulp-level imprecision near 2^53 is irrelevant against a 4096
-    // threshold
-    val span = Abs(Subtract(
-      Cast(bandHiE, org.apache.spark.sql.types.DoubleType),
-      Cast(bandLoE, org.apache.spark.sql.types.DoubleType)))
     val branches =
       (if (reversedEmpty) Seq((GreaterThan(bandLoE, bandHiE), emptyBands))
        else Nil) :+
-        (GreaterThan(span,
-          Literal(MaxBandsPerRow.toDouble)), capError)
+        (GreaterThan(bandSpan(lo, hi, w),
+          Literal(MaxBandsPerRow.toDouble)),
+          if (capToEmpty) emptyBands else capError)
     CaseWhen(branches, Some(rawSeq))
   }
 
@@ -143,18 +201,31 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
-    case Some(w) => rewrite(plan, w)
+    case Some(w) =>
+      rewrite(plan, w, conf.getConfString(OverflowConf, "error"))
   }
+
+  /** True when this subtree carries the hybrid-overflow marker — the
+    * theta branch the rule itself emitted (or a join built on top of
+    * one); skipping those keeps the fixpoint batch convergent. */
+  private def hasOverflowMarker(p: LogicalPlan): Boolean =
+    p.exists {
+      case f: Filter =>
+        f.condition.exists(_.isInstanceOf[BandOverflowMarker])
+      case _ => false
+    }
 
   /** The rewrite with an explicit band width — the session-extension
     * path reads the width from [[WidthConf]]; callers that already
     * know their band (e.g. a registry query demonstrating the rule)
     * apply this directly to an analyzed plan and avoid session-conf
     * mutation entirely. */
-  def rewrite(plan: LogicalPlan, w: Long): LogicalPlan =
+  def rewrite(plan: LogicalPlan, w: Long,
+              onOverflow: String = "error"): LogicalPlan =
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if !j.isStreaming =>
+          if !j.isStreaming &&
+            !hasOverflowMarker(left) && !hasOverflowMarker(right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         // null-safe equality (<=>) hash-partitions just like =, so it
         // suppresses the rewrite for the same reason
@@ -204,11 +275,23 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case (Some((pt, lo, hi)), _) =>
             val (pointSide, intervalSide) =
               if (from(pt, left)) (left, right) else (right, left)
+            val hybrid = onOverflow == "hybrid"
+            val capLit = Literal(MaxBandsPerRow.toDouble)
+            // hybrid: only the ≤cap slice of the interval side takes
+            // the banded path (a NULL-bound row satisfies neither
+            // slice predicate and drops from both — it cannot satisfy
+            // the join condition anyway)
+            val narrowSide =
+              if (hybrid)
+                Filter(LessThanOrEqual(bandSpan(lo, hi, w), capLit),
+                  intervalSide)
+              else intervalSide
             val pBand = Alias(bandOf(pt, w), "__graft_band_p")()
             val pointPlan = Project(
               pointSide.output :+ pBand, pointSide)
-            val (intervalPlan, iBandAttr) = explodeBands(intervalSide,
-              guardedBandSeq(lo, hi, w, reversedEmpty = true),
+            val (intervalPlan, iBandAttr) = explodeBands(narrowSide,
+              guardedBandSeq(lo, hi, w, reversedEmpty = true,
+                capToEmpty = hybrid),
               "__graft_band_i")
             // keep the original child order so downstream hints and
             // the output schema stay stable
@@ -217,9 +300,27 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               else (intervalPlan, pointPlan)
             val bandEq: Expression =
               EqualTo(pBand.toAttribute, iBandAttr)
-            Project(j.output,
+            val banded = Project(j.output,
               Filter(cond,
                 Join(newLeft, newRight, Inner, Some(bandEq), hint)))
+            if (!hybrid) banded
+            else {
+              // overflow-wide intervals keep the ORIGINAL theta join;
+              // the marker makes the branch self-identifying so the
+              // fixpoint re-run skips it (see BandOverflowMarker).
+              // Both branches project j.output, so the Union's schema
+              // and attribute ids are exactly the join's.
+              val wideSide = Filter(
+                And(GreaterThan(bandSpan(lo, hi, w), capLit),
+                  BandOverflowMarker()),
+                intervalSide)
+              val (thLeft, thRight) =
+                if (from(pt, left)) (pointSide, wideSide)
+                else (wideSide, pointSide)
+              Union(Seq(banded,
+                Project(j.output,
+                  Join(thLeft, thRight, Inner, Some(cond), hint))))
+            }
           case (None, Some((aS, aE, bS, bE))) =>
             // both sides explode to their band ranges; a pair can
             // share MANY bands, so the FIRST shared band —

@@ -246,4 +246,58 @@ class BandJoinRuleSpec extends SparkSpec {
     assert(!plan.contains("__graft_band"))
     assert(rows == baseline(q))
   }
+
+  private def withRuleHybrid(width: Long)(build: => DataFrame)
+  : (Seq[String], String) = {
+    spark.conf.set(BandJoinRule.OverflowConf, "hybrid")
+    try withRule(width)(build)
+    finally spark.conf.unset(BandJoinRule.OverflowConf)
+  }
+
+  test("hybrid overflow: sentinel-wide intervals keep the theta " +
+      "path, narrow ones stay banded, results match the theta join") {
+    // two open-ended sentinels (one on each end of the long range)
+    // among ordinary intervals — the exact class the error default
+    // would refuse
+    val mixed = intervals.union(
+      Seq((900L, 0L, Long.MaxValue - 2),
+        (901L, Long.MinValue + 2, 50L)).toDF("iid", "lo", "hi"))
+    def q = points.join(mixed,
+      points("t") >= mixed("lo") && points("t") <= mixed("hi"))
+    val base = baseline(q)
+    val (rows, plan) = withRuleHybrid(64)(q)
+    assert(rows == base,
+      s"hybrid result drifted: ${rows.size} vs ${base.size}")
+    assert(plan.contains("__graft_band"), s"banded branch missing:\n$plan")
+    assert(plan.contains("Union"), s"hybrid must union branches:\n$plan")
+    // the fixpoint batch must converge after ONE split: a re-split of
+    // the marker-guarded theta branch would nest further Unions
+    assert(plan.linesIterator.count(_.trim.startsWith("Union")) == 1,
+      s"rule re-split its own theta branch:\n$plan")
+    // sentinel matches must actually flow through the theta branch
+    assert(base.exists(_.contains("900,")),
+      "fixture must produce sentinel matches")
+  }
+
+  test("hybrid overflow with no over-cap rows adds no duplicates " +
+      "(the wide branch is empty, the union is a no-op)") {
+    def q = points.join(intervals,
+      points("t") >= intervals("lo") && points("t") <= intervals("hi"))
+    val base = baseline(q)
+    val (rows, plan) = withRuleHybrid(64)(q)
+    assert(rows == base)
+    assert(plan.contains("__graft_band"))
+  }
+
+  test("hybrid overflow: null bounds drop from both branches exactly " +
+      "like the theta join") {
+    val ni = Seq((1L, Some(0L), Some(20L)), (2L, None, Some(99L)),
+      (3L, Some(-60L), None),
+      (4L, Some(0L), Some(Long.MaxValue - 2))).toDF("iid", "lo", "hi")
+    def q = points.join(ni,
+      points("t") >= ni("lo") && points("t") <= ni("hi"))
+    val base = baseline(q)
+    val (rows, _) = withRuleHybrid(16)(q)
+    assert(rows == base)
+  }
 }
