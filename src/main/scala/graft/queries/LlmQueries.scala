@@ -242,17 +242,21 @@ object LlmQueries {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
-    // Concat-and-chunk context packing (2048-token windows per lang).
     // Real-BPE token counts: merge table trained on the 200 lowest-id
     // docs (deterministic offline-vocabulary shape), applied in one
-    // narrow broadcast pass. No DuckDB equivalent exists for the
-    // iterative merge, so this key is rows-only; BpeSpec pins Spark's
-    // counts exactly against an independent sequential reference
-    // encoder on a golden doc set.
+    // narrow broadcast pass. HASH-GATED: the oracle unrolls every
+    // training round — argmax pair + windowed non-overlap rewrite —
+    // as DuckDB CTEs and replays the encode as the same rewrite over
+    // weight-0 corpus words ([[graft.operators.BpeOracle]]; BpeSpec
+    // additionally pins Spark's counts against an independent serial
+    // reference encoder). nMerges = 120, not the r5 rounds' 200: the
+    // synthetic corpus vocabulary exhausts all mergeable pairs at ~90
+    // rounds (results identical from there up), and DuckDB's
+    // 1000-deep expression limit caps the unrolled chain at ~160.
     "q_text_tokens_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val merges = Bpe.trainOnSample(docs, "doc_id", "text",
-        sampleN = 200, nMerges = 200)
+        sampleN = 200, nMerges = 120)
       Bpe.tokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
@@ -262,8 +266,10 @@ object LlmQueries {
     // argmax row to the driver. Output is the learned merge table —
     // a pure function of the corpus (deterministic (-count, a, b)
     // tie-break), pinned bit-equal to the serial reference trainer
-    // by BpeSpec. No DuckDB oracle: the per-word merge rewrite is
-    // sequential-scan semantics SQL recursion can't express.
+    // by BpeSpec AND hash-gated: the oracle replays all 32 training
+    // rounds as unrolled DuckDB CTEs (BpeOracle.mergeTableSql — the
+    // windowed non-overlap rewrite makes the "sequential" merge pass
+    // SQL-expressible after all; see BpeOracle scaladoc).
     "q_bpe_train" -> ((s, d) => {
       import s.implicits._
       val merges = Bpe.trainDistributed(
@@ -278,10 +284,13 @@ object LlmQueries {
     // window operator as q_pack_sequences, but the per-doc token
     // count is the trained-BPE count instead of the whitespace
     // heuristic — the shape a production pretraining pipeline runs.
+    // Hash-gated via BpeOracle.packSql (trained-count replay feeding
+    // the q_pack_sequences prefix-sum oracle); nMerges 120 as in
+    // q_text_tokens_bpe.
     "q_pack_sequences_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.trainOnSample(docs.select(col("doc_id"),
-        col("text")), "doc_id", "text", sampleN = 200, nMerges = 200)
+        col("text")), "doc_id", "text", sampleN = 200, nMerges = 120)
       // counts appended in the same pass — no corpus-vs-counts join;
       // the only shuffle is the packing window's partitionBy(lang)
       val counted = Bpe.withTokenCounts(
@@ -919,6 +928,18 @@ object LlmQueries {
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
         |        regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Full BPE replay oracles (graft.operators.BpeOracle): training
+    // rounds unrolled as CTEs, encode as the same rewrite over
+    // weight-0 words. The sample predicate mirrors
+    // Bpe.trainOnSample's "200 lowest doc ids".
+    "q_text_tokens_bpe" ->
+      graft.operators.BpeOracle.tokenCountsSql(120, bpeSamplePred),
+    "q_bpe_train" -> graft.operators.BpeOracle.mergeTableSql(32),
+    "q_pack_sequences_bpe" ->
+      graft.operators.BpeOracle.packSql(120, bpeSamplePred, 2048)
   )
+
+  private val bpeSamplePred =
+    "doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)"
 }

@@ -115,6 +115,38 @@ class BpeSpec extends SparkSpec {
     assert(merges.length <= 2)
   }
 
+  test("sequential-by-rank apply is equivalent to the lowest-rank-" +
+    "first encoder on every corpus word (the BpeOracle premise)") {
+    // A merge of rank r creates a token no merge of rank < r can
+    // reference, so applying merges in rank order — one left-to-right
+    // pass each — must reach encodeWord's fixpoint. This is the
+    // structural fact that lets the DuckDB oracle unroll the encode
+    // as per-ROUND rewrites; prove it on the real corpus at sf0.01.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val merges = Bpe.trainOnSample(docs, "doc_id", "text",
+      sampleN = 200, nMerges = 120)
+    val rk = Bpe.ranks(merges)
+    val words = docs.collect().flatMap(r => Bpe.preTokens(r.getString(1)))
+      .distinct.sorted
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      var syms: Vector[String] = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      assert(syms == Bpe.encodeWord(w, rk),
+        s"word '$w': sequential $syms != encoder ${Bpe.encodeWord(w, rk)}")
+    }
+  }
+
   test("real-BPE counts refine the heuristic within sane bounds") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val merges = Bpe.trainOnSample(docs, "doc_id", "text",
