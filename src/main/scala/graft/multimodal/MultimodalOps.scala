@@ -48,10 +48,18 @@ case class Frame(media_id: Long, frame_idx: Int, offsetMs: Long,
   * uncompressed interchange container (ffmpeg/mplayer's
   * `yuv4mpegpipe`) — [[encodeY4m]] writes the stream header + FRAME
   * sections and [[decodeY4m]] demuxes them back to luma planes,
-  * handling Cmono/C420/C422/C444 subsampling. COMPRESSED codecs
-  * (H.264 & co.) are descoped: no codec ships in the JDK or this
-  * container; a real deployment puts ffmpeg behind these same
-  * signatures and batch shapes.
+  * handling Cmono/C420/C422/C444 subsampling.
+  *
+  * COMPRESSED codecs are real too, all dependency-free: the corpus
+  * alternates lossless and lossy payloads per kind — images PNG /
+  * baseline JPEG (the JDK's DCT codec via ImageIO), audio PCM WAV /
+  * G.711 μ-law / G.711 A-law / IMA ADPCM (pure-Scala codecs +
+  * RIFF container, [[G711]]/[[ImaAdpcm]]/[[WavCodec]]), video Y4M /
+  * Motion-JPEG AVI ([[MjpegAvi]]'s RIFF demux around per-frame JPEG
+  * bitstreams). Decoders dispatch on container magic, so a mixed
+  * corpus needs no schema hints. Only INTER-coded video (H.264 & co.)
+  * remains descoped — no JVM-resident decoder exists; ffmpeg slots
+  * behind these same signatures and batch shapes.
   */
 object MultimodalOps {
   // Never spill codec scratch to executor-local tmp files: decode
@@ -81,6 +89,17 @@ object MultimodalOps {
 
   private def syntheticImage(id: Long, w: Int, h: Int): BufferedImage =
     lumaToImage(syntheticLuma(id, 0, w, h), w, h)
+
+  /** Band-limited (monotone-gradient) test pattern for the LOSSY
+    * tiers: JPEG's DCT and ADPCM's predictor both track smooth
+    * signals tightly, so the specs can pin hard error bounds; the
+    * mod-251 sawtooth used for lossless tiers would turn codec
+    * quantization into unbounded-looking error at the wraps. */
+  def syntheticLumaSmooth(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      ((id * 31) % 64).toInt + x * 96 / w + y * 96 / h
+    }
 
   /** PNG-encode via the JDK's ImageIO writer (lossless; the decoded
     * plane round-trips exactly, which the spec pins). */
@@ -198,10 +217,16 @@ object MultimodalOps {
     Y4mClip(w, h, fn, fd, frames.result())
   }
 
-  /** Deterministic synthetic corpus: image rows carry REAL PNG bytes
-    * of a seeded test pattern; audio rows carry REAL PCM-16 WAV
-    * files of a seeded waveform; video rows carry REAL Y4M streams
-    * of seeded per-frame luma planes at 1 fps.
+  /** Deterministic synthetic corpus with both lossless and
+    * compressed payloads per kind — every format a REAL container +
+    * codec, decoded by magic dispatch:
+    *  - images: PNG (lossless, sawtooth pattern) alternating with
+    *    baseline JPEG (lossy DCT, band-limited pattern);
+    *  - audio: PCM-16 WAV, G.711 μ-law WAV, G.711 A-law WAV,
+    *    IMA ADPCM WAV (smooth ramp for the predictive codec) in
+    *    rotation;
+    *  - video: Y4M (uncompressed) alternating with Motion-JPEG AVI
+    *    (per-frame JPEG bitstreams), both at 1 fps.
     */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -209,24 +234,61 @@ object MultimodalOps {
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
+      val variant = (id / 3).toInt
       kind match {
         case "image" =>
           val w = 32 + (id % 4).toInt * 16
           val h = 32 + (id % 3).toInt * 16
-          MediaRecord(id, kind, encodePng(syntheticImage(id, w, h)),
-            MediaMeta("png", w, h, 0L))
+          if (variant % 2 == 0)
+            MediaRecord(id, kind, encodePng(syntheticImage(id, w, h)),
+              MediaMeta("png", w, h, 0L))
+          else
+            MediaRecord(id, kind,
+              MjpegAvi.encodeJpeg(lumaToImage(syntheticLumaSmooth(id, w, h), w, h)),
+              MediaMeta("jpeg", w, h, 0L))
         case "audio" =>
           val n = 800 + (id % 5).toInt * 160
           val durMs = n * 1000L / 8000L
-          MediaRecord(id, kind, encodeWav(syntheticSamples(id, n)),
-            MediaMeta("wav", 0, 0, durMs))
+          variant % 4 match {
+            case 0 =>
+              MediaRecord(id, kind, encodeWav(syntheticSamples(id, n)),
+                MediaMeta("wav", 0, 0, durMs))
+            case 1 =>
+              MediaRecord(id, kind, WavCodec.encodeUlawWav(syntheticSamples(id, n)),
+                MediaMeta("ulaw", 0, 0, durMs))
+            case 2 =>
+              MediaRecord(id, kind, WavCodec.encodeAlawWav(syntheticSamples(id, n)),
+                MediaMeta("alaw", 0, 0, durMs))
+            case _ =>
+              MediaRecord(id, kind, WavCodec.encodeAdpcmWav(syntheticSamplesSmooth(id, n)),
+                MediaMeta("adpcm", 0, 0, durMs))
+          }
         case _ =>
           val (w, h) = (64, 48)
           val nFrames = 2 + (id % 7).toInt
-          val frames = (0 until nFrames).map(f => syntheticLuma(id, f, w, h))
-          MediaRecord(id, kind, encodeY4m(frames, w, h),
-            MediaMeta("y4m", w, h, nFrames * 1000L))
+          if (variant % 2 == 0) {
+            val frames = (0 until nFrames).map(f => syntheticLuma(id, f, w, h))
+            MediaRecord(id, kind, encodeY4m(frames, w, h),
+              MediaMeta("y4m", w, h, nFrames * 1000L))
+          } else {
+            val frames = (0 until nFrames).map(f => MjpegAvi.encodeJpeg(
+              lumaToImage(syntheticLumaSmooth(id + f, w, h), w, h)))
+            MediaRecord(id, kind, MjpegAvi.mux(frames, w, h),
+              MediaMeta("avi", w, h, nFrames * 1000L))
+          }
       }
+    }
+  }
+
+  /** Smooth (triangle-wave) PCM for the predictive ADPCM tier: the
+    * per-sample delta (±496) sits inside the step table's tracking
+    * range, so the spec can pin a hard reconstruction-error bound. */
+  def syntheticSamplesSmooth(id: Long, n: Int): Array[Short] = {
+    val phase = (id * 131 % 64).toInt
+    Array.tabulate(n) { i =>
+      val t = (i + phase) % 64
+      val tri = if (t < 32) t else 64 - t // 0..32 triangle
+      ((tri - 16) * 496).toShort // ±7936, step ±496/sample
     }
   }
 
@@ -261,47 +323,45 @@ object MultimodalOps {
     out
   }
 
-  /** REAL audio decode: `javax.sound.sampled` parses the RIFF/WAVE
-    * container and hands back the PCM frames; samples map to the
-    * 0–255 feature plane by their high byte (+128 bias) — integer
-    * math, bit-deterministic. PCM is lossless: the spec pins exact
-    * sample round-trip through encode→decode. */
+  /** REAL audio decode for every supported WAV encoding:
+    * [[WavCodec]] demuxes the RIFF container and transcodes PCM-16 /
+    * G.711 μ-law / G.711 A-law / IMA ADPCM back to linear samples;
+    * samples map to the 0–255 feature plane by their high byte
+    * (+128 bias) — integer math, bit-deterministic. PCM is lossless
+    * (the spec pins exact round-trip); the compressed tiers are
+    * pinned by hard codec-error bounds. */
   def decodeAudio(content: Array[Byte]): Array[Int] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
-    try {
-      val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-        s"expected s16le PCM, got $fmt")
-      val raw = in.readAllBytes()
-      Array.tabulate(raw.length / 2) { i =>
-        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort
-        (s >> 8) + 128
-      }
-    } finally in.close()
+    val samples = WavCodec.parse(content).samples
+    Array.tabulate(samples.length)(i => (samples(i) >> 8) + 128)
   }
 
   /** Raw decoded samples (for specs and signal features). */
-  def decodeAudioSamples(content: Array[Byte]): Array[Short] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
-    try {
-      val raw = in.readAllBytes()
-      Array.tabulate(raw.length / 2)(i =>
-        ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort)
-    } finally in.close()
-  }
+  def decodeAudioSamples(content: Array[Byte]): Array[Short] =
+    WavCodec.parse(content).samples
 
-  /** REAL video decode: [[decodeY4m]] demuxes the container; the
-    * feature plane is every frame's luma samples concatenated, so
-    * the histogram covers the whole clip. */
+  /** REAL video decode, dispatched on container magic: Y4M streams
+    * demux to raw luma planes; MJPEG AVIs demux to per-frame JPEG
+    * bitstreams which the ImageIO DCT codec decodes. The feature
+    * plane is every frame's luma samples concatenated, so the
+    * histogram covers the whole clip. */
   def decodeVideo(content: Array[Byte]): Array[Int] = {
-    val clip = decodeY4m(content)
-    val out = new Array[Int](clip.frames.map(_.length).sum)
+    val frames: Seq[Array[Int]] =
+      if (isAvi(content)) MjpegAvi.demux(content).frames.map(decodeImage)
+      else decodeY4m(content).frames
+    val out = new Array[Int](frames.map(_.length).sum)
     var off = 0
-    clip.frames.foreach { f =>
+    frames.foreach { f =>
       System.arraycopy(f, 0, out, off, f.length); off += f.length
     }
     out
   }
+
+  /** RIFF/AVI magic check (the video-container dispatch). */
+  def isAvi(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      content(0) == 'R' && content(1) == 'I' && content(2) == 'F' &&
+      content(3) == 'F' && content(8) == 'A' && content(9) == 'V' &&
+      content(10) == 'I' && content(11) == ' '
 
   /** Feature extraction: batched mapPartitions — codec state is
     * initialized once per partition (the executor-side pattern for
@@ -328,10 +388,13 @@ object MultimodalOps {
     }
   }
 
-  /** REAL image resize: decode the PNG, box-filter each 2×2 block to
-    * its integer mean (pure integer math — bit-deterministic across
-    * executors, unlike Graphics2D interpolation), re-encode as PNG.
-    * Non-image rows pass through untouched. */
+  /** REAL image resize: decode (PNG or JPEG — ImageIO dispatches),
+    * box-filter each 2×2 block to its integer mean (pure integer
+    * math — bit-deterministic across executors, unlike Graphics2D
+    * interpolation), re-encode as PNG. Lossy inputs normalize to the
+    * lossless container on the way through — the standard pipeline
+    * move, and it keeps the box-filter exactness spec sharp for
+    * every input format. Non-image rows pass through untouched. */
   def resizeHalf(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map { r =>
@@ -356,27 +419,36 @@ object MultimodalOps {
           y += 1
         }
         r.copy(content = encodePng(dst),
-          meta = r.meta.copy(width = ow, height = oh))
+          meta = r.meta.copy(format = "png", width = ow, height = oh))
       }
     }
   }
 
-  /** Frame sampling for video rows: REAL demux — [[decodeY4m]] walks
-    * the FRAME sections, one output row per sampled frame (every
-    * `everyMs` of stream time, from the header's frame rate), each
-    * re-encoded as a standalone PNG through the shipped ImageIO path
-    * so downstream image operators consume frames directly. flatMap
-    * keeps it narrow — one task explodes its own videos, no shuffle.
+  /** Frame sampling for video rows: REAL demux of either container —
+    * [[decodeY4m]] walks FRAME sections, [[MjpegAvi.demux]] walks
+    * '00dc' chunks (decoding each JPEG bitstream) — one output row
+    * per sampled frame (every `everyMs` of stream time, from the
+    * container's frame rate), each re-encoded as a standalone PNG so
+    * downstream image operators consume frames uniformly regardless
+    * of source codec. flatMap keeps it narrow — one task explodes
+    * its own videos, no shuffle.
     */
   def sampleFrames(media: Dataset[MediaRecord],
                    everyMs: Long = 1000): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val clip = decodeY4m(r.content)
-      val stride = math.max((everyMs / clip.frameMs).toInt, 1)
-      Range(0, clip.frames.length, stride).map { fi =>
-        Frame(r.media_id, fi, fi * clip.frameMs,
-          encodePng(lumaToImage(clip.frames(fi), clip.width, clip.height)))
+      val (frames, w, h, frameMs) =
+        if (isAvi(r.content)) {
+          val clip = MjpegAvi.demux(r.content)
+          (clip.frames.map(decodeImage), clip.width, clip.height, clip.frameMs)
+        } else {
+          val clip = decodeY4m(r.content)
+          (clip.frames, clip.width, clip.height, clip.frameMs)
+        }
+      val stride = math.max((everyMs / frameMs).toInt, 1)
+      Range(0, frames.length, stride).map { fi =>
+        Frame(r.media_id, fi, fi * frameMs,
+          encodePng(lumaToImage(frames(fi), w, h)))
       }
     }
   }

@@ -16,38 +16,74 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(imgs.count() == 10)
   }
 
-  test("image payloads are real PNGs that round-trip through ImageIO") {
+  test("image payloads: PNG rows round-trip losslessly, JPEG rows " +
+      "are real DCT bitstreams within the codec error bound") {
     val imgs = MultimodalOps.syntheticCorpus(spark, 30)
       .filter(col("kind") === "image").collect()
+    assert(imgs.count(_.meta.format == "png") == 5)
+    assert(imgs.count(_.meta.format == "jpeg") == 5)
     imgs.foreach { r =>
-      // PNG magic
-      assert((r.content(0) & 0xff) == 0x89 &&
-        r.content.slice(1, 4).map(_.toChar).mkString == "PNG")
       val px = MultimodalOps.decodeImage(r.content)
       assert(px.length == r.meta.width * r.meta.height)
-      // decoded pixels are the seeded pattern, losslessly recovered
       val w = r.meta.width
-      px.zipWithIndex.foreach { case (v, i) =>
-        val (x, y) = (i % w, i / w)
-        assert(v == ((r.media_id * 131 + y * 31 + x * 7) % 251).toInt,
-          s"pixel ($x,$y) of ${r.media_id}")
+      if (r.meta.format == "png") {
+        // PNG magic; decoded pixels are the seeded pattern, lossless
+        assert((r.content(0) & 0xff) == 0x89 &&
+          r.content.slice(1, 4).map(_.toChar).mkString == "PNG")
+        px.zipWithIndex.foreach { case (v, i) =>
+          val (x, y) = (i % w, i / w)
+          assert(v == ((r.media_id * 131 + y * 31 + x * 7) % 251).toInt,
+            s"pixel ($x,$y) of ${r.media_id}")
+        }
+      } else {
+        // JPEG SOI marker; lossy decode stays near the source pattern
+        assert((r.content(0) & 0xff) == 0xff && (r.content(1) & 0xff) == 0xd8)
+        val src = MultimodalOps.syntheticLumaSmooth(
+          r.media_id, r.meta.width, r.meta.height)
+        val errs = px.zip(src).map { case (a, b) => math.abs(a - b) }
+        assert(errs.sum.toDouble / errs.length <= 8,
+          s"jpeg mean error of ${r.media_id}")
+        assert(errs.max <= 48, s"jpeg max error of ${r.media_id}")
       }
     }
   }
 
-  test("audio payloads are real WAVs; PCM samples round-trip exactly") {
+  test("audio payloads: PCM rows round-trip exactly; G.711/ADPCM rows " +
+      "are real compressed WAVs within their codec error bounds") {
     val auds = MultimodalOps.syntheticCorpus(spark, 30)
       .filter(col("kind") === "audio").collect()
-    assert(auds.nonEmpty)
+    assert(auds.map(_.meta.format).toSet ==
+      Set("wav", "ulaw", "alaw", "adpcm"))
     auds.foreach { r =>
-      // RIFF/WAVE container magic
+      // RIFF/WAVE container magic on every variant
       assert(r.content.slice(0, 4).map(_.toChar).mkString == "RIFF" &&
         r.content.slice(8, 12).map(_.toChar).mkString == "WAVE")
       val n = 800 + (r.media_id % 5).toInt * 160
       val decoded = MultimodalOps.decodeAudioSamples(r.content)
-      assert(decoded.sameElements(MultimodalOps.syntheticSamples(r.media_id, n)),
-        s"PCM round-trip of ${r.media_id}")
+      assert(decoded.length == n, s"frame count of ${r.media_id}")
       assert(r.meta.durationMs == n * 1000L / 8000L)
+      r.meta.format match {
+        case "wav" =>
+          assert(decoded.sameElements(
+            MultimodalOps.syntheticSamples(r.media_id, n)),
+            s"PCM round-trip of ${r.media_id}")
+        case "ulaw" | "alaw" =>
+          val src = MultimodalOps.syntheticSamples(r.media_id, n)
+          val maxErr = src.zip(decoded).map {
+            case (a, b) => math.abs(a - b)
+          }.max
+          assert(maxErr <= 700, s"G.711 error $maxErr of ${r.media_id}")
+          // 2:1 compression: payload is half the PCM frame bytes
+          assert(r.content.length < n * 2)
+        case "adpcm" =>
+          val src = MultimodalOps.syntheticSamplesSmooth(r.media_id, n)
+          assert(decoded(0) == src(0), "block predictor is exact")
+          val tailMax = src.zip(decoded).drop(100)
+            .map { case (a, b) => math.abs(a - b) }.max
+          assert(tailMax <= 1000, s"ADPCM error $tailMax of ${r.media_id}")
+          // 4:1 compression (plus block headers)
+          assert(r.content.length < n)
+      }
     }
   }
 
@@ -154,11 +190,13 @@ class MultimodalOpsSpec extends SparkSpec {
       "C420 luma must extract with chroma skipped")
   }
 
-  test("frame sampling demuxes real frames; each is a decodable PNG " +
-      "of the source luma") {
+  test("frame sampling demuxes real frames from BOTH containers; " +
+      "each is a decodable PNG of the source luma") {
     val corpus = MultimodalOps.syntheticCorpus(spark, 30)
     val frames = MultimodalOps.sampleFrames(corpus, everyMs = 1000).collect()
     val videos = corpus.filter(col("kind") === "video").collect()
+    assert(videos.count(_.meta.format == "y4m") == 5)
+    assert(videos.count(_.meta.format == "avi") == 5)
     val byId = frames.groupBy(_.media_id)
     videos.foreach { v =>
       val fs = byId(v.media_id).sortBy(_.frame_idx)
@@ -166,11 +204,22 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(fs.length == (v.meta.durationMs / 1000L).toInt)
       fs.foreach { fr =>
         val px = MultimodalOps.decodeImage(fr.frame_bytes)
-        assert(px.sameElements(MultimodalOps.syntheticLuma(
-          v.media_id, fr.frame_idx, v.meta.width, v.meta.height)),
-          s"frame ${fr.frame_idx} of ${v.media_id} must decode to the " +
-            "source luma plane")
+        assert(px.length == v.meta.width * v.meta.height)
         assert(fr.offsetMs == fr.frame_idx * 1000L)
+        if (v.meta.format == "y4m") {
+          // uncompressed path: lossless luma recovery
+          assert(px.sameElements(MultimodalOps.syntheticLuma(
+            v.media_id, fr.frame_idx, v.meta.width, v.meta.height)),
+            s"frame ${fr.frame_idx} of ${v.media_id} must decode to the " +
+              "source luma plane")
+        } else {
+          // MJPEG path: frames went through the DCT codec — bounded
+          val src = MultimodalOps.syntheticLumaSmooth(
+            v.media_id + fr.frame_idx, v.meta.width, v.meta.height)
+          val errs = px.zip(src).map { case (a, b) => math.abs(a - b) }
+          assert(errs.sum.toDouble / errs.length <= 8,
+            s"mjpeg frame ${fr.frame_idx} of ${v.media_id} mean error")
+        }
       }
     }
   }
