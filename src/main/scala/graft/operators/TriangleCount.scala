@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   * dense co-purchase graph at sf0.1 is ~1e9 rows and ~60 s — and at
   * 100 TB is the job. Instead each node's out-neighborhood is
   * collapsed to ONE sorted array (bounded O(sqrt edges) by the
-  * orientation), each oriented edge (u, v) picks up the two arrays
-  * via equi-joins, and `array_intersect` closes all of u–v's
-  * triangles INSIDE the task — the shuffles only ever carry O(edges)
-  * edge/adjacency rows, the O(edges^1.5) comparison work stays
-  * in-CPU, and the only rows materialized are actual triangles.
+  * orientation), each oriented edge (u, v) carries N+(u) for free by
+  * re-deriving the edge list from exploded adjacency arrays (a
+  * narrow op), picks up N+(v) via the one remaining equi-join, and
+  * `array_intersect` closes all of u–v's triangles INSIDE the task —
+  * the shuffles only ever carry O(edges) edge/adjacency rows, the
+  * O(edges^1.5) comparison work stays in-CPU, and the only rows
+  * materialized are actual triangles.
   * Nothing collects, no windows. Output is per-node participation
   * counts, O(nodes).
   */
@@ -42,12 +44,13 @@ object TriangleCount {
   def perNode(edges: DataFrame): DataFrame = {
     // Eager localCheckpoint on every multiply-consumed frame: the
     // plan below reads `e` three times (both degree-union sides and
-    // the orientation join) and `oriented` three times (adj build +
-    // both probe joins), and Catalyst does NOT share common sub-plans
-    // across a DAG — un-truncated, each consumer re-executes the
-    // upstream edge build (an expensive per-order pair expansion +
-    // distinct for the co-purchase graph), turning an ~11 s job into
-    // ~100 s at sf0.1 (the [[PageRank]] lesson, fan-out flavor).
+    // the orientation join) and `adj` twice (edge re-derivation +
+    // the closing-probe join), and Catalyst does NOT share common
+    // sub-plans across a DAG — un-truncated, each consumer
+    // re-executes the upstream edge build (an expensive per-order
+    // pair expansion + distinct for the co-purchase graph), turning
+    // an ~11 s job into ~100 s at sf0.1 (the [[PageRank]] lesson,
+    // fan-out flavor).
     val e = edges.localCheckpoint(true)
     // degree over the undirected edge list: one narrow single-column
     // union (each canonical edge contributes to both endpoints)
@@ -69,16 +72,23 @@ object TriangleCount {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true)
     // one sorted out-neighbor array per node (≤ O(sqrt edges) long
     // under the degree orientation, so no array is a memory hazard)
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(true)
+    // Re-derive the oriented edge list FROM the adjacency arrays:
+    // explode(nbrs) yields each (u, v) exactly once and carries
+    // N+(u) alongside for free — a narrow op, which deletes what
+    // used to be a full-edge-frame shuffle join (oriented ⋈ adj on
+    // src) AND the oriented checkpoint itself. Only ONE shuffle
+    // join remains on the hot path: picking up N+(v) for the
+    // closing probe.
+    val withNu = adj.select(col("src"), col("nbrs").as("nu"),
+      explode(col("nbrs")).as("dst"))
     // every triangle {u,v,w} with src u has v and w in N+(u) and the
     // closing edge (v, w) oriented too, i.e. w ∈ N+(u) ∩ N+(v)
-    val tris = oriented
-      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+    val tris = withNu
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
         "dst")
       .select(col("src").as("tu"), col("dst").as("tv"),
