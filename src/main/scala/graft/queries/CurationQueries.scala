@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, CorpusStats, PiiScrub, Sampling}
+import graft.operators.{Contamination, CorpusStats, LineDedup, PiiScrub, Sampling}
 
 /** Corpus-curation query pack: PII scrubbing, benchmark
   * decontamination, boilerplate detection, and mixture sampling —
@@ -56,6 +56,42 @@ object CurationQueries {
     "q_text_boilerplate" -> ((s, d) =>
       CorpusStats.boilerplateGrams(Tables.documents(s, d), n = 2, minDf = 40)
         .orderBy("gram")),
+
+    // Line-level cross-document dedup (the C4/RefinedWeb curation
+    // move): 10-token segments recurring in ≥2 distinct docs are
+    // dropped from every doc, docs reassembled in segment order. The
+    // frequent set broadcasts back (boilerplate segments are the
+    // hottest possible join keys — never shuffle the corpus by
+    // them); see [[graft.operators.LineDedup]] for the 100 TB plan
+    // notes. Output travels as md5 + length of the cleaned text.
+    "q_dedup_lines" -> ((s, d) =>
+      LineDedup.cleanProfile(Tables.documents(s, d), width = 10,
+          minDf = 2)
+        .orderBy("doc_id")),
+
+    // Provenance/lineage record per document: content address
+    // (md5), the FULL list of failed curation gates (not just the
+    // first — audits need every reason), and the keep verdict, all
+    // stamped with the pipeline version. Per-row projection, no
+    // shuffle except the output sort; at 100 TB this is the scan-
+    // shaped audit trail a reproducible curation run writes next to
+    // its output.
+    "q_curation_provenance" -> ((s, d) => {
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      val alphaRatio = alpha.cast("double") / length(col("text")).cast("double")
+      val gates = concat_ws(",",
+        when(col("n_chars") < 100, lit("too_short")),
+        when(col("n_chars") > 500, lit("too_long")),
+        when(alphaRatio < 0.6, lit("low_alpha")),
+        when(col("lang") === "zh", lit("lang_excluded")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          gates.as("failed_gates"),
+          (gates === "").as("keep"),
+          lit("curation-v1").as("pipeline_version"))
+        .orderBy("doc_id")
+    }),
 
     // Mixture downsampling: per-language keep-rates from a broadcast
     // config frame, md5-bucket membership, audited as per-lang counts.
@@ -405,6 +441,54 @@ object CurationQueries {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
         |        FROM documents))
         |GROUP BY gram HAVING COUNT(*) >= 40 ORDER BY gram""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (
+        |  SELECT doc_id, k AS idx,
+        |    array_to_string(list_slice(w, k * 10 + 1, k * 10 + 10), ' ')
+        |      AS seg
+        |  FROM ws, UNNEST(generate_series(0,
+        |    CAST(CEIL(len(w) / 10.0) AS INT) - 1)) AS t(k)),
+        |hashed AS (
+        |  SELECT doc_id, idx, seg,
+        |    ('0x' || substring(md5(seg), 1, 15))::BIGINT AS h
+        |  FROM segs),
+        |freq AS (
+        |  SELECT h FROM hashed GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |flagged AS (
+        |  SELECT hashed.*, h IN (SELECT h FROM freq) AS is_freq
+        |  FROM hashed),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_segs,
+        |    SUM(CASE WHEN is_freq THEN 1 ELSE 0 END) AS n_dropped,
+        |    COALESCE(string_agg(CASE WHEN NOT is_freq THEN seg END,
+        |      ' ' ORDER BY idx), '') AS clean_text
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_segs AS INT) AS n_segs,
+        |  CAST(n_dropped AS INT) AS n_dropped,
+        |  md5(clean_text) AS clean_hash,
+        |  CAST(len(clean_text) AS INT) AS clean_len
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_curation_provenance" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  concat_ws(',',
+        |    CASE WHEN n_chars < 100 THEN 'too_short' END,
+        |    CASE WHEN n_chars > 500 THEN 'too_long' END,
+        |    CASE WHEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |              AS DOUBLE) / len(text) < 0.6 THEN 'low_alpha' END,
+        |    CASE WHEN lang = 'zh' THEN 'lang_excluded' END)
+        |    AS failed_gates,
+        |  (concat_ws(',',
+        |    CASE WHEN n_chars < 100 THEN 'too_short' END,
+        |    CASE WHEN n_chars > 500 THEN 'too_long' END,
+        |    CASE WHEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |              AS DOUBLE) / len(text) < 0.6 THEN 'low_alpha' END,
+        |    CASE WHEN lang = 'zh' THEN 'lang_excluded' END) = '')
+        |    AS keep,
+        |  'curation-v1' AS pipeline_version
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_data_mixture" ->
       """SELECT lang, COUNT(*) AS n_kept FROM (
         |  SELECT lang,

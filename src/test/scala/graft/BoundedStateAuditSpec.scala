@@ -56,7 +56,12 @@ class BoundedStateAuditSpec extends AnyFunSuite {
       "degree")),
     "graft/operators/KMeans.scala" -> ((1,
       "k centroids collapsed to one broadcast row: k is config",
-      "collect_list is partition-dependent")))
+      "collect_list is partition-dependent")),
+    "graft/operators/LineDedup.scala" -> ((1,
+      "document reassembly after line-level dedup: one document's " +
+        "segments per key — the chunker/sessionizer fits-one-task " +
+        "contract, stated in scaladoc",
+      "fits-one-task")))
 
   private def scalaFiles(p: Path): Seq[Path] =
     Files.walk(p).iterator.asScala
