@@ -113,6 +113,14 @@ object HashExpressions {
     GraftColumnBridge.column(
       ContainmentLL(GraftColumnBridge.expression(a),
         GraftColumnBridge.expression(b)))
+
+  /** The string's md5 truncated to its first `nibbles` hex digits as
+    * a long ([[Md5Long]]) — the scalar codegen'd form of the
+    * portable-hash idiom `conv(substring(md5(s), 1, nibbles), 16,
+    * 10)`; see [[Md5Long.compute]] for the DuckDB equivalence. */
+  def md5Long(s: Column, nibbles: Int): Column =
+    GraftColumnBridge.column(
+      Md5Long(GraftColumnBridge.expression(s), nibbles))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -617,6 +625,51 @@ object CharWindowMd5_60 {
       w += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+case class Md5Long(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+  require(nibbles >= 1 && nibbles <= 15,
+    s"nibbles must be in [1, 15] to fit a positive long, got $nibbles")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long"
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Long.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nibbles)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Long.compute($c, $nibbles)")
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Long = copy(child = newChild)
+}
+
+object Md5Long {
+  // One digest instance per thread: getInstance("MD5") per row costs
+  // more than the hash itself on short keys.
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The md5 of the string's UTF-8 bytes, truncated to its first
+    * `nibbles` hex digits as a long — exactly `('0x' ||
+    * substring(md5(s), 1, nibbles))::BIGINT` (the first k hex digits
+    * are the top 4k bits of the digest read big-endian), so any
+    * engine with md5 reproduces the keys. Replaces the interpreted
+    * `conv(substring(md5(...), 1, k), 16, 10)` chain, which
+    * materializes a 32-char hex string and re-parses it per row. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              nibbles: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    val top = ((digest(0) & 0xffL) << 56) | ((digest(1) & 0xffL) << 48) |
+      ((digest(2) & 0xffL) << 40) | ((digest(3) & 0xffL) << 32) |
+      ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+      ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
+    top >>> (64 - 4 * nibbles)
   }
 }
 

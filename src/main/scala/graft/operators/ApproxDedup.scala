@@ -205,8 +205,7 @@ object ApproxDedup {
       .repartition(col("doc_id"))
       .withColumn("__toks_hashes",
         transform(array_distinct(split(col("text"), " ")),
-          t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
-            .cast("long")))
+          t => graft.functions.HashExpressions.md5Long(t, 15)))
       .withColumn("simhash",
         graft.functions.HashExpressions.simhash64(col("__toks_hashes")))
       .select(col("doc_id"), col("simhash"))

@@ -39,7 +39,7 @@ object LineDedup {
   /** Portable 60-bit segment key: `('0x' || substring(md5(seg), 1,
     * 15))::BIGINT` in DuckDB terms. */
   def segKey(seg: Column): Column =
-    conv(substring(md5(seg.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.HashExpressions.md5Long(seg, 15)
 
   /** Non-overlapping `width`-token segments of each document:
     * (doc_id, idx, seg). The trailing segment keeps the remainder. */

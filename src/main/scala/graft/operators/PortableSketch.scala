@@ -57,10 +57,12 @@ object PortableSketch {
   private val EmptyTerm: Long = 1L << 49
 
   /** First 60 md5 bits of the key's UTF-8 string form as a
-    * non-negative LONG — the repo's standard portable hash. */
+    * non-negative LONG — the repo's standard portable hash
+    * (codegen'd [[graft.functions.Md5Long]]; same value as the
+    * interpreted `conv(substring(md5(x), 1, 15), 16, 10)` chain the
+    * oracles replay, ~4x cheaper per row). */
   def h60(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.HashExpressions.md5Long(key.cast("string"), 15)
 
   /** HLL rank (leading-zero count + 1) of the 48-bit value `w`, as a
     * branch ladder usable VERBATIM in both Spark and DuckDB SQL —

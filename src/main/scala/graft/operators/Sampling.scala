@@ -50,8 +50,8 @@ object Sampling {
     * split. ~2× the cost of [[hashBucket]]'s xxhash64; both are
     * shuffle-free per-row projections. */
   def md5Bucket(key: Column, buckets: Int): Column =
-    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % buckets).cast("int")
+    (graft.functions.HashExpressions.md5Long(key.cast("string"), 8)
+      % buckets).cast("int")
 
   /** Label rows train/val/test by hash bucket: buckets [0, trainPct)
     * → train, [trainPct, trainPct+valPct) → val, rest → test, out of
@@ -112,8 +112,8 @@ object Sampling {
                     shards: Int = 16): DataFrame = {
     require(shards > 0)
     // first 32 md5 bits: non-negative, so % == pmod on both engines
-    val k = conv(substring(md5(col(key).cast("string").cast("binary")),
-      1, 8), 16, 10).cast("long")
+    val k = graft.functions.HashExpressions.md5Long(
+      col(key).cast("string"), 8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("shuffle_key"), col(key))
     df.withColumn("shuffle_key", k)
@@ -148,8 +148,8 @@ object Sampling {
   def admitByTokenBudget(df: DataFrame, key: String,
                          groupCols: Seq[String], tokens: Column,
                          budgets: DataFrame): DataFrame = {
-    val k = conv(substring(md5(col(key).cast("string").cast("binary")),
-      1, 8), 16, 10).cast("long")
+    val k = graft.functions.HashExpressions.md5Long(
+      col(key).cast("string"), 8)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__admit_key"), col(key))
     df.withColumn("__admit_key", k)
@@ -166,8 +166,8 @@ object Sampling {
     * a valid base for `pow(u, 1/w)`. Any engine with md5 reproduces
     * it exactly. */
   def md5Uniform(key: Column): Column =
-    (conv(substring(md5(key.cast("string").cast("binary")), 1, 8),
-      16, 10).cast("double") + 1.0) / 4294967297.0
+    (graft.functions.HashExpressions.md5Long(key.cast("string"), 8)
+      .cast("double") + 1.0) / 4294967297.0
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis
     * A-Res): rank rows by `u^(1/w)` with u = [[md5Uniform]] and take
