@@ -162,10 +162,12 @@ object PortableSketch {
     * materialized as an auditable table instead of opaque bytes. */
   def cmsCells(df: DataFrame, key: Column): DataFrame =
     df.select(key.cast("string").as("__k"))
-      .select(explode(expr(s"sequence(0, ${D - 1})")).as("j"), col("__k"))
-      .select(col("j"),
-        (h60(concat(col("j").cast("string"), lit(":"), col("__k"))) % W)
-          .cast("int").as("bucket"))
+      // all D hashes in ONE projection while the key string is at
+      // hand, then posexplode a D-int array — the explode carries
+      // 4-byte buckets instead of duplicating the key string D times
+      .select(posexplode(transform(sequence(lit(0), lit(D - 1)), j =>
+        (h60(concat(j.cast("string"), lit(":"), col("__k"))) % W)
+          .cast("int"))).as(Seq("j", "bucket")))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Point-frequency estimates for `probes` (a one-column frame of

@@ -35,6 +35,40 @@ object ScaleJoins {
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Frequency-split ("head/tail") inner equi-join of a Zipfian-keyed
+    * `stream` against a per-key `model` frame — the named form of the
+    * q_text_lm_score skew discipline, for any stream whose join key
+    * is power-law distributed (tokens, n-grams, URLs, user ids).
+    *
+    * `model` must carry, in `freqCol`, each key's occurrence count in
+    * `stream` (for model frames built by aggregating the stream —
+    * document frequencies, n-gram counts — that column already
+    * exists, so no extra pass). The split is a provable pigeonhole
+    * bound: the HEAD (keys carrying > 1/fanout of the stream) has at
+    * most `fanout` rows, so it broadcasts; head keys are screened out
+    * of the tail by a broadcast anti-join, so every key reaching the
+    * shuffle join carries ≤ |stream|/fanout rows — no reducer can
+    * receive more than 1/fanout of the stream for one key, at ANY
+    * corpus size. Result == `stream.join(model, keys)` exactly (the
+    * head∪tail partition covers the model once), so oracle hashes are
+    * unchanged by construction — ScaleJoinsSpec asserts the equality.
+    */
+  def frequencySplitJoin(stream: DataFrame, model: DataFrame,
+      keys: Seq[String], freqCol: String, fanout: Long): DataFrame = {
+    // single-row total → the allow-listed broadcast-scalar cross
+    val total = model.agg(sum(col(freqCol)).as("__n_total"))
+    val mT = model.crossJoin(broadcast(total))
+    val head = mT.filter(col(freqCol) * fanout > col("__n_total"))
+      .drop("__n_total")
+    val tail = mT.filter(col(freqCol) * fanout <= col("__n_total"))
+      .drop("__n_total")
+    stream.join(broadcast(head), keys)
+      .unionByName(
+        stream.join(broadcast(head.select(keys.map(col): _*)), keys,
+            "left_anti")
+          .join(tail, keys))
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins
     * are shuffle-free (SortMergeJoin over pre-bucketed scans). Needs
     * a table catalog — callers pass distinct table names; returns the

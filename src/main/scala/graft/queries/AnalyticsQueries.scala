@@ -277,6 +277,16 @@ object AnalyticsQueries {
     // engines where ln's libm ulps cannot (the q_text_diversity
     // argument). Shape: explode → (doc,term) count → term df join →
     // per-doc ranked window; the df table is vocabulary-sized.
+    //
+    // Scale / SKEW: term document-frequency is Zipfian, so the
+    // tf ⋈ df join must not shuffle raw term keys (the
+    // q_text_lm_score class) — it goes through [[graft.operators
+    // .ScaleJoins.frequencySplitJoin]], whose model frame's own df
+    // column IS the stream key frequency (df = #(doc,term) rows per
+    // term by construction): the pigeonhole head (> 1/4096 of the
+    // stream, ≤ 4096 terms) broadcasts, and every key reaching the
+    // tail shuffle is ≤ |tf|/4096. Result-identical to the plain
+    // join, so the oracle hash is unchanged.
     "q_text_keywords" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select("doc_id", "text")
@@ -291,7 +301,10 @@ object AnalyticsQueries {
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(df, "term").crossJoin(broadcast(n))
+      graft.operators.ScaleJoins
+        .frequencySplitJoin(tf, df, Seq("term"), "df",
+          graft.queries.CorpusQueries.lmHeadFanout)
+        .crossJoin(broadcast(n))
         .withColumn("score",
           (col("tf") * col("n_docs")).cast("double") /
             col("df").cast("double"))
@@ -500,6 +513,27 @@ object AnalyticsQueries {
           (2, 30L, 55000L), (3, 40L, 75000L)),
         iterations = 2)
         .orderBy("cid")
+    }),
+
+    // Fixed-point distributed logistic regression: train a linear
+    // "is this document English?" classifier on cheap per-doc
+    // statistics (chars, tokens — the fastText-style quality-filter
+    // feature shape), two unrolled full-batch gradient steps from
+    // w = 0, replayed exactly by the oracle's CTE chain. The corpus
+    // collapses to distinct (x1, x2, y) cells with multiplicities
+    // first, so the iterations cost the feature grid, not the row
+    // count. See [[graft.operators.LogisticRegression]] for why
+    // every step is exact integer (hard sigmoid, decimal gradient
+    // sums, truncate-toward-zero division).
+    "q_ml_logreg" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .selectExpr("n_chars div 100 as x1",
+          "size(split(text, ' ')) div 10 as x2",
+          "case when lang = 'en' then 1L else 0L end as y")
+        .groupBy("x1", "x2", "y").agg(count(lit(1)).as("w"))
+      graft.operators.LogisticRegression
+        .fit(cells, lrDiv = 16L, iterations = 2)
+        .orderBy("w0")
     }),
 
     // Pareto frontier of (price, quantity), minimize both: the line
@@ -816,6 +850,76 @@ object AnalyticsQueries {
         |  CAST(SUM(y * w) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS cy,
         |  CAST(SUM(dist * w) AS BIGINT) AS sse
         |FROM a2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+    // Unrolled-iteration replay of the fixed-point logistic trainer:
+    // hard sigmoid = LEAST/GREATEST + non-negative floor division
+    // (== truncation), gradients as exact HUGEINT sums, and the
+    // truncate-toward-zero CASE around `//` because DuckDB floors
+    // where Spark's `div` truncates.
+    "q_ml_logreg" ->
+      """WITH feat AS (
+        |  SELECT n_chars // 100 AS x1,
+        |         len(string_split(text, ' ')) // 10 AS x2,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         COUNT(*) AS w
+        |  FROM documents GROUP BY 1, 2, 3),
+        |c0(w0, w1, w2) AS (
+        |  VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |          CAST(0 AS BIGINT))),
+        |e1 AS (
+        |  SELECT f.*,
+        |    LEAST(1000000, GREATEST(0,
+        |      w0 + w1 * x1 + w2 * x2 + 4000000) // 8)
+        |      - y * 1000000 AS e
+        |  FROM feat f, c0),
+        |g1 AS (
+        |  SELECT SUM(CAST(w AS HUGEINT) * e) AS g0,
+        |         SUM(CAST(w AS HUGEINT) * e * x1) AS g1,
+        |         SUM(CAST(w AS HUGEINT) * e * x2) AS g2,
+        |         CAST(SUM(w) AS BIGINT) AS n
+        |  FROM e1),
+        |c1 AS (
+        |  SELECT
+        |    CAST(w0 - (CASE WHEN g0 >= 0 THEN g0 // (n * 16)
+        |      ELSE -((-g0) // (n * 16)) END) AS BIGINT) AS w0,
+        |    CAST(w1 - (CASE WHEN g1 >= 0 THEN g1 // (n * 16)
+        |      ELSE -((-g1) // (n * 16)) END) AS BIGINT) AS w1,
+        |    CAST(w2 - (CASE WHEN g2 >= 0 THEN g2 // (n * 16)
+        |      ELSE -((-g2) // (n * 16)) END) AS BIGINT) AS w2
+        |  FROM g1, c0),
+        |e2 AS (
+        |  SELECT f.*,
+        |    LEAST(1000000, GREATEST(0,
+        |      w0 + w1 * x1 + w2 * x2 + 4000000) // 8)
+        |      - y * 1000000 AS e
+        |  FROM feat f, c1),
+        |g2 AS (
+        |  SELECT SUM(CAST(w AS HUGEINT) * e) AS g0,
+        |         SUM(CAST(w AS HUGEINT) * e * x1) AS g1,
+        |         SUM(CAST(w AS HUGEINT) * e * x2) AS g2,
+        |         CAST(SUM(w) AS BIGINT) AS n
+        |  FROM e2),
+        |c2 AS (
+        |  SELECT
+        |    CAST(w0 - (CASE WHEN g0 >= 0 THEN g0 // (n * 16)
+        |      ELSE -((-g0) // (n * 16)) END) AS BIGINT) AS w0,
+        |    CAST(w1 - (CASE WHEN g1 >= 0 THEN g1 // (n * 16)
+        |      ELSE -((-g1) // (n * 16)) END) AS BIGINT) AS w1,
+        |    CAST(w2 - (CASE WHEN g2 >= 0 THEN g2 // (n * 16)
+        |      ELSE -((-g2) // (n * 16)) END) AS BIGINT) AS w2
+        |  FROM g2, c1)
+        |SELECT w0, w1, w2,
+        |  CAST(SUM(w) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w * y) AS BIGINT) AS n_pos,
+        |  CAST(SUM(w * pred) AS BIGINT) AS n_pred_pos,
+        |  CAST(SUM(CASE WHEN pred = y THEN w ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |FROM (SELECT f.*, c.w0, c.w1, c.w2,
+        |        CASE WHEN LEAST(1000000, GREATEST(0,
+        |            c.w0 + c.w1 * x1 + c.w2 * x2 + 4000000) // 8)
+        |          >= 500000 THEN 1 ELSE 0 END AS pred
+        |      FROM feat f, c2 c)
+        |GROUP BY 1, 2, 3
+        |ORDER BY w0""".stripMargin,
     // Single global-order window over distinct pairs — the form the
     // engine's range-partitioned prefix-min plan is equal to on any
     // partitioning (dominance on distinct points = some lexicographic

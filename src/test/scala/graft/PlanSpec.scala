@@ -325,4 +325,22 @@ class PlanSpec extends SparkSpec {
     assert(flags.toSet.subsetOf(Set("hotkey_shuffle_join")),
       s"only the allow-listed tail join may flag, saw $flags")
   }
+
+  test("q_text_keywords: tf ⋈ df runs through the frequency-split " +
+      "head/tail join") {
+    // Same pin as q_text_lm_score, for the generalized operator
+    // (ScaleJoins.frequencySplitJoin): the heavy df head reaches the
+    // tf stream via BROADCAST joins (score + anti-screen), so any
+    // term-keyed shuffle join left is the pigeonhole-bounded tail.
+    val f = formatted("q_text_keywords")
+    val bhj = "BroadcastHashJoin".r.findAllIn(f).length
+    assert(bhj >= 2,
+      s"expected ≥2 broadcast joins (head score + anti screen), saw $bhj")
+    assert(f.contains("LeftAnti"),
+      "head terms must be screened out of the tail join by a " +
+        "broadcast anti-join")
+    val flags = Verify.planFlags(plan("q_text_keywords"))
+    assert(flags.toSet.subsetOf(Set("hotkey_shuffle_join")),
+      s"only the bounded tail join may flag, saw $flags")
+  }
 }

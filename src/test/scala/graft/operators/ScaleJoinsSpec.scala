@@ -72,6 +72,42 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("frequencySplitJoin equals the plain join and bounds the tail") {
+    // Zipfian term stream (one term carrying ~30% of the stream) and
+    // a per-term model whose freq column is the stream frequency —
+    // the q_text_tfidf shape (model df == stream key frequency by
+    // construction).
+    val stream = ((1 to 3000).map(i => (i.toLong, "the")) ++
+      (1 to 7000).map(i => (i.toLong, s"t${i % 700}")))
+      .toDF("doc_id", "term")
+    val model = stream.groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("payload", length($"term").cast("long"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = stream.join(model, "term")
+      val split = ScaleJoins.frequencySplitJoin(
+        stream, model, Seq("term"), "freq", fanout = 16L)
+      assert(split.count() == plain.count())
+      assert(split.exceptAll(plain).isEmpty &&
+        plain.exceptAll(split).isEmpty,
+        "frequency split must be result-identical to the plain join")
+      // pigeonhole: the head has at most `fanout` keys
+      val total = model.agg(sum("freq")).collect()(0).getLong(0)
+      val headKeys = model.filter($"freq" * 16 > total).count()
+      assert(headKeys >= 1 && headKeys <= 16,
+        s"head must be non-empty and pigeonhole-bounded, got $headKeys")
+      // shape: the head reaches the stream via BROADCAST joins (score
+      // + anti-screen) even with auto-broadcast off — the explicit
+      // hint is the point; the tail is the only shuffle join left
+      val f = split.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(f).length >= 2,
+        "head score + anti screen must both be broadcast joins")
+      assert(f.contains("LeftAnti"),
+        "head keys must be screened out of the tail by an anti-join")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketized join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

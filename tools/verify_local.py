@@ -165,6 +165,13 @@ PLAN_FLAG_ALLOW = {
     # skew bounded by construction (CorpusQueries.lmHeadFanout;
     # PlanFlagsSpec pins the broadcast head + anti-screen shape)
     "q_text_lm_score": {"hotkey_shuffle_join"},
+    # same head/tail discipline through the generalized operator
+    # (ScaleJoins.frequencySplitJoin): the broadcast df head
+    # (> N/4096 of the tf stream, ≤ 4096 terms by pigeonhole) is
+    # anti-screened out first, so every term reaching the tail
+    # shuffle join carries ≤ N/4096 of the stream (PlanSpec pins the
+    # broadcast head + anti-screen shape)
+    "q_text_keywords": {"hotkey_shuffle_join"},
 }
 
 
