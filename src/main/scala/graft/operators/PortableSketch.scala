@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Cross-engine-replayable sketches: a portable HyperLogLog and a
-  * portable count-min sketch whose every step is reproducible,
+/** Cross-engine-replayable sketches: a portable HyperLogLog, a
+  * portable count-min sketch, and a portable bottom-K (KMV) quantile
+  * sample, whose every step is reproducible,
   * bit-for-bit, by any engine with `md5` and IEEE doubles — the same
   * portability contract the simhash/minhash family established
   * (md5-derived keys: Spark `conv(substring(md5(x),1,15),16,10)` ≡
@@ -169,6 +170,62 @@ object PortableSketch {
         (h60(concat(j.cast("string"), lit(":"), col("__k"))) % W)
           .cast("int"))).as(Seq("j", "bucket")))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** KMV sample size: quantile rank error is O(1/√K) w.h.p. (~6%
+    * at K = 256) — the sketch-size/accuracy dial. */
+  val K = 256
+
+  /** Mergeable bottom-K (KMV) uniform row sample per group — the
+    * quantile member of the portable sketch family (HLL: distinct
+    * counts; CMS: point frequencies; KMV: the value DISTRIBUTION).
+    * The sample is the K rows with the smallest portable-md5 row
+    * hashes, totally ordered by (h, v): a uniform sample because md5
+    * is uniform, MERGEABLE because bottom-K of a union is bottom-K
+    * of the concatenated bottom-Ks (min-wise stability — the
+    * PortableSketchSpec proof), and portable because any engine
+    * reproduces the same hashes and the same (h, v) order (duplicate
+    * (h, v) rows are interchangeable, so rank ties cannot change the
+    * selected multiset).
+    *
+    * Scale: the rank-≤K filter compiles to WindowGroupLimit, which
+    * prunes to K rows per group WITHIN each input partition before
+    * the shuffle — the shuffle carries ≤ K·partitions rows per
+    * group, never the data. That is the distributed bottom-K
+    * aggregation shape; no global sort, no driver collect. */
+  def kmvSample(df: DataFrame, groups: Seq[String], rowKey: Column,
+                value: Column, k: Int = K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groups.map(col): _*)
+      .orderBy(col("h"), col("v"))
+    df.select(groups.map(col) ++
+        Seq(h60(rowKey).as("h"), value.as("v")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-group quantile estimates from a [[kmvSample]] frame: the
+    * sample element at 1-based rank floor(q·(n−1)) + 1 in (v, h)
+    * order — the deterministic lower-interpolation selection both
+    * engines compute identically (q·(n−1) is the same IEEE double
+    * everywhere, n ≤ K). Output: groups, n_sample, one column per
+    * requested (name, q). */
+  def kmvQuantiles(sample: DataFrame, groups: Seq[String],
+                   qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(groups.map(col): _*)
+      .orderBy(col("v"), col("h"))
+    val part = Window.partitionBy(groups.map(col): _*)
+    val ranked = sample
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(part))
+    ranked.groupBy(groups.map(col): _*)
+      .agg(max(col("__n")).as("n_sample"),
+        qs.map { case (name, q) =>
+          max(when(col("__rn") ===
+            floor(lit(q) * (col("__n") - 1)).cast("long") + 1,
+            col("v"))).as(name)
+        }: _*)
+  }
 
   /** Point-frequency estimates for `probes` (a one-column frame of
     * keys): est(k) = min over rows j of cell(j, h_j(k)), absent cells

@@ -288,6 +288,34 @@ object AggQueries {
         .orderBy("l_orderkey")
     }),
 
+    // Portable KMV quantile sketch — the DISTRIBUTION member of the
+    // portable sketch family (HLL distinct counts, CMS point
+    // frequencies): per-group bottom-K-by-md5 uniform row sample,
+    // quantiles read off the sample by deterministic rank selection.
+    // Exactly mergeable (bottom-K of a union = bottom-K of the
+    // concatenated bottom-Ks; PortableSketchSpec) and hash-gated —
+    // DuckDB replays hashes, sample, and selection bit-for-bit. The
+    // row key concatenates INTEGER columns only (double-to-string is
+    // not cross-engine portable). Scale: the rank filter compiles to
+    // WindowGroupLimit (per-partition prune to K before the
+    // shuffle), so the shuffle carries samples, never data — vs
+    // exact percentile_approx this is the auditable-interchange
+    // variant, same as the HLL/CMS tables.
+    "q_agg_quantile_sketch" -> ((s, d) => {
+      import graft.operators.PortableSketch
+      val keyed = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long")).as("rk"),
+          col("l_extendedprice").as("v"))
+      val sample = PortableSketch.kmvSample(keyed,
+        Seq("l_returnflag"), col("rk"), col("v"))
+      PortableSketch.kmvQuantiles(sample, Seq("l_returnflag"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("l_returnflag")
+    }),
+
     // Incremental sketch maintenance — the 100 TB distinct-count
     // pattern: per-DAY HLL register frames are built once (one pass
     // over the day's events), then ANY range rolls up by sketch
@@ -561,6 +589,40 @@ object AggQueries {
         |           JOIN med m USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin
     },
+    // Portable-KMV replay: same md5 bottom-K sample, same (v, h)
+    // rank selection; FLOOR(q·(n−1)) is the same IEEE double on both
+    // engines for n ≤ K.
+    "q_agg_quantile_sketch" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag,
+        |    concat_ws(':', l_orderkey, l_linenumber, l_partkey,
+        |              l_suppkey, CAST(l_quantity AS BIGINT)) AS rk,
+        |    l_extendedprice AS v
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substring(md5(rk), 1, 15))::BIGINT AS h, v
+        |  FROM keyed),
+        |s AS (
+        |  SELECT l_returnflag, h, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY h, v) AS rn
+        |  FROM h),
+        |k AS (SELECT l_returnflag, h, v FROM s WHERE rn <= 256),
+        |o AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY v, h) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM k)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN rn = FLOOR(0.5 * (n - 1)) + 1 THEN v END)
+        |    AS p50,
+        |  MAX(CASE WHEN rn = FLOOR(0.9 * (n - 1)) + 1 THEN v END)
+        |    AS p90,
+        |  MAX(CASE WHEN rn = FLOOR(0.99 * (n - 1)) + 1 THEN v END)
+        |    AS p99
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     // Portable-CMS replay: integer-only cell counts + min-over-rows.
     "q_agg_cms" -> {
       val (dd, ww) = (graft.operators.PortableSketch.D,

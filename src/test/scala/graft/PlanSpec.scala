@@ -73,6 +73,19 @@ class PlanSpec extends SparkSpec {
       "decorrelation must not fall back to a nested loop")
   }
 
+  test("q_agg_quantile_sketch: bottom-K prunes per partition before " +
+      "the shuffle (WindowGroupLimit)") {
+    // The KMV sample's scale claim: the rank-≤K filter must compile
+    // to a group-limit window, which keeps only K rows per group
+    // WITHIN each input partition ahead of the exchange — the
+    // shuffle carries samples, never the fact table.
+    val f = formatted("q_agg_quantile_sketch")
+    assert(f.contains("WindowGroupLimit"),
+      "rank-limit filter must compile to WindowGroupLimit")
+    val flags = Verify.planFlags(plan("q_agg_quantile_sketch"))
+    assert(flags.isEmpty, s"sketch plan must be antipattern-free: $flags")
+  }
+
   test("q_agg_salted: two aggregation exchanges (salted partial, final)") {
     val f = formatted("q_agg_salted")
     // formatted mode lists exchange args as "Arguments: hashpartitioning(...)"

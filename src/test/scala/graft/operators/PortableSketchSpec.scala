@@ -83,6 +83,47 @@ class PortableSketchSpec extends SparkSpec {
     }
   }
 
+  test("KMV sample: mergeable — bottom-K of a union equals bottom-K " +
+    "of concatenated per-shard bottom-Ks") {
+    import spark.implicits._
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => ("g", s"row$i", i.toDouble)).toDF("g", "rk", "v")
+    val a = mk(0, 3000)
+    val b = mk(3000, 7000)
+    val direct = PortableSketch.kmvSample(
+      a.unionByName(b), Seq("g"), col("rk"), col("v"))
+    // merge = bottom-K of the shard samples' union, selected by the
+    // SAME (h, v) order the samples carry (no re-hashing)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h", "v")
+    val viaShards = PortableSketch.kmvSample(a, Seq("g"), col("rk"), col("v"))
+      .unionByName(PortableSketch.kmvSample(b, Seq("g"), col("rk"), col("v")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= PortableSketch.K).drop("rn")
+    assert(direct.exceptAll(viaShards).isEmpty &&
+      viaShards.exceptAll(direct).isEmpty,
+      "min-wise stability must make the shard-merged sample " +
+        "identical to the direct sample")
+  }
+
+  test("KMV quantiles: rank error bounded on a known distribution") {
+    import spark.implicits._
+    // v = i over 0..49999: true quantile q is 50000·q; with K = 256
+    // the sample-quantile rank error is ~1/√K — assert a loose 3σ
+    // bound (±0.12 of rank at n = 50000)
+    val n = 50000
+    val df = (0 until n).map(i => ("g", s"r$i", i.toDouble))
+      .toDF("g", "rk", "v")
+    val est = PortableSketch.kmvQuantiles(
+      PortableSketch.kmvSample(df, Seq("g"), col("rk"), col("v")),
+      Seq("g"), Seq("p50" -> 0.5, "p90" -> 0.9))
+      .head()
+    val (p50, p90) = (est.getAs[Double]("p50"), est.getAs[Double]("p90"))
+    assert(math.abs(p50 / n - 0.5) < 0.12, s"p50=$p50")
+    assert(math.abs(p90 / n - 0.9) < 0.12, s"p90=$p90")
+    assert(est.getAs[Long]("n_sample") == PortableSketch.K)
+  }
+
   test("portable CMS cells: estimate via min-over-rows is " +
     "deterministic and bounded") {
     val li = Tables.lineitem(spark, dir)
