@@ -536,6 +536,33 @@ object AnalyticsQueries {
         .orderBy("w0")
     }),
 
+    // The APPLY half of the classifier loop: fixed scaled weights —
+    // the model-registry row a production filter loads — score every
+    // document map-side (broadcast-free scalar arithmetic, the same
+    // hard sigmoid as the trainer) and roll up per-language keep
+    // rates. Pure scan→project→aggregate: no shuffle beyond the
+    // per-language cells, the exact shape a 100 TB quality-filter
+    // pass has. Mean score is an exact integer floor-division of the
+    // (order-independent) sum — no double folds.
+    "q_ml_logreg_apply" -> ((s, d) => {
+      val S = graft.operators.LogisticRegression.S
+      val scored = Tables.documents(s, d)
+        .selectExpr("lang", "n_chars div 100 as x1",
+          "size(split(text, ' ')) div 10 as x2")
+        .withColumn("p", expr(
+          s"least(${S}L, greatest(0L, -600000L + 400000L * x1 " +
+            s"- 150000L * x2 + ${4 * S}L) div 8)"))
+      scored.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p") >= S / 2, 1L).otherwise(0L)).as("n_keep"),
+          sum(col("p")).as("sp"))
+        .select(col("lang"), col("n_docs"), col("n_keep"),
+          round(col("n_keep").cast("double") /
+            col("n_docs").cast("double"), 9).as("keep_frac"),
+          expr("sp div n_docs").as("mean_p"))
+        .orderBy("lang")
+    }),
+
     // Pareto frontier of (price, quantity), minimize both: the line
     // items no other line item beats on both axes. [[graft.operators
     // .Skyline]] computes it with range-partitioned running minima
@@ -920,6 +947,30 @@ object AnalyticsQueries {
         |      FROM feat f, c2 c)
         |GROUP BY 1, 2, 3
         |ORDER BY w0""".stripMargin,
+    // Same hard sigmoid with registry-literal weights; SUM/COUNT and
+    // the floor division are exact integers on both engines.
+    "q_ml_logreg_apply" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars // 100 AS x1,
+        |         len(string_split(text, ' ')) // 10 AS x2
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    LEAST(1000000, GREATEST(0,
+        |      -600000 + 400000 * x1 - 150000 * x2 + 4000000) // 8)
+        |      AS p
+        |  FROM f),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    SUM(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS nk,
+        |    SUM(p) AS sp
+        |  FROM sc GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(nk AS BIGINT) AS n_keep,
+        |  ROUND(CAST(nk AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    AS keep_frac,
+        |  CAST(sp // n AS BIGINT) AS mean_p
+        |FROM g ORDER BY lang""".stripMargin,
     // Single global-order window over distinct pairs — the form the
     // engine's range-partitioned prefix-min plan is equal to on any
     // partitioning (dominance on distinct points = some lexicographic
