@@ -162,13 +162,16 @@ object PortableSketch {
     * merge property that makes CMS usable over a 100 TB stream,
     * materialized as an auditable table instead of opaque bytes. */
   def cmsCells(df: DataFrame, key: Column): DataFrame =
+    // explode-then-hash, all fused into one codegen stage with the
+    // partial aggregation — an A/B against hashing into a D-int
+    // array + posexplode measured the array allocation ~25% slower
+    // at sf0.1, and nothing here is shuffled pre-aggregation, so the
+    // narrower explode buys nothing
     df.select(key.cast("string").as("__k"))
-      // all D hashes in ONE projection while the key string is at
-      // hand, then posexplode a D-int array — the explode carries
-      // 4-byte buckets instead of duplicating the key string D times
-      .select(posexplode(transform(sequence(lit(0), lit(D - 1)), j =>
-        (h60(concat(j.cast("string"), lit(":"), col("__k"))) % W)
-          .cast("int"))).as(Seq("j", "bucket")))
+      .select(explode(expr(s"sequence(0, ${D - 1})")).as("j"), col("__k"))
+      .select(col("j"),
+        (h60(concat(col("j").cast("string"), lit(":"), col("__k"))) % W)
+          .cast("int").as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** KMV sample size: quantile rank error is O(1/√K) w.h.p. (~6%
