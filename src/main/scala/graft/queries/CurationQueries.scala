@@ -192,6 +192,40 @@ object CurationQueries {
     // (o·N − n_shard·t)² and denominator N·n_shard·t are EXACT
     // BIGINTs; only the final division is double, on identical
     // operands with an identical expression tree in both engines.
+    // Incremental corpus upsert — MERGE-INTO semantics as one
+    // full-outer equi-join: a refresh batch (re-crawled documents +
+    // brand-new ids, derived deterministically from the corpus
+    // itself) merges into the snapshot; every row is classified
+    // insert / update / keep and the audit rolls up per (lang,
+    // action). This is the maintenance pass between crawls in a
+    // training-data pipeline. Scale: ONE co-partitioned shuffle on
+    // doc_id (at 100 TB both sides come pre-bucketed by doc_id —
+    // ScaleJoins.bucketize — making the merge exchange-free, the
+    // CuratedCorpusSink pattern); the audit aggregates cells, not
+    // documents.
+    "q_corpus_upsert" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+        .select("doc_id", "lang", "text")
+      val batch = corpus.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" v2")).as("text"))
+        .unionByName(corpus.filter(col("doc_id") < 50)
+          .select((col("doc_id") + lit(100000L)).as("doc_id"),
+            col("lang"), col("text")))
+      val merged = corpus.as("c")
+        .join(batch.as("b"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("b.lang"), col("c.lang")).as("lang"),
+          coalesce(col("b.text"), col("c.text")).as("text"),
+          when(col("b.text").isNull, lit("keep"))
+            .when(col("c.text").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"))
+      merged.groupBy("lang", "action")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("lang", "action")
+    }),
+
     // Scale: one groupBy over (lang, source) — cells, not documents,
     // cross the single-row totals frame; contributions stay per-cell
     // (no float total), so nothing depends on summation order.
@@ -276,6 +310,29 @@ object CurationQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // MERGE replay: the same full-outer join + COALESCE/CASE
+    // classification; counts and char sums are exact integers.
+    "q_corpus_upsert" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id, lang, text || ' v2' AS text
+        |  FROM corpus WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, text
+        |  FROM corpus WHERE doc_id < 50),
+        |m AS (
+        |  SELECT doc_id,
+        |    COALESCE(b.lang, c.lang) AS lang,
+        |    COALESCE(b.text, c.text) AS text,
+        |    CASE WHEN b.text IS NULL THEN 'keep'
+        |         WHEN c.text IS NULL THEN 'insert'
+        |         ELSE 'update' END AS action
+        |  FROM corpus c FULL OUTER JOIN batch b USING (doc_id))
+        |SELECT lang, action, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS n_chars
+        |FROM m GROUP BY 1, 2
+        |ORDER BY lang, action""".stripMargin,
     // row_number is deterministic here: the window order
     // (shuffle_key, doc_id) is total within each shard.
     "q_shuffle_shards" ->

@@ -108,6 +108,41 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("frequencySplitJoin property: equals the plain join on random " +
+    "skew shapes, fanouts, and multi-column keys") {
+    // Seeded-random trials (the BpeSpec discipline): power-law,
+    // uniform, and single-key-only streams × fanouts {4, 64, 4096},
+    // including a two-column key and model keys with no stream rows.
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 4; fanout <- Seq(4L, 64L, 4096L)) {
+      val nKeys = 1 + rnd.nextInt(40)
+      val stream = (1 to 2000).map { i =>
+        // trial 1: heavy power-law; 2: uniform; 3: one key only;
+        // 4: two hot keys + tail
+        val k = trial match {
+          case 1 => math.min(nKeys, 1 + (1 / math.max(1e-9,
+            rnd.nextDouble() * rnd.nextDouble())).toInt % nKeys)
+          case 2 => 1 + rnd.nextInt(nKeys)
+          case 3 => 1
+          case _ => if (rnd.nextBoolean()) 1 + (i % 2) else 1 + rnd.nextInt(nKeys)
+        }
+        (i.toLong, s"k$k", k % 3)
+      }.toDF("id", "key", "sub")
+      val model = stream.groupBy("key", "sub")
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("payload", length($"key") * $"sub")
+        // model rows absent from the stream must simply not match
+        .unionByName(Seq(("never", 9, 1L, 0))
+          .toDF("key", "sub", "freq", "payload"))
+      val plain = stream.join(model, Seq("key", "sub"))
+      val split = ScaleJoins.frequencySplitJoin(
+        stream, model, Seq("key", "sub"), "freq", fanout)
+      assert(split.exceptAll(plain).isEmpty &&
+        plain.exceptAll(split).isEmpty,
+        s"trial=$trial fanout=$fanout: result mismatch")
+    }
+  }
+
   test("bucketized join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
