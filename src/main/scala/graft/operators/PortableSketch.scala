@@ -164,9 +164,10 @@ object PortableSketch {
   def cmsCells(df: DataFrame, key: Column): DataFrame =
     // explode-then-hash, all fused into one codegen stage with the
     // partial aggregation — an A/B against hashing into a D-int
-    // array + posexplode measured the array allocation ~25% slower
-    // at sf0.1, and nothing here is shuffled pre-aggregation, so the
-    // narrower explode buys nothing
+    // array + posexplode showed no win (slower on average, within
+    // host variance; see SCALING.md): nothing here is shuffled
+    // pre-aggregation, so a narrower explode buys nothing while the
+    // per-row array allocation adds work
     df.select(key.cast("string").as("__k"))
       .select(explode(expr(s"sequence(0, ${D - 1})")).as("j"), col("__k"))
       .select(col("j"),
