@@ -77,6 +77,20 @@ class LogisticRegressionSpec extends SparkSpec {
       "correct = all docs minus predicted-positive when labels are 0")
   }
 
+  test("extreme magnitudes: huge weights/features stay exact " +
+    "(decimal sums, no long overflow)") {
+    // w up to 1e9 docs per cell and x up to 1e4: per-cell gradient
+    // terms reach ~1e9·1e6·1e4 = 1e19 > Long.MaxValue — exactly the
+    // regime the DECIMAL(38,0) sums exist for. The serial BigInt
+    // replay is the overflow-free reference.
+    val cells = Seq(
+      (10000L, 0L, 1L, 1000000000L),
+      (0L, 10000L, 0L, 999999999L),
+      (9999L, 9999L, 1L, 123456789L),
+      (1L, 1L, 0L, 1L))
+    runBoth(cells, lrDiv = 16L, iters = 2)
+  }
+
   test("single gradient step from zero weights is the analytic value") {
     // z = 0 → p = S/2 exactly; e = S/2 - y·S. One cell, w = 1:
     // g0 = e, update = -tdiv(e, lrDiv). For y = 1: e = -S/2,

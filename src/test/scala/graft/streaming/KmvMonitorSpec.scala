@@ -71,6 +71,29 @@ class KmvMonitorSpec extends SparkSpec {
       b.view.mapValues(e => (e.n_sample, e.p50, e.p90)).toMap)
   }
 
+  test("batch parity holds under the RocksDB state store") {
+    // Same split-invariance contract, exercised through the
+    // serialize/deserialize round-trip a production state store
+    // imposes on the (nSeen, hs, vs) sample state.
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = batchEstimates
+      val streamed = streamFinal(chunks = 4, seed = 31)
+      streamed.foreach { case (g, e) =>
+        assert((e.n_sample, e.p50, e.p90) == batch(g),
+          s"$g under RocksDB: stream $e != batch ${batch(g)}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("state stays bounded at K entries however long the stream") {
     // one group, 4 batches of 300 > K = 256: n_sample must cap at K
     val rows = (0 until 1200)
