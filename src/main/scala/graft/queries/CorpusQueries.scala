@@ -154,22 +154,14 @@ object CorpusQueries {
         .select(col("w1"), col("w2"),
           round(col("cnt2").cast("double") / col("cnt1").cast("double"),
             9).as("p"), col("cnt2"))
-      // single-row total → the allow-listed broadcast-scalar cross
-      val total = c2.agg(sum("cnt2").as("n_total"))
-      val pT = p.crossJoin(broadcast(total))
-      val pHead = pT
-        .filter(col("cnt2") * lmHeadFanout > col("n_total"))
-        .select("w1", "w2", "p")
-      val pTail = pT
-        .filter(col("cnt2") * lmHeadFanout <= col("n_total"))
-        .select("w1", "w2", "p")
-      val headScored = big.join(broadcast(pHead), Seq("w1", "w2"))
-      val tailScored = big
-        .join(broadcast(pHead.select("w1", "w2")), Seq("w1", "w2"),
-          "left_anti")
-        .join(pTail, Seq("w1", "w2"))
-      headScored.select("doc_id", "p")
-        .unionByName(tailScored.select("doc_id", "p"))
+      // cnt2 is by construction the stream frequency of (w1, w2) in
+      // `big`, so the generalized head/tail operator applies
+      // directly (this query's inline version is where the operator
+      // came from; result provably identical, oracle hash unchanged)
+      graft.operators.ScaleJoins
+        .frequencySplitJoin(big, p, Seq("w1", "w2"), "cnt2",
+          lmHeadFanout)
+        .select("doc_id", "p")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /

@@ -13,7 +13,10 @@ class DeterminismSpec extends SparkSpec {
     Seq("q_scan_project", "q_filter_pred", "q_date_funcs", "q_date_arith",
       // round-3 row-level additions (unique-key ordered, pinned anyway)
       "q_win_ignore_nulls", "q_bitwise", "q_topn_per_group_agg",
-      "q_pack_sequences", "q_range_join", "q_agg_mode")
+      "q_pack_sequences", "q_range_join", "q_agg_mode",
+      // the KMV sample must select the same bottom-K multiset at any
+      // partitioning (the (h, v) total-order argument)
+      "q_agg_quantile_sketch")
 
   test("row-level query output is identical across partition counts") {
     for (q <- rowLevel) {
