@@ -207,6 +207,25 @@ object PortableSketch {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Merge [[kmvSample]] frames to coarser groups WITHOUT
+    * re-hashing: bottom-K of the union by the SAME (h, v) order the
+    * samples carry. Min-wise stability makes the result identical
+    * to sampling the union of the original rows directly
+    * (PortableSketchSpec), which is the incremental-maintenance
+    * story: per-shard/per-day samples roll up to any coarser
+    * grouping without rescanning facts — the KMV analogue of the
+    * daily-HLL register union. Input is already ≤ K rows per fine
+    * group, so this costs |fine groups|·K rows total. */
+  def kmvMerge(samples: DataFrame, groups: Seq[String],
+               k: Int = K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groups.map(col): _*)
+      .orderBy(col("h"), col("v"))
+    samples.select((groups.map(col) :+ col("h") :+ col("v")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Per-group quantile estimates from a [[kmvSample]] frame: the
     * sample element at 1-based rank floor(q·(n−1)) + 1 in (v, h)
     * order — the deterministic lower-interpolation selection both

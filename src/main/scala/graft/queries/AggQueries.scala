@@ -316,6 +316,31 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Incremental QUANTILE maintenance — the KMV analogue of
+    // q_sketch_incremental's daily-HLL union: fine-grained
+    // per-(returnflag, linestatus) samples are built once, then any
+    // coarser grouping rolls up by kmvMerge (bottom-K of the union
+    // on the ORIGINAL hashes — no re-hash, no fact rescan). Min-wise
+    // stability makes the merged sample IDENTICAL to sampling the
+    // coarse group directly (PortableSketchSpec asserts it against
+    // q_agg_quantile_sketch), so this query's hash gate doubles as
+    // the mergeability proof under the driver oracle.
+    "q_sketch_quantile_merge" -> ((s, d) => {
+      import graft.operators.PortableSketch
+      val keyed = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long")).as("rk"),
+          col("l_extendedprice").as("v"))
+      val fine = PortableSketch.kmvSample(keyed,
+        Seq("l_returnflag", "l_linestatus"), col("rk"), col("v"))
+      val merged = PortableSketch.kmvMerge(fine, Seq("l_returnflag"))
+      PortableSketch.kmvQuantiles(merged, Seq("l_returnflag"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("l_returnflag")
+    }),
+
     // Incremental sketch maintenance — the 100 TB distinct-count
     // pattern: per-DAY HLL register frames are built once (one pass
     // over the day's events), then ANY range rolls up by sketch
@@ -609,6 +634,45 @@ object AggQueries {
         |      ORDER BY h, v) AS rn
         |  FROM h),
         |k AS (SELECT l_returnflag, h, v FROM s WHERE rn <= 256),
+        |o AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY v, h) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM k)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN rn = FLOOR(0.5 * (n - 1)) + 1 THEN v END)
+        |    AS p50,
+        |  MAX(CASE WHEN rn = FLOOR(0.9 * (n - 1)) + 1 THEN v END)
+        |    AS p90,
+        |  MAX(CASE WHEN rn = FLOOR(0.99 * (n - 1)) + 1 THEN v END)
+        |    AS p99
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Two-stage KMV replay: fine bottom-K per (flag, status), then
+    // bottom-K of the union per flag on the same hashes.
+    "q_sketch_quantile_merge" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    concat_ws(':', l_orderkey, l_linenumber, l_partkey,
+        |              l_suppkey, CAST(l_quantity AS BIGINT)) AS rk,
+        |    l_extendedprice AS v
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    ('0x' || substring(md5(rk), 1, 15))::BIGINT AS h, v
+        |  FROM keyed),
+        |s1 AS (
+        |  SELECT l_returnflag, l_linestatus, h, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY h, v) AS rn
+        |  FROM h),
+        |fine AS (SELECT l_returnflag, h, v FROM s1 WHERE rn <= 256),
+        |s2 AS (
+        |  SELECT l_returnflag, h, v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY h, v) AS rn
+        |  FROM fine),
+        |k AS (SELECT l_returnflag, h, v FROM s2 WHERE rn <= 256),
         |o AS (
         |  SELECT l_returnflag, v,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag

@@ -106,6 +106,26 @@ class PortableSketchSpec extends SparkSpec {
         "identical to the direct sample")
   }
 
+  test("kmvMerge of fine-group samples equals the direct coarse " +
+    "sample (the q_sketch_quantile_merge identity)") {
+    import org.apache.spark.sql.functions.concat_ws
+    val keyed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long")).as("rk"),
+        col("l_extendedprice").as("v"))
+    val direct = PortableSketch.kmvSample(keyed,
+      Seq("l_returnflag"), col("rk"), col("v"))
+    val merged = PortableSketch.kmvMerge(
+      PortableSketch.kmvSample(keyed,
+        Seq("l_returnflag", "l_linestatus"), col("rk"), col("v")),
+      Seq("l_returnflag"))
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty,
+      "rollup of fine samples must equal the direct coarse sample")
+  }
+
   test("KMV quantiles: rank error bounded on a known distribution") {
     import spark.implicits._
     // v = i over 0..49999: true quantile q is 50000·q; with K = 256
