@@ -10,11 +10,18 @@ import graft.firehose.{FirehoseDecoder, FirehoseFixture}
   * binaryFile scan → iterated gunzip → DATA_MESSAGE split →
   * `from_json` → explode → enrich → block-scoped batch ids.
   *
-  * Not DuckDB-expressible (binary decode + delimiter split), so the
-  * firehose keys have no oracleSql entries — correctness is pinned by
-  * the golden and property specs in `FirehoseDecoderSpec`. The CSV /
-  * JSONL source keys ([[graft.sources.TextSources]]) ARE oracle-gated:
-  * DuckDB parses the same fixture files.
+  * The decode itself (binary gunzip + delimiter split) is not
+  * DuckDB-expressible, so the firehose keys are hash-gated against a
+  * GOLDEN TWIN instead: `tools/firehose_oracle.py` — an independent
+  * stdlib-Python decoder (gzip-until-plain loop, DATA_MESSAGE byte
+  * scan, json parse, mirroring `kinesis-to-humio.py:91-112,131-148`)
+  * — decodes the same fixture bytes and commits the expected rows as
+  * CSVs under `tools/golden/`, which the oracle SQL SELECTs. Drift is
+  * caught twice: `GoldenFirehoseSpec` pins the Spark output against
+  * the committed CSVs at test time, and the driver's DuckDB compare
+  * hash-gates them per round. The CSV / JSONL source keys
+  * ([[graft.sources.TextSources]]) are oracle-gated directly: DuckDB
+  * parses the same fixture files.
   */
 object PipelineQueries {
   /** Deterministic fixture dir, generated on first use (regeneration
@@ -196,7 +203,34 @@ object PipelineQueries {
     })
   )
 
+  /** Absolute path of the committed golden CSVs (embedded into
+    * oracle_sql.json at Verify time; sbt's CWD is the repo root). */
+  private def goldenDir: String =
+    java.nio.file.Paths.get("tools", "golden").toAbsolutePath.toString
+
   def oracleSql: Map[String, String] = Map(
+    // Firehose keys: hash-gated against the independent stdlib-Python
+    // decoder's committed golden rows (tools/firehose_oracle.py).
+    "q_firehose_pipeline" ->
+      s"""SELECT * FROM read_csv('$goldenDir/firehose_pipeline.csv',
+        |  header=true,
+        |  columns={'timestamp':'BIGINT','logGroup':'VARCHAR',
+        |    'logStream':'VARCHAR','logStreamPrefix':'VARCHAR',
+        |    'file':'VARCHAR','id':'VARCHAR','message':'VARCHAR',
+        |    'block_idx':'INTEGER','event_idx':'INTEGER',
+        |    'batch_id':'INTEGER'})""".stripMargin,
+    "q_firehose_payloads" ->
+      s"""SELECT * FROM read_csv('$goldenDir/firehose_payloads.csv',
+        |  header=true,
+        |  columns={'file':'VARCHAR','block_idx':'INTEGER',
+        |    'batch_id':'INTEGER','payload':'VARCHAR',
+        |    'n_events':'INTEGER'})""".stripMargin,
+    "q_firehose_throughput" ->
+      s"""SELECT * FROM read_csv('$goldenDir/firehose_throughput.csv',
+        |  header=true,
+        |  columns={'file':'VARCHAR','n_events':'BIGINT',
+        |    'min_ts':'BIGINT','max_ts':'BIGINT'})""".stripMargin,
+
     "q_source_csv" ->
       s"""SELECT tag, COUNT(*) AS n,
         |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
