@@ -453,11 +453,32 @@ object MultimodalOps {
     }
   }
 
+  /** On-disk corpus parquet (media bytes as an opaque binary column +
+    * typed metadata struct), generated on first use — the pipeline's
+    * input is a real scan, and the SAME bytes are what the
+    * independent Python oracle (`tools/multimodal_oracle.py`) decodes
+    * to produce the committed golden rows that hash-gate
+    * `q_multimodal_pipeline`. Parquet row order is irrelevant: both
+    * sides key on `media_id`. */
+  def corpusDir(n: Int = 300): java.io.File = new java.io.File(
+    System.getProperty("java.io.tmpdir"), s"graft_media_corpus_$n")
+
+  def persistedCorpus(spark: SparkSession, n: Int = 300): Dataset[MediaRecord] =
+    synchronized {
+      import spark.implicits._
+      val dir = corpusDir(n)
+      val done = new java.io.File(dir, "_SUCCESS")
+      if (!done.exists())
+        syntheticCorpus(spark, n).write.mode("overwrite")
+          .parquet(dir.getAbsolutePath)
+      spark.read.parquet(dir.getAbsolutePath).as[MediaRecord]
+    }
+
   /** The full multimodal pipeline as one frame: metadata-pruned scan
     * → features (real PNG decode for images), joined with frame
     * counts for videos. */
   def pipeline(spark: SparkSession, n: Int = 300): DataFrame = {
-    val corpus = syntheticCorpus(spark, n)
+    val corpus = persistedCorpus(spark, n)
     val feats = extractFeatures(corpus).toDF()
     val frameCounts = sampleFrames(corpus).groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"))

@@ -704,6 +704,17 @@ object LlmQueries {
        |        FROM $source))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Hash-gated against the INDEPENDENT pure-Python codec suite
+    // (tools/multimodal_oracle.py: stdlib-PNG inflate+filters, a
+    // hand-written baseline-JPEG decoder with the libjpeg islow IDCT,
+    // G.711/IMA-ADPCM from the public tables, Y4M + RIFF/AVI demux)
+    // decoding the SAME persisted corpus bytes; the committed golden
+    // CSV is what DuckDB reads. GoldenMultimodalSpec pins drift.
+    "q_multimodal_pipeline" ->
+      s"""SELECT * FROM read_csv('${PipelineQueries.goldenDir}/multimodal_pipeline.csv',
+        |  header=true,
+        |  columns={'media_id':'BIGINT','kind':'VARCHAR','dim':'INTEGER',
+        |    'f0':'DOUBLE','n_frames':'BIGINT'})""".stripMargin,
     "q_ann_recall" -> annRecallOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,

@@ -205,7 +205,7 @@ object PipelineQueries {
 
   /** Absolute path of the committed golden CSVs (embedded into
     * oracle_sql.json at Verify time; sbt's CWD is the repo root). */
-  private def goldenDir: String =
+  private[queries] def goldenDir: String =
     java.nio.file.Paths.get("tools", "golden").toAbsolutePath.toString
 
   def oracleSql: Map[String, String] = Map(
