@@ -75,13 +75,24 @@ object Bench {
   /** Full-registry per-query detail, written next to the repo's
     * BENCH_r{N}.json records for the judge. `diag` (optional) is a
     * pre-rendered JSON object with per-query GC/CPU seconds and rerun
-    * history so an inflated wall time is self-diagnosing. */
+    * history so an inflated wall time is self-diagnosing. `rows`
+    * (optional) is the per-query OUTPUT row count, read from the
+    * executed plan's metrics — it lets the 10× artifact separate
+    * output growth from compute growth (a ratio jump with a matching
+    * rows jump is fan-out, not a plan regression). */
   def fullJson(results: Seq[(String, Double)], sfDir: String,
-      diag: String = ""): String = {
+      diag: String = "", rows: Map[String, Long] = Map.empty): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val tail = if (diag.isEmpty) "" else s""","diag":$diag"""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(results)},"sf":"$sfDir"$tail}"""
+    val rowsTail =
+      if (rows.isEmpty) ""
+      else rows.toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","rows":{""", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(results)},"sf":"$sfDir"$rowsTail$tail}"""
   }
+
+  private val rowsObsSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Per-query times from a committed BENCH_FULL.json, used as the
     * outlier reference: a first-pass time >2× its committed entry is
@@ -161,11 +172,33 @@ object Bench {
     // off as a fast one.
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double, Double) = {
+        : (Double, Double, Double, Long) = {
       val (g0, c0, t0) = (gcSecNow, cpuSecNow, System.nanoTime())
+      var rows = -1L
       val wall =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 }
+        try {
+          val df = fn(spark, sfDir)
+          // Output-row count rides the SAME execution as a root-level
+          // CollectMetrics observation (the write's QueryExecution is
+          // a new plan, so the df's own metrics never populate); a
+          // per-partition count at the root is noise next to the
+          // write it feeds. Unique name per call: Observation
+          // registrations key on it session-wide.
+          val obs = org.apache.spark.sql.Observation(
+            s"bench_rows_${rowsObsSeq.incrementAndGet()}")
+          df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          val w = (System.nanoTime() - t0) / 1e9
+          // read AFTER the timer stops; get blocks only for the
+          // listener-bus hop
+          rows = obs.get("rows") match {
+            case n: java.lang.Long => n.longValue()
+            case n: Number => n.longValue()
+            case _ => -1L
+          }
+          w
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
@@ -174,7 +207,7 @@ object Bench {
         // corpora etc.) so no query pins storage memory for — or warms
         // data of — the queries after it.
         finally spark.catalog.clearCache()
-      (wall, gcSecNow - g0, cpuSecNow - c0)
+      (wall, gcSecNow - g0, cpuSecNow - c0, rows)
     }
     // SEEDED-shuffled run order: r5's driver box hit a ~15-minute
     // contention window that inflated an alphabetically CONTIGUOUS
@@ -186,11 +219,17 @@ object Bench {
       .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
     val byName = registry.toMap
     val firstPass = registry.map { case (name, fn) => name -> timed(name, fn) }
-    val firstWall = firstPass.map { case (n, (w, _, _)) => n -> w }
+    val firstWall = firstPass.map { case (n, (w, _, _, _)) => n -> w }
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long] ++
+      firstPass.collect { case (n, (_, _, _, r)) if r >= 0 => n -> r }
     // Outlier rule: the committed BENCH_FULL.json (same sf) is the
     // reference — >2× its entry is contention-suspect. Fallback when
-    // no reference exists: >3× the registry median. 1s floor so
-    // sub-second jitter never triggers.
+    // no reference exists: >3× the registry median. Floors: 0.3s on
+    // the ref branch (sub-second reruns are cheap, and r7's
+    // q_join_theta drifted 0.29→0.73s with no code change — exactly
+    // the noise-vs-regression ambiguity a rerun row resolves), 1s on
+    // the median fallback where there is no per-query baseline to
+    // justify the extra passes.
     val refTimes = parseRefTimes(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_REF_JSON", "BENCH_FULL.json")),
       sfDir)
@@ -198,7 +237,7 @@ object Bench {
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     def isOutlier(name: String, t: Double): Boolean = t >= 0.0 &&
       (refTimes.get(name) match {
-        case Some(ref) if ref > 0.0 => t > math.max(2.0 * ref, 1.0)
+        case Some(ref) if ref > 0.0 => t > math.max(2.0 * ref, 0.3)
         case _ => t > math.max(3.0 * median, 1.0)
       })
     // Rerun passes run as a BATCH after the full registry (maximal
@@ -214,7 +253,8 @@ object Bench {
       System.gc()
       Thread.sleep(5000L * (pass + 1))
       val reruns = pending.map { n =>
-        val (w, _, _) = timed(n, byName(n))
+        val (w, _, _, r) = timed(n, byName(n))
+        if (r >= 0 && !rowCounts.contains(n)) rowCounts(n) = r
         rerunLog(n) = rerunLog.getOrElse(n, Nil) :+ w
         n -> w
       }.toMap
@@ -230,8 +270,8 @@ object Bench {
     }
     val diagEntries = (what: Seq[(String, Double)]) => entries(what)
     val diag = {
-      val gc = firstPass.collect { case (n, (_, g, _)) if g >= 0.05 => n -> g }
-      val cpu = firstPass.collect { case (n, (_, _, c)) if c >= 0.0 => n -> c }
+      val gc = firstPass.collect { case (n, (_, g, _, _)) if g >= 0.05 => n -> g }
+      val cpu = firstPass.collect { case (n, (_, _, c, _)) if c >= 0.0 => n -> c }
       val rr = rerunLog.toSeq.sortBy(_._1).map { case (n, ws) =>
         s""""$n":[${ws.map(fmt).mkString(",")}]""" }
         .mkString("{", ",", "}")
@@ -245,7 +285,8 @@ object Bench {
     try {
       Files.createDirectories(Paths.get(outDir))
       Files.write(Paths.get(outDir, "BENCH_FULL.json"),
-        (fullJson(results, sfDir, diag) + "\n").getBytes(StandardCharsets.UTF_8))
+        (fullJson(results, sfDir, diag, rowCounts.toMap) + "\n")
+          .getBytes(StandardCharsets.UTF_8))
     }
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")

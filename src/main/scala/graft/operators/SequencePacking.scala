@@ -4,6 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One packed document: its shard, identity, token count, and the
+  * context-window bin FFD assigned it to. */
+case class PackedDoc(shard: String, doc_id: Long, tokens: Long,
+                     bin_id: Int)
+
 /** Concat-and-chunk sequence packing — the standard pretraining
   * batching shape: documents are concatenated in a stable order and
   * the token stream is cut into fixed-`budget` context windows; each
@@ -36,5 +41,58 @@ object SequencePacking {
       .withColumn("offset_in_window",
         ((col("__cum") - col(tokens)) % budget).cast("int"))
       .drop("__cum")
+  }
+
+  /** First-fit-decreasing bin packing that keeps documents WHOLE
+    * under the token budget — the shape real pretraining pipelines
+    * run when cross-document attention contamination matters (vs
+    * [[packWindows]]' concat-and-chunk, which splits documents across
+    * context windows). Classic FFD: within a shard, documents are
+    * processed in (tokens DESC, doc_id ASC) order, each placed into
+    * the lowest-numbered bin it fits; no fit opens a new bin. A
+    * document larger than the budget gets a singleton bin (never
+    * split, never dropped — the caller decides truncation policy).
+    * FFD's guarantee: bin count ≤ 11/9·OPT + 1, and since splitting
+    * lower-bounds OPT at ceil(total/budget), the spec asserts that
+    * bound against the concat-chunk window count directly.
+    *
+    * Scale shape: shards pack independently (one `groupByKey` task
+    * per shard — the same per-shard parallelism contract as
+    * [[packWindows]]); within a task the fold is the sequential FFD
+    * scan over that shard's (id, tokens) pairs, 16 bytes/doc — the
+    * fits-one-task precondition, enumerated in BoundedStateAuditSpec.
+    * The linear first-fit probe is O(bins) per doc; production-size
+    * shards would swap in the standard best-fit segment tree without
+    * changing the output contract.
+    *
+    * Deterministic and engine-replayable: the (tokens DESC, doc_id)
+    * order is a total order, so the assignment is a pure function of
+    * the input — the DuckDB oracle replays it with a recursive CTE
+    * carrying the bin-load list.
+    */
+  def packBinsFfd(docs: DataFrame, shard: String, id: String,
+                  tokens: String, budget: Int): DataFrame = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(shard).cast("string").as("shard"),
+        col(id).cast("long").as("doc_id"),
+        col(tokens).cast("long").as("tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sh: String, it: Iterator[(String, Long, Long)]) =>
+        val ds = it.map { case (_, i, t) => (i, t) }.toArray
+          .sortBy { case (i, t) => (-t, i) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (i, t) =>
+          val idx = loads.indexWhere(_ + t <= budget)
+          val bin =
+            if (idx >= 0) { loads(idx) += t; idx }
+            else { loads += t; loads.length - 1 }
+          PackedDoc(sh, i, t, bin)
+        }
+      }
+      .toDF()
   }
 }

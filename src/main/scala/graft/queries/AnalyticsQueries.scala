@@ -253,6 +253,13 @@ object AnalyticsQueries {
     // integer distances (and the match set) are exactly equal. At
     // 100 TB this is the entity-resolution shape: candidate
     // generation by equi-join on a blocking key, bounded verify.
+    // The verify kernel is the THRESHOLD form (Spark's 3-arg
+    // levenshtein): banded DP that early-exits once the distance
+    // provably exceeds k — O(k·n) per pair instead of O(n·m), the
+    // registry's former CPU-per-row ceiling at 10× (BENCH_10X). It
+    // returns -1 past the bound, so `dist BETWEEN 0 AND 1` keeps the
+    // match set (and the oracle hash) identical to the unbounded
+    // filter.
     "q_fuzzy_match" -> ((s, d) => {
       val corrupt = (c: Column) => concat(substring(c, 1, 17),
         translate(substring(c, 18, 1), "0123456789", "1032547698"))
@@ -263,8 +270,8 @@ object AnalyticsQueries {
           corrupt(col("c_name")).as("d_name"))
       dirty.join(clean,
           substring(col("d_name"), 1, 17) === substring(col("c_name"), 1, 17))
-        .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
-        .filter(col("dist") <= 1)
+        .withColumn("dist", levenshtein(col("d_name"), col("c_name"), 1))
+        .filter(col("dist").between(0, 1))
         .select("d_custkey", "c_custkey", "dist")
         .orderBy("d_custkey", "c_custkey")
     }),

@@ -312,6 +312,22 @@ object LlmQueries {
         .select("doc_id", "lang", "window_id", "offset_in_window")
         .orderBy("doc_id")),
 
+    // First-fit-decreasing WHOLE-document packing — the
+    // q_pack_sequences twin that never splits a document across
+    // context windows (FFD bound: bins ≤ 11/9·OPT + 1, pinned in
+    // SequencePackingSpec together with the efficiency-vs-concat
+    // comparison). Deterministic (tokens DESC, doc_id tiebreak), so
+    // the DuckDB oracle replays the exact assignment with a
+    // recursive CTE carrying the bin-load list; n_chars/4+1 is the
+    // shared token surrogate (integer floor-div on both engines).
+    "q_pack_ffd" -> ((s, d) =>
+      graft.operators.SequencePacking.packBinsFfd(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            ((col("n_chars") / 4).cast("long") + 1).as("t")),
+        "lang", "doc_id", "t", budget = 512)
+        .orderBy("shard", "doc_id")),
+
     // int8 embedding quantization with reconstruction diagnostics.
     // Every step is elementwise IEEE double math in list order on
     // both engines (float→double widening is exact; round-half-away
@@ -925,6 +941,45 @@ object LlmQueries {
         |  FROM (SELECT doc_id, lang,
         |          len(string_split(text, ' ')) AS t FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // Exact FFD replay: a recursive CTE walks each shard's documents
+    // in the same (tokens DESC, doc_id) order, carrying the bin-load
+    // LIST; first-fit = min subscript whose load still fits (unnest +
+    // generate_subscripts — duckdb's lambda fns mis-evaluate inside
+    // recursive CTEs, so no list_transform here). One row per shard
+    // per step keeps the recursion linear.
+    "q_pack_ffd" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT lang AS shard, doc_id, (n_chars // 4 + 1) AS tokens,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (n_chars // 4 + 1) DESC, doc_id) AS rn
+        |  FROM documents
+        |),
+        |pack AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+        |         CAST([] AS BIGINT[]) AS loads,
+        |         CAST(NULL AS BIGINT) AS doc_id,
+        |         CAST(NULL AS BIGINT) AS tokens,
+        |         CAST(NULL AS INTEGER) AS bin_id
+        |  FROM (SELECT DISTINCT shard FROM docs)
+        |  UNION ALL
+        |  SELECT shard, rn,
+        |         CASE WHEN fit_idx IS NULL THEN list_append(loads, tokens)
+        |              ELSE loads[1:fit_idx-1] || [loads[fit_idx] + tokens]
+        |                   || loads[fit_idx+1:]
+        |         END,
+        |         doc_id, tokens,
+        |         CAST(coalesce(fit_idx, len(loads) + 1) - 1 AS INTEGER)
+        |  FROM (
+        |    SELECT d.shard, d.rn, p.loads, d.doc_id, d.tokens,
+        |           (SELECT min(u.ord)
+        |            FROM (SELECT unnest(p.loads) AS l,
+        |                         generate_subscripts(p.loads, 1) AS ord) u
+        |            WHERE u.l + d.tokens <= 512) AS fit_idx
+        |    FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+        |  )
+        |)
+        |SELECT shard, doc_id, tokens, bin_id FROM pack
+        |WHERE rn > 0 ORDER BY shard, doc_id""".stripMargin,
     // n_chunks: distinct 8-token stride-8 windows (full windows only);
     // fp_dupes: docs sharing the whitespace-normalized lowercase text
     // — what sharing the whole-doc xxhash64 fingerprint means.

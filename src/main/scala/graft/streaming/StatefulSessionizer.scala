@@ -91,7 +91,11 @@ object StatefulSessionizer {
 
   /** Batch adapter for the same Dataset (groups are complete in batch
     * mode, so every session closes; useful for parity checks against
-    * the window-based `q_events_sessionize`). */
+    * the window-based `q_events_sessionize`). One user's events fold
+    * in one task — the sessionizer fits-one-task contract (a single
+    * user's history is bounded; the scale path for unbounded keys is
+    * the streaming state machine above, whose state is one open
+    * session regardless of history length). */
   def sessionsBatch(events: DataFrame,
                     gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import events.sparkSession.implicits._

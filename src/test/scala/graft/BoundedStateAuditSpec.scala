@@ -63,6 +63,23 @@ class BoundedStateAuditSpec extends AnyFunSuite {
         "contract, stated in scaladoc",
       "fits-one-task")))
 
+  /** Same discipline for BATCH group folds (`mapGroups` /
+    * `flatMapGroups` — a whole group's rows in one task; the
+    * `...WithState` streaming variants hold bounded state by design
+    * and are excluded by the regex). */
+  private val allowedGroupFolds: Map[String, (Int, String, String)] = Map(
+    "graft/operators/SequencePacking.scala" -> ((1,
+      "packBinsFfd: per-shard FFD scan over (id, tokens) pairs — " +
+        "16 bytes/doc, the fits-one-task shard contract stated in " +
+        "scaladoc; shards are the parallel unit",
+      "fits-one-task")),
+    "graft/streaming/StatefulSessionizer.scala" -> ((1,
+      "sessionsBatch parity adapter: one user's events per task — " +
+        "the sessionizer fits-one-task contract; the unbounded-key " +
+        "scale path is the streaming state machine (one open session " +
+        "of state)",
+      "fits-one-task")))
+
   private def scalaFiles(p: Path): Seq[Path] =
     Files.walk(p).iterator.asScala
       .filter(f => f.toString.endsWith(".scala")).toSeq
@@ -98,6 +115,38 @@ class BoundedStateAuditSpec extends AnyFunSuite {
         s"$file: the documented precondition phrase '$marker' is " +
           "gone — the boundedness argument must live in the source, " +
           "not only in this spec")
+    }
+  }
+
+  test("every batch mapGroups/flatMapGroups fold is enumerated with " +
+      "a boundedness argument that lives in the file's own docs") {
+    val foldRe = """\.(?:flatMapGroups|mapGroups)\s*[({\[]""".r
+    val found = scalaFiles(srcRoot).flatMap { f =>
+      val text = Files.readString(f)
+      val n = foldRe.findAllIn(text).length
+      if (n == 0) None
+      else Some(srcRoot.relativize(f).toString.replace('\\', '/') ->
+        (n, text))
+    }.toMap
+
+    val unlisted = found.keySet -- allowedGroupFolds.keySet
+    assert(unlisted.isEmpty,
+      s"NEW whole-group fold(s) in ${unlisted.mkString(", ")} — " +
+        "document the fits-one-task/bounded-group precondition in " +
+        "the file and add a justified entry to BoundedStateAuditSpec")
+
+    val gone = allowedGroupFolds.keySet -- found.keySet
+    assert(gone.isEmpty,
+      s"allow-list rot: ${gone.mkString(", ")} no longer folds " +
+        "groups — remove the entries so the list stays exact")
+
+    for ((file, (nExpected, why, marker)) <- allowedGroupFolds) {
+      val (nActual, text) = found(file)
+      assert(nActual == nExpected,
+        s"$file: expected $nExpected group-fold site(s) " +
+          s"(justified as: $why), found $nActual")
+      assert(text.contains(marker),
+        s"$file: the documented precondition phrase '$marker' is gone")
     }
   }
 }

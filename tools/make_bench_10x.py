@@ -24,15 +24,29 @@ def main(base_p, x10_p, skew_p, out_p):
     x10 = json.load(open(x10_p))
     skew = json.load(open(skew_p))
     bq, xq = base["queries"], x10["queries"]
+    brows, xrows = base.get("rows", {}), x10.get("rows", {})
     rows = {}
     for q in sorted(xq):
         b, x = bq.get(q, -1.0), xq[q]
         entry = {"base": b, "x10": x}
         if b and b > 0 and x >= 0:
             entry["ratio"] = round(x / b, 2)
+        # Output-row counts adjudicate a ratio jump: a time ratio that
+        # tracks rows_ratio is fan-out (the query legitimately emits
+        # more), while sec_per_row_ratio >> 1 is a genuine per-row
+        # compute/shuffle regression.
+        br, xr = brows.get(q, -1), xrows.get(q, -1)
+        if br >= 0 and xr >= 0:
+            entry["base_rows"], entry["x10_rows"] = br, xr
+            if br > 0 and xr > 0 and "ratio" in entry:
+                entry["rows_ratio"] = round(xr / br, 2)
+                entry["sec_per_row_ratio"] = round(
+                    (x / xr) / (b / br), 2)
         rows[q] = entry
     ratios = sorted(e["ratio"] for e in rows.values() if "ratio" in e)
     n = len(ratios)
+    spr = sorted(e["sec_per_row_ratio"] for e in rows.values()
+                 if "sec_per_row_ratio" in e)
     summary = {
         "n_queries": len(rows),
         "n_ratioed": n,
@@ -42,6 +56,8 @@ def main(base_p, x10_p, skew_p, out_p):
         "ratio_p50": ratios[n // 2] if n else None,
         "ratio_p90": ratios[(n * 9) // 10] if n else None,
         "ratio_max": ratios[-1] if n else None,
+        "sec_per_row_ratio_p50": spr[len(spr) // 2] if spr else None,
+        "sec_per_row_ratio_max": spr[-1] if spr else None,
         # fixture semantics live with the numbers, not in prose
         # someone has to find
         "note": "x10 fixture = sf0.1 tables concatenated 10x with "
