@@ -53,12 +53,16 @@ object AnnSearch {
   }
 
   /** Exact brute-force cosine top-k among vectors with id < maxId —
-    * the recall baseline. */
+    * the recall baseline. `candidateFilter` restricts the CANDIDATE
+    * side only (the filtered-ANN ground truth: top-k qualifying
+    * neighbors for every query). */
   def bruteTopK(embeddings: DataFrame, k: Int = 5,
-                maxId: Long = 200): DataFrame = {
+                maxId: Long = 200,
+                candidateFilter: Column = lit(true)): DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val b = e.filter(candidateFilter)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"))
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos_sim").desc, col("b_id").asc)
     a.join(b, col("a_id") =!= col("b_id"))
@@ -146,9 +150,22 @@ object AnnSearch {
     * rows); the candidate join is an equi-join on cell id — the
     * standard IVF trade of recall for a 1/nCells candidate fraction.
     */
+  /** `candidateFilter`: FILTERED ANN — the production RAG/tenant
+    * shape "top-k among vectors satisfying a metadata predicate".
+    * The quantizer trains on the FULL slice (index build is
+    * filter-agnostic, like any shared IVF index), queries probe as
+    * usual, but only qualifying vectors enter the candidate join —
+    * a pre-filter, so the per-cell search ranks qualifying vectors
+    * only and always returns up to k of THEM (post-filtering an
+    * unfiltered top-k would return fewer). The predicate lands in
+    * the candidate-side scan (Catalyst pushes it below the
+    * assignment projection), so non-qualifying rows never reach the
+    * shuffle — at a 1% selectivity that is a 100× candidate-volume
+    * cut, the whole point of filtered ANN at scale. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
               nCentroids: Int = 8, nProbe: Int = 2,
-              kmeansIters: Int = 0): DataFrame = {
+              kmeansIters: Int = 0,
+              candidateFilter: Column = lit(true)): DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
     // deterministic coarse quantizer seed: the nCentroids lowest ids
     // ACTUALLY PRESENT (a TakeOrdered pull, so id gaps or non-zero-
@@ -162,8 +179,9 @@ object AnnSearch {
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
     val centroids = refineCentroids(e, seed, kmeansIters)
     def cellSims(vec: Column): Column = cellSimsFor(centroids)(vec)
-    // assignment: argmax similarity over the broadcast centroid array
-    val assigned = e.withColumn("cell",
+    // assignment: argmax similarity over the broadcast centroid
+    // array; only qualifying vectors become candidates (pre-filter)
+    val assigned = e.filter(candidateFilter).withColumn("cell",
       array_max(cellSims(col("embedding"))).getField("cell"))
     // probes: top-nProbe cells per query vector
     val probed = e.withColumn("probe_cells",

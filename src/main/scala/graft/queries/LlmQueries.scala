@@ -148,6 +148,19 @@ object LlmQueries {
       AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
         kmeansIters = 2)),
 
+    // FILTERED ANN — the production RAG/tenant shape: top-k among
+    // vectors satisfying a metadata predicate (label = 1 here). The
+    // quantizer trains on the full slice (shared index); the
+    // predicate pre-filters the CANDIDATE side before the cell join,
+    // so only qualifying vectors are ranked and every query gets up
+    // to k qualifying neighbors (post-filtering an unfiltered top-k
+    // would silently return fewer). Deterministic lowest-id quantizer
+    // (kmeansIters=0) keeps the oracle a direct replay; AnnSearchSpec
+    // proves probe-all ≡ the filtered brute-force ground truth.
+    "q_ann_filtered" -> ((s, d) =>
+      AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
+        kmeansIters = 0, candidateFilter = col("label") === 1)),
+
     // Product quantization + ADC + exact re-rank (AnnSearchSpec pins
     // recall vs brute force and the 64x code compression).
     // Hash-gated: training means are micro-quantized integers, so
@@ -579,6 +592,46 @@ object LlmQueries {
        |ORDER BY a_id, rk""".stripMargin
   }
 
+  /** q_ann_filtered oracle: the kmeansIters=0 IVF replay (lowest-id
+    * quantizer, 2-probe) with the candidate side restricted to
+    * label = 1 BEFORE ranking — the filtered-ANN contract. */
+  private val annFilteredOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id < 200),
+       |c0 AS (
+       |  SELECT cell, v AS cv FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |      AS cell, v FROM e)
+       |  WHERE cell < 8),
+       |sf AS (
+       |  SELECT e.vec_id, e.label, c.cell, ${cosD("e.v", "c.cv")} AS sim
+       |  FROM e CROSS JOIN c0 c),
+       |asg AS (
+       |  SELECT vec_id AS b_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn
+       |    FROM sf WHERE label = 1)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT vec_id AS a_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sf)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT a_id, b_id FROM prb JOIN asg USING (cell)
+       |  WHERE a_id <> b_id)
+       |SELECT a_id, b_id, cos_sim, rk FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(${cosD("a.v", "b.v")}, 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY c.a_id
+       |      ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |               c.b_id ASC) AS INT) AS rk
+       |  FROM cand c JOIN e a ON c.a_id = a.vec_id
+       |              JOIN e b ON c.b_id = b.vec_id)
+       |WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+
   /** q_ann_pq oracle: the whole product-quantization pipeline
     * unrolled — per-subspace codebooks seeded from the 16 lowest-id
     * subvectors, two L2-Lloyd training iterations (micro-quantized
@@ -734,6 +787,7 @@ object LlmQueries {
     "q_ann_recall" -> annRecallOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_filtered" -> annFilteredOracle,
     "q_ann_pq" -> annPqOracle,
     // Brute-force 3-gram Jaccard over all doc pairs. Sound as the
     // LSH oracle on THIS corpus because every qualifying pair has

@@ -32,6 +32,34 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall > 0.10, f"recall collapsed: $recall%.3f")
   }
 
+  test("filtered ANN: probe-all equals the filtered brute-force ground " +
+      "truth; default probes return only qualifying candidates") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val f = col("label") === 1
+    val labels = e.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // probing every cell makes filtered IVF exhaustive over the
+    // qualifying set — must equal filtered brute force EXACTLY
+    val exhaustive = AnnSearch.ivfTopK(e, k = 5, maxId = 100,
+      nCentroids = 8, nProbe = 8, candidateFilter = f)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val brute = AnnSearch.bruteTopK(e, k = 5, maxId = 100,
+      candidateFilter = f)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(exhaustive == brute)
+    assert(brute.nonEmpty)
+    // every returned candidate satisfies the predicate, also at the
+    // default 2-probe setting
+    val default = AnnSearch.ivfTopK(e, k = 5, maxId = 100,
+      candidateFilter = f).collect()
+    assert(default.nonEmpty)
+    default.foreach(r => assert(labels(r.getLong(1)) == 1,
+      s"non-qualifying candidate ${r.getLong(1)}"))
+  }
+
   test("ivfTopK similarities are exact within probed cells, recall reasonable") {
     val e = Tables.embeddings(spark, dir)
     val exact = AnnSearch.bruteTopK(e, k = 99, maxId = 100).collect()
