@@ -249,6 +249,35 @@ object LlmQueries {
     // for-bucket by the oracle. The cheaper xxhash64 variant
     // (Sampling.split) is the scale path and stays pinned by
     // SamplingSpec (determinism, disjointness, fraction tolerance).
+    // Temperature-flattened mixture sampling (the multilingual
+    // pretraining upsampling move, α = 1/2): per-language keep-rate
+    // ∝ n^(α−1) = 1/√n, normalized so the SMALLEST language keeps
+    // ~100% — high-resource languages are downsampled toward the
+    // flattened target p ∝ n^α. α = 1/2 keeps every arithmetic step
+    // one correctly-rounded IEEE op (sqrt/div/mul/floor), so the
+    // integer rates — and the portable-md5 bucket admission
+    // (Sampling.sampleByRates) — replay bit-identically in DuckDB.
+    // Scale: rates are a |langs|-row broadcast (the min is the
+    // legitimate single-row broadcast-scalar pattern); admission is
+    // a per-row projection, zero shuffle beyond the audit
+    // aggregation.
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val minN = counts.agg(min(col("n_docs")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .select(col("lang"), col("n_docs"),
+          floor(lit(100.0) * sqrt(col("n_min").cast("double")) /
+            sqrt(col("n_docs").cast("double"))).cast("int").as("rate"))
+      val admitted = graft.operators.Sampling.sampleByRates(
+          docs, "doc_id", "lang", rates.select("lang", "rate"))
+        .groupBy("lang").agg(count(lit(1)).as("n_admitted"))
+      rates.join(admitted, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+        .orderBy("lang")
+    }),
+
     "q_sample_split" -> ((s, d) =>
       graft.operators.Sampling.splitPortable(
         Tables.documents(s, d), "doc_id")
@@ -978,6 +1007,26 @@ object LlmQueries {
         |        (sqrt(list_inner_product(e, e)) *
         |         sqrt(list_inner_product(deq, deq))), 6) AS cos_recon_r
         |FROM d ORDER BY vec_id""".stripMargin,
+    // α=1/2 temperature rates: every step a single correctly-rounded
+    // IEEE op, admission via the shared portable-md5 bucket.
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(100.0 *
+        |      sqrt((SELECT CAST(MIN(n_docs) AS DOUBLE) FROM c)) /
+        |      sqrt(CAST(n_docs AS DOUBLE))) AS INT) AS rate
+        |  FROM c),
+        |a AS (
+        |  SELECT d.lang, COUNT(*) AS n_admitted
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 100 < r.rate
+        |  GROUP BY d.lang)
+        |SELECT r.lang, r.n_docs, r.rate,
+        |  COALESCE(a.n_admitted, CAST(0 AS BIGINT)) AS n_admitted
+        |FROM r LEFT JOIN a USING (lang) ORDER BY lang""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
