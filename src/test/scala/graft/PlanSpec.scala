@@ -27,6 +27,13 @@ class PlanSpec extends SparkSpec {
       assert(f.contains(p), s"missing pushed filter $p")
   }
 
+  test("q_ann_filtered: the candidate predicate reaches the parquet " +
+      "scan (filtered ANN never shuffles non-qualifying vectors)") {
+    val f = formatted("q_ann_filtered")
+    assert(f.contains("EqualTo(label,1)"),
+      "label predicate not pushed to the candidate scan")
+  }
+
   test("q_scan_project: scan reads only the projected columns") {
     val f = formatted("q_scan_project")
     assert(f.contains(
