@@ -76,12 +76,46 @@ object AnnSearch {
   /** Per-vector array of struct(sim, cell) against a broadcast
     * centroid list — the shared assignment kernel of the IVF path
     * (argmax = `array_max`: highest sim, ties to the higher cell). */
-  private def cellSimsFor(centroids: Array[(Int, Seq[Float])])(
+  private[graft] def cellSimsFor(centroids: Array[(Int, Seq[Float])])(
       vec: Column): Column = array(centroids.map {
     case (cid, cvec) =>
       struct(VectorFns.cosine(vec, typedLit(cvec)).as("sim"),
         lit(cid).as("cell"))
   }: _*)
+
+  /** Train the coarse quantizer once: deterministic lowest-id seed
+    * (renumbered 0..n−1 by rank, so id gaps and non-zero-based
+    * corpora seed fine), optionally Lloyd-refined. The index-build
+    * half of the IVF path, shared by [[ivfTopK]] and the streaming
+    * enrichment ([[graft.streaming.StreamingAnnEnrich]]). */
+  def trainQuantizer(e: DataFrame, nCentroids: Int = 8,
+                     kmeansIters: Int = 0): Array[(Int, Seq[Float])] = {
+    val seed: Array[(Int, Seq[Float])] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id").asc).limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    refineCentroids(e, seed, kmeansIters)
+  }
+
+  /** Cell-assigned corpus (vec_id, embedding, cell): argmax cosine
+    * against the broadcast centroids — a per-row projection. */
+  def assignCells(e: DataFrame,
+                  centroids: Array[(Int, Seq[Float])]): DataFrame =
+    e.withColumn("cell",
+      array_max(cellSimsFor(centroids)(col("embedding"))).getField("cell"))
+
+  /** Query probe frame: one row per (query, probed cell) — the
+    * top-`nProbe` cells by centroid similarity (ties to the higher
+    * cell, like the assignment argmax). */
+  def probeCells(e: DataFrame, centroids: Array[(Int, Seq[Float])],
+                 nProbe: Int): DataFrame =
+    e.withColumn("probe_cells",
+      slice(reverse(array_sort(cellSimsFor(centroids)(col("embedding")))),
+        1, nProbe))
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        explode(col("probe_cells").getField("cell")).as("cell"))
 
   /** Lloyd refinement of an IVF coarse quantizer, as DataFrame ops:
     * each iteration assigns every vector to its argmax-cosine cell
@@ -167,27 +201,12 @@ object AnnSearch {
               kmeansIters: Int = 0,
               candidateFilter: Column = lit(true)): DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
-    // deterministic coarse quantizer seed: the nCentroids lowest ids
-    // ACTUALLY PRESENT (a TakeOrdered pull, so id gaps or non-zero-
-    // based corpora seed fine), renumbered 0..n-1 by rank;
-    // Lloyd-refined if asked
-    val seed: Array[(Int, Seq[Float])] = e
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id").asc).limit(nCentroids)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
-    val centroids = refineCentroids(e, seed, kmeansIters)
-    def cellSims(vec: Column): Column = cellSimsFor(centroids)(vec)
+    val centroids = trainQuantizer(e, nCentroids, kmeansIters)
     // assignment: argmax similarity over the broadcast centroid
     // array; only qualifying vectors become candidates (pre-filter)
-    val assigned = e.filter(candidateFilter).withColumn("cell",
-      array_max(cellSims(col("embedding"))).getField("cell"))
+    val assigned = assignCells(e.filter(candidateFilter), centroids)
     // probes: top-nProbe cells per query vector
-    val probed = e.withColumn("probe_cells",
-      slice(reverse(array_sort(cellSims(col("embedding")))), 1, nProbe))
-      .select(col("vec_id").as("a_id"), col("embedding").as("va"),
-        explode(col("probe_cells").getField("cell")).as("cell"))
+    val probed = probeCells(e, centroids, nProbe)
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos_sim").desc, col("b_id").asc)
     // No distinct needed: each candidate is assigned exactly one cell

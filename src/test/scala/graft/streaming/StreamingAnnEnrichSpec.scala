@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.AnnSearch
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** S18: streaming ANN enrichment against the static IVF index.
+  * Stateless across batches, so stream/batch parity is EXACT for any
+  * micro-batch split: every streamed query's emitted top-k equals the
+  * batch ivfTopK rows for the same index parameters.
+  */
+class StreamingAnnEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, dir)
+    .filter(col("vec_id") < 200)
+    .select("vec_id", "embedding")
+
+  /** (a_id, b_id, cos_sim, rk) from the batch reference. */
+  private def batchRef: Set[(Long, Long, Double, Int)] =
+    AnnSearch.ivfTopK(Tables.embeddings(spark, dir), k = 5,
+      maxId = 200, kmeansIters = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  private def streamAll(chunks: Int): Set[(Long, Long, Double, Int)] = {
+    val index = StreamingAnnEnrich.buildIndex(corpus)
+    val rows = corpus.as[EmbQuery].collect().toSeq
+    val parts = rows.grouped((rows.length + chunks - 1) / chunks).toSeq
+    val ms = MemoryStream[EmbQuery](spark)
+    val name = s"s18_parity_$chunks"
+    val q = StreamingAnnEnrich.enrich(ms.toDS(), index, k = 5)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      parts.foreach { p => ms.addData(p); q.processAllAvailable() }
+      spark.table(name).collect().flatMap { r =>
+        val vid = r.getLong(0)
+        r.getSeq[Row](2).zipWithIndex.map { case (nn, i) =>
+          (vid, nn.getLong(0), nn.getDouble(1), i + 1)
+        }
+      }.toSet
+    } finally q.stop()
+  }
+
+  test("streamed top-k equals batch ivfTopK neighbor-for-neighbor, " +
+      "for different micro-batch splits") {
+    val ref = batchRef
+    assert(ref.nonEmpty)
+    assert(streamAll(chunks = 1) == ref)
+    assert(streamAll(chunks = 4) == ref)
+  }
+
+  test("per-query state is bounded at k: nn arrays never exceed k " +
+      "even when candidates do") {
+    val index = StreamingAnnEnrich.buildIndex(corpus)
+    val rows = corpus.as[EmbQuery].collect().toSeq
+    val ms = MemoryStream[EmbQuery](spark)
+    val q = StreamingAnnEnrich.enrich(ms.toDS(), index, k = 3,
+        nProbe = 8)
+      .writeStream.format("memory").queryName("s18_bounded")
+      .outputMode("update").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val out = spark.table("s18_bounded").collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getSeq[Row](2).length <= 3)
+        // probe-all makes candidate counts corpus-scale while the
+        // emitted payload stays k-bounded
+        assert(r.getLong(1) >= r.getSeq[Row](2).length)
+      }
+    } finally q.stop()
+  }
+}
