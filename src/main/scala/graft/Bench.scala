@@ -191,13 +191,23 @@ object Bench {
             org.apache.spark.sql.functions.lit(1)).as("rows"))
             .write.format("noop").mode("overwrite").save()
           val w = (System.nanoTime() - t0) / 1e9
-          // read AFTER the timer stops; get blocks only for the
-          // listener-bus hop
-          rows = obs.get("rows") match {
-            case n: java.lang.Long => n.longValue()
-            case n: Number => n.longValue()
-            case _ => -1L
-          }
+          // Read AFTER the timer stops, in its own guard: the
+          // listener event is async and the shared bus can shed
+          // events under load, so a bounded getOrEmpty poll (never
+          // the unbounded get) keeps one lost event from wedging the
+          // run — and a metrics failure must degrade to rows = -1,
+          // never convert a successfully timed query into a -1 wall.
+          try {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.DurationInt
+            Await.result(
+              Future(obs.get("rows"))(
+                scala.concurrent.ExecutionContext.global),
+              5.seconds) match {
+              case n: Number => rows = n.longValue()
+              case _ => ()
+            }
+          } catch { case _: Throwable => () }
           w
         }
         catch { case e: Throwable =>

@@ -460,17 +460,40 @@ object MultimodalOps {
     * to produce the committed golden rows that hash-gate
     * `q_multimodal_pipeline`. Parquet row order is irrelevant: both
     * sides key on `media_id`. */
+  /** Bump when [[syntheticCorpus]]'s content changes: the version is
+    * part of the directory name, so a stale corpus from an older
+    * generator is never silently reused (the golden CSV would stay
+    * green on this machine but diverge on a fresh one), and
+    * concurrent JVMs (bench fork, test fork, the Python oracle)
+    * never see a half-overwritten directory — each version is
+    * written at most once and read-only thereafter. */
+  final val CorpusVersion = 1
+
   def corpusDir(n: Int = 300): java.io.File = new java.io.File(
-    System.getProperty("java.io.tmpdir"), s"graft_media_corpus_$n")
+    System.getProperty("java.io.tmpdir"),
+    s"graft_media_corpus_v${CorpusVersion}_$n")
 
   def persistedCorpus(spark: SparkSession, n: Int = 300): Dataset[MediaRecord] =
     synchronized {
       import spark.implicits._
       val dir = corpusDir(n)
       val done = new java.io.File(dir, "_SUCCESS")
-      if (!done.exists())
+      if (!done.exists()) {
+        // stage + atomic rename: a concurrent reader either sees the
+        // complete versioned directory or none; double-generation is
+        // harmless (byte-identical, first rename wins)
+        val staging = new java.io.File(
+          dir.getParentFile, dir.getName + s".stage_${System.nanoTime()}")
         syntheticCorpus(spark, n).write.mode("overwrite")
-          .parquet(dir.getAbsolutePath)
+          .parquet(staging.getAbsolutePath)
+        if (!staging.renameTo(dir)) { // lost the race: dir now exists
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(staging)
+          require(done.exists(), s"corpus rename failed and $dir absent")
+        }
+      }
       spark.read.parquet(dir.getAbsolutePath).as[MediaRecord]
     }
 

@@ -204,9 +204,27 @@ object PipelineQueries {
   )
 
   /** Absolute path of the committed golden CSVs (embedded into
-    * oracle_sql.json at Verify time; sbt's CWD is the repo root). */
-  private[queries] def goldenDir: String =
-    java.nio.file.Paths.get("tools", "golden").toAbsolutePath.toString
+    * oracle_sql.json at Verify time). Anchored on the repo root
+    * found by walking UP from this class's compiled location
+    * (<repo>/target/scala-2.13/classes), not on the process CWD —
+    * a driver launched from another directory would otherwise embed
+    * a wrong path and fail all four golden gates for a reason
+    * unrelated to correctness. CWD is the last-resort fallback. */
+  private[queries] def goldenDir: String = {
+    val fromClasspath = Option(
+      classOf[FirehoseDecoder.type].getProtectionDomain.getCodeSource)
+      .map(_.getLocation.toURI)
+      .filter(_.getScheme == "file")
+      .map(java.nio.file.Paths.get(_))
+      .flatMap { start =>
+        Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+          .map(_.resolve("tools").resolve("golden"))
+          .find(java.nio.file.Files.isDirectory(_))
+      }
+    fromClasspath
+      .getOrElse(java.nio.file.Paths.get("tools", "golden").toAbsolutePath)
+      .toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Firehose keys: hash-gated against the independent stdlib-Python

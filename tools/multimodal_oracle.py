@@ -3,7 +3,7 @@
 
 Re-derives the expected output of `q_multimodal_pipeline` WITHOUT
 touching the Scala codecs: every payload in the on-disk media corpus
-(`$TMPDIR/graft_media_corpus_300`, written once by
+(`$TMPDIR/graft_media_corpus_v1_300`, written once by
 `MultimodalOps.persistedCorpus`) is decoded by pure-Python
 implementations of the same PUBLIC formats —
 
@@ -538,7 +538,7 @@ def f0_of(plane):
 
 
 def main(check=False):
-    corpus = os.path.join(tempfile.gettempdir(), "graft_media_corpus_300")
+    corpus = os.path.join(tempfile.gettempdir(), "graft_media_corpus_v1_300")
     if not os.path.isdir(corpus):
         raise SystemExit(f"{corpus} missing — run the Spark pipeline once "
                          "(e.g. sbt 'runMain graft.Verify ... q_multimodal')")
