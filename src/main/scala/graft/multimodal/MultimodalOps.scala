@@ -477,8 +477,14 @@ object MultimodalOps {
     synchronized {
       import spark.implicits._
       val dir = corpusDir(n)
-      val done = new java.io.File(dir, "_SUCCESS")
-      if (!done.exists()) {
+      // Completion signal is the versioned directory ITSELF: it only
+      // ever comes into existence via the atomic rename of a fully
+      // written staging dir below, so dir.exists() ⇔ complete. (The
+      // earlier _SUCCESS probe broke under committers configured with
+      // marksuccessfuljobs=false — every call then re-staged, the
+      // rename failed against the existing dir, and the require
+      // hard-failed despite a complete readable corpus.)
+      if (!dir.exists()) {
         // stage + atomic rename: a concurrent reader either sees the
         // complete versioned directory or none; double-generation is
         // harmless (byte-identical, first rename wins)
@@ -491,7 +497,7 @@ object MultimodalOps {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
           }
           rm(staging)
-          require(done.exists(), s"corpus rename failed and $dir absent")
+          require(dir.exists(), s"corpus rename failed and $dir absent")
         }
       }
       spark.read.parquet(dir.getAbsolutePath).as[MediaRecord]

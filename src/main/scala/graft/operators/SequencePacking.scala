@@ -52,9 +52,14 @@ object SequencePacking {
     * the lowest-numbered bin it fits; no fit opens a new bin. A
     * document larger than the budget gets a singleton bin (never
     * split, never dropped — the caller decides truncation policy).
-    * FFD's guarantee: bin count ≤ 11/9·OPT + 1, and since splitting
-    * lower-bounds OPT at ceil(total/budget), the spec asserts that
-    * bound against the concat-chunk window count directly.
+    * FFD's guarantee: bin count ≤ 11/9·OPT + 1. OPT itself is
+    * unknowable cheaply, so the spec asserts the bound against a
+    * certified LOWER bound on OPT — max(ceil(total/budget),
+    * #docs larger than budget/2): the first term is the splitting
+    * relaxation, the second holds because two such docs never share
+    * a bin. (Asserting against ceil(total/budget) alone would be
+    * wrong: a corpus of docs all sized budget/2 + 1 packs one per
+    * bin for ANY algorithm, n bins vs a ceil of ~n/2.)
     *
     * Scale shape: shards pack independently (one `groupByKey` task
     * per shard — the same per-shard parallelism contract as

@@ -25,4 +25,11 @@ object GraftColumnBridge {
   def analyzed(df: DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Bridge to `private[sql]` Observation.getOrEmpty — the NON-blocking
+    * metrics read (returns after its short internal wait instead of
+    * parking the caller forever when the listener event was shed).
+    * Used by [[graft.Bench]]'s bounded row-count poll. */
+  def observedOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

@@ -91,13 +91,16 @@ class SequencePackingSpec extends SparkSpec {
       val binLoads = ps.groupBy(_._4).map { case (_, ds) => ds.map(_._3).sum }
       // no bin over budget (every doc here fits the budget)
       assert(binLoads.forall(_ <= budget), s"$shard over capacity")
-      // FFD guarantee vs the splitting lower bound OPT >= ceil(total/B):
-      // bins <= 11/9 * OPT + 1 — the packing-efficiency comparison
-      // against q_pack_sequences' concat-and-chunk window count
+      // FFD guarantee bins <= 11/9 * OPT + 1, asserted against a
+      // certified LOWER bound on OPT: max(ceil(total/B), #docs > B/2)
+      // — ceil(total/B) alone under-counts OPT (docs all sized
+      // B/2 + 1 pack one per bin for ANY algorithm), so the 11/9
+      // factor may only be applied on top of a sound bound.
       val total = ps.map(_._3).sum
-      val concatWindows = (total + budget - 1) / budget
-      assert(binLoads.size <= (11.0 * concatWindows) / 9.0 + 1,
-        s"$shard: ${binLoads.size} bins vs concat $concatWindows")
+      val optLb = math.max((total + budget - 1) / budget,
+        ps.count(_._3 > budget / 2).toLong)
+      assert(binLoads.size <= (11.0 * optLb) / 9.0 + 1,
+        s"$shard: ${binLoads.size} bins vs OPT lower bound $optLb")
     }
   }
 
