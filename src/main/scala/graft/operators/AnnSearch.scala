@@ -359,6 +359,97 @@ object AnnSearch {
       .orderBy("a_id", "rk")
   }
 
+  /** Composed IVF-PQ approximate top-k (the Jégou et al. IVFADC
+    * shape — the production 100 TB index): a Lloyd-refined coarse
+    * quantizer buckets the corpus into cells, each vector's RESIDUAL
+    * (v − centroid[cell]) is product-quantized into `m` codes by ONE
+    * shared residual codebook, and a query ADC-scans only its
+    * `nProbe` probed cells — where [[pqTopK]] ADC-scans the whole
+    * code table, here the scan is cell-local, the IVF candidate cut
+    * and the 64× PQ compression composing multiplicatively. The ADC
+    * top-`rerank` candidates re-rank by exact cosine.
+    *
+    * ADC under the dot-product metric needs no query residual:
+    * dot(q, c + dequant(codes)) = dot(q, c) + Σ_s dot(q_s, cb[s][code_s])
+    * — evaluated as that exact LEFT-ASSOCIATIVE chain (centroid term
+    * first) so the DuckDB oracle replays it term for term.
+    *
+    * Determinism: the coarse quantizer is the lowest-id seed +
+    * micro-quantized-integer Lloyd ([[refineCentroids]]); residuals
+    * are float(double(v[i]) − double(c[i])) — one exactly-rounded op,
+    * engine-independent; PQ training on the residual frame reuses
+    * [[pqTrain]]'s integer-mean discipline. The whole pipeline
+    * hash-gates against an unrolled-CTE DuckDB replay.
+    *
+    * Scale shape: everything driver-side is codebook-sized
+    * (nCentroids + m·k subvectors); the corpus-side frames carry
+    * (id, cell, 4-byte codes) — the index that fits hot storage at
+    * 100 TB; the only wide-row stage is the `rerank`-bounded exact
+    * re-rank join.
+    */
+  def ivfPqTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
+                nCentroids: Int = 8, nProbe: Int = 2,
+                kmeansIters: Int = 2, m: Int = 16, codesPerSub: Int = 16,
+                dim: Int = 64, pqIters: Int = 3,
+                rerank: Int = 45): DataFrame = {
+    val sub = dim / m
+    val e = embeddings.filter(col("vec_id") < maxId)
+    val centroids = trainQuantizer(e, nCentroids, kmeansIters)
+    // cell-indexed centroid literal (cells are 0-based contiguous by
+    // trainQuantizer's renumbering)
+    val centLit = typedLit(centroids.sortBy(_._1).map(_._2).toSeq)
+    val assigned = assignCells(e, centroids)
+    // residual r[i] = float(double(v[i]) − double(c[i])): exact
+    // double subtraction of two floats, then one rounding — DuckDB
+    // replays as CAST(v[i] − c[i] AS FLOAT)
+    val withResidual = assigned.withColumn("residual",
+      zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+        (x, y) => (x.cast("double") - y.cast("double")).cast("float")))
+    // ONE shared residual codebook (classic IVFADC): train on the
+    // residual frame via pqTrain's deterministic pipeline
+    val books = pqTrain(
+      withResidual.select(col("vec_id"), col("residual").as("embedding")),
+      m, codesPerSub, dim, pqIters)
+    // corpus index rows: (b_id, cell, codes) — ONE BYTE per code
+    // (k <= 256 by contract; m bytes per vector is the production
+    // packed-code layout, 32x narrower than the raw floats)
+    val codes = withResidual.select(col("vec_id").as("b_id"), col("cell"),
+      array((0 until m).map(s =>
+        pqAssign(slice(col("residual"), s * sub + 1, sub), books(s))
+          .cast("byte")): _*)
+        .as("codes"))
+    val vecs = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    // query probes: top-nProbe cells (reuses the IVF probe kernel)
+    val probed = probeCells(e, centroids, nProbe)
+    val cb = typedLit(books.map(_.toSeq).toSeq)
+    // approx = dot(q, centroid[cell]) + Σ_s dot(q_s, cb[s][codes[s]]),
+    // left-associative from the centroid term
+    val adc = (0 until m).foldLeft(
+      VectorFns.dot(col("va"), element_at(centLit, col("cell") + 1))) {
+      (acc, s) => acc + VectorFns.dot(slice(col("va"), s * sub + 1, sub),
+        element_at(element_at(cb, s + 1), col("codes").getItem(s) + 1))
+    }
+    val wApprox = Window.partitionBy("a_id")
+      .orderBy(col("approx").desc, col("b_id").asc)
+    val wExact = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    // cell-local ADC: the candidate join is the IVF equi-join on cell
+    // id — a candidate is scored only when it lives in a probed cell
+    probed
+      .join(codes, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("approx", adc)
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rerank)
+      .join(vecs, Seq("b_id"))
+      .withColumn("cos_sim",
+        round(VectorFns.cosine(col("va"), col("vb")), 6))
+      .withColumn("rk", row_number().over(wExact).cast("int"))
+      .filter(col("rk") <= k)
+      .select("a_id", "b_id", "cos_sim", "rk")
+      .orderBy("a_id", "rk")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = pairs co-bucketed
     * in any table, ranked exactly within each query's candidate set.
     */

@@ -35,6 +35,29 @@ object ScaleJoins {
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** AQE-native skew twin of [[saltedJoin]]: the SAME inner equi-join
+    * left as a plain sort-merge shuffle join (merge hint — no
+    * broadcast, no manual salt) so Spark's adaptive skew-join split
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) can carve
+    * oversized shuffle partitions at runtime. Result ==
+    * `large.join(small, key)` exactly; ScaleJoinsSpec pins both the
+    * equality and — on a Zipfian fixture with the skew thresholds
+    * lowered to fixture scale — that the split actually fires
+    * (`skew=true` in the adaptive final plan).
+    *
+    * When is manual salting still needed? AQE splits the STREAM side
+    * of a sort-merge join by cloning matching build partitions, so it
+    * covers the common one-hot-fact-key case for free. It cannot help
+    * when the join must stay hash-partitioned for a downstream
+    * stage's co-partitioning contract, when the skew is on BOTH
+    * sides of the same key (pair fan-out, not partition size), or in
+    * aggregation pipelines (AQE skew handling is join-only) — those
+    * remain [[saltedJoin]] / two-phase-agg territory.
+    */
+  def aqeSkewJoin(large: DataFrame, small: DataFrame,
+                  key: String): DataFrame =
+    large.hint("merge").join(small, key)
+
   /** Frequency-split ("head/tail") inner equi-join of a Zipfian-keyed
     * `stream` against a per-key `model` frame — the named form of the
     * q_text_lm_score skew discipline, for any stream whose join key

@@ -31,6 +31,18 @@ import graft.operators.{AnnSearch, ApproxDedup, Bpe, TextAnalysis}
   */
 object LlmQueries {
 
+  /** The near-dup pair frame q_dedup_clusters AND q_dedup_clusters_star
+    * both cluster — memoized ([[graft.operators.DerivedCache]]) so the
+    * second registry query reuses the checkpointed pairs instead of
+    * re-running the bounded n-gram Jaccard verification tier. */
+  private def clusterPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.DerivedCache.memo(
+      s, s"ngram_jaccard_pairs:n=2:maxId=300:thr=0.10:$d") {
+      ApproxDedup.ngramJaccardPairs(
+        Tables.documents(s, d).select("doc_id", "text"),
+        n = 2, maxId = 300, threshold = 0.10)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> ((s, d) =>
       ApproxDedup.minhashPairs(
@@ -113,8 +125,7 @@ object LlmQueries {
     // exercises the transitive closure, not just pair passthrough.
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = ApproxDedup.ngramJaccardPairs(
-        docs.select("doc_id", "text"), n = 2, maxId = 300, threshold = 0.10)
+      val pairs = clusterPairs(s, d)
       graft.operators.ConnectedComponents.dedupClusters(
           docs.filter(col("doc_id") < 300).select("doc_id"), pairs)
         .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
@@ -128,8 +139,7 @@ object LlmQueries {
     // truth (the q_join_salted-vs-plain-join precedent).
     "q_dedup_clusters_star" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = ApproxDedup.ngramJaccardPairs(
-        docs.select("doc_id", "text"), n = 2, maxId = 300, threshold = 0.10)
+      val pairs = clusterPairs(s, d)
       graft.operators.ConnectedComponents.dedupClusters(
           docs.filter(col("doc_id") < 300).select("doc_id"), pairs,
           graft.operators.ConnectedComponents.starComponents(_, _))
@@ -168,6 +178,17 @@ object LlmQueries {
     // see annPqOracle.
     "q_ann_pq" -> ((s, d) =>
       AnnSearch.pqTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
+
+    // Composed IVF-PQ (IVFADC): Lloyd-refined coarse cells + ONE
+    // shared product-quantizer over the cell RESIDUALS + cell-local
+    // ADC (only the 2 probed cells are scanned, vs q_ann_pq's whole-
+    // corpus code scan) + exact re-rank — the production 100 TB index
+    // shape. Hash-gated end to end: coarse training, residuals, PQ
+    // training, the left-associative ADC chain and the re-rank all
+    // replay in DuckDB (annIvfPqOracle); AnnSearchSpec pins recall ≥
+    // the plain-IVF path at strictly smaller candidate bytes.
+    "q_ann_ivfpq" -> ((s, d) =>
+      AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
 
     // Hash-proof gate for the ANN machinery: per-query recall@5 of
     // the LSH and IVF paths against the exact brute-force top-5.
@@ -761,6 +782,169 @@ object LlmQueries {
        |ORDER BY a_id, rk""".stripMargin
   }
 
+  /** q_ann_ivfpq oracle: the COMPOSED IVFADC pipeline unrolled —
+    * the annIvfOracle's two coarse Lloyd iterations (micro-quantized
+    * integer means) produce cells; residuals r[i] =
+    * CAST(v[i] − cv[i] AS FLOAT) (one exactly-rounded op, identical
+    * to the engine's double-subtract-then-float-cast); the
+    * annPqOracle's two PQ training iterations run over the RESIDUAL
+    * subvectors; the ADC is cell-local (candidates from the 2-probe
+    * cell join only) and LEFT-ASSOCIATIVE from the centroid term:
+    * dot(q, cv_cell) + t0 + … + t15 (16 subspaces × 4 dims) — SQL's
+    * `+` chain mirrors the engine's foldLeft. Shortlist 45 → exact
+    * cosine top-5. */
+  private val annIvfPqOracle: String = {
+    val m = 16
+    val sub = 4
+    // coarse Lloyd iteration — annIvfOracle's iter(), verbatim
+    def coarseIter(n: Int): String =
+      s"""s$n AS (
+         |  SELECT e.vec_id, c.cell, ${cosD("e.v", "c.cv")} AS sim
+         |  FROM e CROSS JOIN c${n - 1} c),
+         |a$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cell DESC) AS rn FROM s$n)
+         |  WHERE rn = 1),
+         |x$n AS (SELECT a.cell, e.v FROM a$n a JOIN e USING (vec_id)),
+         |m$n AS (
+         |  SELECT cell, i AS pos,
+         |    CAST(CAST(CAST(SUM(CAST(round(v[i] * 1000000.0, 0)
+         |          AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+         |      AS FLOAT) AS DOUBLE) AS mf
+         |  FROM x$n, UNNEST(generate_series(1, len(v))) AS t(i)
+         |  GROUP BY cell, i),
+         |g$n AS (
+         |  SELECT cell, list(mf ORDER BY pos) AS cv FROM m$n
+         |  GROUP BY cell),
+         |c$n AS (
+         |  SELECT p.cell, COALESCE(g$n.cv, p.cv) AS cv
+         |  FROM c${n - 1} p LEFT JOIN g$n USING (cell))""".stripMargin
+    // PQ training iteration over the residual subvector CTE `sv` —
+    // annPqOracle's trainIter, verbatim
+    def trainIter(n: Int): String =
+      s"""sc$n AS (
+         |  SELECT s.vec_id, s.s, cb.code,
+         |    2.0 * list_inner_product(s.sv, cb.cv)
+         |      - list_inner_product(cb.cv, cb.cv) AS score
+         |  FROM sv s JOIN cb${n - 1} cb ON cb.s = s.s),
+         |pa$n AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY score DESC, code DESC)
+         |      AS rn FROM sc$n)
+         |  WHERE rn = 1),
+         |px$n AS (
+         |  SELECT a.s, a.code, s.sv FROM pa$n a
+         |  JOIN sv s ON s.vec_id = a.vec_id AND s.s = a.s),
+         |pm$n AS (
+         |  SELECT s, code, i AS pos,
+         |    CAST(CAST(CAST(SUM(CAST(round(sv[i] * 1000000.0, 0)
+         |          AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+         |      AS FLOAT) AS DOUBLE) AS mf
+         |  FROM px$n, UNNEST(generate_series(1, $sub)) AS t(i)
+         |  GROUP BY s, code, i),
+         |pg$n AS (
+         |  SELECT s, code, list(mf ORDER BY pos) AS cv FROM pm$n
+         |  GROUP BY s, code),
+         |cb$n AS (
+         |  SELECT p.s, p.code, COALESCE(pg$n.cv, p.cv) AS cv
+         |  FROM cb${n - 1} p LEFT JOIN pg$n USING (s, code))""".stripMargin
+    val adcSum = (0 until m).map(s =>
+      s"MAX(CASE WHEN s = $s THEN ts END)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |c0 AS (
+       |  SELECT cell, v AS cv FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |      AS cell, v FROM e)
+       |  WHERE cell < 8),
+       |${coarseIter(1)},
+       |${coarseIter(2)},
+       |sf AS (
+       |  SELECT e.vec_id, c.cell, ${cosD("e.v", "c.cv")} AS sim
+       |  FROM e CROSS JOIN c2 c),
+       |asg AS (
+       |  SELECT vec_id AS b_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sf)
+       |  WHERE rn = 1),
+       |prb AS (
+       |  SELECT vec_id AS a_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell DESC) AS rn FROM sf)
+       |  WHERE rn <= 2),
+       |res AS (
+       |  SELECT e.vec_id,
+       |    list_transform(generate_series(1, len(e.v)),
+       |      i -> CAST(CAST(e.v[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS r
+       |  FROM e JOIN asg a ON a.b_id = e.vec_id
+       |  JOIN c2 c ON c.cell = a.cell),
+       |sv AS (
+       |  SELECT vec_id, s, r[s * $sub + 1 : s * $sub + $sub] AS sv
+       |  FROM res, UNNEST(generate_series(0, ${m - 1})) AS t(s)),
+       |ranked AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |    AS INT) AS code
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |cb0 AS (
+       |  SELECT r.code, s.s, s.sv AS cv
+       |  FROM ranked r JOIN sv s USING (vec_id)),
+       |${trainIter(1)},
+       |${trainIter(2)},
+       |${trainIter(3)},
+       |scf AS (
+       |  SELECT s.vec_id, s.s, cb.code,
+       |    2.0 * list_inner_product(s.sv, cb.cv)
+       |      - list_inner_product(cb.cv, cb.cv) AS score
+       |  FROM sv s JOIN cb3 cb ON cb.s = s.s),
+       |bcode AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY score DESC, code DESC)
+       |      AS rn FROM scf)
+       |  WHERE rn = 1),
+       |qsv AS (
+       |  SELECT vec_id, s, v[s * $sub + 1 : s * $sub + $sub] AS sv
+       |  FROM e, UNNEST(generate_series(0, ${m - 1})) AS t(s)),
+       |cand AS (
+       |  SELECT p.a_id, a.b_id, a.cell
+       |  FROM prb p JOIN asg a USING (cell)
+       |  WHERE p.a_id <> a.b_id),
+       |cterm AS (
+       |  SELECT c.a_id, c.b_id,
+       |    list_inner_product(ea.v, cc.cv) AS tc
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+       |  JOIN c2 cc ON cc.cell = c.cell),
+       |tterm AS (
+       |  SELECT c.a_id, c.b_id, q.s, list_inner_product(q.sv, cb.cv) AS ts
+       |  FROM cand c
+       |  JOIN qsv q ON q.vec_id = c.a_id
+       |  JOIN bcode b ON b.vec_id = c.b_id AND b.s = q.s
+       |  JOIN cb2 cb ON cb.s = b.s AND cb.code = b.code),
+       |adc AS (
+       |  SELECT t.a_id, t.b_id, ct.tc + $adcSum AS approx
+       |  FROM tterm t JOIN cterm ct
+       |    ON ct.a_id = t.a_id AND ct.b_id = t.b_id
+       |  GROUP BY t.a_id, t.b_id, ct.tc),
+       |shortlist AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY approx DESC, b_id ASC) AS ark FROM adc)
+       |  WHERE ark <= 45)
+       |SELECT a_id, b_id, cos_sim, rk FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(${cosD("a.v", "b.v")}, 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY c.a_id
+       |      ORDER BY round(${cosD("a.v", "b.v")}, 6) DESC,
+       |               c.b_id ASC) AS INT) AS rk
+       |  FROM shortlist c JOIN e a ON c.a_id = a.vec_id
+       |                   JOIN e b ON c.b_id = b.vec_id)
+       |WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  }
+
   /** DuckDB replay of the PORTABLE simhash fingerprints
     * ([[graft.operators.ApproxDedup.simhashOf]]): per distinct token,
     * a 60-bit hash from the md5 hex prefix; 60 bit-vote sums; bit j
@@ -818,6 +1002,7 @@ object LlmQueries {
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_filtered" -> annFilteredOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     // Brute-force 3-gram Jaccard over all doc pairs. Sound as the
     // LSH oracle on THIS corpus because every qualifying pair has
     // j ≥ 0.9, where 8-band/4-row recall is complete (per-pair miss

@@ -134,6 +134,24 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
         .orderBy("o_orderkey")),
 
+    // The AQE twin of q_join_salted: the SAME join/oracle as a plain
+    // sort-merge shuffle join (merge hint), relying on the adaptive
+    // skew-join split instead of manual salting. Registered so the
+    // gate proves AQE's runtime re-plan preserves the exact result;
+    // ScaleJoinsSpec asserts the split actually fires on a Zipfian
+    // fixture (thresholds lowered to fixture scale). Documents the
+    // boundary: salting stays necessary only where AQE can't split —
+    // co-partitioning contracts, both-sides skew, aggregations.
+    "q_join_skew_aqe" -> ((s, d) =>
+      graft.operators.ScaleJoins.aqeSkewJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_totalprice"),
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
     // Catalyst won't push an aggregate through a join on its own, so
     // the revenue partial-aggregate by l_orderkey happens BEFORE the
     // orders join: the fact table is shuffled once (narrow: key +
@@ -268,6 +286,12 @@ object RelationalQueries {
         |WHERE c_custkey % 7 = 0 AND c_nationkey < n_nationkey
         |ORDER BY c_custkey, n_nationkey""".stripMargin,
     "q_join_salted" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // Same contract as q_join_salted: the physical strategy (AQE skew
+    // split vs manual salt) must not change the result.
+    "q_join_skew_aqe" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,

@@ -101,6 +101,71 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall > 0.5, f"PQ recall collapsed: $recall%.3f")
   }
 
+  test("ivfPqTopK: exact similarities after re-rank; recall >= plain " +
+      "IVF at strictly smaller candidate bytes; cell equi-join plan") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val maxId = 200L
+    val exact = AnnSearch.bruteTopK(e, k = 199, maxId = maxId).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpqDf = AnnSearch.ivfPqTopK(e, k = 5, maxId = maxId)
+    val ivfpq = ivfpqDf.collect()
+    assert(ivfpq.nonEmpty)
+    // re-ranked similarities are the exact cosine for every pair
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key) && exact(key) == r.getDouble(2),
+        s"pair $key similarity mismatch")
+    }
+    // recall@5 of the composed index vs the plain-IVF path, SAME
+    // coarse quantizer settings (8 cells, 2 probes, 2 Lloyd iters) —
+    // the registry fixture contract: compression must not cost recall
+    val brute = AnnSearch.bruteTopK(e, k = 5, maxId = maxId).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .count(brute.contains).toDouble / brute.size
+    val rIvf = recallOf(AnnSearch.ivfTopK(e, k = 5, maxId = maxId,
+      kmeansIters = 2).collect())
+    val rIvfPq = recallOf(ivfpq)
+    info(f"recall@5: ivf=$rIvf%.3f ivfpq=$rIvfPq%.3f")
+    // candidate BYTES: both paths score the same (probe-cell ×
+    // assigned-cell) candidate pairs, but IVF's candidate join
+    // carries the full 64-float vector per candidate while IVF-PQ
+    // carries 16 one-byte codes, re-reading full vectors only for
+    // the 45-per-query re-rank shortlist — strictly less at any
+    // corpus size where candidates/query > rerank
+    val centroids = AnnSearch.trainQuantizer(
+      e.filter(col("vec_id") < maxId), 8, 2)
+    val nCand = AnnSearch.probeCells(
+        e.filter(col("vec_id") < maxId), centroids, 2)
+      .select("a_id", "cell")
+      .join(AnnSearch.assignCells(e.filter(col("vec_id") < maxId),
+          centroids).select(col("vec_id").as("b_id"), col("cell")),
+        Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .count()
+    val nQueries = maxId
+    val vecBytes = 64L * 4
+    val ivfBytes = nCand * vecBytes
+    val ivfpqBytes = nCand * 16L + nQueries * 45L * vecBytes
+    info(s"candidate bytes: ivf=$ivfBytes ivfpq=$ivfpqBytes " +
+      s"($nCand candidates)")
+    assert(rIvfPq >= rIvf,
+      f"composed index lost recall: ivf=$rIvf%.3f ivfpq=$rIvfPq%.3f")
+    assert(ivfpqBytes < ivfBytes,
+      s"composed index must move fewer candidate bytes " +
+        s"($ivfpqBytes vs $ivfBytes)")
+    // plan pin: the ADC candidate stage is an EQUI-join on cell id —
+    // never a nested-loop/cartesian scan of the code table
+    val plan = ivfpqDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate scan degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("cell"),
+      "candidate join must key on the coarse cell id")
+  }
+
   test("pqTrain codebooks are deterministic; codes stay in [0, k)") {
     val e = Tables.embeddings(spark, dir)
     val a = AnnSearch.pqTrain(e.filter(org.apache.spark.sql.functions

@@ -72,6 +72,61 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("aqeSkewJoin equals the plain join and the AQE skew split " +
+      "fires on a Zipfian fixture") {
+    // Same power-law fixture class as the salted-join test. The skew
+    // thresholds are lowered to fixture scale (the defaults are sized
+    // for 256 MB partitions); at production sizes the same split
+    // fires with stock settings. Coalescing stays ON — the skew
+    // split and partition coalescing compose in AQE.
+    val large = spark.range(200000)
+      .withColumn("u",
+        (pmod(xxhash64($"id"), lit(1 << 30)) + 1).cast("double")
+          / lit((1 << 30).toDouble))
+      .withColumn("k", least(lit(1000L), ceil(pow($"u", lit(-5.0))))
+        .cast("long"))
+      .select($"id", $"k", concat(lit("pad_"), $"id").as("pad"))
+    val small = spark.range(1, 1001).select($"id".as("k"),
+      ($"id" * 7).as("w"))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // a partition is "skewed" past 32 kB AND 2x the median — the
+      // hot key's partition is ~MBs here, every other one far smaller
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32768",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      // 64 reducers: with the suite default of 4, the hot key's
+      // partition also absorbs ~1/4 of the tail and never reaches
+      // 2x the median — the same small-fixture artifact the salted
+      // test works around
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plain = large.join(small, "k")
+      val aqe = ScaleJoins.aqeSkewJoin(large, small, "k")
+      assert(aqe.count() == plain.count())
+      assert(aqe.exceptAll(plain).isEmpty && plain.exceptAll(aqe).isEmpty,
+        "AQE skew join must be result-identical to the plain join")
+      // the adaptive FINAL plan (post-execution) must carry the skew
+      // split: SortMergeJoin prints (skew=true) once
+      // OptimizeSkewedJoin has rewritten it. Execution must ride THIS
+      // df's own QueryExecution (collect, not a write — a write
+      // builds a fresh QueryExecution and the df's adaptive plan
+      // would stay isFinalPlan=false).
+      val df = ScaleJoins.aqeSkewJoin(large, small, "k")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split did not fire; final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("frequencySplitJoin equals the plain join and bounds the tail") {
     // Zipfian term stream (one term carrying ~30% of the stream) and
     // a per-term model whose freq column is the stream frequency —
