@@ -246,8 +246,15 @@ object Bench {
     // slowdown reads as a family-of-queries regression. Shuffled,
     // the same window lands on unrelated keys, which is immediately
     // recognizable as contention.
+    // Optional subset run (SPARK_GRAFT_ONLY="q_a,q_b"): scale-fixture
+    // passes time only the keys under study — a full 30x registry run
+    // would spend an hour mostly on keys whose scale story the 10x
+    // artifact already covers.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val registry = new scala.util.Random(20260813L)
       .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val byName = registry.toMap
     val firstPass = registry.map { case (name, fn) => name -> timed(name, fn) }
     val firstWall = firstPass.map { case (n, (w, _, _, _)) => n -> w }

@@ -40,6 +40,14 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Diagnostic: propagation/contraction rounds consumed by the most
+    * recent [[components]] / [[starComponents]] call on this JVM —
+    * read by the scale probe (graft.RoundsProbe) to prove round
+    * counts are data-independent (diameter- resp. log-bounded, never
+    * volume-bounded) when the corpus grows 30×. Not part of any
+    * result contract. */
+  val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** (id, comp) for every node in `nodes`, where comp = min node id
     * reachable through `edges` (nodes absent from `edges` keep their
     * own id — singleton clusters).
@@ -97,6 +105,7 @@ object ConnectedComponents {
       converged = nChanged == 0
       round += 2
     }
+    lastRounds.set(round)
     // Partially-propagated labels would silently split true clusters
     // (several "representatives" survive dedup) — refuse rather than
     // return wrong assignments. Propagation needs diameter rounds;
@@ -175,6 +184,7 @@ object ConnectedComponents {
       last = fp
       round += 1
     }
+    lastRounds.set(round)
     if (!converged)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxIter rounds — " +
