@@ -390,7 +390,7 @@ object AnnSearch {
   def ivfPqTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
                 nCentroids: Int = 8, nProbe: Int = 2,
                 kmeansIters: Int = 2, m: Int = 16, codesPerSub: Int = 16,
-                dim: Int = 64, pqIters: Int = 3,
+                dim: Int = 64, pqIters: Int = 2,
                 rerank: Int = 45): DataFrame = {
     val sub = dim / m
     val e = embeddings.filter(col("vec_id") < maxId)

@@ -893,12 +893,11 @@ object LlmQueries {
        |  FROM ranked r JOIN sv s USING (vec_id)),
        |${trainIter(1)},
        |${trainIter(2)},
-       |${trainIter(3)},
        |scf AS (
        |  SELECT s.vec_id, s.s, cb.code,
        |    2.0 * list_inner_product(s.sv, cb.cv)
        |      - list_inner_product(cb.cv, cb.cv) AS score
-       |  FROM sv s JOIN cb3 cb ON cb.s = s.s),
+       |  FROM sv s JOIN cb2 cb ON cb.s = s.s),
        |bcode AS (
        |  SELECT vec_id, s, code FROM (
        |    SELECT vec_id, s, code, row_number() OVER (

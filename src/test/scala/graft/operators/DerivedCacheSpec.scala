@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The session-scoped derived-frame memo that lets registry queries
+  * share one materialization of an identical build (graph edges,
+  * near-dup pair sets). Pins the three load-bearing properties:
+  * build-once semantics, key isolation, and survival of
+  * `spark.catalog.clearCache()` (the bench harness clears the SQL
+  * cache between queries — RDD-block checkpoints must not go with
+  * it). */
+class DerivedCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("build runs at most once per key; keys are isolated") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(tag: String) = {
+      builds.incrementAndGet()
+      Seq((tag, 1L), (tag, 2L)).toDF("tag", "v")
+    }
+    val key = s"spec_once_${System.nanoTime()}"
+    val a1 = DerivedCache.memo(spark, key)(build("a"))
+    val a2 = DerivedCache.memo(spark, key)(build("a"))
+    assert(builds.get() == 1, "second memo call must not rebuild")
+    assert(a1.collect().sameElements(a2.collect()))
+    val b = DerivedCache.memo(spark, key + ":other")(build("b"))
+    assert(builds.get() == 2, "a different key builds its own frame")
+    assert(b.select("tag").distinct().as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("memoized frame survives spark.catalog.clearCache() and stays " +
+      "readable (checkpointed blocks, not SQL cache)") {
+    val key = s"spec_clear_${System.nanoTime()}"
+    val df = DerivedCache.memo(spark, key)(
+      spark.range(100).select($"id", ($"id" * 3).as("x")))
+    assert(df.agg(sum("x")).first().getLong(0) == 3L * 100 * 99 / 2)
+    spark.catalog.clearCache()
+    // still materialized and correct after the harness-style eviction
+    val again = DerivedCache.memo(spark, key)(
+      sys.error("must not rebuild after clearCache"))
+    assert(again.agg(sum("x")).first().getLong(0) == 3L * 100 * 99 / 2)
+  }
+}
