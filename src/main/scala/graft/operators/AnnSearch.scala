@@ -387,11 +387,18 @@ object AnnSearch {
     * 100 TB; the only wide-row stage is the `rerank`-bounded exact
     * re-rank join.
     */
+  /** `candidateFilter`: the filtered-ANN contract composed onto the
+    * compressed index — the full production RAG/tenant shape. Both
+    * quantizers train on the WHOLE slice (one shared index serves
+    * every predicate); the filter restricts the CODE TABLE side of
+    * the cell join, so the ADC ranks qualifying candidates only and
+    * every query gets up to k qualifying neighbors. */
   def ivfPqTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
                 nCentroids: Int = 8, nProbe: Int = 2,
                 kmeansIters: Int = 2, m: Int = 16, codesPerSub: Int = 16,
                 dim: Int = 64, pqIters: Int = 2,
-                rerank: Int = 45): DataFrame = {
+                rerank: Int = 45,
+                candidateFilter: Column = lit(true)): DataFrame = {
     val sub = dim / m
     val e = embeddings.filter(col("vec_id") < maxId)
     val centroids = trainQuantizer(e, nCentroids, kmeansIters)
@@ -413,7 +420,8 @@ object AnnSearch {
     // corpus index rows: (b_id, cell, codes) — ONE BYTE per code
     // (k <= 256 by contract; m bytes per vector is the production
     // packed-code layout, 32x narrower than the raw floats)
-    val codes = withResidual.select(col("vec_id").as("b_id"), col("cell"),
+    val codes = withResidual.filter(candidateFilter)
+      .select(col("vec_id").as("b_id"), col("cell"),
       array((0 until m).map(s =>
         pqAssign(slice(col("residual"), s * sub + 1, sub), books(s))
           .cast("byte")): _*)

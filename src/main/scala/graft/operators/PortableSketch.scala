@@ -263,4 +263,53 @@ object PortableSketch {
       .join(broadcast(cells), Seq("j", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  /** KMV set-similarity sketch — the set-operations member of the
+    * portable family (HLL counts, CMS frequencies, KMV quantiles,
+    * and now KMV resemblance): Jaccard, union-cardinality and
+    * intersection-cardinality estimates for two key sets from ONE
+    * bottom-k pass (Beyer et al., SIGMOD'07 / Broder's minwise
+    * resemblance). U = the k smallest portable-md5 hashes of
+    * A ∪ B is a uniform size-k sample of the union (min-wise), so
+    * J ≈ |U ∩ A ∩ B| / |U|; |A ∪ B| ≈ (k−1)·2⁶⁰ / (h_k + 1)
+    * (the classic kth-minimum estimator — exact count when the
+    * union has fewer than k keys); |A ∩ B| ≈ J · |A ∪ B|.
+    *
+    * Scale shape: each side reduces to its distinct hashed keys
+    * (map-side partial distinct), the bottom-k is
+    * TakeOrderedAndProject (per-partition heap + k-row driver
+    * merge), and the membership probes are broadcast semi-join
+    * lookups of a k-row frame — nothing wider than k rows past the
+    * distincts at any input size.
+    *
+    * Deterministic end to end (md5 hashes, integer h_k, one fixed
+    * double-op chain), so the DuckDB oracle replays estimates
+    * bit-for-bit; the error-bound spec pins |Ĵ − J| on the fixture.
+    */
+  def kmvSetSimilarity(a: DataFrame, b: DataFrame, key: String,
+                       k: Int = K): DataFrame = {
+    val ha = a.select(h60(col(key)).as("h")).distinct()
+    val hb = b.select(h60(col(key)).as("h")).distinct()
+    val u = ha.union(hb).distinct().orderBy("h").limit(k)
+    u.join(ha.select(col("h"), lit(1).as("ia")), Seq("h"), "left")
+      .join(hb.select(col("h"), lit(1).as("ib")), Seq("h"), "left")
+      .agg(
+        count(lit(1)).cast("int").as("k_used"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .cast("int").as("matches"),
+        max(col("h")).as("h_k"))
+      .select(col("k_used"), col("matches"), col("h_k"),
+        round(col("matches").cast("double") /
+          col("k_used").cast("double"), 6).as("jaccard_est"),
+        // exact when the union fits in k; kth-minimum estimator
+        // otherwise — ((k−1)·2⁶⁰)/(h_k+1), written as ONE
+        // left-to-right chain so DuckDB folds identically
+        round(when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            (col("h_k").cast("double") + lit(1.0))), 4)
+          .as("union_est"))
+      .withColumn("inter_est",
+        round(col("matches").cast("double") /
+          col("k_used").cast("double") * col("union_est"), 4))
+  }
 }

@@ -341,6 +341,29 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // KMV set-similarity — the SET-OPERATIONS member of the portable
+    // sketch family (HLL counts / CMS frequencies / KMV quantiles):
+    // Jaccard + union/intersection cardinality estimates for two key
+    // sets from one bottom-k pass over the hashed union (minwise
+    // resemblance; Beyer et al. SIGMOD'07 kth-minimum estimator).
+    // Here: how much does the 1995 customer base overlap 1996's —
+    // the audience-overlap / corpus-shard-overlap question that at
+    // 100 TB cannot afford an exact distinct intersection. Each side
+    // reduces to distinct hashes map-side; past that only k rows
+    // move. Deterministic md5 hashing + one fixed double chain ⇒
+    // DuckDB replays every estimate bit-for-bit (hash-gated);
+    // PortableSketchSpec pins |Ĵ − J| against the exact overlap.
+    "q_sketch_jaccard" -> ((s, d) => {
+      import graft.operators.PortableSketch
+      def buyers(yr: String, next: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(yr).cast("timestamp_ntz") &&
+          col("o_orderdate") < lit(next).cast("timestamp_ntz"))
+        .select("o_custkey")
+      PortableSketch.kmvSetSimilarity(
+        buyers("1995-01-01", "1996-01-01"),
+        buyers("1996-01-01", "1997-01-01"), "o_custkey")
+    }),
+
     // Incremental sketch maintenance — the 100 TB distinct-count
     // pattern: per-DAY HLL register frames are built once (one pass
     // over the day's events), then ANY range rolls up by sketch
@@ -648,6 +671,49 @@ object AggQueries {
         |  MAX(CASE WHEN rn = FLOOR(0.99 * (n - 1)) + 1 THEN v END)
         |    AS p99
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full KMV resemblance replay: distinct md5 hashes per side,
+    // bottom-256 of the union, membership flags, and the SAME fixed
+    // double chains (matches/k_used; 255·2⁶⁰/(h_k+1); product with
+    // the ROUNDED union_est) — bit-equal to kmvSetSimilarity.
+    "q_sketch_jaccard" ->
+      """WITH a AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01'),
+        |b AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        |u AS (
+        |  SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+        |  ORDER BY h LIMIT 256),
+        |f AS (
+        |  SELECT u.h,
+        |    CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+        |  FROM u LEFT JOIN a ON a.h = u.h LEFT JOIN b ON b.h = u.h),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS INT) AS k_used,
+        |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |      AS INT) AS matches,
+        |    MAX(h) AS h_k
+        |  FROM f),
+        |e AS (
+        |  SELECT k_used, matches, h_k,
+        |    round(CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE), 6)
+        |      AS jaccard_est,
+        |    round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+        |      ELSE 255.0 * 1152921504606846976.0 /
+        |           (CAST(h_k AS DOUBLE) + 1.0) END, 4) AS union_est
+        |  FROM g)
+        |SELECT k_used, matches, h_k, jaccard_est, union_est,
+        |  round(CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)
+        |        * union_est, 4) AS inter_est
+        |FROM e""".stripMargin,
     // Two-stage KMV replay: fine bottom-K per (flag, status), then
     // bottom-K of the union per flag on the same hashes.
     "q_sketch_quantile_merge" ->

@@ -147,6 +147,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The step a real dedup pipeline runs AFTER clustering: pick ONE
+    // canonical representative per near-dup cluster and mark the rest
+    // for deletion. Policy: keep the most complete version (max token
+    // count, ties to the lowest doc_id) — deterministic, and exactly
+    // the decision that pairwise dedup gets wrong on A~B~C chains
+    // (see ConnectedComponents scaladoc). Reuses the memoized cluster
+    // pair frame; the window is per-cluster, so at 100 TB it
+    // partitions by component — no global ordering anywhere.
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = graft.operators.ConnectedComponents.dedupClusters(
+          docs.filter(col("doc_id") < 300).select("doc_id"),
+          clusterPairs(s, d))
+        .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
+      val toks = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp")
+        .orderBy(col("n_toks").desc, col("doc_id").asc)
+      comps.join(toks, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "comp", "cluster_size", "n_toks", "keep")
+        .orderBy("doc_id")
+    }),
+
     "q_ann_lsh" -> ((s, d) =>
       AnnSearch.lshTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
 
@@ -189,6 +215,15 @@ object LlmQueries {
     // the plain-IVF path at strictly smaller candidate bytes.
     "q_ann_ivfpq" -> ((s, d) =>
       AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
+
+    // Filtered ∘ composed: the COMPLETE production retrieval shape —
+    // shared IVF-PQ index, metadata predicate restricting the code
+    // table before the cell-local ADC, exact re-rank of qualifying
+    // survivors only. Same oracle replay with the candidate side
+    // label-filtered.
+    "q_ann_ivfpq_filtered" -> ((s, d) =>
+      AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
+        candidateFilter = col("label") === 1)),
 
     // Hash-proof gate for the ANN machinery: per-query recall@5 of
     // the LSH and IVF paths against the exact brute-force top-5.
@@ -411,7 +446,10 @@ object LlmQueries {
     * bigram-Jaccard pair derivation as q_dedup_ngram, threshold
     * 0.10); comp = MIN(reachable id) is exactly both engine
     * implementations' fixpoint. */
-  private val clustersOracle: String =
+  /** Shared CTE prefix: transitive closure + (doc_id, comp,
+    * cluster_size) as `comps` — consumed by clustersOracle (plain
+    * projection) and canonicalOracle (representative window). */
+  private val clustersCtePrefix: String =
     """WITH RECURSIVE
       |d AS (
       |  SELECT doc_id,
@@ -431,10 +469,32 @@ object LlmQueries {
       |reach AS (
       |  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id < 300
       |  UNION
-      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
-      |SELECT doc_id, comp,
-      |  COUNT(*) OVER (PARTITION BY comp) AS cluster_size
-      |FROM (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id)
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+      |comps AS (
+      |  SELECT doc_id, comp,
+      |    COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      |  FROM (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id))""".stripMargin
+
+  private val clustersOracle: String =
+    s"""$clustersCtePrefix
+      |SELECT doc_id, comp, cluster_size FROM comps
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_dedup_canonical oracle: the representative window on top of
+    * the same closure — keep = rank 1 by (n_toks DESC, doc_id ASC)
+    * within the component. */
+  private val canonicalOracle: String =
+    s"""$clustersCtePrefix,
+      |tk AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT)
+      |    AS n_toks
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id, comp, cluster_size, n_toks, (rn = 1) AS keep
+      |FROM (
+      |  SELECT c.doc_id, c.comp, c.cluster_size, tk.n_toks,
+      |    row_number() OVER (PARTITION BY c.comp
+      |      ORDER BY tk.n_toks DESC, c.doc_id ASC) AS rn
+      |  FROM comps c JOIN tk USING (doc_id))
       |ORDER BY doc_id""".stripMargin
 
   private def stopList(lang: String): String =
@@ -793,7 +853,7 @@ object LlmQueries {
     * dot(q, cv_cell) + t0 + … + t15 (16 subspaces × 4 dims) — SQL's
     * `+` chain mirrors the engine's foldLeft. Shortlist 45 → exact
     * cosine top-5. */
-  private val annIvfPqOracle: String = {
+  private def ivfPqOracleSql(candPred: String): String = {
     val m = 16
     val sub = 4
     // coarse Lloyd iteration — annIvfOracle's iter(), verbatim
@@ -853,7 +913,7 @@ object LlmQueries {
     val adcSum = (0 until m).map(s =>
       s"MAX(CASE WHEN s = $s THEN ts END)").mkString(" + ")
     s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
        |  FROM embeddings WHERE vec_id < 200),
        |c0 AS (
        |  SELECT cell, v AS cv FROM (
@@ -910,7 +970,8 @@ object LlmQueries {
        |cand AS (
        |  SELECT p.a_id, a.b_id, a.cell
        |  FROM prb p JOIN asg a USING (cell)
-       |  WHERE p.a_id <> a.b_id),
+       |  JOIN e be ON be.vec_id = a.b_id
+       |  WHERE p.a_id <> a.b_id AND $candPred),
        |cterm AS (
        |  SELECT c.a_id, c.b_id,
        |    list_inner_product(ea.v, cc.cv) AS tc
@@ -943,6 +1004,13 @@ object LlmQueries {
        |WHERE rk <= 5
        |ORDER BY a_id, rk""".stripMargin
   }
+
+  private val annIvfPqOracle: String = ivfPqOracleSql("TRUE")
+
+  /** Filtered composed index: same shared-index replay, candidate
+    * side restricted to label = 1 before the ADC ranks. */
+  private val annIvfPqFilteredOracle: String =
+    ivfPqOracleSql("be.label = 1")
 
   /** DuckDB replay of the PORTABLE simhash fingerprints
     * ([[graft.operators.ApproxDedup.simhashOf]]): per distinct token,
@@ -1002,6 +1070,7 @@ object LlmQueries {
     "q_ann_filtered" -> annFilteredOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_ann_ivfpq_filtered" -> annIvfPqFilteredOracle,
     // Brute-force 3-gram Jaccard over all doc pairs. Sound as the
     // LSH oracle on THIS corpus because every qualifying pair has
     // j ≥ 0.9, where 8-band/4-row recall is complete (per-pair miss
@@ -1152,6 +1221,7 @@ object LlmQueries {
     // 0.10); comp = MIN(reachable id) matches min-label propagation's
     // fixpoint exactly.
     "q_dedup_clusters" -> clustersOracle,
+    "q_dedup_canonical" -> canonicalOracle,
     // Identical oracle: both component implementations (label
     // propagation, star contraction) must produce the same clusters.
     "q_dedup_clusters_star" -> clustersOracle,

@@ -166,6 +166,25 @@ class AnnSearchSpec extends SparkSpec {
       "candidate join must key on the coarse cell id")
   }
 
+  test("filtered ivfPqTopK returns only qualifying candidates, " +
+      "ranked by exact cosine") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val exact = AnnSearch.bruteTopK(e, k = 199, maxId = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = AnnSearch.ivfPqTopK(e, k = 5, maxId = 200,
+      candidateFilter = col("label") === 1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) == 1,
+        s"non-qualifying candidate ${r.getLong(1)}")
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key) && exact(key) == r.getDouble(2),
+        s"pair $key similarity mismatch")
+    }
+  }
+
   test("pqTrain codebooks are deterministic; codes stay in [0, k)") {
     val e = Tables.embeddings(spark, dir)
     val a = AnnSearch.pqTrain(e.filter(org.apache.spark.sql.functions

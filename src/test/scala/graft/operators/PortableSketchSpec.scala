@@ -144,6 +144,34 @@ class PortableSketchSpec extends SparkSpec {
     assert(est.getAs[Long]("n_sample") == PortableSketch.K)
   }
 
+  test("KMV set-similarity: estimates track exact Jaccard/union/" +
+    "intersection within the k=256 error bound; exact under k") {
+    import spark.implicits._
+    // two overlapping id sets with known exact overlap:
+    // A = [0, 4000), B = [2000, 7000) → J = 2000/7000 ≈ 0.2857
+    val a = spark.range(0, 4000).toDF("id")
+    val b = spark.range(2000, 7000).toDF("id")
+    val r = PortableSketch.kmvSetSimilarity(a, b, "id").head()
+    val (j, u, i) = (r.getAs[Double]("jaccard_est"),
+      r.getAs[Double]("union_est"), r.getAs[Double]("inter_est"))
+    val (exJ, exU, exI) = (2000.0 / 7000, 7000.0, 2000.0)
+    // minwise-sample std ≈ sqrt(J(1-J)/k) ≈ 0.028; 4σ margin
+    assert(math.abs(j - exJ) < 0.12, s"jaccard_est=$j")
+    // kth-minimum estimator relative std ≈ 1/sqrt(k) ≈ 6%; 4σ
+    assert(math.abs(u - exU) / exU < 0.25, s"union_est=$u")
+    assert(math.abs(i - exI) / exI < 0.35, s"inter_est=$i")
+    // run-to-run determinism (md5 hashing, no RNG)
+    assert(PortableSketch.kmvSetSimilarity(a, b, "id").head() == r)
+    // unions smaller than k are counted EXACTLY
+    val small = PortableSketch
+      .kmvSetSimilarity(spark.range(0, 60).toDF("id"),
+        spark.range(30, 100).toDF("id"), "id").head()
+    assert(small.getAs[Int]("k_used") == 100)
+    assert(small.getAs[Double]("union_est") == 100.0)
+    assert(small.getAs[Int]("matches") == 30)
+    assert(small.getAs[Double]("jaccard_est") == 0.3)
+  }
+
   test("portable CMS cells: estimate via min-over-rows is " +
     "deterministic and bounded") {
     val li = Tables.lineitem(spark, dir)
