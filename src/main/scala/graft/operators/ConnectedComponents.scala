@@ -44,8 +44,11 @@ object ConnectedComponents {
     * recent [[components]] / [[starComponents]] call on this JVM —
     * read by the scale probe (graft.RoundsProbe) to prove round
     * counts are data-independent (diameter- resp. log-bounded, never
-    * volume-bounded) when the corpus grows 30×. Not part of any
-    * result contract. */
+    * volume-bounded) when the corpus grows 30×. For [[components]]
+    * the count has BATCH granularity (steps execute in pairs, so it
+    * is always even and may overstate the minimal round count by
+    * one) — consistent across runs, which is all the base-vs-30×
+    * equality proof needs. Not part of any result contract. */
   val lastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** (id, comp) for every node in `nodes`, where comp = min node id
@@ -83,7 +86,10 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var round = 0
     var converged = false
-    while (!converged && round < maxIter) {
+    // round + 2 <= maxIter: the batch consumes two rounds, and the
+    // documented safety bound must never be exceeded (round < maxIter
+    // would admit maxIter + 1 propagation rounds on odd bounds)
+    while (!converged && round + 2 <= maxIter) {
       // TWO propagation rounds per checkpoint + convergence probe:
       // near-dup cluster runs at sf0.1 are dominated by per-round job
       // launch, not data volume, so halving the job count (one
@@ -112,7 +118,7 @@ object ConnectedComponents {
     // for high-diameter graphs use starComponents.
     if (!converged)
       throw new IllegalStateException(
-        s"label propagation did not converge in $maxIter rounds " +
+        s"label propagation did not converge in $round rounds " +
           "(component diameter exceeds maxIter); raise maxIter or use " +
           "starComponents, which needs O(log^2 n) rounds")
     labels

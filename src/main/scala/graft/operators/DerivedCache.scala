@@ -25,8 +25,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and the map is keyed per live session — entries die with the JVM.
   */
 object DerivedCache {
+  // Keyed by sessionUUID (globally unique per session) — an identity
+  // hash could repeat after GC and serve a frame bound to a STOPPED
+  // context to a fresh session.
   private val cache =
-    new ConcurrentHashMap[(Int, String), DataFrame]()
+    new ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Monotone count of builds actually executed — lets a harness
+    * attribute a query's one-time build cost (Bench exempts
+    * build-paying first-pass times from rerun min-adoption: a rerun
+    * hits the memo and would otherwise under-record the key
+    * forever). */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The memoized frame for `key` under `spark`, building (and
     * eagerly checkpointing) it on first use. `build` runs at most
@@ -34,8 +44,8 @@ object DerivedCache {
   def memo(spark: SparkSession, key: String)(build: => DataFrame)
       : DataFrame =
     cache.computeIfAbsent(
-      (System.identityHashCode(spark), key),
-      _ => build.localCheckpoint(true))
+      (org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark), key),
+      _ => { buildCount.incrementAndGet(); build.localCheckpoint(true) })
 
   /** Test hook: drop all entries (e.g. between fixture rewrites). */
   def clear(): Unit = cache.clear()

@@ -288,16 +288,23 @@ object PortableSketch {
     */
   def kmvSetSimilarity(a: DataFrame, b: DataFrame, key: String,
                        k: Int = K): DataFrame = {
-    val ha = a.select(h60(col(key)).as("h")).distinct()
-    val hb = b.select(h60(col(key)).as("h")).distinct()
+    // persisted: each side's distinct feeds BOTH the union (for u)
+    // and its membership probe — without the persist the distinct
+    // aggregation would run twice per side
+    val ha = a.select(h60(col(key)).as("h")).distinct().persist()
+    val hb = b.select(h60(col(key)).as("h")).distinct().persist()
     val u = ha.union(hb).distinct().orderBy("h").limit(k)
-    u.join(ha.select(col("h"), lit(1).as("ia")), Seq("h"), "left")
-      .join(hb.select(col("h"), lit(1).as("ib")), Seq("h"), "left")
-      .agg(
-        count(lit(1)).cast("int").as("k_used"),
-        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
-          .cast("int").as("matches"),
-        max(col("h")).as("h_k"))
+    // membership probes stream each corpus-scale side ONCE against
+    // the broadcast k-row sample (only the right side of a semi-join
+    // broadcasts, so u must be the build side): u∩A, then (u∩A)∩B —
+    // at most k rows survive each step
+    val inA = ha.join(broadcast(u), Seq("h"), "left_semi")
+    val inBoth = hb.join(broadcast(inA), Seq("h"), "left_semi")
+    val uAgg = u.agg(count(lit(1)).cast("int").as("k_used"),
+      max(col("h")).as("h_k"))
+    val mAgg = inBoth.agg(count(lit(1)).cast("int").as("matches"))
+    // single-row × single-row: the allow-listed broadcast-scalar cross
+    uAgg.crossJoin(mAgg)
       .select(col("k_used"), col("matches"), col("h_k"),
         round(col("matches").cast("double") /
           col("k_used").cast("double"), 6).as("jaccard_est"),

@@ -26,6 +26,13 @@ object GraftColumnBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Bridge to the `private[sql]` per-session UUID — globally unique
+    * per SparkSession instance (unlike an identity hash, which can
+    * repeat after GC). Used by [[graft.operators.DerivedCache]] as
+    * its session key. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Bridge to `private[sql]` Observation.getOrEmpty — the NON-blocking
     * metrics read (returns after its short internal wait instead of
     * parking the caller forever when the listener event was shed).

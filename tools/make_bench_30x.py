@@ -25,11 +25,20 @@ import json
 import sys
 
 
-def main(base_p, x30_p, rounds_p, out_p):
+def main(base_p, x30_p, rounds_p, out_p, copies="30"):
+    copies = float(copies)
     base = json.load(open(base_p))
     x30 = json.load(open(x30_p))
     rounds = json.load(open(rounds_p))
     bq, xq = base["queries"], x30["queries"]
+    # the base record may be the full committed registry; every
+    # summary number below must be scoped to the keys the x30 run
+    # actually timed, or the headline comparison is nonsense
+    bq = {q: v for q, v in bq.items() if q in xq}
+    missing = sorted(set(xq) - set(bq))
+    if missing:
+        print(f"WARNING: base record lacks {missing}; their rows "
+              "carry no ratio")
     brows, xrows = base.get("rows", {}), x30.get("rows", {})
     rows = {}
     for q in sorted(xq):
@@ -67,8 +76,8 @@ def main(base_p, x30_p, rounds_p, out_p):
         if (e.get("rows_ratio") == 1.0 and "bounded_contract" not in e
                 and "ratio" in e):
             e["fixed_output"] = True
-            e["input_ratio"] = 30.0
-            e["sec_per_input_ratio"] = round(e["ratio"] / 30.0, 3)
+            e["input_ratio"] = copies
+            e["sec_per_input_ratio"] = round(e["ratio"] / copies, 3)
     ratios = sorted(e["ratio"] for e in rows.values() if "ratio" in e)
     # per-unit percentiles: output-normalized for fan-out keys,
     # input-normalized for fixed-output keys; bounded-contract keys
@@ -115,4 +124,4 @@ def main(base_p, x30_p, rounds_p, out_p):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:5])
+    main(*sys.argv[1:6])
