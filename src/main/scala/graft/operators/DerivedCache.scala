@@ -39,13 +39,28 @@ object DerivedCache {
   val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The memoized frame for `key` under `spark`, building (and
-    * eagerly checkpointing) it on first use. `build` runs at most
-    * once per (session, key). */
+    * eagerly checkpointing) it on first use.
+    *
+    * The build runs OUTSIDE the map operation: a build that itself
+    * memoizes a nested derived frame (clusterComps → clusterPairs)
+    * would throw ConcurrentHashMap's "Recursive update" from inside
+    * `computeIfAbsent`. The cost is that two racing first callers can
+    * both execute the (idempotent) build; `putIfAbsent` makes the
+    * first publish win, so every caller still shares one checkpointed
+    * frame and the loser's duplicate is garbage-collected with its
+    * RDD blocks. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame)
-      : DataFrame =
-    cache.computeIfAbsent(
-      (org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark), key),
-      _ => { buildCount.incrementAndGet(); build.localCheckpoint(true) })
+      : DataFrame = {
+    val k = (org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark), key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      buildCount.incrementAndGet()
+      val built = build.localCheckpoint(true)
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Test hook: drop all entries (e.g. between fixture rewrites). */
   def clear(): Unit = cache.clear()

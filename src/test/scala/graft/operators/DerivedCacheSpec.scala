@@ -29,6 +29,27 @@ class DerivedCacheSpec extends SparkSpec {
     assert(b.select("tag").distinct().as[String].collect().toSeq == Seq("b"))
   }
 
+  test("a build may itself memoize a nested derived frame " +
+      "(clusterComps builds over memoized clusterPairs) — the regression " +
+      "that threw ConcurrentHashMap's 'Recursive update' under " +
+      "computeIfAbsent when the inner key was cold") {
+    val outer = s"spec_nested_outer_${System.nanoTime()}"
+    val inner = s"spec_nested_inner_${System.nanoTime()}"
+    val df = DerivedCache.memo(spark, outer) {
+      val base = DerivedCache.memo(spark, inner)(
+        spark.range(10).select($"id"))
+      base.select(($"id" * 2).as("id2"))
+    }
+    assert(df.agg(sum("id2")).first().getLong(0) == 2L * 10 * 9 / 2)
+    // both levels are cached independently
+    val innerAgain = DerivedCache.memo(spark, inner)(
+      sys.error("inner must be cached"))
+    assert(innerAgain.count() == 10)
+    val outerAgain = DerivedCache.memo(spark, outer)(
+      sys.error("outer must be cached"))
+    assert(outerAgain.count() == 10)
+  }
+
   test("memoized frame survives spark.catalog.clearCache() and stays " +
       "readable (checkpointed blocks, not SQL cache)") {
     val key = s"spec_clear_${System.nanoTime()}"
