@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): score every document in a large RAW pool by how
+  * much its hashed-token distribution looks like a small TARGET
+  * corpus, then keep the highest-scoring docs — the standard way a
+  * pretraining pipeline skims "wiki-like" data out of a web crawl.
+  *
+  * The importance weight of a document is the log-likelihood ratio of
+  * its hashed bag-of-tokens under two smoothed unigram bucket models:
+  *
+  *   log w(doc) = Σ_b cnt_doc(b) · ln( p_target(b) / p_raw(b) )
+  *
+  * with add-one smoothing, p(b) = (cnt(b)+1) / (N+B) over B hash
+  * buckets (the paper's hashed n-gram generative model, unigram
+  * instantiation).
+  *
+  * Determinism / portability: tokens map to buckets with the portable
+  * md5 hash ([[graft.functions.HashExpressions.md5Long]], the same
+  * bits DuckDB reproduces); the per-bucket log-ratio — the ONLY
+  * transcendental in the engine — is micro-quantized once per bucket
+  * (`round(ln(·)·1e6)` as BIGINT), so each document's score is an
+  * exact integer dot product: order-independent, layout-independent,
+  * and replayable bit-for-bit by the oracle. A cross-engine ulp
+  * difference in `ln` flips a score only when ln(ratio)·1e6 lands
+  * within ~1e-9 of a rounding boundary in one of the ≤B cells —
+  * the same accepted risk class as the engine's `round(x, 9)`
+  * division discipline.
+  *
+  * Scale: both bucket-count model frames are ≤ B rows (B=1024 here) —
+  * they build with map-side partial aggregation over the token
+  * stream and BROADCAST onto the per-(doc, bucket) frame, so scoring
+  * adds zero wide shuffles beyond the one hash shuffle that collapses
+  * (doc, bucket) counts (8-byte keys, map-side combine eats repeated
+  * tokens first). Token Zipf skew is irrelevant: hot tokens collapse
+  * per map task before any shuffle, and the model join is broadcast.
+  * Selection is a `TakeOrderedAndProject` top-k, not a global sort.
+  * This is exactly the shape that lets DSIR run over 100 TB in one
+  * pass in the paper's own pipeline.
+  */
+object ImportanceResampling {
+
+  /** (id, bkt) token-bucket occurrences of `df`'s `textCol`. */
+  private def tokenBuckets(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol),
+        (graft.functions.HashExpressions.md5Long(col("__w"), 8)
+          % buckets).as("bkt"))
+
+  /** Per-pool-document DSIR importance scores: one row per `pool`
+    * doc with `n_toks` (its token count) and `score` (the
+    * micro-quantized log-likelihood ratio, BIGINT micro-nats —
+    * higher = more target-like). `target` and `pool` both carry
+    * (`idCol`, `textCol`). */
+  def dsirScores(target: DataFrame, pool: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    val b = lit(buckets.toLong)
+    val tTok = tokenBuckets(target, idCol, textCol, buckets)
+    val rTok = tokenBuckets(pool, idCol, textCol, buckets)
+    val tCnt = tTok.groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val rCnt = rTok.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    // single-row totals → the allow-listed broadcast-scalar cross
+    val tot = tCnt.agg(sum(col("ct")).as("nt"))
+      .crossJoin(rCnt.agg(sum(col("cr")).as("nr")))
+    // Only buckets the POOL occupies can contribute to a pool doc's
+    // score, so the model table is rCnt-anchored; absent target
+    // buckets smooth to ct=0. Double multiply keeps the ratio
+    // overflow-free at any corpus size (exact to 2^53 and evaluated
+    // by the identical IEEE expression tree on both engines).
+    val lr = rCnt.join(tCnt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
+            (col("nr") + b).cast("double")) /
+          ((col("cr") + 1L).cast("double") *
+            (col("nt") + b).cast("double"))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    val docBkt = rTok.groupBy(idCol, "bkt").agg(count(lit(1)).as("c"))
+    docBkt.join(broadcast(lr), "bkt")
+      .groupBy(idCol)
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        sum(col("c") * col("lr_micro")).cast("long").as("score"))
+  }
+
+  /** DSIR selection: the `k` most target-like pool documents by
+    * [[dsirScores]], ties to the lowest id — the paper's top-k
+    * variant of the final resampling step, kept deterministic. */
+  def dsirTopK(target: DataFrame, pool: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame =
+    dsirScores(target, pool, idCol, textCol, buckets)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

@@ -169,6 +169,38 @@ object Sampling {
     (graft.functions.HashExpressions.md5Long(key.cast("string"), 8)
       .cast("double") + 1.0) / 4294967297.0
 
+  /** Uniform k-sample per group — the distributed, order-free
+    * equivalent of running one reservoir (Vitter's Algorithm R) per
+    * group: every row draws a stable uniform key from its id
+    * ([[md5Uniform]]'s md5 bits) and each group keeps its k smallest
+    * keys. Keeping the k smallest of n i.i.d. uniforms is exactly a
+    * uniform n-choose-k draw, so the marginal distribution matches
+    * the sequential reservoir — without the sequential scan, and
+    * DETERMINISTIC: reproducible run-to-run, partition-layout
+    * independent, auditable from any engine with md5 (unlike
+    * `df.sample`/`sampleBy`'s per-partition RNG).
+    *
+    * `pos` (1..k, the rank of the row's key within its group) comes
+    * out for free and gives consumers a stable sub-sampling order:
+    * `pos <= j` is the same draw at a smaller k.
+    *
+    * Scale: one hash shuffle on the group key; the `row_number <= k`
+    * filter is recognized by Spark's WindowGroupLimit rule, which
+    * inserts a per-partition top-k (heap, not sort) BEFORE the
+    * shuffle — so each map task forwards at most k rows per group
+    * it sees, never the group's full contents. */
+  def reservoirPerGroup(df: DataFrame, key: String, group: String,
+                        k: Int): DataFrame = {
+    require(k > 0)
+    val rk = graft.functions.HashExpressions.md5Long(
+      col(key).cast("string"), 8)
+    val w = Window.partitionBy(group).orderBy(col("__rsv_key"), col(key))
+    df.withColumn("__rsv_key", rk)
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+      .drop("__rsv_key")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis
     * A-Res): rank rows by `u^(1/w)` with u = [[md5Uniform]] and take
     * the global top-k — each row's selection probability is

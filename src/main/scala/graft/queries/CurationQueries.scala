@@ -142,6 +142,36 @@ object CurationQueries {
         .select(col("doc_id"), col("n_chars"),
           round(col("es_key"), 9).as("es_key"))),
 
+    // Per-group uniform k-sample — the deterministic distributed
+    // reservoir (keep the k smallest stable uniform keys per group;
+    // see Sampling.reservoirPerGroup for the WindowGroupLimit
+    // partial-top-k scale argument). 5 docs per language here: the
+    // "eyeball a fixed-size sample of every slice" QA step.
+    "q_sample_reservoir" -> ((s, d) =>
+      Sampling.reservoirPerGroup(
+          Tables.documents(s, d).select("doc_id", "lang", "source"),
+          "doc_id", "lang", k = 5)
+        .select("lang", "pos", "doc_id", "source")
+        .orderBy("lang", "pos")),
+
+    // DSIR data selection (Xie et al. 2023): score every non-src0
+    // document by the log-likelihood ratio of its hashed unigrams
+    // under target-vs-raw smoothed bucket models (target = src0),
+    // keep the 100 most target-like. Scores are exact BIGINT micro-
+    // nat dot products over a broadcast ≤1024-row model — see
+    // ImportanceResampling for the one-pass 100 TB shape and the
+    // micro-quantized-ln portability argument.
+    "q_select_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.ImportanceResampling.dsirTopK(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", k = 100)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_toks", "score")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // THE pipeline: every curation stage composed as ONE declarative
     // plan — quality gate (per-language thresholds) → exact dedup
     // (lowest id per identical text) → benchmark decontamination
@@ -412,6 +442,55 @@ object CurationQueries {
         |FROM u
         |ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
         |LIMIT 100""".stripMargin,
+    // Replays the identical per-group draw: same md5 bits → same
+    // uniform keys → same k smallest per language.
+    "q_sample_reservoir" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |                                  1, 8))::BIGINT, doc_id)
+        |      AS INT) AS pos
+        |  FROM documents)
+        |SELECT lang, pos, doc_id, source FROM r
+        |WHERE pos <= 5 ORDER BY lang, pos""".stripMargin,
+    // Replays the full DSIR pipeline: same md5 token buckets, the
+    // same smoothed count model, the identical IEEE double ratio
+    // expression under ln, micro-quantized to the same BIGINT cell
+    // values — doc scores are then exact integer dot products on
+    // both engines.
+    "q_select_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS bkt
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |tcnt AS (SELECT bkt, COUNT(*) AS ct FROM tok
+        |         WHERE source = 'src0' GROUP BY bkt),
+        |rcnt AS (SELECT bkt, COUNT(*) AS cr FROM tok
+        |         WHERE source <> 'src0' GROUP BY bkt),
+        |tot AS (SELECT (SELECT SUM(ct) FROM tcnt) AS nt,
+        |               (SELECT SUM(cr) FROM rcnt) AS nr),
+        |lr AS (
+        |  SELECT r.bkt,
+        |    CAST(ROUND(ln(
+        |        (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) *
+        |         CAST(tot.nr + 1024 AS DOUBLE)) /
+        |        (CAST(r.cr + 1 AS DOUBLE) *
+        |         CAST(tot.nt + 1024 AS DOUBLE))) * 1000000.0, 0)
+        |      AS BIGINT) AS lr_micro
+        |  FROM rcnt r LEFT JOIN tcnt t USING (bkt), tot),
+        |docb AS (
+        |  SELECT doc_id, bkt, COUNT(*) AS c FROM tok
+        |  WHERE source <> 'src0' GROUP BY doc_id, bkt),
+        |score AS (
+        |  SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_toks,
+        |         CAST(SUM(d.c * lr.lr_micro) AS BIGINT) AS score
+        |  FROM docb d JOIN lr USING (bkt) GROUP BY d.doc_id)
+        |SELECT s.doc_id, doc.lang, doc.source, s.n_toks, s.score
+        |FROM score s JOIN documents doc USING (doc_id)
+        |ORDER BY s.score DESC, s.doc_id LIMIT 100""".stripMargin,
     // Replays the full five-stage composition; gram windows mirror
     // the engine's NgramHashes64 kernel (incl. the short-doc
     // fallback), dedup groups by the text itself (hash-invariant).

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class ImportanceResamplingSpec extends SparkSpec {
+  import spark.implicits._
+  private val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+  private val B = 1024
+
+  /** The engine's exact rounding: BigDecimal HALF_UP on the raw
+    * double, the semantics of Spark's `round` (and of DuckDB's
+    * half-away-from-zero ROUND on the same IEEE value). */
+  private def microNats(x: Double): Long =
+    BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def bucketStream(rows: Array[(Long, String)]): Array[(Long, Long)] =
+    rows.flatMap { case (id, t) =>
+      // split(col, " ") in Spark keeps trailing empties → limit -1
+      t.split(" ", -1).map { w =>
+        (id, graft.functions.Md5Long.compute(
+          UTF8String.fromString(w), 8) % B)
+      }
+    }
+
+  test("dsirScores matches an independent brute-force log-likelihood " +
+      "ratio computation (JVM md5 + Math.log twin)") {
+    val target = docs.filter($"source" === "src0")
+      .select("doc_id", "text")
+    val pool = docs.filter($"source" =!= "src0")
+      .select("doc_id", "text")
+    val got = ImportanceResampling
+      .dsirScores(target, pool, "doc_id", "text", B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    val tArr = bucketStream(target.collect()
+      .map(r => (r.getLong(0), r.getString(1))))
+    val rArr = bucketStream(pool.collect()
+      .map(r => (r.getLong(0), r.getString(1))))
+    val ct = tArr.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cr = rArr.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (nt, nr) = (tArr.length.toLong, rArr.length.toLong)
+    def lr(b: Long): Long = microNats(math.log(
+      ((ct.getOrElse(b, 0L) + 1).toDouble * (nr + B).toDouble) /
+        ((cr(b) + 1).toDouble * (nt + B).toDouble)))
+    val expect = rArr.groupBy(_._1).map { case (id, toks) =>
+      val perBkt = toks.groupBy(_._2).view.mapValues(_.length.toLong)
+      (id, toks.length.toLong,
+        perBkt.map { case (b, c) => c * lr(b) }.sum)
+    }.toSet
+    assert(got == expect)
+    assert(got.size == pool.count())
+  }
+
+  test("dsirTopK is deterministic under physical layout and ranks " +
+      "target-like text above target-free text") {
+    val target = docs.filter($"source" === "src0")
+      .select("doc_id", "text")
+    val pool = docs.filter($"source" =!= "src0")
+      .select("doc_id", "text")
+    val a = ImportanceResampling
+      .dsirTopK(target, pool, "doc_id", "text", k = 100, B)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = ImportanceResampling
+      .dsirTopK(target.repartition(7), pool.repartition(13),
+        "doc_id", "text", k = 100, B)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+
+    // semantic check on a constructed corpus: a pool doc made of
+    // target vocabulary must outscore one of target-absent tokens
+    val t2 = Seq((1L, "wiki wiki facts facts"),
+      (2L, "wiki facts wiki facts")).toDF("doc_id", "text")
+    val p2 = Seq((10L, "wiki facts wiki"),
+      (11L, "spam zzz qqq")).toDF("doc_id", "text")
+    val s2 = ImportanceResampling
+      .dsirScores(t2, p2, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s2(10L) > s2(11L))
+  }
+}

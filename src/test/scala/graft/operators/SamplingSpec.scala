@@ -120,4 +120,41 @@ class SamplingSpec extends SparkSpec {
     assert(again == admitted.select("doc_id").collect()
       .map(_.getLong(0)).toSet)
   }
+
+  test("reservoirPerGroup matches the brute-force bottom-k draw per " +
+      "group, is layout-independent, and nests (pos<=j is the " +
+      "same draw at smaller k)") {
+    val k = 5
+    val got = Sampling.reservoirPerGroup(docs, "doc_id", "lang", k)
+      .select("lang", "doc_id", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // brute force: per group, the k smallest md5 keys (ties by id)
+    val all = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (_, id) =>
+        (graft.functions.Md5Long.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            id.toString), 8), id)
+      }.sorted.take(k).zipWithIndex
+        .map { case ((_, id), i) => (lang, id, i + 1) }
+    }.toSet
+    assert(got.toSet == expect)
+    // sizes: exactly min(k, |group|) per group
+    val sizes = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val groupN = all.groupBy(_._1).view.mapValues(_.length).toMap
+    groupN.foreach { case (g, n) =>
+      assert(sizes(g) == math.min(k, n), s"group $g") }
+    // layout independence
+    val again = Sampling.reservoirPerGroup(
+        docs.repartition(13), "doc_id", "lang", k)
+      .select("lang", "doc_id", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet == got.toSet)
+    // nesting: the k=2 draw is exactly the pos<=2 slice of the k=5 one
+    val k2 = Sampling.reservoirPerGroup(docs, "doc_id", "lang", 2)
+      .select("lang", "doc_id", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(k2.toSet == got.filter(_._3 <= 2).toSet)
+  }
 }
