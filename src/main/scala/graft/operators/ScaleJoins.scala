@@ -92,6 +92,68 @@ object ScaleJoins {
           .join(tail, keys))
   }
 
+  /** The optimizer confs that let Spark's runtime Bloom-filter
+    * injection (`InjectRuntimeFilter`) fire at fixture scale: the
+    * feature itself is on by default; only the application-side size
+    * gate (10 GB by default — i.e. "only bother for genuinely large
+    * scans", which a test fixture never is) needs lowering, and the
+    * broadcast threshold must be off: `InjectRuntimeFilter` refuses
+    * any join whose creation side is broadcast-able by size (a
+    * broadcast join reads the small side once and needs no runtime
+    * filter), and every fixture-scale dim IS broadcast-able — at
+    * 100 TB the filtered dim exceeds the 10 MB threshold on its own.
+    * Shared with ScaleJoinsSpec so the spec pins exactly what the
+    * operator runs under. */
+  val runtimeFilterConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Runtime-Bloom-filtered inner equi-join — the row-level sibling
+    * of dynamic partition pruning, and the third member of the skew/
+    * scale-join family (vs [[saltedJoin]]/[[aqeSkewJoin]], which
+    * reshape the shuffle, this one SHRINKS it): when `small` carries
+    * a selective filter, Spark builds a Bloom filter of its join keys
+    * in a subquery and applies `might_contain` to `large` BEFORE
+    * `large` is shuffled, so non-matching rows never enter the
+    * exchange. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~1% that survives the dim
+    * filter — with zero query rewrite.
+    *
+    * Result == `large.join(small, key)` exactly (a Bloom filter has
+    * no false negatives; false positives are caught by the join) —
+    * registered against the plain-join oracle, the
+    * q_join_salted/q_join_skew_aqe precedent.
+    *
+    * Mechanics: injection happens at optimization time under the
+    * [[runtimeFilterConfs]] gates, so the join is planned AND
+    * materialized (eager local checkpoint) inside a set/restore of
+    * those confs — scoping the fixture-scale threshold override to
+    * this one query instead of leaking it into every later plan in
+    * the session. On a real cluster the thresholds are left at their
+    * defaults cluster-wide and this helper degenerates to the plain
+    * join call. ScaleJoinsSpec pins that `might_contain` actually
+    * appears in the optimized plan and that results match the plain
+    * join.
+    */
+  def runtimeFilteredJoin(large: DataFrame, small: DataFrame,
+                          key: String): DataFrame = {
+    val conf = large.sparkSession.conf
+    val saved = runtimeFilterConfs.map { case (k, _) =>
+      k -> conf.getOption(k) }
+    runtimeFilterConfs.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // merge hint: keep the join a shuffle join — a broadcast join
+      // already reads the small side once and needs no runtime filter
+      // (InjectRuntimeFilter skips it).
+      large.hint("merge").join(small, key).localCheckpoint(true)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins
     * are shuffle-free (SortMergeJoin over pre-bucketed scans). Needs
     * a table catalog — callers pass distinct table names; returns the

@@ -152,6 +152,24 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
         .orderBy("o_orderkey")),
 
+    // Runtime-Bloom-filtered fact⋈dim: customer's selective segment
+    // filter becomes a Bloom subquery that prunes orders BEFORE the
+    // shuffle (row-level DPP — see ScaleJoins.runtimeFilteredJoin for
+    // the 100 TB shuffle-shrink argument). Same plain-join oracle:
+    // Bloom false positives are caught by the join, false negatives
+    // don't exist, so the result is exactly the filtered join.
+    "q_join_bloom" -> ((s, d) =>
+      graft.operators.ScaleJoins.runtimeFilteredJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_totalprice"),
+        Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
     // Catalyst won't push an aggregate through a join on its own, so
     // the revenue partial-aggregate by l_orderkey happens BEFORE the
     // orders join: the fact table is shuffled once (narrow: key +
@@ -294,6 +312,13 @@ object RelationalQueries {
     "q_join_skew_aqe" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // Same contract again: the runtime Bloom filter must not change
+    // the filtered join's result.
+    "q_join_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_multiway" ->
       """SELECT c_mktsegment,

@@ -222,4 +222,40 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("runtimeFilteredJoin: the Bloom runtime filter is actually " +
+      "injected, the result equals the plain join, and the conf " +
+      "overrides do not leak") {
+    val d = "/root/testdata/sf0.001"
+    val orders = graft.Tables.orders(spark, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = graft.Tables.customer(spark, d)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val confKeys = ScaleJoins.runtimeFilterConfs.map(_._1)
+    val before = confKeys.map(k => k -> spark.conf.getOption(k))
+
+    // plan evidence: under the operator's exact confs, the optimized
+    // plan carries the injected bloom probe on the application side
+    ScaleJoins.runtimeFilterConfs.foreach { case (k, v) =>
+      spark.conf.set(k, v) }
+    val planStr =
+      try orders.hint("merge").join(cust, "o_custkey")
+        .queryExecution.optimizedPlan.toString
+      finally before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    assert(planStr.contains("might_contain"),
+      s"expected an injected Bloom runtime filter, plan:\n$planStr")
+
+    val got = ScaleJoins.runtimeFilteredJoin(orders, cust, "o_custkey")
+    // conf restore: the fixture-scale thresholds must not leak into
+    // later plans in the session
+    assert(confKeys.map(k => k -> spark.conf.getOption(k)) == before)
+    val plain = orders.join(cust, "o_custkey")
+    assert(got.count() == plain.count())
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
 }
