@@ -51,6 +51,41 @@ object ImportanceResampling {
         (graft.functions.HashExpressions.md5Long(col("__w"), 8)
           % buckets).as("bkt"))
 
+  /** The trained model over the FULL bucket domain [0, buckets):
+    * one (bkt, lr_micro) row per bucket — `lr_micro` is the
+    * micro-quantized log-ratio ln(p_target(b)/p_raw(b))·1e6 as
+    * BIGINT. Total over the domain (not just observed buckets) so a
+    * later scorer — batch or streaming — can look up ANY token,
+    * including ones absent from both training corpora (those smooth
+    * to ct=cr=0). Always ≤ `buckets` rows: broadcast-sized by
+    * construction, the codebook contract of the ANN family. */
+  def bucketModel(target: DataFrame, pool: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    val b = lit(buckets.toLong)
+    val spark = target.sparkSession
+    val tCnt = tokenBuckets(target, idCol, textCol, buckets)
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val rCnt = tokenBuckets(pool, idCol, textCol, buckets)
+      .groupBy("bkt").agg(count(lit(1)).as("cr"))
+    // single-row totals → the allow-listed broadcast-scalar cross
+    val tot = tCnt.agg(sum(col("ct")).as("nt"))
+      .crossJoin(rCnt.agg(sum(col("cr")).as("nr")))
+    // Double multiply keeps the ratio overflow-free at any corpus
+    // size (exact to 2^53 and evaluated by the identical IEEE
+    // expression tree on both engines).
+    spark.range(buckets).select(col("id").as("bkt"))
+      .join(tCnt, Seq("bkt"), "left")
+      .join(rCnt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
+            (col("nr") + b).cast("double")) /
+          ((coalesce(col("cr"), lit(0L)) + 1L).cast("double") *
+            (col("nt") + b).cast("double"))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+  }
+
   /** Per-pool-document DSIR importance scores: one row per `pool`
     * doc with `n_toks` (its token count) and `score` (the
     * micro-quantized log-likelihood ratio, BIGINT micro-nats —
@@ -58,28 +93,8 @@ object ImportanceResampling {
     * (`idCol`, `textCol`). */
   def dsirScores(target: DataFrame, pool: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): DataFrame = {
-    val b = lit(buckets.toLong)
-    val tTok = tokenBuckets(target, idCol, textCol, buckets)
     val rTok = tokenBuckets(pool, idCol, textCol, buckets)
-    val tCnt = tTok.groupBy("bkt").agg(count(lit(1)).as("ct"))
-    val rCnt = rTok.groupBy("bkt").agg(count(lit(1)).as("cr"))
-    // single-row totals → the allow-listed broadcast-scalar cross
-    val tot = tCnt.agg(sum(col("ct")).as("nt"))
-      .crossJoin(rCnt.agg(sum(col("cr")).as("nr")))
-    // Only buckets the POOL occupies can contribute to a pool doc's
-    // score, so the model table is rCnt-anchored; absent target
-    // buckets smooth to ct=0. Double multiply keeps the ratio
-    // overflow-free at any corpus size (exact to 2^53 and evaluated
-    // by the identical IEEE expression tree on both engines).
-    val lr = rCnt.join(tCnt, Seq("bkt"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("bkt"),
-        round(log(
-          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
-            (col("nr") + b).cast("double")) /
-          ((col("cr") + 1L).cast("double") *
-            (col("nt") + b).cast("double"))) * 1e6, 0)
-          .cast("long").as("lr_micro"))
+    val lr = bucketModel(target, pool, idCol, textCol, buckets)
     val docBkt = rTok.groupBy(idCol, "bkt").agg(count(lit(1)).as("c"))
     docBkt.join(broadcast(lr), "bkt")
       .groupBy(idCol)
