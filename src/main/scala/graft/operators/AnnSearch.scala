@@ -387,36 +387,70 @@ object AnnSearch {
     * 100 TB; the only wide-row stage is the `rerank`-bounded exact
     * re-rank join.
     */
+  /** Trained IVFADC index artifacts — coarse centroids + the shared
+    * residual codebooks. Codebook-sized (nCentroids + m·k
+    * subvectors), so an index trains ONCE per corpus and serves
+    * every query shape (plain, filtered, streaming) — exactly how a
+    * production 100 TB index is operated; share via
+    * [[DerivedCache.memoValue]]. */
+  case class IvfPqIndex(centroids: Array[(Int, Seq[Float])],
+                        books: Array[Array[Seq[Float]]])
+
+  /** The residual frame r = v − centroid[cell] over the slice:
+    * r[i] = float(double(v[i]) − double(c[i])) — exact double
+    * subtraction of two floats, then one rounding, so DuckDB replays
+    * as CAST(v[i] − c[i] AS FLOAT). */
+  private def residualFrame(e: DataFrame,
+      centroids: Array[(Int, Seq[Float])]): DataFrame = {
+    // cell-indexed centroid literal (cells are 0-based contiguous by
+    // trainQuantizer's renumbering)
+    val centLit = typedLit(centroids.sortBy(_._1).map(_._2).toSeq)
+    assignCells(e, centroids).withColumn("residual",
+      zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+        (x, y) => (x.cast("double") - y.cast("double")).cast("float")))
+  }
+
+  /** Train the composed index: Lloyd coarse quantizer + ONE shared
+    * residual codebook (classic IVFADC) via [[pqTrain]]'s
+    * deterministic pipeline. */
+  def ivfPqTrain(embeddings: DataFrame, maxId: Long = 200,
+                 nCentroids: Int = 8, kmeansIters: Int = 2,
+                 m: Int = 16, codesPerSub: Int = 16,
+                 dim: Int = 64, pqIters: Int = 2): IvfPqIndex = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+    val centroids = trainQuantizer(e, nCentroids, kmeansIters)
+    val books = pqTrain(
+      residualFrame(e, centroids)
+        .select(col("vec_id"), col("residual").as("embedding")),
+      m, codesPerSub, dim, pqIters)
+    IvfPqIndex(centroids, books)
+  }
+
   /** `candidateFilter`: the filtered-ANN contract composed onto the
     * compressed index — the full production RAG/tenant shape. Both
     * quantizers train on the WHOLE slice (one shared index serves
     * every predicate); the filter restricts the CODE TABLE side of
     * the cell join, so the ADC ranks qualifying candidates only and
-    * every query gets up to k qualifying neighbors. */
+    * every query gets up to k qualifying neighbors.
+    *
+    * `index`: pass a pre-trained [[IvfPqIndex]] (same train params)
+    * to skip training — the shared-index path every production
+    * deployment uses; None trains inline. */
   def ivfPqTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
                 nCentroids: Int = 8, nProbe: Int = 2,
                 kmeansIters: Int = 2, m: Int = 16, codesPerSub: Int = 16,
                 dim: Int = 64, pqIters: Int = 2,
                 rerank: Int = 45,
-                candidateFilter: Column = lit(true)): DataFrame = {
+                candidateFilter: Column = lit(true),
+                index: Option[IvfPqIndex] = None): DataFrame = {
     val sub = dim / m
     val e = embeddings.filter(col("vec_id") < maxId)
-    val centroids = trainQuantizer(e, nCentroids, kmeansIters)
-    // cell-indexed centroid literal (cells are 0-based contiguous by
-    // trainQuantizer's renumbering)
+    val idx = index.getOrElse(ivfPqTrain(embeddings, maxId, nCentroids,
+      kmeansIters, m, codesPerSub, dim, pqIters))
+    val centroids = idx.centroids
+    val books = idx.books
     val centLit = typedLit(centroids.sortBy(_._1).map(_._2).toSeq)
-    val assigned = assignCells(e, centroids)
-    // residual r[i] = float(double(v[i]) − double(c[i])): exact
-    // double subtraction of two floats, then one rounding — DuckDB
-    // replays as CAST(v[i] − c[i] AS FLOAT)
-    val withResidual = assigned.withColumn("residual",
-      zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
-        (x, y) => (x.cast("double") - y.cast("double")).cast("float")))
-    // ONE shared residual codebook (classic IVFADC): train on the
-    // residual frame via pqTrain's deterministic pipeline
-    val books = pqTrain(
-      withResidual.select(col("vec_id"), col("residual").as("embedding")),
-      m, codesPerSub, dim, pqIters)
+    val withResidual = residualFrame(e, centroids)
     // corpus index rows: (b_id, cell, codes) — ONE BYTE per code
     // (k <= 256 by contract; m bytes per vector is the production
     // packed-code layout, 32x narrower than the raw floats)

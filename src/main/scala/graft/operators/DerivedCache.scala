@@ -62,6 +62,30 @@ object DerivedCache {
     }
   }
 
+  // Driver-side trained artifacts (ANN codebooks and the like):
+  // bounded by the same contract as their builders' collects —
+  // codebook-sized arrays, never data-sized.
+  private val values =
+    new ConcurrentHashMap[(String, String), AnyRef]()
+
+  /** [[memo]] for DRIVER-SIDE trained values (e.g. an ANN index's
+    * centroid + codebook arrays shared by every query shape over the
+    * same index — production builds an index once and serves all
+    * traffic from it). Same build-outside-map discipline; `build`
+    * must be idempotent and its value broadcast-sized. */
+  def memoValue[T <: AnyRef](spark: SparkSession, key: String)
+      (build: => T): T = {
+    val k = (org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark), key)
+    val hit = values.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      buildCount.incrementAndGet()
+      val built = build
+      val prev = values.putIfAbsent(k, built)
+      if (prev != null) prev.asInstanceOf[T] else built
+    }
+  }
+
   /** Test hook: drop all entries (e.g. between fixture rewrites). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); values.clear() }
 }

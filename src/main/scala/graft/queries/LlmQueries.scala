@@ -43,6 +43,22 @@ object LlmQueries {
         n = 2, maxId = 300, threshold = 0.10)
     }
 
+  /** The shared IVFADC index (coarse centroids + residual
+    * codebooks) for the embeddings slice — trained ONCE per
+    * (session, dataset) and served to every query shape
+    * (q_ann_ivfpq AND q_ann_ivfpq_filtered), the way a production
+    * index is operated. Driver footprint is codebook-sized by
+    * [[graft.operators.AnnSearch.IvfPqIndex]]'s contract; the key
+    * encodes every train parameter. */
+  private def ivfPqIndex(s: SparkSession, d: String)
+      : AnnSearch.IvfPqIndex =
+    graft.operators.DerivedCache.memoValue(
+      s, s"ann_ivfpq_index:maxId=200:nc=8:ki=2:m=16:k=16:pi=2:$d") {
+      AnnSearch.ivfPqTrain(Tables.embeddings(s, d), maxId = 200,
+        nCentroids = 8, kmeansIters = 2, m = 16, codesPerSub = 16,
+        dim = 64, pqIters = 2)
+    }
+
   /** Propagation-algorithm cluster assignments over [[clusterPairs]]
     * — memoized: q_dedup_clusters AND q_dedup_canonical consume the
     * identical frame, and the CC iteration's per-round job floor is
@@ -223,7 +239,8 @@ object LlmQueries {
     // replay in DuckDB (annIvfPqOracle); AnnSearchSpec pins recall ≥
     // the plain-IVF path at strictly smaller candidate bytes.
     "q_ann_ivfpq" -> ((s, d) =>
-      AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200)),
+      AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
+        index = Some(ivfPqIndex(s, d)))),
 
     // Filtered ∘ composed: the COMPLETE production retrieval shape —
     // shared IVF-PQ index, metadata predicate restricting the code
@@ -232,7 +249,8 @@ object LlmQueries {
     // label-filtered.
     "q_ann_ivfpq_filtered" -> ((s, d) =>
       AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
-        candidateFilter = col("label") === 1)),
+        candidateFilter = col("label") === 1,
+        index = Some(ivfPqIndex(s, d)))),
 
     // Hash-proof gate for the ANN machinery: per-query recall@5 of
     // the LSH and IVF paths against the exact brute-force top-5.

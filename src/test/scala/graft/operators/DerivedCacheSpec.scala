@@ -29,6 +29,28 @@ class DerivedCacheSpec extends SparkSpec {
     assert(b.select("tag").distinct().as[String].collect().toSeq == Seq("b"))
   }
 
+  test("memoValue: driver-side trained artifacts build once per key, " +
+      "keys are isolated, and a build may nest a memoized frame " +
+      "(ANN index training reads memoized inputs)") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"spec_value_${System.nanoTime()}"
+    def build(n: Int): Array[Long] = {
+      builds.incrementAndGet()
+      // nested frame memo inside a value build — the IvfPqIndex shape
+      val base = DerivedCache.memo(spark, s"$key:frame")(
+        spark.range(n).select($"id"))
+      base.as[Long].collect()
+    }
+    val v1 = DerivedCache.memoValue(spark, key)(build(5))
+    val v2 = DerivedCache.memoValue(spark, key)(build(5))
+    assert(builds.get() == 1, "second memoValue call must not rebuild")
+    assert(v1 eq v2, "both callers share the one published value")
+    assert(v1.toSeq == (0L until 5L))
+    val w = DerivedCache.memoValue(spark, key + ":other")(
+      Array(42L))
+    assert(w.toSeq == Seq(42L))
+  }
+
   test("a build may itself memoize a nested derived frame " +
       "(clusterComps builds over memoized clusterPairs) — the regression " +
       "that threw ConcurrentHashMap's 'Recursive update' under " +
