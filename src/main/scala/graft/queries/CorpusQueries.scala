@@ -38,6 +38,37 @@ object CorpusQueries {
     * tail key to 0.025% of the corpus. */
   val lmHeadFanout = 4096L
 
+  /** The corpus-LM document scores (doc_id, n_bigrams, lm_score) —
+    * memoized ([[graft.operators.DerivedCache]]): q_text_lm_score
+    * AND q_select_ccnet consume the identical frame, and the bigram
+    * model build + head/tail join is exactly the shared
+    * materialization worth paying once (the clusterPairs precedent).
+    * See the q_text_lm_score registration comment for the full skew
+    * discipline. */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    graft.operators.DerivedCache.memo(
+      s, s"lm_scores:bigram:fanout=$lmHeadFanout:$d") {
+      val big = bigrams(s, d)
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      val p = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          round(col("cnt2").cast("double") / col("cnt1").cast("double"),
+            9).as("p"), col("cnt2"))
+      // cnt2 is by construction the stream frequency of (w1, w2) in
+      // `big`, so the generalized head/tail operator applies
+      // directly (this query's inline version is where the operator
+      // came from; result provably identical, oracle hash unchanged)
+      graft.operators.ScaleJoins
+        .frequencySplitJoin(big, p, Seq("w1", "w2"), "cnt2",
+          lmHeadFanout)
+        .select("doc_id", "p")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /
+            count(lit(1)), 9).as("lm_score"))
+    }
+
   /** Every 30-char window of every document (stride 1), keyed by the
     * first 60 bits of the window's md5 as a LONG — the same portable
     * md5-derived long-key trick the simhash family uses: an 8-byte
@@ -146,26 +177,38 @@ object CorpusQueries {
     // skew: partial (map-side) aggregation collapses hot grams per
     // task before the shuffle; the c2 ⋈ c1 model join fans out per
     // DISTINCT successor (vocabulary-bounded, not corpus-bounded).
-    "q_text_lm_score" -> ((s, d) => {
-      val big = bigrams(s, d)
-      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-      val c1 = big.groupBy("w1").agg(count(lit(1)).as("cnt1"))
-      val p = c2.join(c1, "w1")
-        .select(col("w1"), col("w2"),
-          round(col("cnt2").cast("double") / col("cnt1").cast("double"),
-            9).as("p"), col("cnt2"))
-      // cnt2 is by construction the stream frequency of (w1, w2) in
-      // `big`, so the generalized head/tail operator applies
-      // directly (this query's inline version is where the operator
-      // came from; result provably identical, oracle hash unchanged)
-      graft.operators.ScaleJoins
-        .frequencySplitJoin(big, p, Seq("w1", "w2"), "cnt2",
-          lmHeadFanout)
-        .select("doc_id", "p")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /
-            count(lit(1)), 9).as("lm_score"))
+    "q_text_lm_score" -> ((s, d) => lmScores(s, d).orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, the
+    // Common Crawl curation pipeline's selection step): per language,
+    // rank documents by LM score (best first) and split into
+    // head/middle/tail at 1/3 and 2/3 of the language's CUMULATIVE
+    // TOKENS — pretraining then keeps head(+middle). Composes the
+    // memoized self-LM scores with one per-language window (cum token
+    // sums in score order) and a broadcast |langs|-row totals join;
+    // bucket thresholds are exact BIGINT compares (cum·3 ≤ tot), no
+    // division. Scale: the window partitions by language — the same
+    // per-group boundedness contract as every partitioned window
+    // here; nothing shuffles text.
+    "q_select_ccnet" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.operators.TextAnalysis.wsTokenCount(col("text"))
+            .cast("long").as("n_toks"))
+      val scored = lmScores(s, d).join(docs, "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lm_score").desc, col("doc_id"))
+      val tot = scored.groupBy("lang")
+        .agg(sum(col("n_toks")).cast("long").as("tot_toks"))
+      scored
+        .withColumn("cum_toks", sum(col("n_toks")).over(w).cast("long"))
+        .join(broadcast(tot), "lang")
+        .withColumn("bucket",
+          when(col("cum_toks") * 3 <= col("tot_toks"), "head")
+            .when(col("cum_toks") * 3 <= col("tot_toks") * 2, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "n_toks", "cum_toks", "lm_score",
+          "bucket")
         .orderBy("doc_id")
     }),
 
@@ -219,6 +262,29 @@ object CorpusQueries {
       dupSpanProfile(winHashes(s, d), "n_windows", "n_dup_windows"))
   )
 
+  /** The corpus-LM score CTE shared by the q_text_lm_score and
+    * q_select_ccnet oracles — ends with `lm(doc_id, n_bigrams,
+    * lm_score)`. */
+  private val lmScoreCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |big AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
+      |p AS (
+      |  SELECT w1, w2,
+      |    ROUND(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE), 9) AS p
+      |  FROM c2 JOIN c1 USING (w1)),
+      |lm AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    ROUND(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+      |          / COUNT(*), 9) AS lm_score
+      |  FROM big JOIN p USING (w1, w2)
+      |  GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_mixture_budget" ->
       """WITH per_doc AS (
@@ -243,24 +309,33 @@ object CorpusQueries {
         |WHERE c.cum_tokens - c.toks < b.token_budget
         |ORDER BY c.doc_id""".stripMargin,
     "q_text_lm_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |big AS (
-        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY 1, 2),
-        |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
-        |p AS (
-        |  SELECT w1, w2,
-        |    ROUND(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE), 9) AS p
-        |  FROM c2 JOIN c1 USING (w1))
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
-        |        / COUNT(*), 9) AS lm_score
-        |FROM big JOIN p USING (w1, w2)
-        |GROUP BY doc_id
+      s"""$lmScoreCte
+        |SELECT doc_id, n_bigrams, lm_score FROM lm
         |ORDER BY doc_id""".stripMargin,
+    // Replays the full CCNet selection on top of the same LM CTE:
+    // identical scores → identical per-language score order →
+    // identical BIGINT cumulative token sums and bucket compares.
+    "q_select_ccnet" ->
+      s"""$lmScoreCte,
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lm.doc_id, d.lang, d.n_toks, lm.lm_score
+        |  FROM lm JOIN d USING (doc_id)),
+        |c AS (
+        |  SELECT *,
+        |    SUM(n_toks) OVER (PARTITION BY lang
+        |      ORDER BY lm_score DESC, doc_id) AS cum_toks,
+        |    SUM(n_toks) OVER (PARTITION BY lang) AS tot_toks
+        |  FROM s)
+        |SELECT doc_id, lang, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+        |  lm_score,
+        |  CASE WHEN cum_toks * 3 <= tot_toks THEN 'head'
+        |       WHEN cum_toks * 3 <= tot_toks * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

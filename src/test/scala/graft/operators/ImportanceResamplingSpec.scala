@@ -81,4 +81,48 @@ class ImportanceResamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(s2(10L) > s2(11L))
   }
+
+  test("property: random corpora, vocabularies and bucket counts all " +
+      "match the brute-force twin (incl. forced bucket collisions " +
+      "and tokens absent from the target)") {
+    // Seeded-random trials (the frequencySplitJoin discipline).
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 4) {
+      // small bucket domains force collisions; tiny vocab forces
+      // shared + disjoint token sets across target/pool
+      val buckets = Seq(8, 32, 256, 1024)(trial - 1)
+      val vocab = (1 to (3 + rnd.nextInt(25)))
+        .map(i => s"w${i}_$trial")
+      def doc(id: Long) = (id, (0 to rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val target = (1L to (1L + rnd.nextInt(6))).map(doc).toDF(
+        "doc_id", "text")
+      val pool = (100L to (100L + 1 + rnd.nextInt(40))).map(doc).toDF(
+        "doc_id", "text")
+      val got = ImportanceResampling
+        .dsirScores(target, pool, "doc_id", "text", buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val tArr = target.collect().map(r => (r.getLong(0), r.getString(1)))
+      val rArr = pool.collect().map(r => (r.getLong(0), r.getString(1)))
+      def bkts(rows: Array[(Long, String)]) = rows.flatMap {
+        case (id, t) => t.split(" ", -1).map(w => (id,
+          graft.functions.Md5Long.compute(
+            UTF8String.fromString(w), 8) % buckets))
+      }
+      val (tB, rB) = (bkts(tArr), bkts(rArr))
+      val ct = tB.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val cr = rB.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (nt, nr) = (tB.length.toLong, rB.length.toLong)
+      def lr(b: Long): Long = microNats(math.log(
+        ((ct.getOrElse(b, 0L) + 1).toDouble * (nr + buckets).toDouble) /
+          ((cr(b) + 1).toDouble * (nt + buckets).toDouble)))
+      val expect = rB.groupBy(_._1).map { case (id, toks) =>
+        (id, toks.length.toLong,
+          toks.groupBy(_._2).map { case (b, c) =>
+            c.length.toLong * lr(b) }.sum)
+      }.toSet
+      assert(got == expect, s"trial=$trial buckets=$buckets")
+    }
+  }
 }

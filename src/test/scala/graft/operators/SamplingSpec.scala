@@ -157,4 +157,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(k2.toSet == got.filter(_._3 <= 2).toSet)
   }
+
+  test("reservoirPerGroup property: random group shapes and k all " +
+      "match the brute-force bottom-k (incl. k > group size, " +
+      "singleton groups, one giant group)") {
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 4) {
+      val nGroups = Seq(1, 3, 10, 40)(trial - 1)
+      val k = 1 + rnd.nextInt(7)
+      val rows = (1L to (20L + rnd.nextInt(400))).map { id =>
+        (id, s"g${1 + rnd.nextInt(nGroups)}")
+      }
+      val df = rows.toDF("id", "grp")
+      val got = Sampling.reservoirPerGroup(df, "id", "grp", k)
+        .select("grp", "id", "pos")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        rs.map { case (id, _) =>
+          (graft.functions.Md5Long.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              id.toString), 8), id)
+        }.sorted.take(k).zipWithIndex
+          .map { case ((_, id), i) => (g, id, i + 1) }
+      }.toSet
+      assert(got == expect, s"trial=$trial k=$k groups=$nGroups")
+    }
+  }
 }
