@@ -110,4 +110,33 @@ object ImportanceResampling {
     dsirScores(target, pool, idCol, textCol, buckets)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** DSIR's ACTUAL resampling step (Xie et al. 2023 §3): sample k
+    * docs without replacement with probability ∝ exp(log w) via the
+    * Gumbel-top-k trick — perturb each log-weight with Gumbel noise
+    * g = −ln(−ln(u)) and take the k largest perturbed keys. Against
+    * [[dsirTopK]] (pure argmax), the resample keeps tail diversity:
+    * near-duplicate high scorers no longer crowd out everything
+    * else.
+    *
+    * Deterministic and portable: u is the doc-keyed md5 uniform
+    * ([[Sampling.md5Uniform]] — never 0 or 1 by construction, so the
+    * double ln chain is finite), the noise is micro-quantized to
+    * BIGINT like the bucket log-ratios (same accepted ulp class),
+    * and the sample key is the exact integer sum score + g_micro —
+    * both already in micro-nats, i.e. temperature τ = 1, the paper's
+    * default. Any engine with md5 + ln replays the draw exactly.
+    *
+    * Scale: adds one per-row projection to [[dsirScores]] and the
+    * same `TakeOrderedAndProject` top-k — still no extra shuffle. */
+  def dsirResample(target: DataFrame, pool: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+    val u = Sampling.md5Uniform(col(idCol))
+    dsirScores(target, pool, idCol, textCol, buckets)
+      .withColumn("gumbel_micro",
+        round(-log(-log(u)) * 1e6, 0).cast("long"))
+      .withColumn("sample_key", col("score") + col("gumbel_micro"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -172,6 +172,22 @@ object CurationQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // DSIR's actual RESAMPLING step (vs q_select_dsir's pure top-k):
+    // Gumbel-top-k over the same scores — sample ∝ exp(log w) at
+    // τ=1 via deterministic md5-derived Gumbel noise, micro-
+    // quantized so the sample key is an exact integer sum. Keeps
+    // tail diversity that argmax selection destroys.
+    "q_select_dsir_gumbel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.ImportanceResampling.dsirResample(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", k = 100)
+        .select("doc_id", "n_toks", "score", "gumbel_micro",
+          "sample_key")
+        .orderBy(col("sample_key").desc, col("doc_id"))
+    }),
+
     // THE pipeline: every curation stage composed as ONE declarative
     // plan — quality gate (per-language thresholds) → exact dedup
     // (lowest id per identical text) → benchmark decontamination
@@ -339,6 +355,39 @@ object CurationQueries {
       defaultRate = 25)
   }
 
+  /** The DSIR score CTE shared by the q_select_dsir and
+    * q_select_dsir_gumbel oracles — ends with `score(doc_id, n_toks,
+    * score)` over the non-src0 pool. */
+  private val dsirScoreCte =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS bkt
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |tcnt AS (SELECT bkt, COUNT(*) AS ct FROM tok
+      |         WHERE source = 'src0' GROUP BY bkt),
+      |rcnt AS (SELECT bkt, COUNT(*) AS cr FROM tok
+      |         WHERE source <> 'src0' GROUP BY bkt),
+      |tot AS (SELECT (SELECT SUM(ct) FROM tcnt) AS nt,
+      |               (SELECT SUM(cr) FROM rcnt) AS nr),
+      |lr AS (
+      |  SELECT r.bkt,
+      |    CAST(ROUND(ln(
+      |        (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) *
+      |         CAST(tot.nr + 1024 AS DOUBLE)) /
+      |        (CAST(r.cr + 1 AS DOUBLE) *
+      |         CAST(tot.nt + 1024 AS DOUBLE))) * 1000000.0, 0)
+      |      AS BIGINT) AS lr_micro
+      |  FROM rcnt r LEFT JOIN tcnt t USING (bkt), tot),
+      |docb AS (
+      |  SELECT doc_id, bkt, COUNT(*) AS c FROM tok
+      |  WHERE source <> 'src0' GROUP BY doc_id, bkt),
+      |score AS (
+      |  SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_toks,
+      |         CAST(SUM(d.c * lr.lr_micro) AS BIGINT) AS score
+      |  FROM docb d JOIN lr USING (bkt) GROUP BY d.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // MERGE replay: the same full-outer join + COALESCE/CASE
     // classification; counts and char sums are exact integers.
@@ -460,37 +509,27 @@ object CurationQueries {
     // values — doc scores are then exact integer dot products on
     // both engines.
     "q_select_dsir" ->
-      """WITH tok AS (
-        |  SELECT doc_id, source,
-        |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS bkt
-        |  FROM (SELECT doc_id, source,
-        |          unnest(string_split(text, ' ')) AS w
-        |        FROM documents)),
-        |tcnt AS (SELECT bkt, COUNT(*) AS ct FROM tok
-        |         WHERE source = 'src0' GROUP BY bkt),
-        |rcnt AS (SELECT bkt, COUNT(*) AS cr FROM tok
-        |         WHERE source <> 'src0' GROUP BY bkt),
-        |tot AS (SELECT (SELECT SUM(ct) FROM tcnt) AS nt,
-        |               (SELECT SUM(cr) FROM rcnt) AS nr),
-        |lr AS (
-        |  SELECT r.bkt,
-        |    CAST(ROUND(ln(
-        |        (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) *
-        |         CAST(tot.nr + 1024 AS DOUBLE)) /
-        |        (CAST(r.cr + 1 AS DOUBLE) *
-        |         CAST(tot.nt + 1024 AS DOUBLE))) * 1000000.0, 0)
-        |      AS BIGINT) AS lr_micro
-        |  FROM rcnt r LEFT JOIN tcnt t USING (bkt), tot),
-        |docb AS (
-        |  SELECT doc_id, bkt, COUNT(*) AS c FROM tok
-        |  WHERE source <> 'src0' GROUP BY doc_id, bkt),
-        |score AS (
-        |  SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_toks,
-        |         CAST(SUM(d.c * lr.lr_micro) AS BIGINT) AS score
-        |  FROM docb d JOIN lr USING (bkt) GROUP BY d.doc_id)
+      s"""$dsirScoreCte
         |SELECT s.doc_id, doc.lang, doc.source, s.n_toks, s.score
         |FROM score s JOIN documents doc USING (doc_id)
         |ORDER BY s.score DESC, s.doc_id LIMIT 100""".stripMargin,
+    // Same score CTE + the identical md5-uniform Gumbel chain: both
+    // engines derive the same u, the same −ln(−ln(u)) double, the
+    // same micro-quantized noise, the same exact integer sample key.
+    "q_select_dsir_gumbel" ->
+      s"""$dsirScoreCte,
+        |g AS (
+        |  SELECT doc_id, n_toks, score,
+        |    CAST(ROUND(-ln(-ln(
+        |      (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |                               1, 8)) AS BIGINT) + 1.0)
+        |        / 4294967297.0)) * 1000000.0, 0) AS BIGINT)
+        |      AS gumbel_micro
+        |  FROM score)
+        |SELECT doc_id, n_toks, score, gumbel_micro,
+        |  score + gumbel_micro AS sample_key
+        |FROM g
+        |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
     // Replays the full five-stage composition; gram windows mirror
     // the engine's NgramHashes64 kernel (incl. the short-doc
     // fallback), dedup groups by the text itself (hash-invariant).

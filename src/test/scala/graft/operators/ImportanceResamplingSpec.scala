@@ -82,6 +82,38 @@ class ImportanceResamplingSpec extends SparkSpec {
     assert(s2(10L) > s2(11L))
   }
 
+  test("dsirResample: the Gumbel keys match the JVM twin, the draw " +
+      "is deterministic, and it diverges from pure top-k (diversity)") {
+    val target = docs.filter($"source" === "src0")
+      .select("doc_id", "text")
+    val pool = docs.filter($"source" =!= "src0")
+      .select("doc_id", "text")
+    val got = ImportanceResampling
+      .dsirResample(target, pool, "doc_id", "text", k = 100, B)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute-force Gumbel from the same md5 bits
+    got.foreach { case (id, score, gumbel, key) =>
+      val u = (graft.functions.Md5Long.compute(
+        UTF8String.fromString(id.toString), 8).toDouble + 1.0) /
+        4294967297.0
+      assert(gumbel == microNats(-math.log(-math.log(u))), s"doc $id")
+      assert(key == score + gumbel, s"doc $id")
+    }
+    // deterministic under layout
+    val again = ImportanceResampling
+      .dsirResample(target.repartition(7), pool.repartition(13),
+        "doc_id", "text", k = 100, B)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == got.map(_._1).toSeq)
+    // the perturbed draw must differ from argmax selection
+    val argmax = ImportanceResampling
+      .dsirTopK(target, pool, "doc_id", "text", k = 100, B)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet != argmax,
+      "Gumbel resample should not equal pure top-k on this corpus")
+  }
+
   test("property: random corpora, vocabularies and bucket counts all " +
       "match the brute-force twin (incl. forced bucket collisions " +
       "and tokens absent from the target)") {
