@@ -196,12 +196,18 @@ object AnnSearch {
     * assignment projection), so non-qualifying rows never reach the
     * shuffle — at a 1% selectivity that is a 100× candidate-volume
     * cut, the whole point of filtered ANN at scale. */
+  /** `index`: pass pre-trained coarse centroids (same train params)
+    * to skip quantizer training — the shared-index path (see
+    * [[IvfPqIndex]]); None trains inline. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, maxId: Long = 200,
               nCentroids: Int = 8, nProbe: Int = 2,
               kmeansIters: Int = 0,
-              candidateFilter: Column = lit(true)): DataFrame = {
+              candidateFilter: Column = lit(true),
+              index: Option[Array[(Int, Seq[Float])]] = None)
+      : DataFrame = {
     val e = embeddings.filter(col("vec_id") < maxId)
-    val centroids = trainQuantizer(e, nCentroids, kmeansIters)
+    val centroids = index.getOrElse(
+      trainQuantizer(e, nCentroids, kmeansIters))
     // assignment: argmax similarity over the broadcast centroid
     // array; only qualifying vectors become candidates (pre-filter)
     val assigned = assignCells(e.filter(candidateFilter), centroids)
@@ -416,9 +422,12 @@ object AnnSearch {
   def ivfPqTrain(embeddings: DataFrame, maxId: Long = 200,
                  nCentroids: Int = 8, kmeansIters: Int = 2,
                  m: Int = 16, codesPerSub: Int = 16,
-                 dim: Int = 64, pqIters: Int = 2): IvfPqIndex = {
+                 dim: Int = 64, pqIters: Int = 2,
+                 coarse: Option[Array[(Int, Seq[Float])]] = None)
+      : IvfPqIndex = {
     val e = embeddings.filter(col("vec_id") < maxId)
-    val centroids = trainQuantizer(e, nCentroids, kmeansIters)
+    val centroids = coarse.getOrElse(
+      trainQuantizer(e, nCentroids, kmeansIters))
     val books = pqTrain(
       residualFrame(e, centroids)
         .select(col("vec_id"), col("residual").as("embedding")),

@@ -43,6 +43,19 @@ object LlmQueries {
         n = 2, maxId = 300, threshold = 0.10)
     }
 
+  /** The shared Lloyd-refined coarse quantizer for the embeddings
+    * slice — q_ann_ivf and the IVF-PQ index train the IDENTICAL
+    * centroids (same slice, same params), so one training serves
+    * both (memoValue, codebook-sized). */
+  private def coarseQuantizer(s: SparkSession, d: String)
+      : Array[(Int, Seq[Float])] =
+    graft.operators.DerivedCache.memoValue(
+      s, s"ann_coarse:maxId=200:nc=8:ki=2:$d") {
+      AnnSearch.trainQuantizer(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        nCentroids = 8, kmeansIters = 2)
+    }
+
   /** The shared IVFADC index (coarse centroids + residual
     * codebooks) for the embeddings slice — trained ONCE per
     * (session, dataset) and served to every query shape
@@ -56,7 +69,7 @@ object LlmQueries {
       s, s"ann_ivfpq_index:maxId=200:nc=8:ki=2:m=16:k=16:pi=2:$d") {
       AnnSearch.ivfPqTrain(Tables.embeddings(s, d), maxId = 200,
         nCentroids = 8, kmeansIters = 2, m = 16, codesPerSub = 16,
-        dim = 64, pqIters = 2)
+        dim = 64, pqIters = 2, coarse = Some(coarseQuantizer(s, d)))
     }
 
   /** Propagation-algorithm cluster assignments over [[clusterPairs]]
@@ -207,7 +220,7 @@ object LlmQueries {
     // iterations DuckDB-replayable — see annIvfOracle.
     "q_ann_ivf" -> ((s, d) =>
       AnnSearch.ivfTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
-        kmeansIters = 2)),
+        kmeansIters = 2, index = Some(coarseQuantizer(s, d)))),
 
     // FILTERED ANN — the production RAG/tenant shape: top-k among
     // vectors satisfying a metadata predicate (label = 1 here). The
