@@ -47,7 +47,13 @@ object CorpusQueries {
     * discipline. */
   private def lmScores(s: SparkSession, d: String): DataFrame =
     graft.operators.DerivedCache.memo(
-      s, s"lm_scores:bigram:fanout=$lmHeadFanout:$d") {
+      s, s"lm_scores:bigram:fanout=$lmHeadFanout:$d")(lmScoresRaw(s, d))
+
+  /** The un-memoized [[lmScores]] pipeline — exposed so PlanSpec can
+    * pin the head/tail join shape (the memoized frame's own plan is
+    * just the checkpoint scan). */
+  private[graft] def lmScoresRaw(s: SparkSession, d: String)
+      : DataFrame = {
       val big = bigrams(s, d)
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       val c1 = big.groupBy("w1").agg(count(lit(1)).as("cnt1"))

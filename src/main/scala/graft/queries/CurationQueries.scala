@@ -188,6 +188,38 @@ object CurationQueries {
         .orderBy(col("sample_key").desc, col("doc_id"))
     }),
 
+    // URL-canonicalization dedup — the FIRST dedup a web-crawl
+    // pipeline runs, on the cheapest key there is. URL-shaped
+    // strings derive deterministically from document keys (the
+    // q_text_pii precedent: the synthetic corpus carries no URLs)
+    // with deliberate case/port/fragment/tracking-param/trailing-
+    // slash variants; canonicalization collapses them and the dedup
+    // is one hash aggregation on the canonical key (q_dedup_exact
+    // shape). See operators/UrlCanonicalize for the rules.
+    "q_dedup_url" -> ((s, d) => {
+      val id = col("doc_id")
+      // logical identity = (id%25, id%3, id%2) → ~150 canonical URLs
+      // over 500 docs (3–4 raws each); every OTHER mod drives a raw
+      // variant canonicalization must collapse
+      val raw = concat(
+        when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(id % 3 === 0, lit("CDN.")).otherwise(lit("cdn.")),
+        lit("Example.COM"),
+        when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (id % 25).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (id % 3).cast("string"),
+        lit("&a="), (id % 2).cast("string"),
+        when(id % 6 === 0, lit("#sec")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(id, graft.operators.UrlCanonicalize.canonicalUrl(raw)
+          .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_raw"),
+          min(id).cast("long").as("first_doc"))
+        .orderBy("canonical_url")
+    }),
+
     // THE pipeline: every curation stage composed as ONE declarative
     // plan — quality gate (per-language thresholds) → exact dedup
     // (lowest id per identical text) → benchmark decontamination
@@ -503,6 +535,65 @@ object CurationQueries {
         |  FROM documents)
         |SELECT lang, pos, doc_id, source FROM r
         |WHERE pos <= 5 ORDER BY lang, pos""".stripMargin,
+    // Replays the raw-URL derivation and every canonicalization rule
+    // (regexp parts extraction, default-port strip, fragment drop,
+    // utm filter, binary param sort, trailing-slash strip) — the
+    // canonical keys group identically.
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'CDN.' ELSE 'cdn.' END)
+        |    || 'Example.COM'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id % 25 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '&a=' || CAST(doc_id % 2 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM raw),
+        |pieces AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nofrag,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(nofrag,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 2))
+        |      AS host0,
+        |    regexp_replace(regexp_extract(nofrag,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3),
+        |      '/+$', '') AS path,
+        |    CASE WHEN contains(nofrag, '?')
+        |         THEN regexp_replace(nofrag, '^[^?]*\?', '')
+        |         ELSE '' END AS query0
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://'
+        |    || (CASE WHEN scheme = 'https'
+        |             THEN regexp_replace(host0, ':443$', '')
+        |             WHEN scheme = 'http'
+        |             THEN regexp_replace(host0, ':80$', '')
+        |             ELSE host0 END)
+        |    || path
+        |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+        |      AS canonical_url
+        |  FROM (
+        |    SELECT *,
+        |      array_to_string(list_sort(list_filter(
+        |        string_split(query0, '&'),
+        |        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+        |        AS q
+        |    FROM pieces))
+        |SELECT canonical_url, COUNT(*) AS n_raw,
+        |  MIN(doc_id) AS first_doc
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
     // Replays the full DSIR pipeline: same md5 token buckets, the
     // same smoothed count model, the identical IEEE double ratio
     // expression under ln, micro-quantized to the same BIGINT cell

@@ -331,7 +331,11 @@ class PlanSpec extends SparkSpec {
     // join left is the tail, whose per-key frequency is bounded by
     // N/lmHeadFanout by construction (the verify_local allow-list
     // entry's justification).
-    val f = formatted("q_text_lm_score")
+    // the registry frame is memo-checkpointed (its own plan is just
+    // the checkpoint scan), so pin the shape on the raw builder
+    val lmRaw = graft.queries.CorpusQueries.lmScoresRaw(spark, dir)
+    val f = lmRaw.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val bhj = "BroadcastHashJoin".r.findAllIn(f).length
     assert(bhj >= 2,
       s"expected ≥2 broadcast joins (head score + anti screen), saw $bhj")
@@ -341,7 +345,7 @@ class PlanSpec extends SparkSpec {
     // At sf0.001 the tail itself fits the auto-broadcast threshold
     // (no flag at all); at larger SFs the tail plans as the one
     // allow-listed gram-keyed shuffle join. Nothing else may flag.
-    val flags = Verify.planFlags(plan("q_text_lm_score"))
+    val flags = Verify.planFlags(lmRaw.queryExecution.executedPlan)
     assert(flags.toSet.subsetOf(Set("hotkey_shuffle_join")),
       s"only the allow-listed tail join may flag, saw $flags")
   }
