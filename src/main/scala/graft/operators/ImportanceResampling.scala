@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   * tokens first). Token Zipf skew is irrelevant: hot tokens collapse
   * per map task before any shuffle, and the model join is broadcast.
   * Selection is a `TakeOrderedAndProject` top-k, not a global sort.
-  * This is exactly the shape that lets DSIR run over 100 TB in one
-  * pass in the paper's own pipeline.
+  * Two corpus passes total (fit the bucket counts, then score) —
+  * the same constant-pass shape the paper's own pipeline uses at
+  * web scale.
   */
 object ImportanceResampling {
 
