@@ -32,7 +32,8 @@ object SparkEntry {
       EventQueries.queries ++
       AnalyticsQueries.queries ++
       CorpusQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -52,5 +53,6 @@ object SparkEntry {
       EventQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++
       CorpusQueries.oracleSql ++
-      GraphQueries.oracleSql
+      GraphQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

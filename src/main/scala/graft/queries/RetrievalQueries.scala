@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Sparse + hybrid text retrieval — the query→corpus search shapes a
+  * training-data pipeline runs for decontamination lookups, RAG
+  * grounding, and eval-set leakage audits. The reference
+  * (`kinesis-to-humio.py`) has no retrieval surface; this pack is
+  * part of the LLM-pipeline brief, composing the engine's existing
+  * token statistics ([[AnalyticsQueries]] tf/df discipline) and
+  * embedding kernels ([[VectorFns]]).
+  *
+  * Operators:
+  *   - `q_retrieval_bm25` — Okapi BM25 (k1=1.2, b=0.75) top-10 docs
+  *     per query over an inverted-index-shaped postings frame.
+  *   - `q_retrieval_fusion` — reciprocal-rank fusion (RRF, k=60) of
+  *     the BM25 ranking with an embedding-cosine ranking: the hybrid
+  *     sparse⊕dense retrieval standard.
+  *
+  * == Determinism (SURVEY §7.4) ==
+  * BM25 is the registry's first *transcendental* scoring function
+  * under the hash gate. `ln` is a libm call, NOT an IEEE-exact op:
+  * glibc (DuckDB) and HotSpot (`Math.log`) disagree by 1 ulp on
+  * ~4·10⁻⁴ of inputs (measured on 2·10⁵ idf-shaped ratios this
+  * round). The mitigation is EARLY QUANTIZATION: idf is rounded to 6
+  * decimals the moment it is computed — `idf6 = round(ln(1 +
+  * (N−df+0.5)/(df+0.5)), 6)` — so a 1-ulp ln disagreement only
+  * surfaces if the true value lies within 1 ulp of a 5·10⁻⁷ rounding
+  * boundary (p ≈ 1e-10 per distinct df; the vocabulary has 31). Every
+  * arithmetic step after the quantization is a correctly-rounded IEEE
+  * double op replayed with identical operand order by the oracle, and
+  * the per-(query,doc) sum over matched terms is made order-free by
+  * casting each term contribution to DECIMAL(18,6) before SUM (the
+  * q_agg_hash discipline). RRF needs none of this: 1/(60+rank) on
+  * integer ranks is exactly rounded, and a two-term IEEE add is
+  * commutative.
+  *
+  * == Scale shape ==
+  * Queries ≪ corpus is the contract (|Q| = 20 here): the query-term
+  * frame and the vocabulary-sized idf frame BROADCAST onto the
+  * postings frame, so the only shuffle is the per-(query,doc) partial
+  * aggregate — map-side combine shrinks it below |Q|·|matched docs|
+  * rows before exchange. Nothing corpus-sized ever shuffles on a raw
+  * token key (the hotkey-join gate shape); for web-scale query sets
+  * the same plan flips to [[graft.operators.ScaleJoins
+  * .frequencySplitJoin]] on term, exactly as q_text_keywords does.
+  * The dense side of the fusion is a broadcast of 20 query vectors
+  * against the corpus — O(|Q|·N) work, a LINEAR scan per query, with
+  * [[graft.operators.AnnSearch]] (IVF cell equi-join) as the
+  * documented sublinear swap-in at 100 TB.
+  */
+object RetrievalQueries {
+  private val nQueries = 20 // query set = doc_id < 20, by contract
+  private val fusionDepth = 50 // per-ranker rank cutoff feeding RRF
+  private val dec6 = DecimalType(18, 6)
+
+  /** Per-doc term frequencies with doc length carried through the
+    * explode (dl is constant per doc — max() avoids a corpus-sized
+    * doc_id join to reattach it). */
+  private def postings(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      // spread tokenization CPU across the cluster, not file splits
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(w).as("term"),
+        size(w).cast("long").as("dl"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+  }
+
+  /** BM25-scored (query_id, doc_id, score) — the shared core of both
+    * retrieval keys. Query terms are the DISTINCT terms of the query
+    * documents (standard short-query BM25: query-side tf ignored). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val tf = postings(s, d)
+    val docs = Tables.documents(s, d)
+    // avgdl: exact BIGINT sum converted once to double, divided by an
+    // exact count — one IEEE division, identical in the oracle.
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // Robertson–Sparck-Jones idf, Lucene's +1 keep-positive form,
+    // QUANTIZED at birth (see scaladoc): one row per vocabulary term.
+    val idf = tf.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          ((col("n_docs") - col("df")) + lit(0.5)) /
+            (col("df") + lit(0.5))), 6).as("idf6"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // Both small sides broadcast: query terms (|Q|·|vocab| rows) and
+    // idf (|vocab| rows). The term-keyed joins are therefore
+    // broadcast-hash — never a token-keyed shuffle.
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        // identical operand order in the oracle; decimal-cast makes
+        // the per-(query,doc) sum order-free
+        round(col("idf6") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / col("avgdl")))))
+          , 6).cast(dec6).as("s"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum("s").cast("double").as("score"))
+  }
+
+  /** Cosine-scored (query_id, doc_id, cos_sim): 20 broadcast query
+    * vectors scanned against the corpus — the exact dense baseline
+    * (see scaladoc for the ANN swap-in at scale). vec_id aligns with
+    * doc_id by fixture construction (FIXTURES.md). */
+  private def cosineScored(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        VectorFns.norm2(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+      VectorFns.norm2(col("embedding")).as("cn"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFns.cosineWithNorms(col("qv"), col("cv"),
+          col("qn"), col("cn")), 6).as("cos_sim"))
+  }
+
+  private def rankOver(part: String, score: Column, id: Column): Column =
+    row_number().over(
+      Window.partitionBy(part).orderBy(score.desc, id.asc)).cast("int")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_bm25" -> ((s, d) => {
+      bm25Scored(s, d)
+        .withColumn("rk", rankOver("query_id", col("score"), col("doc_id")))
+        .filter(col("rk") <= 10)
+        .select("query_id", "doc_id", "score", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
+    "q_retrieval_fusion" -> ((s, d) => {
+      val rb = bm25Scored(s, d)
+        .withColumn("rb", rankOver("query_id", col("score"), col("doc_id")))
+        .filter(col("rb") <= fusionDepth)
+        .select("query_id", "doc_id", "rb")
+      val rc = cosineScored(s, d)
+        .withColumn("rc", rankOver("query_id", col("cos_sim"), col("doc_id")))
+        .filter(col("rc") <= fusionDepth)
+        .select("query_id", "doc_id", "rc")
+      // RRF: 1/(60+rank), absent ranker contributes 0. Exact-int add
+      // + exact conversion + one correctly-rounded division per term,
+      // then a single two-term IEEE add — bit-deterministic with no
+      // rounding needed.
+      val fused = rb.join(rc, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rb")).cast("double"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rc")).cast("double"), lit(0.0)))
+      fused
+        .withColumn("rk", rankOver("query_id", col("rrf"), col("doc_id")))
+        .filter(col("rk") <= 10)
+        .select("query_id", "doc_id", "rb", "rc", "rrf", "rk")
+        .orderBy("query_id", "rk")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    // Shared CTE prefix: postings, stats, quantized idf, query terms,
+    // BM25 contributions, per-(query,doc) decimal-summed scores.
+    // Fractional literals are CAST to DOUBLE explicitly — DuckDB
+    // parses bare 2.2 as DECIMAL, which would silently switch the
+    // arithmetic to exact-decimal and diverge from Spark's IEEE path.
+    val bm25Cte =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         len(string_split(text, ' ')) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+        |  FROM toks GROUP BY doc_id, term),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+        |           / COUNT(*) AS avgdl
+        |  FROM documents),
+        |idf AS (
+        |  SELECT term,
+        |    ROUND(LN(CAST(1.0 AS DOUBLE) +
+        |      ((n_docs - df) + CAST(0.5 AS DOUBLE)) /
+        |      (df + CAST(0.5 AS DOUBLE))), 6) AS idf6
+        |  FROM (SELECT term, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM toks)
+        |        GROUP BY term), stats),
+        |q AS (
+        |  SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 20),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(ROUND(idf.idf6 * ((tf.tf * CAST(2.2 AS DOUBLE)) /
+        |      (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) *
+        |        (CAST(tf.dl AS DOUBLE) / stats.avgdl)))), 6)
+        |      AS DECIMAL(18,6)) AS s
+        |  FROM q
+        |  JOIN tf ON q.term = tf.term
+        |  JOIN idf ON tf.term = idf.term
+        |  CROSS JOIN stats),
+        |scored AS (
+        |  SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+    Map(
+      "q_retrieval_bm25" ->
+        (bm25Cte +
+          """,
+            |ranked AS (
+            |  SELECT query_id, doc_id, score,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY score DESC, doc_id) AS INT) AS rk
+            |  FROM scored)
+            |SELECT query_id, doc_id, score, rk
+            |FROM ranked WHERE rk <= 10
+            |ORDER BY query_id, rk""".stripMargin),
+      "q_retrieval_fusion" ->
+        (bm25Cte +
+          """,
+            |rb AS (
+            |  SELECT query_id, doc_id,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY score DESC, doc_id) AS INT) AS rb
+            |  FROM scored
+            |  QUALIFY rb <= 50),
+            |cos AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+            |    ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+            |                             CAST(c.embedding AS DOUBLE[])) /
+            |      (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+            |                               CAST(q.embedding AS DOUBLE[]))) *
+            |       sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+            |                               CAST(c.embedding AS DOUBLE[])))),
+            |      6) AS cos_sim
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 20),
+            |rc AS (
+            |  SELECT query_id, doc_id,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY cos_sim DESC, doc_id) AS INT) AS rc
+            |  FROM cos
+            |  QUALIFY rc <= 50),
+            |fused AS (
+            |  SELECT COALESCE(rb.query_id, rc.query_id) AS query_id,
+            |         COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+            |         rb.rb, rc.rc,
+            |    COALESCE(CAST(1.0 AS DOUBLE) /
+            |      CAST(60 + rb.rb AS DOUBLE), CAST(0.0 AS DOUBLE)) +
+            |    COALESCE(CAST(1.0 AS DOUBLE) /
+            |      CAST(60 + rc.rc AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+            |  FROM rb FULL OUTER JOIN rc
+            |    ON rb.query_id = rc.query_id AND rb.doc_id = rc.doc_id),
+            |franked AS (
+            |  SELECT query_id, doc_id, rb, rc, rrf,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY rrf DESC, doc_id) AS INT) AS rk
+            |  FROM fused)
+            |SELECT query_id, doc_id, rb, rc, rrf, rk
+            |FROM franked WHERE rk <= 10
+            |ORDER BY query_id, rk""".stripMargin),
+    )
+  }
+}

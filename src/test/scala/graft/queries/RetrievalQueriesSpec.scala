@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Pins the retrieval pack ([[RetrievalQueries]]):
+  *   - q_retrieval_bm25 against an INDEPENDENT serial BM25 scorer
+  *     (plain Scala maps, no Spark) replaying the same quantization
+  *     discipline — a golden-twin check of the whole scoring path;
+  *   - q_retrieval_fusion's RRF arithmetic and its rank parity with
+  *     the standalone BM25 ranking;
+  *   - the scale-shape contract: every term-keyed join broadcasts
+  *     (queries ≪ corpus), so no token-keyed shuffle join exists.
+  */
+class RetrievalQueriesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Serial reference BM25: same tokenizer, same idf quantization,
+    * same per-term rounding, decimal-free (the per-(q,d) sums here
+    * use sorted-term order; equality with the engine's decimal sums
+    * proves the decimal cast loses nothing beyond the intended 1e-6
+    * grid). */
+  private def serialBm25(): Map[(Long, Long), Double] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .toMap
+    val n = docs.size.toLong
+    val dl = docs.map { case (id, ts) => id -> ts.size.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val idf6 = df.map { case (t, d) =>
+      t -> round6(math.log(1.0 + ((n - d) + 0.5) / (d + 0.5)))
+    }
+    val scores = for {
+      q <- docs.keys.filter(_ < 20)
+      (d, terms) <- tf
+    } yield {
+      // decimal-exact sum of 6-decimal-rounded contributions, in
+      // micro-units so integer addition is exact and order-free
+      val micros = tf(q).keys.toSeq.sorted.flatMap { t =>
+        terms.get(t).map { f =>
+          val s = idf6(t) * ((f * 2.2) /
+            (f + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl))))
+          BigDecimal(round6(s)).setScale(6).*(BigDecimal(1000000)).toLongExact
+        }
+      }.sum
+      (q, d) -> (BigDecimal(micros) / BigDecimal(1000000)).toDouble
+    }
+    scores.filter(_._2 != 0.0).toMap
+  }
+
+  test("q_retrieval_bm25 matches the independent serial scorer") {
+    val engine = SparkEntry.queries("q_retrieval_bm25")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    val ref = serialBm25()
+    // re-rank the serial scores exactly as the engine does
+    val refTop = ref.groupBy(_._1._1).flatMap { case (q, m) =>
+      m.toSeq.map { case ((_, d), s) => (d, s) }
+        .sortBy { case (d, s) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((d, s), i) => (q, d) -> (s, i + 1) }
+    }
+    assert(engine.keySet == refTop.keySet,
+      s"retrieved (query,doc) sets differ: engine-only=" +
+        s"${engine.keySet -- refTop.keySet}, ref-only=" +
+        s"${refTop.keySet -- engine.keySet}")
+    for ((k, (score, rk)) <- engine) {
+      assert(refTop(k)._2 == rk, s"$k rank: engine $rk vs ref ${refTop(k)._2}")
+      assert(math.abs(refTop(k)._1 - score) < 1e-9,
+        s"$k score: engine $score vs ref ${refTop(k)._1}")
+    }
+  }
+
+  test("q_retrieval_fusion: RRF arithmetic and BM25 rank parity") {
+    val bm25Rk = SparkEntry.queries("q_retrieval_bm25")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val rows = SparkEntry.queries("q_retrieval_fusion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    for ((q, rs) <- byQuery) {
+      val sorted = rs.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to sorted.length),
+        s"query $q ranks not 1..k")
+      // fused score must be non-increasing in rank
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q fused scores not monotone")
+    }
+    for (r <- rows) {
+      val (rb, rc) = (if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))
+      val expect = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(4) == expect,
+        s"rrf mismatch at (${r.getLong(0)},${r.getLong(1)})")
+      // a present BM25 rank must equal the standalone BM25 ranking's
+      // (only top-10 of it is emitted there; deeper ranks can't be
+      // cross-checked against that output)
+      for (x <- rb if x <= 10)
+        assert(bm25Rk((r.getLong(0), r.getLong(1))) == x,
+          s"bm25 rank parity broken at (${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("scale shape: no token-keyed shuffle join; windows partitioned") {
+    for (q <- Seq("q_retrieval_bm25", "q_retrieval_fusion")) {
+      val f = SparkEntry.queries(q)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      // every term join is broadcast-hash: queries ≪ corpus contract
+      val shuffledJoins = "(SortMergeJoin|ShuffledHashJoin)".r
+        .findAllIn(f).toSeq
+      assert(shuffledJoins.isEmpty || q == "q_retrieval_fusion",
+        s"$q: unexpected shuffle join(s) $shuffledJoins — term joins " +
+          "must broadcast")
+      assert(f.contains("BroadcastHashJoin"), s"$q: no broadcast join")
+    }
+  }
+}
