@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.VectorFns
 
@@ -57,62 +56,19 @@ import graft.functions.VectorFns
 object RetrievalQueries {
   private val nQueries = 20 // query set = doc_id < 20, by contract
   private val fusionDepth = 50 // per-ranker rank cutoff feeding RRF
-  private val dec6 = DecimalType(18, 6)
 
-  /** Per-doc term frequencies with doc length carried through the
-    * explode (dl is constant per doc — max() avoids a corpus-sized
-    * doc_id join to reattach it). */
-  private def postings(s: SparkSession, d: String): DataFrame = {
-    val w = split(col("text"), " ")
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      // spread tokenization CPU across the cluster, not file splits
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(w).as("term"),
-        size(w).cast("long").as("dl"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-  }
-
-  /** BM25-scored (query_id, doc_id, score) — the shared core of both
-    * retrieval keys. Query terms are the DISTINCT terms of the query
-    * documents (standard short-query BM25: query-side tf ignored). */
+  /** BM25-scored (query_id, doc_id, score) via the shared
+    * [[graft.operators.Bm25]] core (one expression tree with the S21
+    * streaming twin). Query terms are the DISTINCT terms of the
+    * query documents (standard short-query BM25: query-side tf
+    * ignored); both the query-term frame and the vocab-sized idf
+    * broadcast — never a token-keyed shuffle. */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val tf = postings(s, d)
-    val docs = Tables.documents(s, d)
-    // avgdl: exact BIGINT sum converted once to double, divided by an
-    // exact count — one IEEE division, identical in the oracle.
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    // Robertson–Sparck-Jones idf, Lucene's +1 keep-positive form,
-    // QUANTIZED at birth (see scaladoc): one row per vocabulary term.
-    val idf = tf.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select(col("term"),
-        round(log(lit(1.0) +
-          ((col("n_docs") - col("df")) + lit(0.5)) /
-            (col("df") + lit(0.5))), 6).as("idf6"))
-    val qterms = tf.filter(col("doc_id") < nQueries)
+    val idx = graft.operators.Bm25.buildIndex(
+      Tables.documents(s, d).select("doc_id", "text"))
+    val qterms = idx.postings.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    // Both small sides broadcast: query terms (|Q|·|vocab| rows) and
-    // idf (|vocab| rows). The term-keyed joins are therefore
-    // broadcast-hash — never a token-keyed shuffle.
-    val contrib = tf
-      .join(broadcast(qterms), "term")
-      .join(broadcast(idf), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        // identical operand order in the oracle; decimal-cast makes
-        // the per-(query,doc) sum order-free
-        round(col("idf6") * ((col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-            (col("dl").cast("double") / col("avgdl")))))
-          , 6).cast(dec6).as("s"))
-    contrib.groupBy("query_id", "doc_id")
-      .agg(sum("s").cast("double").as("score"))
+    graft.operators.Bm25.score(qterms, idx)
   }
 
   /** Cosine-scored (query_id, doc_id, cos_sim): 20 broadcast query
