@@ -56,6 +56,7 @@ import graft.functions.VectorFns
 object RetrievalQueries {
   private val nQueries = 20 // query set = doc_id < 20, by contract
   private val fusionDepth = 50 // per-ranker rank cutoff feeding RRF
+  private val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
 
   /** BM25-scored (query_id, doc_id, score) via the shared
     * [[graft.operators.Bm25]] core (one expression tree with the S21
@@ -99,6 +100,45 @@ object RetrievalQueries {
         .filter(col("rk") <= 10)
         .select("query_id", "doc_id", "score", "rk")
         .orderBy("query_id", "rk")
+    }),
+
+    // Retrieval-quality evaluation: nDCG@10 of the BM25 ranking,
+    // with the dense cosine top-10 as graded relevance (rel =
+    // 11 − cosine_rank) — the eval-harness member of the retrieval
+    // family, as q_ann_recall is for ANN. Determinism: the rank
+    // discount 1/log2(i+1) is quantized to the 1e-6 grid exactly
+    // like idf6 (10 distinct inputs), each DCG term is re-rounded to
+    // the grid and decimal-summed, and the final nDCG is one IEEE
+    // division of two grid-exact doubles.
+    "q_retrieval_ndcg" -> ((s, d) => {
+      val disc6 = round(lit(1.0) / log2(col("rk") + lit(1.0)), 6)
+      val rb = bm25Scored(s, d)
+        .withColumn("rk", rankOver("query_id", col("score"), col("doc_id")))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), disc6.as("disc"))
+      val rel = cosineScored(s, d)
+        .withColumn("rk", rankOver("query_id", col("cos_sim"), col("doc_id")))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          (lit(11) - col("rk")).cast("long").as("rel"),
+          disc6.as("ideal_disc"))
+      val dcg = rb.join(rel.select("query_id", "doc_id", "rel"),
+          Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("rel"), lit(0L)).cast("double") * col("disc"), 6)
+            .cast(dec6).as("t"))
+        .groupBy("query_id").agg(sum("t").cast("double").as("dcg"))
+      // ideal DCG: the relevance grades replayed in their own
+      // (ideal) order — the cosine ranking itself, by construction
+      val idcg = rel
+        .select(col("query_id"),
+          round(col("rel").cast("double") * col("ideal_disc"), 6)
+            .cast(dec6).as("t"))
+        .groupBy("query_id").agg(sum("t").cast("double").as("idcg"))
+      dcg.join(idcg, "query_id")
+        .select(col("query_id"), col("dcg"), col("idcg"),
+          (col("dcg") / col("idcg")).as("ndcg"))
+        .orderBy("query_id")
     }),
 
     "q_retrieval_fusion" -> ((s, d) => {
@@ -181,6 +221,56 @@ object RetrievalQueries {
             |SELECT query_id, doc_id, score, rk
             |FROM ranked WHERE rk <= 10
             |ORDER BY query_id, rk""".stripMargin),
+      "q_retrieval_ndcg" ->
+        (bm25Cte +
+          """,
+            |rb AS (
+            |  SELECT query_id, doc_id,
+            |    ROUND(CAST(1.0 AS DOUBLE) /
+            |      log2(rk + CAST(1.0 AS DOUBLE)), 6) AS disc
+            |  FROM (SELECT query_id, doc_id,
+            |          CAST(row_number() OVER (PARTITION BY query_id
+            |            ORDER BY score DESC, doc_id) AS INT) AS rk
+            |        FROM scored)
+            |  WHERE rk <= 10),
+            |cos AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+            |    ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+            |                             CAST(c.embedding AS DOUBLE[])) /
+            |      (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+            |                               CAST(q.embedding AS DOUBLE[]))) *
+            |       sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+            |                               CAST(c.embedding AS DOUBLE[])))),
+            |      6) AS cos_sim
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 20),
+            |rel AS (
+            |  SELECT query_id, doc_id, CAST(11 - rk AS BIGINT) AS rel,
+            |    ROUND(CAST(1.0 AS DOUBLE) /
+            |      log2(rk + CAST(1.0 AS DOUBLE)), 6) AS ideal_disc
+            |  FROM (SELECT query_id, doc_id,
+            |          CAST(row_number() OVER (PARTITION BY query_id
+            |            ORDER BY cos_sim DESC, doc_id) AS INT) AS rk
+            |        FROM cos)
+            |  WHERE rk <= 10),
+            |dcg AS (
+            |  SELECT rb.query_id,
+            |    CAST(SUM(CAST(ROUND(
+            |      CAST(COALESCE(rel.rel, 0) AS DOUBLE) * rb.disc, 6)
+            |      AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+            |  FROM rb LEFT JOIN rel
+            |    ON rb.query_id = rel.query_id AND rb.doc_id = rel.doc_id
+            |  GROUP BY rb.query_id),
+            |idcg AS (
+            |  SELECT query_id,
+            |    CAST(SUM(CAST(ROUND(
+            |      CAST(rel AS DOUBLE) * ideal_disc, 6)
+            |      AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+            |  FROM rel GROUP BY query_id)
+            |SELECT dcg.query_id, dcg.dcg AS dcg, idcg.idcg AS idcg,
+            |  dcg.dcg / idcg.idcg AS ndcg
+            |FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id
+            |ORDER BY dcg.query_id""".stripMargin),
       "q_retrieval_fusion" ->
         (bm25Cte +
           """,

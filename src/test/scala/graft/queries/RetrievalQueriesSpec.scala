@@ -111,6 +111,21 @@ class RetrievalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_retrieval_ndcg: metric invariants") {
+    val rows = SparkEntry.queries("q_retrieval_ndcg")(spark, dir).collect()
+    assert(rows.length == 20, "one row per query")
+    // every query has exactly the grades 10..1, so IDCG is the same
+    // grid constant for all of them
+    val idcgs = rows.map(_.getDouble(2)).distinct
+    assert(idcgs.length == 1, s"IDCG must be query-invariant: ${idcgs.toSeq}")
+    for (r <- rows) {
+      val (dcg, idcg, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(dcg >= 0 && dcg <= idcg, s"DCG out of [0, IDCG]: $dcg vs $idcg")
+      assert(ndcg == dcg / idcg, "nDCG must be exactly DCG/IDCG")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+    }
+  }
+
   test("scale shape: no token-keyed shuffle join; windows partitioned") {
     for (q <- Seq("q_retrieval_bm25", "q_retrieval_fusion")) {
       val f = SparkEntry.queries(q)(spark, dir).queryExecution

@@ -163,6 +163,8 @@ PLAN_FLAG_ALLOW = {
     # LINEAR work, the exact re-rank shape; the sublinear swap-in at
     # scale is the IVF cell equi-join (RetrievalQueries scaladoc)
     "q_retrieval_fusion": {"nested_loop_join"},
+    # same bounded dense scan inside the nDCG eval's relevance side
+    "q_retrieval_ndcg": {"nested_loop_join"},
     # the TAIL of the head/tail bigram-model join: the broadcast
     # heavy-hitter head (> N/4096 occurrences, ≤ 4096 rows by
     # pigeonhole) is screened out by a broadcast anti-join first, so
