@@ -90,6 +90,47 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023) — semantic dedup AT SCALE: the
+    // corpus is first bucketed by a coarse k-means quantizer (the
+    // shared IVF discipline: lowest-id seeds + one micro-integer
+    // Lloyd refinement, DuckDB-replayable), near-dup pairs form ONLY
+    // within a cell via an equi-join on cell id — so unlike the
+    // bounded q_dedup_embed_* exact tiers there is NO maxId contract
+    // and NO pair scan across cells: the full corpus participates and
+    // the pair space is Σ|cell|², which the paper's ~100k-cluster
+    // configuration keeps near-linear at 100 TB. Within each
+    // component (min-label propagation over the pair graph) the
+    // lowest vec_id is the kept representative; singleton docs are
+    // trivially kept and not emitted.
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = graft.operators.DerivedCache.memoValue(
+        s, s"semdedup_quant:nc=8:ki=1:$d") {
+        graft.operators.AnnSearch.trainQuantizer(
+          e, nCentroids = 8, kmeansIters = 1)
+      }
+      val asg = graft.operators.AnnSearch.assignCells(e, cents)
+      val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("va"),
+        VectorFns.norm2(col("embedding")).as("na"))
+      val b = asg.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("vb"),
+        VectorFns.norm2(col("embedding")).as("nb"))
+      val pairs = a.join(b, "cell")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(VectorFns.cosineWithNorms(col("va"), col("vb"),
+            col("na"), col("nb")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.dedupClusters(
+          e.select("vec_id"), pairs)
+        .filter(col("cluster_size") > 1)
+        .select(col("id").as("vec_id"), col("comp").as("rep_id"),
+          (col("id") === col("comp")).as("keep"), col("cluster_size"))
+        .orderBy("vec_id")
+    }),
+
     // Distributed Gram matrix Σ x·xᵀ over the WHOLE corpus — the
     // input to PCA/whitening/low-rank compression of an embedding
     // store. Each task folds its rows into ONE flat d(d+1)/2 long
@@ -339,6 +380,76 @@ object SimilarityQueries {
         |  WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // SemDeDup oracle: the coarse quantizer's seed + one Lloyd
+    // iteration unrolled (the annIvfOracle discipline — micro-integer
+    // means, float-cast centroids, sim DESC / cell DESC assignment
+    // ties), pairs restricted to shared cells, then the recursive
+    // min-label closure of q_dedup_embed_clusters.
+    "q_dedup_semantic" -> {
+      def cosd(x: String, y: String) =
+        s"list_inner_product($x, $y) / (sqrt(list_inner_product($x, $x))" +
+          s" * sqrt(list_inner_product($y, $y)))"
+      s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT cell, v AS cv FROM (
+        |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell, v FROM e)
+        |  WHERE cell < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cell, ${cosd("e.v", "c.cv")} AS sim
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cell DESC) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |x1 AS (SELECT a.cell, e.v FROM a1 a JOIN e USING (vec_id)),
+        |m1 AS (
+        |  SELECT cell, i AS pos,
+        |    CAST(CAST(CAST(SUM(CAST(round(v[i] * 1000000.0, 0)
+        |          AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0
+        |      AS FLOAT) AS DOUBLE) AS mf
+        |  FROM x1, UNNEST(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY cell, i),
+        |g1 AS (
+        |  SELECT cell, list(mf ORDER BY pos) AS cv FROM m1
+        |  GROUP BY cell),
+        |c1 AS (
+        |  SELECT p.cell, COALESCE(g1.cv, p.cv) AS cv
+        |  FROM c0 p LEFT JOIN g1 USING (cell)),
+        |sf AS (
+        |  SELECT e.vec_id, c.cell, ${cosd("e.v", "c.cv")} AS sim
+        |  FROM e CROSS JOIN c1 c),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cell DESC) AS rn FROM sf)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM asg x
+        |  JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  JOIN e ea ON x.vec_id = ea.vec_id
+        |  JOIN e eb ON y.vec_id = eb.vec_id
+        |  WHERE round(${cosd("ea.v", "eb.v")}, 6) >= 0.4),
+        |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+        |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        |sized AS (
+        |  SELECT id, comp,
+        |    COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+        |  FROM comps)
+        |SELECT id AS vec_id, comp AS rep_id, id = comp AS keep,
+        |  cluster_size
+        |FROM sized WHERE cluster_size > 1
+        |ORDER BY vec_id""".stripMargin
+    },
     "q_dedup_embed_clusters" ->
       s"""WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
