@@ -466,6 +466,52 @@ object LlmQueries {
         "lang", "doc_id", "t", budget = 512)
         .orderBy("shard", "doc_id")),
 
+    // Length-grouped dynamic batching (the HF-trainer
+    // group_by_length move): per shard, docs sorted by token length
+    // DESC fill fixed-size batches of 16, so each batch pads to a
+    // max-length close to its members' own — vs arrival-order
+    // batching where one long doc pads 15 short ones. Both
+    // assignments are emitted side by side with EXACT integer
+    // padding accounting (pad = n·max − Σt; no floats anywhere), so
+    // the padding win is part of the gated result. Batch ids are
+    // sequential chunks of the same per-shard row numbering in both
+    // orders, hence the (lang, batch_id) join is 1:1 by
+    // construction. Scale: two per-shard windows (partitioned) + one
+    // batch-grain aggregate — shard count is the parallelism knob.
+    "q_pack_batches" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+      val wSort = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("t").desc, col("doc_id").asc)
+      val wArr = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("doc_id").asc)
+      val assigned = t
+        .withColumn("bs",
+          floor((row_number().over(wSort) - lit(1)) / lit(16))
+            .cast("long"))
+        .withColumn("ba",
+          floor((row_number().over(wArr) - lit(1)) / lit(16))
+            .cast("long"))
+      val sorted = assigned.groupBy(col("lang"), col("bs").as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max("t").as("max_t_sorted"),
+          sum("t").as("tok"))
+        .select(col("lang"), col("batch_id"), col("n_docs"),
+          col("max_t_sorted"),
+          (col("n_docs") * col("max_t_sorted") - col("tok"))
+            .as("pad_sorted"))
+      val arrival = assigned.groupBy(col("lang"), col("ba").as("batch_id"))
+        .agg(max("t").as("max_t_arrival"), sum("t").as("tok2"))
+        .select(col("lang"), col("batch_id"), col("max_t_arrival"),
+          col("tok2"))
+      sorted.join(arrival, Seq("lang", "batch_id"))
+        .select(col("lang"), col("batch_id"), col("n_docs"),
+          col("max_t_sorted"), col("pad_sorted"), col("max_t_arrival"),
+          (col("n_docs") * col("max_t_arrival") - col("tok2"))
+            .as("pad_arrival"))
+        .orderBy("lang", "batch_id")
+    }),
+
     // int8 embedding quantization with reconstruction diagnostics.
     // Every step is elementwise IEEE double math in list order on
     // both engines (float→double widening is exact; round-half-away
@@ -1344,6 +1390,31 @@ object LlmQueries {
     // generate_subscripts — duckdb's lambda fns mis-evaluate inside
     // recursive CTEs, so no list_transform here). One row per shard
     // per step keeps the recursion linear.
+    "q_pack_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, lang, t,
+        |    CAST(floor((row_number() OVER (PARTITION BY lang
+        |      ORDER BY t DESC, doc_id) - 1) / 16) AS BIGINT) AS bs,
+        |    CAST(floor((row_number() OVER (PARTITION BY lang
+        |      ORDER BY doc_id) - 1) / 16) AS BIGINT) AS ba
+        |  FROM t),
+        |s AS (
+        |  SELECT lang, bs AS batch_id, COUNT(*) AS n_docs,
+        |    MAX(t) AS max_t_sorted,
+        |    COUNT(*) * MAX(t) - CAST(SUM(t) AS BIGINT) AS pad_sorted
+        |  FROM a GROUP BY lang, bs),
+        |r AS (
+        |  SELECT lang, ba AS batch_id, MAX(t) AS max_t_arrival,
+        |    COUNT(*) * MAX(t) - CAST(SUM(t) AS BIGINT) AS pad_arrival
+        |  FROM a GROUP BY lang, ba)
+        |SELECT s.lang, s.batch_id, s.n_docs, s.max_t_sorted,
+        |  s.pad_sorted, r.max_t_arrival, r.pad_arrival
+        |FROM s JOIN r ON s.lang = r.lang AND s.batch_id = r.batch_id
+        |ORDER BY s.lang, s.batch_id""".stripMargin,
     "q_pack_ffd" ->
       """WITH RECURSIVE docs AS (
         |  SELECT lang AS shard, doc_id, (n_chars // 4 + 1) AS tokens,
