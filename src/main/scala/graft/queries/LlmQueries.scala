@@ -47,6 +47,18 @@ object LlmQueries {
     * slice — q_ann_ivf and the IVF-PQ index train the IDENTICAL
     * centroids (same slice, same params), so one training serves
     * both (memoValue, codebook-sized). */
+  /** Trained unigram vocabulary for the dataset — memoized:
+    * q_unigram_train emits it, q_text_tokens_unigram encodes under
+    * it; one training serves both (memoValue, codebook-sized). */
+  private def unigramVocab(s: SparkSession, d: String)
+      : Seq[graft.operators.Unigram.Piece] =
+    graft.operators.DerivedCache.memoValue(
+      s, s"unigram_vocab:k=40:r=2:$d") {
+      graft.operators.Unigram.train(
+        Tables.documents(s, d).select("text"), "text",
+        topKMulti = 40, rounds = 2)
+    }
+
   private def coarseQuantizer(s: SparkSession, d: String)
       : Array[(Int, Seq[Float])] =
     graft.operators.DerivedCache.memoValue(
@@ -417,6 +429,33 @@ object LlmQueries {
         .toDF("rank", "left", "right", "merged")
         .orderBy("rank")
     }),
+
+    // Unigram-LM tokenizer training (SentencePiece family, Kudo
+    // 2018) by Viterbi hard-EM — see [[graft.operators.Unigram]]:
+    // weighted substring seeding, micro-quantized ln costs (the
+    // engine's transcendental discipline), two EM rounds of
+    // distributed min-cost segmentation with deterministic
+    // longest-piece ties. The DuckDB oracle replays seed selection
+    // and BOTH EM rounds as unrolled per-position DP chains
+    // ([[graft.operators.UnigramOracle]]). Vocab memoized: the
+    // tokens key below encodes under the identical artifact.
+    "q_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      unigramVocab(s, d)
+        .map(p => (p.piece, p.cnt, p.costMicro))
+        .toDF("piece", "cnt", "cost_micro")
+        .orderBy("piece")
+    }),
+
+    // Per-document token counts under the trained unigram
+    // vocabulary: one broadcast + one narrow mapPartitions pass with
+    // a per-partition word memo (the Bpe.tokenCounts scale
+    // contract); the oracle runs a third DP chain under the final
+    // costs — the encoder itself, replayed.
+    "q_text_tokens_unigram" -> ((s, d) =>
+      graft.operators.Unigram.tokenCounts(
+        Tables.documents(s, d), "doc_id", "text", unigramVocab(s, d))
+        .orderBy("doc_id")),
 
     // Sequence packing under REAL tokenizer budgets: same prefix-sum
     // window operator as q_pack_sequences, but the per-doc token
@@ -1470,6 +1509,9 @@ object LlmQueries {
     "q_text_tokens_bpe" ->
       graft.operators.BpeOracle.tokenCountsSql(120, bpeSamplePred),
     "q_bpe_train" -> graft.operators.BpeOracle.mergeTableSql(32),
+    "q_unigram_train" -> graft.operators.UnigramOracle.vocabSql,
+    "q_text_tokens_unigram" ->
+      graft.operators.UnigramOracle.tokenCountSql,
     "q_pack_sequences_bpe" ->
       graft.operators.BpeOracle.packSql(120, bpeSamplePred, 2048)
   )
