@@ -57,10 +57,15 @@ object CorpusQueries {
       val big = bigrams(s, d)
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       val c1 = big.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      // nano-integer bigram probabilities: round(x·1e9, 0) is the
+      // cross-engine-exact quantization (a round(x, 9) surface on
+      // count RATIOS hits .5e-9 grid boundaries where Spark HALF_UP
+      // and DuckDB scaled-double rounding disagree — caught by the
+      // sf0.1 gate, 8/5000 docs); the summed nanos are exact BIGINTs
       val p = c2.join(c1, "w1")
         .select(col("w1"), col("w2"),
-          round(col("cnt2").cast("double") / col("cnt1").cast("double"),
-            9).as("p"), col("cnt2"))
+          round(col("cnt2").cast("double") / col("cnt1").cast("double") *
+            lit(1e9), 0).cast("long").as("p_e9"), col("cnt2"))
       // cnt2 is by construction the stream frequency of (w1, w2) in
       // `big`, so the generalized head/tail operator applies
       // directly (this query's inline version is where the operator
@@ -68,11 +73,11 @@ object CorpusQueries {
       graft.operators.ScaleJoins
         .frequencySplitJoin(big, p, Seq("w1", "w2"), "cnt2",
           lmHeadFanout)
-        .select("doc_id", "p")
+        .select("doc_id", "p_e9")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("p").cast(DecimalType(18, 12))).cast("double") /
-            count(lit(1)), 9).as("lm_score"))
+          (sum(col("p_e9")).cast("double") / count(lit(1)) / lit(1e9))
+            .as("lm_score"))
     }
 
   /** Every 30-char window of every document (stride 1), keyed by the
@@ -282,12 +287,13 @@ object CorpusQueries {
       |c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY 1),
       |p AS (
       |  SELECT w1, w2,
-      |    ROUND(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE), 9) AS p
+      |    CAST(ROUND(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)
+      |      * 1000000000.0, 0) AS BIGINT) AS p_e9
       |  FROM c2 JOIN c1 USING (w1)),
       |lm AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |    ROUND(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
-      |          / COUNT(*), 9) AS lm_score
+      |    CAST(SUM(p_e9) AS DOUBLE) / COUNT(*) / 1000000000.0
+      |      AS lm_score
       |  FROM big JOIN p USING (w1, w2)
       |  GROUP BY doc_id)""".stripMargin
 

@@ -198,8 +198,15 @@ object EventQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(col("clipped")).as("n_clipped"),
-          round(sum(round(col("w"), 6).cast(DecimalType(18, 12)))
-            .cast("double") / count(lit(1)), 6).as("mean_winsorized"))
+          // micro-integer surface: round(x·1e6, 0) is cross-engine
+          // exact (no decimal-scale rounding), the summed micros are
+          // exact BIGINTs, and the mean is two sequential IEEE
+          // divisions — a rational mean surfaced through round(x, 6)
+          // hits .5e-6 grid boundaries where Spark HALF_UP and
+          // DuckDB scaled-double rounding disagree (caught by the
+          // sf0.1 gate: 1/1500 rows)
+          (sum(round(col("w") * lit(1e6), 0).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e6)).as("mean_winsorized"))
         .orderBy("user_id")
     }),
 
@@ -363,8 +370,8 @@ object EventQueries {
         |  FROM events, bounds)
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(clipped) AS BIGINT) AS n_clipped,
-        |  ROUND(CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(18,12)))
-        |             AS DOUBLE) / COUNT(*), 6) AS mean_winsorized
+        |  CAST(SUM(CAST(ROUND(w * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1000000.0 AS mean_winsorized
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same sortable-string argmin/argmax: ASCII digit padding makes
     // string MIN/MAX equal numeric (ts_us, event_id) order in both

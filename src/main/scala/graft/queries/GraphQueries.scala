@@ -82,7 +82,12 @@ object GraphQueries {
     "q_graph_pagerank" -> ((s, d) =>
       PageRank.ranks(edges(s, d), iterations = 3)
         .select(col("node"), col("rank").as("rank_fp"),
-          round(col("rank").cast("double") / 1e12, 9).as("rank_norm"))
+          // bare IEEE division of the exact fixed-point rank — a
+          // round(x, 9) here surfaces a rational whose .5e-9 grid
+          // boundaries Spark and DuckDB round differently (sf0.1
+          // gate: 1/15999 rows); the unrounded quotient is
+          // correctly-rounded and bit-identical on both engines
+          (col("rank").cast("double") / 1e12).as("rank_norm"))
         .orderBy("node")),
     "q_graph_triangles" -> ((s, d) =>
       TriangleCount.perNode(coPurchaseEdges(s, d))
@@ -143,7 +148,7 @@ object GraphQueries {
         |    JOIN deg d ON e.src = d.src
         |    GROUP BY e.dst) s USING (node))
         |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
-        |  ROUND(CAST(rank AS DOUBLE) / 1e12, 9) AS rank_norm
+        |  CAST(rank AS DOUBLE) / 1e12 AS rank_norm
         |FROM r3 ORDER BY node""".stripMargin,
     // Lexicographic orientation (a<b<c): the triangle SET — and so the
     // per-node counts — is identical under any total node order, which
