@@ -81,7 +81,10 @@ object AnalyticsQueries {
       daily
         .join(broadcast(monthly), col("month") === col("m_month"))
         .select(col("day"), col("dau"), col("n_events"), col("mau"),
-          round(col("dau").cast("double") / col("mau").cast("double"), 9)
+          // bare IEEE division of exact ints (SURVEY 7.4 rule 10:
+          // integer-ratio surfaces through round(x, 9) hit grid
+          // boundaries where the engines round differently)
+          (col("dau").cast("double") / col("mau").cast("double"))
             .as("stickiness"))
         .orderBy("day")
     }),
@@ -157,8 +160,11 @@ object AnalyticsQueries {
           sum(col("cnt") * col("cnt")).as("sumsq"),
           sum(col("cnt")).as("total"))
         .select(col("doc_id"), col("distinct_chars"),
-          round(lit(1.0) - col("sumsq").cast("double") /
-            (col("total") * col("total")).cast("double"), 9)
+          // exact ints through 1.0 - a/b: every IEEE op is
+          // deterministic, and a final round(·, 9) on the rational
+          // result is a boundary hazard (SURVEY 7.4 rule 10)
+          (lit(1.0) - col("sumsq").cast("double") /
+            (col("total") * col("total")).cast("double"))
             .as("char_diversity"))
         .orderBy("doc_id")),
 
@@ -183,7 +189,9 @@ object AnalyticsQueries {
             .when(col("alpha_ratio") < 0.6, "low_alpha")
             .otherwise("keep"))
         .select(col("doc_id"), col("n_chars"), col("ws_tokens"),
-          round(col("alpha_ratio"), 9).as("alpha_ratio"),
+          // bare int-ratio; the 0.6 gate above also compares the
+          // unrounded value on both engines (SURVEY 7.4 rule 10)
+          col("alpha_ratio"),
           col("verdict"))
         .orderBy("doc_id")
     }),
@@ -219,9 +227,11 @@ object AnalyticsQueries {
         .crossJoin(broadcast(stats))
         .select(col("n_keys"), col("total_rows"), col("max_cnt"),
           col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
-          round(col("max_cnt").cast("double") /
+          // two sequential exact-input IEEE divisions, no final
+          // round (SURVEY 7.4 rule 10)
+          (col("max_cnt").cast("double") /
             (col("total_rows").cast("double") /
-              col("n_keys").cast("double")), 9).as("skew_ratio"))
+              col("n_keys").cast("double"))).as("skew_ratio"))
     }),
 
     // Event path mining: top-10 three-step event-type transitions —
@@ -429,7 +439,7 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("total", sum(col("cnt")).over(wCur))
         .select(col("cur"), col("next"), col("cnt"),
-          round(col("cnt").cast("double") / col("total").cast("double"), 9)
+          (col("cnt").cast("double") / col("total").cast("double"))
             .as("prob"))
         .orderBy("cur", "next")
     }),
@@ -456,7 +466,7 @@ object AnalyticsQueries {
           (sum(col("cos").cast(DecimalType(18, 12))).cast("double") /
             count(lit(1))).as("mean_cos"))
         .select(col("label_lo"), col("label_hi"), col("n_pairs"),
-          round(col("mean_cos"), 9).as("mean_cos"))
+          col("mean_cos"))
         .orderBy("label_lo", "label_hi")
     }),
 
@@ -495,8 +505,8 @@ object AnalyticsQueries {
       val totals = perDoc.agg(sum(col("toks")).as("corpus_tokens"))
       cells.crossJoin(broadcast(totals))
         .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
-          round(col("tokens").cast("double") /
-            col("corpus_tokens").cast("double"), 9).as("token_share"))
+          (col("tokens").cast("double") /
+            col("corpus_tokens").cast("double")).as("token_share"))
         .orderBy("lang", "source")
     }),
 
@@ -564,8 +574,8 @@ object AnalyticsQueries {
           sum(when(col("p") >= S / 2, 1L).otherwise(0L)).as("n_keep"),
           sum(col("p")).as("sp"))
         .select(col("lang"), col("n_docs"), col("n_keep"),
-          round(col("n_keep").cast("double") /
-            col("n_docs").cast("double"), 9).as("keep_frac"),
+          (col("n_keep").cast("double") /
+            col("n_docs").cast("double")).as("keep_frac"),
           expr("sp div n_docs").as("mean_p"))
         .orderBy("lang")
     }),
@@ -604,7 +614,7 @@ object AnalyticsQueries {
         |  SELECT month AS m_month, COUNT(DISTINCT user_id) AS mau
         |  FROM ev GROUP BY month)
         |SELECT day, dau, n_events, mau,
-        |  ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 9) AS stickiness
+        |  CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
         |FROM daily JOIN monthly ON month = m_month
         |ORDER BY day""".stripMargin,
     "q_events_anomaly" ->
@@ -650,16 +660,16 @@ object AnalyticsQueries {
         |  FROM chars WHERE ch <> '' GROUP BY doc_id, ch)
         |SELECT doc_id,
         |  CAST(COUNT(*) AS INT) AS distinct_chars,
-        |  ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) /
-        |        CAST(SUM(cnt) * SUM(cnt) AS DOUBLE), 9)
+        |  1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) /
+        |        CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
         |    AS char_diversity
         |FROM counts GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_quality_gate" ->
       """SELECT doc_id, n_chars,
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
-        |  ROUND(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        |             AS DOUBLE) / CAST(len(text) AS DOUBLE), 9)
+        |  CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |       AS DOUBLE) / CAST(len(text) AS DOUBLE)
         |    AS alpha_ratio,
         |  CASE
         |    WHEN n_chars < 100 THEN 'too_short'
@@ -691,8 +701,8 @@ object AnalyticsQueries {
         |   WHERE cum >= ceil(0.9 * n_keys)) AS p90_cnt,
         |  (SELECT MIN(cnt) FROM cum, stats
         |   WHERE cum >= ceil(0.99 * n_keys)) AS p99_cnt,
-        |  ROUND(CAST(max_cnt AS DOUBLE) /
-        |        (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 9)
+        |  CAST(max_cnt AS DOUBLE) /
+        |    (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
         |    AS skew_ratio
         |FROM stats""".stripMargin,
     "q_events_paths" ->
@@ -802,8 +812,8 @@ object AnalyticsQueries {
         |  SELECT cur, next, COUNT(*) AS cnt
         |  FROM seq WHERE next IS NOT NULL GROUP BY cur, next)
         |SELECT cur, next, cnt,
-        |  ROUND(CAST(cnt AS DOUBLE) /
-        |        CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE), 9)
+        |  CAST(cnt AS DOUBLE) /
+        |    CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE)
         |    AS prob
         |FROM cnts
         |ORDER BY cur, next""".stripMargin,
@@ -820,7 +830,7 @@ object AnalyticsQueries {
         |      AS DECIMAL(18,12)) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT label_lo, label_hi, COUNT(*) AS n_pairs,
-        |  ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 9) AS mean_cos
+        |  CAST(SUM(cos) AS DOUBLE) / COUNT(*) AS mean_cos
         |FROM pairs GROUP BY label_lo, label_hi
         |ORDER BY label_lo, label_hi""".stripMargin,
     "q_events_scd2" ->
@@ -842,7 +852,7 @@ object AnalyticsQueries {
         |  FROM per_doc GROUP BY lang, source),
         |totals AS (SELECT SUM(toks) AS corpus_tokens FROM per_doc)
         |SELECT lang, source, n_docs, tokens,
-        |  ROUND(CAST(tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)
+        |  CAST(tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)
         |    AS token_share
         |FROM cells, totals
         |ORDER BY lang, source""".stripMargin,
@@ -974,7 +984,7 @@ object AnalyticsQueries {
         |  FROM sc GROUP BY 1)
         |SELECT lang, CAST(n AS BIGINT) AS n_docs,
         |  CAST(nk AS BIGINT) AS n_keep,
-        |  ROUND(CAST(nk AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |  CAST(nk AS DOUBLE) / CAST(n AS DOUBLE)
         |    AS keep_frac,
         |  CAST(sp // n AS BIGINT) AS mean_p
         |FROM g ORDER BY lang""".stripMargin,

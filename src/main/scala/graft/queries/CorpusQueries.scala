@@ -117,8 +117,11 @@ object CorpusQueries {
         sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L))
           .as(dupAs))
       .select(col("doc_id"), col(totalAs), col(dupAs),
-        round(col(dupAs).cast("double") / col(totalAs).cast("double"),
-          6).as("dup_frac"))
+        // int-ratio surface: small denominators (e.g. 128 windows)
+        // make exact half-grid hits realistic, so no round — bare
+        // IEEE division is bit-identical (SURVEY 7.4 rule 10)
+        (col(dupAs).cast("double") / col(totalAs).cast("double"))
+          .as("dup_frac"))
       .orderBy("doc_id")
   }
 
@@ -384,8 +387,8 @@ object CorpusQueries {
         |SELECT p.doc_id, CAST(p.n_anchors AS BIGINT) AS n_anchors,
         |  CAST(COALESCE(d.n_dup_anchors, 0) AS BIGINT)
         |    AS n_dup_anchors,
-        |  ROUND(CAST(COALESCE(d.n_dup_anchors, 0) AS DOUBLE)
-        |        / CAST(p.n_anchors AS DOUBLE), 6) AS dup_frac
+        |  CAST(COALESCE(d.n_dup_anchors, 0) AS DOUBLE)
+        |    / CAST(p.n_anchors AS DOUBLE) AS dup_frac
         |FROM per_doc p LEFT JOIN dup_per d USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
     "q_dedup_substring" ->
@@ -406,8 +409,8 @@ object CorpusQueries {
         |  FROM wins JOIN dups USING (h) GROUP BY doc_id)
         |SELECT p.doc_id, CAST(p.n_windows AS BIGINT) AS n_windows,
         |  CAST(COALESCE(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-        |  ROUND(CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE)
-        |        / CAST(p.n_windows AS DOUBLE), 6) AS dup_frac
+        |  CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE)
+        |    / CAST(p.n_windows AS DOUBLE) AS dup_frac
         |FROM per_doc p LEFT JOIN dup_per d USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin
   )

@@ -110,8 +110,15 @@ object EventQueries {
           sum(col("dt")).as("span_us"),
           count(lit(1)).as("n_holds"))
         .select(col("user_id"),
-          round(col("wsum").cast("double") / col("span_us").cast("double"),
-            9).as("twa"),
+          // wsum exceeds 2^53 in cent·µs units, so DECIMAL→DOUBLE
+          // conversion is 1-ulp engine-dependent (Spark's one-step
+          // BigDecimal vs DuckDB's int128·10⁻² two-step). Surface
+          // the EXACT integer W·100 as BIGINT instead: int→double
+          // is a single correctly-rounded step on both engines, and
+          // the bare IEEE division of bit-identical inputs needs no
+          // final round (SURVEY 7.4 rule 10)
+          ((col("wsum") * 100).cast("long").cast("double") /
+            (col("span_us") * 100).cast("double")).as("twa"),
           col("span_us"), col("n_holds"))
         .orderBy("user_id")
     }),
@@ -306,7 +313,8 @@ object EventQueries {
         |ORDER BY event_id""".stripMargin,
     "q_events_twa" ->
       """SELECT user_id,
-        |  round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE), 9) AS twa,
+        |  CAST(CAST(wsum * 100 AS BIGINT) AS DOUBLE)
+        |    / CAST(span_us * 100 AS DOUBLE) AS twa,
         |  span_us, n_holds
         |FROM (
         |  SELECT user_id,

@@ -214,7 +214,9 @@ object SimilarityQueries {
         .map { case (v, i) =>
           (i, v.doubleValue() / mx.doubleValue()) }
         .toDF("i", "raw")
-        .select(col("i"), round(col("raw"), 9).as("v_norm"))
+        // bare division of two correctly-rounded BigInteger->double
+        // conversions (SURVEY 7.4 rule 10: no round on int ratios)
+        .select(col("i"), col("raw").as("v_norm"))
         .orderBy("i")
   }
 
@@ -517,7 +519,7 @@ object SimilarityQueries {
         |  SELECT s.i, SUM(CAST(s.g AS HUGEINT) * v1.v) AS v
         |  FROM sym s JOIN v1 ON s.j = v1.i GROUP BY s.i),
         |m AS (SELECT MAX(ABS(v)) AS mx FROM v2)
-        |SELECT i, ROUND(CAST(v AS DOUBLE) / CAST(mx AS DOUBLE), 9)
+        |SELECT i, CAST(v AS DOUBLE) / CAST(mx AS DOUBLE)
         |  AS v_norm
         |FROM v2, m ORDER BY i""".stripMargin
   )

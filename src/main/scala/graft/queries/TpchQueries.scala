@@ -178,7 +178,9 @@ object TpchQueries {
             .otherwise(lit(0).cast(DecimalType(18, 2)))).as("nat"),
           sum(vol).as("tot"))
         .select(col("o_year"),
-          round(col("nat").cast("double") / col("tot").cast("double"), 9)
+          // exact DECIMAL(18,2)-sum ratio: rational surface, so bare
+          // IEEE division with no final round (SURVEY 7.4 rule 10)
+          (col("nat").cast("double") / col("tot").cast("double"))
             .as("mkt_share"))
         .orderBy("o_year")
     }),
@@ -487,14 +489,13 @@ object TpchQueries {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_tpch_q8" ->
       """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-        |  ROUND(
-        |    CAST(SUM(CASE WHEN s_nationkey = 3
-        |             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |                  (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-        |    9) AS mkt_share
+        |  CAST(SUM(CASE WHEN s_nationkey = 3
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
