@@ -113,7 +113,11 @@ object ApproxDedup {
         .withColumnRenamed("sh", "sh_a"), "a_id")
       .join(withSh.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("sh", "sh_b"), "b_id")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      // bare |A∩B|/|A∪B|: an int ratio is bit-identical across
+      // engines as a single IEEE division, while round(·, 6) on it
+      // is a half-grid boundary hazard that here would flip PAIR
+      // MEMBERSHIP via the threshold (SURVEY 7.4 rule 10)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -174,8 +178,8 @@ object ApproxDedup {
     val out = cand
       .join(newSh, "new_id")
       .join(corpusSh, "corpus_id")
-      .withColumn("jaccard",
-        round(jaccard(col("sh_new"), col("sh_corpus")), 6))
+      // bare int-ratio Jaccard: see minhashPairs (rule 10)
+      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_corpus")))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
       .orderBy("new_id", "corpus_id")
@@ -361,9 +365,10 @@ object ApproxDedup {
     withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
         col("a_id") =!= col("b_id"))
-      .withColumn("containment", round(
+      // bare int-ratio containment: see minhashPairs (rule 10)
+      .withColumn("containment",
         graft.functions.HashExpressions.containmentLL(
-          col("sh_a"), col("sh_b")), 6))
+          col("sh_a"), col("sh_b")))
       .filter(col("containment") >= threshold)
       .select("a_id", "b_id", "containment")
       .orderBy("a_id", "b_id")
@@ -378,7 +383,8 @@ object ApproxDedup {
     withSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
         col("a_id") < col("b_id"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      // bare int-ratio Jaccard: see minhashPairs (rule 10)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")

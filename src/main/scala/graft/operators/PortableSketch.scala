@@ -305,18 +305,24 @@ object PortableSketch {
     val mAgg = inBoth.agg(count(lit(1)).cast("int").as("matches"))
     // single-row × single-row: the allow-listed broadcast-scalar cross
     uAgg.crossJoin(mAgg)
+      // every output below is an IEEE chain over exact-int inputs
+      // (int→double is a single correctly-rounded step on both
+      // engines, and 255·2⁶⁰ folds exactly), so the values are
+      // bit-identical UNROUNDED — while a final round(·, k) on the
+      // matches/k_used int ratio is a half-grid boundary hazard
+      // (SURVEY 7.4 rule 10)
       .select(col("k_used"), col("matches"), col("h_k"),
-        round(col("matches").cast("double") /
-          col("k_used").cast("double"), 6).as("jaccard_est"),
+        (col("matches").cast("double") /
+          col("k_used").cast("double")).as("jaccard_est"),
         // exact when the union fits in k; kth-minimum estimator
         // otherwise — ((k−1)·2⁶⁰)/(h_k+1), written as ONE
         // left-to-right chain so DuckDB folds identically
-        round(when(col("k_used") < k, col("k_used").cast("double"))
+        when(col("k_used") < k, col("k_used").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
-            (col("h_k").cast("double") + lit(1.0))), 4)
+            (col("h_k").cast("double") + lit(1.0)))
           .as("union_est"))
       .withColumn("inter_est",
-        round(col("matches").cast("double") /
-          col("k_used").cast("double") * col("union_est"), 4))
+        col("matches").cast("double") /
+          col("k_used").cast("double") * col("union_est"))
   }
 }

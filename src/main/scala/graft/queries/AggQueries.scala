@@ -704,15 +704,15 @@ object AggQueries {
         |  FROM f),
         |e AS (
         |  SELECT k_used, matches, h_k,
-        |    round(CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE), 6)
+        |    CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)
         |      AS jaccard_est,
-        |    round(CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+        |    CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
         |      ELSE 255.0 * 1152921504606846976.0 /
-        |           (CAST(h_k AS DOUBLE) + 1.0) END, 4) AS union_est
+        |           (CAST(h_k AS DOUBLE) + 1.0) END AS union_est
         |  FROM g)
         |SELECT k_used, matches, h_k, jaccard_est, union_est,
-        |  round(CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)
-        |        * union_est, 4) AS inter_est
+        |  CAST(matches AS DOUBLE) / CAST(k_used AS DOUBLE)
+        |    * union_est AS inter_est
         |FROM e""".stripMargin,
     // Two-stage KMV replay: fine bottom-K per (flag, status), then
     // bottom-K of the union per flag on the same hashes.

@@ -585,8 +585,8 @@ object LlmQueries {
       |p AS (
       |  SELECT a_id, b_id FROM (
       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |            len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
       |  WHERE jaccard >= 0.10),
       |e AS (SELECT a_id AS src, b_id AS dst FROM p
@@ -1206,8 +1206,8 @@ object LlmQueries {
       s"""WITH ${shingleCte("(SELECT doc_id, 1 AS n_docs, text FROM documents)")}
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
@@ -1221,8 +1221,8 @@ object LlmQueries {
         |${shingleCte("reps")}
         |SELECT a_id, b_id, jaccard, n_a, n_b FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
         |    a.n_docs AS n_a, b.n_docs AS n_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3
@@ -1277,7 +1277,9 @@ object LlmQueries {
     // Exact bigram Jaccard from the strings themselves: hash-set
     // Jaccard equals string-set Jaccard absent xxhash64 collisions,
     // so the hashed-kernel engine result is directly checkable.
-    // Threshold applies to the ROUNDED value on both sides.
+    // Threshold applies to the bare int-ratio Jaccard on both sides
+    // (bit-identical as a single IEEE division — rule 10; a rounded
+    // value at the threshold could flip pair membership).
     // greatest(len, 2) mirrors the engine's <n-token fallback (a doc
     // shorter than the window emits ONE window of all its tokens —
     // range(1, 2) = [1] and the slice clamps to the available run).
@@ -1290,8 +1292,8 @@ object LlmQueries {
         |        FROM documents WHERE doc_id < 300))
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
@@ -1308,8 +1310,8 @@ object LlmQueries {
         |        FROM documents WHERE doc_id < 300))
         |SELECT a_id, b_id, containment FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(a.sh), 6) AS containment
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(a.sh) AS containment
         |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
         |WHERE containment >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
@@ -1334,8 +1336,8 @@ object LlmQueries {
         |        FROM documents))
         |SELECT new_id, corpus_id, jaccard FROM (
         |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM (SELECT * FROM d WHERE doc_id >= 400) a
         |  JOIN (SELECT * FROM d WHERE doc_id < 400) b ON true)
         |WHERE jaccard >= 0.3
