@@ -123,4 +123,36 @@ object UnigramOracle {
         |FROM wrds w JOIN fin3 f ON w.word = f.word
         |GROUP BY w.doc_id
         |ORDER BY w.doc_id""".stripMargin
+
+  /** q_tokenizer_eval oracle: per-language fertility / compression
+    * comparison of the three tokenizers (whitespace, BPE-regex,
+    * trained unigram) — the encoder DP chain feeding a per-lang
+    * rollup. Ratios are bare IEEE divisions of exact BIGINT sums
+    * (SURVEY 7.4 rule 10). */
+  def fertilitySql: String =
+    chain(withEncode = true) +
+      s"""
+        |, uni AS MATERIALIZED (
+        |  SELECT w.doc_id, CAST(SUM(len(f.seg)) AS BIGINT) AS uni_t
+        |  FROM wrds w JOIN fin3 f ON w.word = f.word
+        |  GROUP BY w.doc_id),
+        |per AS (
+        |  SELECT d.lang, len(d.text) AS chars,
+        |    len(string_split(d.text, ' ')) AS ws_t,
+        |    len(regexp_extract_all(lower(d.text),
+        |        '${TextAnalysis.bpePattern}')) AS bpe_t,
+        |    u.uni_t
+        |  FROM documents d JOIN uni u ON d.doc_id = u.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS chars,
+        |  CAST(SUM(ws_t) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe_t) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(uni_t) AS BIGINT) AS uni_tokens,
+        |  CAST(SUM(uni_t) AS DOUBLE) / CAST(SUM(ws_t) AS DOUBLE)
+        |    AS fertility_uni_ws,
+        |  CAST(SUM(chars) AS DOUBLE) / CAST(SUM(uni_t) AS DOUBLE)
+        |    AS bytes_per_uni_token,
+        |  CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe_t) AS DOUBLE)
+        |    AS bytes_per_bpe_token
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 }

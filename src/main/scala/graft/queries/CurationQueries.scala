@@ -40,6 +40,39 @@ object CurationQueries {
         .orderBy("c_custkey")
     }),
 
+    // Gopher-style quality rules (Rae et al. 2021, appendix A —
+    // public heuristics): word-count band, mean-word-length band,
+    // stop-word presence; first failing rule wins. Thresholds are
+    // adapted to the synthetic corpus's measured ranges (10–99 words,
+    // mean word length 3.7–5.3, at most one Gopher stop word — the
+    // paper's 50..100k word band and ≥2-stop-word rule would collapse
+    // every doc into one verdict here); the rule STRUCTURE is the
+    // paper's. One narrow projection pass — no shuffle before the
+    // output sort, the per-row map shape that holds at any corpus
+    // size. mean_word_len is a bare int ratio (SURVEY 7.4 rule 10),
+    // and the band compares the same unrounded value on both engines.
+    "q_quality_gopher" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stops = array(Seq("the", "be", "to", "of", "and", "that",
+        "have", "with").map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("n_words", size(toks))
+        .withColumn("word_chars", length(translate(col("text"), " ", "")))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(toks), stops)))
+        .withColumn("mean_word_len",
+          col("word_chars").cast("double") / col("n_words"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("n_stop").cast("int").as("n_stop"),
+          when(col("n_words") < 30, "too_few_words")
+            .when(col("n_words") > 90, "too_many_words")
+            .when(col("mean_word_len") < 3.0 ||
+              col("mean_word_len") > 10.0, "word_len_out_of_band")
+            .when(col("n_stop") < 1, "no_stopword")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // 5-gram overlap screen: train = doc_id < 450, benchmark = the
     // rest. Engine joins on hashed grams (the 100 TB path: fixed
     // 8-byte shuffle width, broadcastable benchmark side); counts are
@@ -457,6 +490,30 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY shuffle_key % 16
         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    // The CASE compares the same unrounded int-ratio mean_word_len as
+    // the output column (rule 10: no round on either side).
+    "q_quality_gopher" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_word_len,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['the','be','to','of','and','that','have','with'])) AS INT)
+        |    AS n_stop,
+        |  CASE
+        |    WHEN len(string_split(text, ' ')) < 30 THEN 'too_few_words'
+        |    WHEN len(string_split(text, ' ')) > 90 THEN 'too_many_words'
+        |    WHEN CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |           / len(string_split(text, ' ')) < 3.0
+        |      OR CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |           / len(string_split(text, ' ')) > 10.0
+        |      THEN 'word_len_out_of_band'
+        |    WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','be','to','of','and','that','have','with'])) < 1
+        |      THEN 'no_stopword'
+        |    ELSE 'keep'
+        |  END AS verdict
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_pii" ->
       s"""WITH c AS (
         |  SELECT c_custkey,

@@ -457,6 +457,43 @@ object LlmQueries {
         Tables.documents(s, d), "doc_id", "text", unigramVocab(s, d))
         .orderBy("doc_id")),
 
+    // Tokenizer evaluation: per-language fertility / compression of
+    // the three tokenizers the engine trains or applies — whitespace,
+    // BPE-regex pretokens, and the trained unigram LM (memoized vocab
+    // shared with q_unigram_train / q_text_tokens_unigram, so this
+    // key pays no training). bytes-per-token and fertility are THE
+    // standard tokenizer-selection metrics for a pretraining corpus.
+    // Shape: one narrow projection + one broadcast-costs encode pass
+    // + a per-lang hash aggregate (map-side partials; lang cardinality
+    // is tiny) — no wide shuffle at any corpus size. Ratios are bare
+    // IEEE divisions of exact BIGINT sums (SURVEY 7.4 rule 10).
+    "q_tokenizer_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = graft.operators.Unigram.tokenCounts(
+        docs, "doc_id", "text", unigramVocab(s, d))
+        .withColumnRenamed("n_tokens", "uni_t")
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).as("chars"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_t"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_t"))
+        .join(uni, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("chars"),
+          sum(col("ws_t")).as("ws_tokens"),
+          sum(col("bpe_t")).as("bpe_tokens"),
+          sum(col("uni_t")).as("uni_tokens"))
+        .select(col("lang"), col("n_docs"), col("chars"),
+          col("ws_tokens"), col("bpe_tokens"), col("uni_tokens"),
+          (col("uni_tokens").cast("double") /
+            col("ws_tokens").cast("double")).as("fertility_uni_ws"),
+          (col("chars").cast("double") /
+            col("uni_tokens").cast("double")).as("bytes_per_uni_token"),
+          (col("chars").cast("double") /
+            col("bpe_tokens").cast("double")).as("bytes_per_bpe_token"))
+        .orderBy("lang")
+    }),
+
     // Sequence packing under REAL tokenizer budgets: same prefix-sum
     // window operator as q_pack_sequences, but the per-doc token
     // count is the trained-BPE count instead of the whitespace
@@ -1512,6 +1549,7 @@ object LlmQueries {
       graft.operators.BpeOracle.tokenCountsSql(120, bpeSamplePred),
     "q_bpe_train" -> graft.operators.BpeOracle.mergeTableSql(32),
     "q_unigram_train" -> graft.operators.UnigramOracle.vocabSql,
+    "q_tokenizer_eval" -> graft.operators.UnigramOracle.fertilitySql,
     "q_text_tokens_unigram" ->
       graft.operators.UnigramOracle.tokenCountSql,
     "q_pack_sequences_bpe" ->
