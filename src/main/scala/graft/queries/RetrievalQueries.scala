@@ -63,31 +63,44 @@ object RetrievalQueries {
     * streaming twin). Query terms are the DISTINCT terms of the
     * query documents (standard short-query BM25: query-side tf
     * ignored); both the query-term frame and the vocab-sized idf
-    * broadcast — never a token-keyed shuffle. */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.operators.Bm25.buildIndex(
-      Tables.documents(s, d).select("doc_id", "text"))
-    val qterms = idx.postings.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"), col("term"))
-    graft.operators.Bm25.score(qterms, idx)
-  }
+    * broadcast — never a token-keyed shuffle.
+    *
+    * Memoized ([[graft.operators.DerivedCache]]): three registry
+    * keys consume the identical scored frame (bm25 top-k, RRF
+    * fusion, nDCG), so the index build + scoring join runs once per
+    * (session, dataset) — the clusterPairs/ivfPqIndex discipline.
+    * The checkpointed frame is query-bounded (nQueries × matching
+    * docs), not corpus²-sized. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame =
+    graft.operators.DerivedCache.memo(
+      s, s"bm25_scored:q=$nQueries:$d") {
+      val idx = graft.operators.Bm25.buildIndex(
+        Tables.documents(s, d).select("doc_id", "text"))
+      val qterms = idx.postings.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("term"))
+      graft.operators.Bm25.score(qterms, idx)
+    }
 
   /** Cosine-scored (query_id, doc_id, cos_sim): 20 broadcast query
     * vectors scanned against the corpus — the exact dense baseline
     * (see scaladoc for the ANN swap-in at scale). vec_id aligns with
-    * doc_id by fixture construction (FIXTURES.md). */
-  private def cosineScored(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        VectorFns.norm2(col("embedding")).as("qn"))
-    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
-      VectorFns.norm2(col("embedding")).as("cn"))
-    c.crossJoin(broadcast(q))
-      .select(col("query_id"), col("doc_id"),
-        round(VectorFns.cosineWithNorms(col("qv"), col("cv"),
-          col("qn"), col("cn")), 6).as("cos_sim"))
-  }
+    * doc_id by fixture construction (FIXTURES.md). Memoized like
+    * [[bm25Scored]]: the fusion and nDCG keys consume the identical
+    * frame. */
+  private def cosineScored(s: SparkSession, d: String): DataFrame =
+    graft.operators.DerivedCache.memo(
+      s, s"cosine_scored:q=$nQueries:$d") {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          VectorFns.norm2(col("embedding")).as("qn"))
+      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+        VectorFns.norm2(col("embedding")).as("cn"))
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("doc_id"),
+          round(VectorFns.cosineWithNorms(col("qv"), col("cv"),
+            col("qn"), col("cn")), 6).as("cos_sim"))
+    }
 
   private def rankOver(part: String, score: Column, id: Column): Column =
     row_number().over(

@@ -127,17 +127,34 @@ class RetrievalQueriesSpec extends SparkSpec {
   }
 
   test("scale shape: no token-keyed shuffle join; windows partitioned") {
+    import org.apache.spark.sql.functions._
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // The registry keys consume a DerivedCache CHECKPOINT of the
+    // scored frame (three keys share one build), so the plan property
+    // is asserted on the scoring core itself — the plan that actually
+    // runs once per (session, dataset).
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val idx = graft.operators.Bm25.buildIndex(docs)
+    val qterms = idx.postings.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val core = fmt(graft.operators.Bm25.score(qterms, idx))
+    val coreShuffled = "(SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(core).toSeq
+    assert(coreShuffled.isEmpty,
+      s"bm25 core: unexpected shuffle join(s) $coreShuffled — term " +
+        "joins must broadcast")
+    assert(core.contains("BroadcastHashJoin"), "bm25 core: no broadcast join")
+    // Consumers: nothing above the checkpoint scan may introduce a
+    // shuffled join either (fusion's RRF merge of two rankers is the
+    // one sanctioned exception).
     for (q <- Seq("q_retrieval_bm25", "q_retrieval_fusion")) {
-      val f = SparkEntry.queries(q)(spark, dir).queryExecution
-        .explainString(org.apache.spark.sql.execution.ExplainMode
-          .fromString("formatted"))
-      // every term join is broadcast-hash: queries ≪ corpus contract
+      val f = fmt(SparkEntry.queries(q)(spark, dir))
       val shuffledJoins = "(SortMergeJoin|ShuffledHashJoin)".r
         .findAllIn(f).toSeq
       assert(shuffledJoins.isEmpty || q == "q_retrieval_fusion",
-        s"$q: unexpected shuffle join(s) $shuffledJoins — term joins " +
-          "must broadcast")
-      assert(f.contains("BroadcastHashJoin"), s"$q: no broadcast join")
+        s"$q: unexpected shuffle join(s) $shuffledJoins")
     }
   }
 }
