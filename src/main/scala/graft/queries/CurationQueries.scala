@@ -40,36 +40,22 @@ object CurationQueries {
         .orderBy("c_custkey")
     }),
 
-    // Gopher-style quality rules (Rae et al. 2021, appendix A —
-    // public heuristics): word-count band, mean-word-length band,
-    // stop-word presence; first failing rule wins. Thresholds are
-    // adapted to the synthetic corpus's measured ranges (10–99 words,
-    // mean word length 3.7–5.3, at most one Gopher stop word — the
-    // paper's 50..100k word band and ≥2-stop-word rule would collapse
-    // every doc into one verdict here); the rule STRUCTURE is the
-    // paper's. One narrow projection pass — no shuffle before the
-    // output sort, the per-row map shape that holds at any corpus
-    // size. mean_word_len is a bare int ratio (SURVEY 7.4 rule 10),
-    // and the band compares the same unrounded value on both engines.
+    // Gopher-style quality rules via the shared
+    // [[graft.operators.QualityRules]] core (one expression tree with
+    // the S22 streaming admission twin — see its scaladoc for the
+    // threshold adaptation and the rule-10 bare-ratio discipline).
+    // One narrow projection pass — no shuffle before the output sort,
+    // the per-row map shape that holds at any corpus size.
     "q_quality_gopher" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val stops = array(Seq("the", "be", "to", "of", "and", "that",
-        "have", "with").map(lit): _*)
+      import graft.operators.QualityRules
       Tables.documents(s, d)
-        .withColumn("n_words", size(toks))
-        .withColumn("word_chars", length(translate(col("text"), " ", "")))
-        .withColumn("n_stop",
-          size(array_intersect(array_distinct(toks), stops)))
-        .withColumn("mean_word_len",
-          col("word_chars").cast("double") / col("n_words"))
+        .withColumn("n_words", QualityRules.nWords(col("text")))
+        .withColumn("mean_word_len", QualityRules.meanWordLen(col("text")))
+        .withColumn("n_stop", QualityRules.nStop(col("text")))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("n_stop").cast("int").as("n_stop"),
-          when(col("n_words") < 30, "too_few_words")
-            .when(col("n_words") > 90, "too_many_words")
-            .when(col("mean_word_len") < 3.0 ||
-              col("mean_word_len") > 10.0, "word_len_out_of_band")
-            .when(col("n_stop") < 1, "no_stopword")
-            .otherwise("keep").as("verdict"))
+          col("n_stop"),
+          QualityRules.verdict(col("n_words"), col("mean_word_len"),
+            col("n_stop")).as("verdict"))
         .orderBy("doc_id")
     }),
 
