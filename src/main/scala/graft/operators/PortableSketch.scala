@@ -290,9 +290,22 @@ object PortableSketch {
                        k: Int = K): DataFrame = {
     // persisted: each side's distinct feeds BOTH the union (for u)
     // and its membership probe — without the persist the distinct
-    // aggregation would run twice per side
+    // aggregation would run twice per side. The persists are scoped
+    // to this call: the result is materialized eagerly below and the
+    // caches dropped in the finally, so repeated library calls don't
+    // accumulate session storage (they'd otherwise leak two cached
+    // frames per invocation until something clears the catalog).
     val ha = a.select(h60(col(key)).as("h")).distinct().persist()
     val hb = b.select(h60(col(key)).as("h")).distinct().persist()
+    try { kmvSetSimilarityOn(ha, hb, k).localCheckpoint(true) }
+    finally { ha.unpersist(); hb.unpersist() }
+  }
+
+  /** [[kmvSetSimilarity]]'s estimator over ALREADY-HASHED distinct
+    * key frames (one `h` column each); caching of `ha`/`hb` is the
+    * caller's concern. */
+  private def kmvSetSimilarityOn(ha: DataFrame, hb: DataFrame,
+                                 k: Int): DataFrame = {
     val u = ha.union(hb).distinct().orderBy("h").limit(k)
     // membership probes stream each corpus-scale side ONCE against
     // the broadcast k-row sample (only the right side of a semi-join

@@ -41,7 +41,15 @@ object UrlCanonicalize {
     val params = array_sort(filter(split(query0, "&"),
       p => !p.startsWith("utm_") && (p =!= "")))
     val query = concat_ws("&", params)
-    concat(scheme, lit("://"), host, path,
-      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    // Guard: an input that doesn't match the scheme://host shape
+    // (relative URL, missing "://", garbage) extracts "" for scheme
+    // AND host, so every malformed URL would canonicalize to the
+    // same "://..." key — silently merging unrelated documents in a
+    // canonical-key dedup. Pass unparseable inputs through unchanged
+    // instead: they dedup only against byte-identical copies of
+    // themselves, which is the safe (exact-dedup) behavior.
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 }

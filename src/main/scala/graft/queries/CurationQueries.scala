@@ -597,11 +597,11 @@ object CurationQueries {
         |      AS url
         |  FROM documents),
         |parts AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, url,
         |    regexp_replace(url, '#.*$', '') AS nofrag
         |  FROM raw),
         |pieces AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, url,
         |    lower(regexp_extract(nofrag,
         |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 1))
         |      AS scheme,
@@ -617,6 +617,7 @@ object CurationQueries {
         |  FROM parts),
         |canon AS (
         |  SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN url ELSE
         |    scheme || '://'
         |    || (CASE WHEN scheme = 'https'
         |             THEN regexp_replace(host0, ':443$', '')
@@ -625,7 +626,7 @@ object CurationQueries {
         |             ELSE host0 END)
         |    || path
         |    || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
-        |      AS canonical_url
+        |    END AS canonical_url
         |  FROM (
         |    SELECT *,
         |      array_to_string(list_sort(list_filter(

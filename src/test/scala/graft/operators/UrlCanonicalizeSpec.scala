@@ -37,4 +37,15 @@ class UrlCanonicalizeSpec extends SparkSpec {
     assert(canon("https://example.com/a?utm_source=x&utm_medium=y")
       == Seq("https://example.com/a"))
   }
+
+  test("unparseable inputs pass through unchanged — malformed URLs " +
+      "must never collapse onto one shared canonical key") {
+    val malformed = Seq("/relative/path?a=1", "not a url at all",
+      "example.com/missing-scheme", "", "://x")
+    // each survives verbatim: they dedup only against byte-identical
+    // copies of themselves (the safe exact-dedup behavior), never
+    // against OTHER malformed strings
+    assert(canon(malformed: _*) == malformed)
+    assert(canon(malformed: _*).distinct.size == malformed.size)
+  }
 }
