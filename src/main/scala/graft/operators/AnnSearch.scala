@@ -232,6 +232,99 @@ object AnnSearch {
       .orderBy("a_id", "rk")
   }
 
+  /** EXACT cosine top-k through the IVF cell partition — the
+    * sublinear-shaped replacement for a brute query×corpus scan that
+    * still returns BIT-IDENTICAL results to the exact scan (so
+    * hash-gated consumers like the retrieval fusion/nDCG keys keep
+    * their DuckDB oracles unchanged).
+    *
+    * Exactness argument (triangle inequality on UNIT vectors): for a
+    * corpus vector x in cell c, cos(q,x) = q̂·x̂ = q̂·ĉ + q̂·(x̂−ĉ)
+    * ≤ cos(q,c) + ‖x̂−ĉ‖, and ‖x̂−ĉ‖² = 2 − 2·cos(x,c) (both unit),
+    * so every cell carries a radius r_c = max over members of
+    * √(2 − 2·cos(x,c)) and the bound is pure cosines — no unit
+    * vectors ever materialize. Phase 1 probes the `nProbe` nearest
+    * cells per query and takes the candidate kth-best score τ_q
+    * (lower-bounds the true kth best, since more candidates only
+    * raise it). Phase 2 keeps every cell with cos(q,c) + r_c ≥ τ_q −
+    * margin (margin 2e-6 absorbs the 6-decimal output rounding plus
+    * fp slop; conservative margins only ADD candidates): any doc in
+    * the true top-k scores ≥ τ_q, so its cell passes — the final
+    * ranking over phase-2 candidates equals the full scan's exactly.
+    *
+    * Scale shape: both phases are cell EQUI-joins of a broadcast
+    * probe frame against the cell-partitioned corpus — never a
+    * nested-loop query×corpus cross. On clustered real-world
+    * embeddings r_c ≪ √2 and phase 2 touches a small cell fraction
+    * (the IVF speedup, with a proof instead of a recall gamble); on
+    * adversarially uniform vectors the bound degrades to probing
+    * every cell — same results, linear work, still the scale-ready
+    * join shape. The spec verifies equality against the brute scan.
+    *
+    * Candidates include the query vector itself (dense retrieval
+    * convention: rank 1 is the query document, which downstream
+    * graded-relevance consumers rely on).
+    */
+  def exactCosineTopK(embeddings: DataFrame, queryPred: Column,
+                      k: Int, nCells: Int = 16, nProbe: Int = 4,
+                      kmeansIters: Int = 1,
+                      index: Option[Array[(Int, Seq[Float])]] = None)
+      : DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = index.getOrElse(trainQuantizer(e, nCells, kmeansIters))
+    // cell radii: one pass over the corpus; nCells rows to the driver
+    // (bounded by contract, like every quantizer collect here)
+    val best = array_max(cellSimsFor(cents)(col("embedding")))
+    val radii: Map[Int, Double] = assignCells(e, cents)
+      .withColumn("sim_own", best.getField("sim"))
+      .groupBy("cell")
+      .agg(max(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * col("sim_own")))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val corpus = assignCells(e, cents)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+        VectorFns.norm2(col("embedding")).as("cn"), col("cell"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        VectorFns.norm2(col("embedding")).as("qn"))
+    val exactCos = round(VectorFns.cosineWithNorms(
+      col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos_sim")
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    // Phase 1: nProbe nearest cells per query -> candidate kth best
+    val probed = q.withColumn("probe_cells",
+        slice(reverse(array_sort(cellSimsFor(cents)(col("qv")))), 1, nProbe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("probe_cells").getField("cell")).as("cell"))
+    val tau = probed.join(corpus, Seq("cell"))
+      .select(col("query_id"), col("doc_id"), exactCos)
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .groupBy("query_id")
+      .agg(min("cos_sim").as("kth"), count(lit(1)).as("cnt"))
+      // fewer than k phase-1 candidates -> no usable cutoff: tau sinks
+      // below any cosine so every cell qualifies (still exact)
+      .select(col("query_id"),
+        when(col("cnt") < k, lit(-2.0))
+          .otherwise(col("kth") - lit(2e-6)).as("tau"))
+    // Phase 2: every cell whose bound clears tau, as a per-query
+    // array filter over the broadcast (centroid, radius) literals —
+    // then the same cell equi-join and the exact ranking
+    val bounds = array(cents.sortBy(_._1).map { case (cid, cvec) =>
+      struct((VectorFns.cosine(col("qv"), typedLit(cvec)) +
+        lit(radii.getOrElse(cid, 0.0))).as("bound"), lit(cid).as("cell"))
+    }: _*)
+    q.join(broadcast(tau), Seq("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(filter(bounds, s => s.getField("bound") >= col("tau"))
+          .getField("cell")).as("cell"))
+      .join(corpus, Seq("cell"))
+      .select(col("query_id"), col("doc_id"), exactCos)
+      .withColumn("rk", row_number().over(wq).cast("int"))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "cos_sim")
+  }
+
   /** Per-subspace L2 assignment: argmin ‖v − c‖² = argmax
     * (2·v·c − ‖c‖²) — ‖v‖² is constant per row; ‖c‖² is a
     * driver-side constant per code. Ties go to the higher code id
@@ -255,6 +348,14 @@ object AnnSearch {
     * driver per iteration. */
   def pqTrain(e: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
               iters: Int = 2): Array[Array[Seq[Float]]] = {
+    // Codes are stored as SIGNED bytes downstream (ivfPqTopK packs
+    // them via cast("byte")): a code in 128..255 would wrap negative
+    // and element_at(codebook, code+1) would then silently index from
+    // the END of the codebook, corrupting every ADC score. Fail the
+    // build instead of corrupting scores; widen the stored code type
+    // before ever raising this bound.
+    require(k <= 128,
+      s"codesPerSub=$k exceeds the signed-byte code range (max 128)")
     val sub = dim / m
     val subvecs = array((0 until m).map(s =>
       slice(col("embedding"), s * sub + 1, sub)): _*)
@@ -461,8 +562,10 @@ object AnnSearch {
     val centLit = typedLit(centroids.sortBy(_._1).map(_._2).toSeq)
     val withResidual = residualFrame(e, centroids)
     // corpus index rows: (b_id, cell, codes) — ONE BYTE per code
-    // (k <= 256 by contract; m bytes per vector is the production
-    // packed-code layout, 32x narrower than the raw floats)
+    // (codesPerSub <= 128, enforced in pqTrain: the byte is SIGNED,
+    // so 128..255 would wrap negative and mis-index the codebook;
+    // m bytes per vector is the production packed-code layout, 32x
+    // narrower than the raw floats)
     val codes = withResidual.filter(candidateFilter)
       .select(col("vec_id").as("b_id"), col("cell"),
       array((0 until m).map(s =>

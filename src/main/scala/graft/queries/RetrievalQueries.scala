@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VectorFns
 
 /** Sparse + hybrid text retrieval — the query→corpus search shapes a
   * training-data pipeline runs for decontamination lookups, RAG
@@ -48,10 +47,12 @@ import graft.functions.VectorFns
   * token key (the hotkey-join gate shape); for web-scale query sets
   * the same plan flips to [[graft.operators.ScaleJoins
   * .frequencySplitJoin]] on term, exactly as q_text_keywords does.
-  * The dense side of the fusion is a broadcast of 20 query vectors
-  * against the corpus — O(|Q|·N) work, a LINEAR scan per query, with
-  * [[graft.operators.AnnSearch]] (IVF cell equi-join) as the
-  * documented sublinear swap-in at 100 TB.
+  * The dense side of the fusion is [[graft.operators.AnnSearch
+  * .exactCosineTopK]] — the IVF cell EQUI-join with a triangle-
+  * inequality bound that makes its top-k provably equal to the
+  * exact scan (sublinear on clustered corpora, linear-at-worst on
+  * uniform ones, never a nested-loop cross). The brute scan remains
+  * as the spec-side verifier (RetrievalQueriesSpec).
   */
 object RetrievalQueries {
   private val nQueries = 20 // query set = doc_id < 20, by contract
@@ -81,25 +82,26 @@ object RetrievalQueries {
       graft.operators.Bm25.score(qterms, idx)
     }
 
-  /** Cosine-scored (query_id, doc_id, cos_sim): 20 broadcast query
-    * vectors scanned against the corpus — the exact dense baseline
-    * (see scaladoc for the ANN swap-in at scale). vec_id aligns with
-    * doc_id by fixture construction (FIXTURES.md). Memoized like
-    * [[bm25Scored]]: the fusion and nDCG keys consume the identical
-    * frame. */
+  /** Cosine-scored (query_id, doc_id, cos_sim), top-[[fusionDepth]]
+    * per query — the DEFAULT dense side is now the sublinear path:
+    * [[graft.operators.AnnSearch.exactCosineTopK]], the IVF cell
+    * EQUI-join with a triangle-inequality cell bound that guarantees
+    * results bit-identical to the exact query×corpus scan (its
+    * scaladoc has the proof; RetrievalQueriesSpec verifies equality
+    * against the brute scan and pins the build plan to the cell
+    * join — no nested loop). The oracle replays the plain exact
+    * scan, which is the same ranking by the guarantee. vec_id aligns
+    * with doc_id by fixture construction (FIXTURES.md). Memoized
+    * like [[bm25Scored]]: the fusion and nDCG keys consume the
+    * identical frame. Depth [[fusionDepth]] covers every consumer
+    * (fusion cuts at 50, nDCG relevance at 10) — ranks within the
+    * frame equal global ranks for rk ≤ 50. */
   private def cosineScored(s: SparkSession, d: String): DataFrame =
     graft.operators.DerivedCache.memo(
-      s, s"cosine_scored:q=$nQueries:$d") {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          VectorFns.norm2(col("embedding")).as("qn"))
-      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
-        VectorFns.norm2(col("embedding")).as("cn"))
-      c.crossJoin(broadcast(q))
-        .select(col("query_id"), col("doc_id"),
-          round(VectorFns.cosineWithNorms(col("qv"), col("cv"),
-            col("qn"), col("cn")), 6).as("cos_sim"))
+      s, s"cosine_scored:q=$nQueries:k=$fusionDepth:$d") {
+      graft.operators.AnnSearch.exactCosineTopK(
+        Tables.embeddings(s, d), col("vec_id") < nQueries,
+        k = fusionDepth)
     }
 
   private def rankOver(part: String, score: Column, id: Column): Column =

@@ -250,4 +250,46 @@ class AnnSearchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).sortBy(x => (x._1, x._2))
     assert(b1.sameElements(b2))
   }
+
+  test("exactCosineTopK equals the brute full-scan ranking bit-for-bit " +
+      "and its plan is a cell equi-join, never a nested loop") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, dir)
+    val k = 50
+    val got = AnnSearch.exactCosineTopK(e, col("vec_id") < 20, k = k)
+    // brute reference: the linear query×corpus scan this operator
+    // replaces (self-pairs included, like the operator's contract)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        VectorFns.norm2(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+      VectorFns.norm2(col("embedding")).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val brute = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        round(VectorFns.cosineWithNorms(col("qv"), col("cv"),
+          col("qn"), col("cn")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "cos_sim")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val (gr, br) = (rows(got), rows(brute))
+    assert(gr.length == 20 * k, s"expected ${20 * k} rows, got ${gr.length}")
+    assert(gr.sameElements(br),
+      "cell-bounded top-k diverged from the exact scan: " +
+        gr.zip(br).find { case (a, b) => a != b }.toString)
+    // plan shape: the BUILD plan (the one retrieval consumers hide
+    // behind a DerivedCache checkpoint) must have no nested loop /
+    // cartesian — candidate generation is the cell equi-join
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "exactCosineTopK build plan contains a nested-loop/cartesian join")
+  }
 }
