@@ -71,11 +71,19 @@ object Bench {
 
   /** The single driver-facing JSON line (headline per-query subset;
     * total over all queries). Must stay well under the harness's
-    * 2000-char capture window — see BenchFormatSpec. */
-  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum
+    * 2000-char capture window — see BenchFormatSpec.
+    *
+    * `buildSec` is the summed ONE-TIME DerivedCache build cost
+    * (shared indexes / memoized frames), reported as its own field
+    * and ADDED to `value`: per-query times are steady-state (driver-
+    * order-robust — r9's official record swung q_ann_ivf 5× purely
+    * on which seeded-order query paid the IVFADC build), while the
+    * total still covers the full end-to-end cost. */
+  def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      buildSec: Double = 0.0): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum + buildSec
     val qs = entries(results.filter(r => headlineSet(r._1)))
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_sec":${fmt(buildSec)},"sf":"$sfDir"}"""
   }
 
   /** Full-registry per-query detail, written next to the repo's
@@ -88,8 +96,9 @@ object Bench {
     * rows jump is fan-out, not a plan regression). */
   def fullJson(results: Seq[(String, Double)], sfDir: String,
       diag: String = "", rows: Map[String, Long] = Map.empty,
-      warm: Map[String, Double] = Map.empty): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum
+      warm: Map[String, Double] = Map.empty,
+      buildSec: Double = 0.0): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum + buildSec
     val tail = if (diag.isEmpty) "" else s""","diag":$diag"""
     val rowsTail =
       if (rows.isEmpty) ""
@@ -106,7 +115,7 @@ object Bench {
       else warm.toSeq.sorted
         .map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString(""","warm_sec":{""", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(results)},"sf":"$sfDir"$rowsTail$warmTail$tail}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries(results)},"build_sec":${fmt(buildSec)},"sf":"$sfDir"$rowsTail$warmTail$tail}"""
   }
 
   private val rowsObsSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -272,13 +281,30 @@ object Bench {
     val firstWall = firstPass.map { case (n, (w, _, _, _, _)) => n -> w }
     val rowCounts = scala.collection.mutable.Map.empty[String, Long] ++
       firstPass.collect { case (n, (_, _, _, r, _)) if r >= 0 => n -> r }
-    // Queries that PAID a DerivedCache build in the first pass: their
-    // rerun samples hit the memo (steady path only), so min-adoption
-    // would strip the one-time build cost from the committed record —
-    // and the too-low reference would re-flag the key as an outlier
-    // every subsequent round. Keep their first-pass time.
+    // Queries that PAID a DerivedCache build in the first pass
+    // (shared indexes / memoized frames: whichever consumer the
+    // seeded order runs first absorbs the one-time build). Re-time
+    // each ONCE — the rerun hits the memo, so it samples the steady
+    // plan — and attribute the difference to an explicit `build_sec`
+    // reported as its own field: per-query times become driver-order-
+    // robust (r9's official q_ann_ivf read 9.4 s vs 0.8 s steady
+    // purely on seeded order) while value still carries the full
+    // end-to-end cost. A rerun that itself pays a build (non-memoized
+    // repeat work — not the DerivedCache contract) keeps the first-
+    // pass time and attributes nothing.
     val buildPayers = firstPass.collect {
       case (n, (_, _, _, _, b)) if b > 0 => n }.toSet
+    var buildSec = 0.0
+    val buildRetime = scala.collection.mutable.Map.empty[String, Double]
+    if (buildPayers.nonEmpty) {
+      System.gc()
+      Thread.sleep(2000)
+      buildPayers.toSeq.sorted.foreach { n =>
+        val (w, _, _, r, b) = timed(n, byName(n))
+        if (r >= 0 && !rowCounts.contains(n)) rowCounts(n) = r
+        if (w >= 0.0 && b == 0) buildRetime(n) = w
+      }
+    }
     // Outlier rule: the committed BENCH_FULL.json (same sf) is the
     // reference — >2× its entry is contention-suspect. Fallback when
     // no reference exists: >3× the registry median. Floors: 0.3s on
@@ -287,10 +313,21 @@ object Bench {
     // the noise-vs-regression ambiguity a rerun row resolves), 1s on
     // the median fallback where there is no per-query baseline to
     // justify the extra passes.
+    // Adopt the steady re-times (min guards against a contention-hit
+    // rerun reading SLOWER than first-pass-minus-build ever could).
+    val steadied = firstWall.map { case (n, t) =>
+      buildRetime.get(n) match {
+        case Some(w) if t >= 0.0 =>
+          val adopted = math.min(t, w)
+          buildSec += t - adopted
+          n -> adopted
+        case _ => n -> t
+      }
+    }
     val refTimes = parseRefTimes(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_REF_JSON", "BENCH_FULL.json")),
       sfDir)
-    val okTimes = firstWall.map(_._2).filter(_ >= 0.0).sorted
+    val okTimes = steadied.map(_._2).filter(_ >= 0.0).sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     def isOutlier(name: String, t: Double): Boolean = t >= 0.0 &&
       (refTimes.get(name) match {
@@ -302,7 +339,7 @@ object Bench {
     // sat inside the same contention window and the guard failed),
     // each preceded by a GC + cooldown, up to 3 passes while any
     // query still reads as an outlier. Bounded: only outliers rerun.
-    var results = firstWall
+    var results = steadied
     val rerunLog = scala.collection.mutable.Map.empty[String, List[Double]]
     var pass = 0
     var pending = results.filter { case (n, t) => isOutlier(n, t) }.map(_._1)
@@ -315,9 +352,12 @@ object Bench {
         rerunLog(n) = rerunLog.getOrElse(n, Nil) :+ w
         n -> w
       }.toMap
+      // min-adoption applies to build payers too now: their official
+      // time is already the steady (memo-hit) sample, so a rerun is
+      // an apples-to-apples second steady sample.
       results = results.map { case (n, t) =>
         reruns.get(n) match {
-          case Some(w) if w >= 0.0 && !buildPayers(n) => n -> math.min(t, w)
+          case Some(w) if w >= 0.0 => n -> math.min(t, w)
           case _ => n -> t
         }
       }
@@ -343,9 +383,18 @@ object Bench {
       val rr = rerunLog.toSeq.sortBy(_._1).map { case (n, ws) =>
         s""""$n":[${ws.map(fmt).mkString(",")}]""" }
         .mkString("{", ",", "}")
+      // build_payers: [first-pass wall, adopted steady wall] per key
+      // that paid a DerivedCache build — the decomposition behind the
+      // top-level build_sec, so an attribution question is answerable
+      // from the record alone.
+      val firstByName = firstWall.toMap
+      val bp = buildPayers.toSeq.sorted.map { n =>
+        val adopted = results.toMap.getOrElse(n, -1.0)
+        s""""$n":[${fmt(firstByName.getOrElse(n, -1.0))},${fmt(adopted)}]"""
+      }.mkString("{", ",", "}")
       s"""{"order_seed":20260813,"ref_queries":${refTimes.size},""" +
         s""""gc_sec":${diagEntries(gc)},"cpu_sec":${diagEntries(cpu)},""" +
-        s""""reruns":$rr}"""
+        s""""build_payers":$bp,"reruns":$rr}"""
     }
     // Output dir is env-configurable: a driver launched from another
     // CWD would otherwise silently misplace the full per-query record.
@@ -353,13 +402,14 @@ object Bench {
     try {
       Files.createDirectories(Paths.get(outDir))
       Files.write(Paths.get(outDir, "BENCH_FULL.json"),
-        (fullJson(results, sfDir, diag, rowCounts.toMap, warmTimes) + "\n")
+        (fullJson(results, sfDir, diag, rowCounts.toMap, warmTimes,
+          buildSec) + "\n")
           .getBytes(StandardCharsets.UTF_8))
     }
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    println(jsonLine(results, sfDir))
+    println(jsonLine(results, sfDir, buildSec))
     spark.stop()
   }
 }

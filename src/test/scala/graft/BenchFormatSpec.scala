@@ -15,9 +15,18 @@ class BenchFormatSpec extends AnyFunSuite {
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9999.999)
 
   test("headline JSON line fits the 2000-char capture window with margin") {
-    val line = Bench.jsonLine(worstCase, "/root/testdata/sf0.1")
+    val line = Bench.jsonLine(worstCase, "/root/testdata/sf0.1", 9999.999)
     assert(line.length <= 1600,
       s"bench line ${line.length} chars — would risk scrolling out of the driver's 2000-char tail")
+  }
+
+  test("build_sec is reported as its own field and added to value") {
+    val line = Bench.jsonLine(Seq("q_a" -> 2.0, "q_b" -> 3.0), "sf", 1.5)
+    assert(line.contains(""""build_sec":1.500"""), line)
+    assert(line.contains(""""value":6.500"""), line)
+    val full = Bench.fullJson(Seq("q_a" -> 2.0), "sf", buildSec = 0.25)
+    assert(full.contains(""""build_sec":0.250""") &&
+      full.contains(""""value":2.250"""), full)
   }
 
   test("every headline key exists in the registry") {
