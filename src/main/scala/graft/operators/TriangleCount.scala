@@ -38,19 +38,26 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCount {
 
-  /** `edges` must be undirected, distinct, canonical pairs (a, b)
-    * with a < b, both columns the same integral type. Returns
-    * (node, triangles) for every node in at least one triangle. */
-  def perNode(edges: DataFrame): DataFrame = {
-    // Eager localCheckpoint on every multiply-consumed frame: the
-    // plan below reads `e` three times (both degree-union sides and
-    // the orientation join) and `adj` twice (edge re-derivation +
-    // the closing-probe join), and Catalyst does NOT share common
-    // sub-plans across a DAG — un-truncated, each consumer
-    // re-executes the upstream edge build (an expensive per-order
-    // pair expansion + distinct for the co-purchase graph), turning
-    // an ~11 s job into ~100 s at sf0.1 (the [[PageRank]] lesson,
-    // fan-out flavor).
+  /** The degree-oriented adjacency frame (src, nbrs): one sorted
+    * out-neighbor array per node, every out-degree bounded
+    * O(sqrt edges) by the (deg, id) orientation. This is the
+    * INDEX half of the operator — callers that run repeated triangle
+    * (or clustering-coefficient) queries over one graph should build
+    * it once and share it (the registry memoizes it via
+    * [[graft.operators.DerivedCache]], the trading-graph-edges
+    * discipline; on a production cluster it is a persisted bucketed
+    * table).
+    *
+    * `edges` must be undirected, distinct, canonical pairs (a, b)
+    * with a < b, both columns the same integral type. */
+  def orientedAdjacency(edges: DataFrame): DataFrame = {
+    // Eager localCheckpoint: the plan reads `e` three times (both
+    // degree-union sides and the orientation join), and Catalyst
+    // does NOT share common sub-plans across a DAG — un-truncated,
+    // each consumer re-executes the upstream edge build (an
+    // expensive per-order pair expansion + distinct for the
+    // co-purchase graph), turning an ~11 s job into ~100 s at sf0.1
+    // (the [[PageRank]] lesson, fan-out flavor).
     val e = edges.localCheckpoint(true)
     // degree over the undirected edge list: one narrow single-column
     // union (each canonical edge contributes to both endpoints)
@@ -74,9 +81,14 @@ object TriangleCount {
           col("b")).otherwise(col("a")).as("dst"))
     // one sorted out-neighbor array per node (≤ O(sqrt edges) long
     // under the degree orientation, so no array is a memory hazard)
-    val adj = oriented.groupBy("src")
+    oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint(true)
+  }
+
+  /** The QUERY half: close triangles over a prebuilt
+    * [[orientedAdjacency]] frame (already materialized — memoized or
+    * checkpointed — since it is consumed twice below). */
+  def closeFromAdjacency(adj: DataFrame): DataFrame = {
     // Re-derive the oriented edge list FROM the adjacency arrays:
     // explode(nbrs) yields each (u, v) exactly once and carries
     // N+(u) alongside for free — a narrow op, which deletes what
@@ -97,4 +109,10 @@ object TriangleCount {
         .as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** One-shot convenience: build the adjacency index and close over
+    * it. Returns (node, triangles) for every node in at least one
+    * triangle. */
+  def perNode(edges: DataFrame): DataFrame =
+    closeFromAdjacency(orientedAdjacency(edges).localCheckpoint(true))
 }
