@@ -33,7 +33,8 @@ object SparkEntry {
       AnalyticsQueries.queries ++
       CorpusQueries.queries ++
       GraphQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++
+      TxQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -54,5 +55,6 @@ object SparkEntry {
       AnalyticsQueries.oracleSql ++
       CorpusQueries.oracleSql ++
       GraphQueries.oracleSql ++
-      RetrievalQueries.oracleSql
+      RetrievalQueries.oracleSql ++
+      TxQueries.oracleSql
 }

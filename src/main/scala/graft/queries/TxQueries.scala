@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.TxTable
+
+/** Transactional-table queries: the snapshot-isolated commit log
+  * ([[graft.sources.TxTable]]) exercised end-to-end under the hash
+  * gate. The fixture builds a four-version table from the
+  * `documents` fixture — create, append, copy-on-write MERGE,
+  * compaction — and the gated key reads EVERY version back (time
+  * travel), proving the manifest log preserves each historical
+  * state byte-exactly and that compaction is content-neutral. The
+  * DuckDB oracle replays the logical content of each version
+  * directly from `documents` — if any commit leaked rows, lost an
+  * update, or compaction changed content, the per-version aggregates
+  * diverge.
+  *
+  * Versions (all derived deterministically from `documents`):
+  *   v1 create : doc_id % 3 = 0
+  *   v2 append : doc_id % 3 = 1
+  *   v3 merge  : update text -> text || ' v3' where doc_id % 6 = 0;
+  *               insert doc_id % 3 = 2 AND doc_id < 60
+  *   v4 compact: content-identical rewrite of v3
+  */
+object TxQueries {
+
+  /** Build-once-per-JVM fixture table (unique tmp dir per JVM run, so
+    * stale tables from previous processes can't skew version
+    * numbers). Registered through DerivedCache.memoValue so Bench
+    * attributes the one-time build to build_sec, like every other
+    * shared index. */
+  private def fixtureTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_table_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txtable_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
+      TxTable.append(docs.filter(col("doc_id") % 3 === 1), dir)
+      val updates = docs.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" v3")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2 &&
+          col("doc_id") < 60))
+      TxTable.merge(s, dir, updates)
+      require(TxTable.compact(s, dir).contains(4L),
+        "compact must land as v4")
+      dir
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-version aggregate fingerprint over the full manifest
+    // history: rows, chars, id-sum at every pinned version. Scale:
+    // each version read is a plain parquet scan of that manifest's
+    // files; the aggregates are single-pass map-combined.
+    "q_corpus_snapshot" -> ((s, d) => {
+      val t = fixtureTable(s, d)
+      (1L to 4L).map { v =>
+        TxTable.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"),
+            sum(col("doc_id")).as("sum_ids"))
+          .select(lit(v).as("version"), col("n_docs"),
+            col("n_chars"), col("sum_ids"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Replays each version's LOGICAL content straight from
+    // `documents`: v1/v2 are modulo slices, v3 applies the merge
+    // (update ... ' v3' on doc_id%6=0 over the v2 key set, plus the
+    // %3=2, <60 inserts), v4 equals v3 (compaction is
+    // content-neutral).
+    "q_corpus_snapshot" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' v3' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 60),
+        |versions AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
+  )
+}

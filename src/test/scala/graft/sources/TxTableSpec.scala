@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The transactional commit log under fire: CAS atomicity (two
+  * writers, one winner per version slot), rebase semantics (no lost
+  * rows under concurrent appends; no lost update under concurrent
+  * merges), snapshot isolation + time travel, crash-orphan
+  * invisibility, content-neutral compaction, and vacuum safety. */
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory(
+      Paths.get(System.getProperty("java.io.tmpdir")), "txspec_")
+      .toString
+
+  private def docs(ids: Long*) =
+    ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+
+  test("create is exclusive; append rebases and loses no rows under " +
+      "concurrent writers") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t))
+    assert(!TxTable.create(docs(9L), t), "second create must lose the CAS")
+
+    // two threads append disjoint batches concurrently; both must
+    // land (rebase), versions must be a linear 1..3 chain
+    val batches = Seq(Seq(10L, 11L), Seq(20L, 21L))
+    val threads = batches.map { b =>
+      new Thread(() => { TxTable.append(docs(b: _*), t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TxTable.latestVersion(t).contains(3L))
+    val ids = TxTable.read(spark, t).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 10L, 11L, 20L, 21L),
+      s"rows lost or duplicated under concurrent appends: ${ids.toSeq}")
+  }
+
+  test("merge updates matching keys, inserts new ones, and rebases " +
+      "instead of losing a concurrent writer's rows") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L, 3L), t))
+    // concurrent: one merge (update 1, insert 7) races one append (5)
+    val m = new Thread(() => {
+      TxTable.merge(spark, t,
+        Seq((1L, "t1-upd"), (7L, "t7")).toDF("doc_id", "text")); ()
+    })
+    val a = new Thread(() => { TxTable.append(docs(5L), t); () })
+    m.start(); a.start(); m.join(); a.join()
+    val rows = TxTable.read(spark, t)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "t1-upd", 2L -> "t2", 3L -> "t3",
+      5L -> "t5", 7L -> "t7"),
+      s"merge/append interleave lost rows: $rows")
+    assert(TxTable.latestVersion(t).contains(3L))
+  }
+
+  test("snapshot isolation and time travel: every committed version " +
+      "replays exactly; uncommitted files are invisible") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L), t))
+    TxTable.append(docs(2L), t)
+    TxTable.merge(spark, t, Seq((1L, "t1-v3")).toDF("doc_id", "text"))
+    // a "crashed" writer: data files written, no manifest committed
+    docs(99L).write.parquet(
+      Paths.get(t).resolve("data/crashed-writer").toString)
+    def idsAt(v: Long) = TxTable.read(spark, t, Some(v))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idsAt(1L) == Seq(1L))
+    assert(idsAt(2L) == Seq(1L, 2L))
+    assert(idsAt(3L) == Seq(1L, 2L))
+    assert(TxTable.read(spark, t, Some(3L)).filter($"doc_id" === 1L)
+      .select("text").as[String].head() == "t1-v3")
+    // latest == v3; the crashed writer's 99 appears nowhere
+    assert(TxTable.read(spark, t).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // vacuum removes ONLY the orphans; all committed versions survive
+    assert(TxTable.vacuum(t) > 0, "orphan files must be collected")
+    assert(idsAt(1L) == Seq(1L) && idsAt(2L) == Seq(1L, 2L) &&
+      idsAt(3L) == Seq(1L, 2L),
+      "vacuum must never touch committed history")
+    assert(TxTable.vacuum(t) == 0, "second vacuum finds nothing")
+  }
+
+  test("compaction is content-neutral, shrinks the file count, and " +
+      "aborts rather than contend") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t, buckets = 4))
+    (0 until 3).foreach(i => TxTable.append(docs(10L + i), t, buckets = 4))
+    val before = TxTable.snapshot(t).get
+    val rowsBefore = TxTable.read(spark, t)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted
+    assert(TxTable.compact(spark, t, buckets = 1)
+      .contains(before.version + 1))
+    val after = TxTable.snapshot(t).get
+    assert(after.files.size < before.files.size,
+      s"compaction must shrink files: ${before.files.size} -> ${after.files.size}")
+    val rowsAfter = TxTable.read(spark, t)
+      .select("doc_id", "text").as[(Long, String)].collect().sorted
+    assert(rowsBefore.sameElements(rowsAfter), "compaction changed content")
+    // contention: a compaction planned against a pinned snapshot
+    // that a real writer has since superseded must abort, not retry
+    val head = TxTable.snapshot(t).get
+    TxTable.append(docs(30L), t)
+    assert(TxTable.compact(spark, t, at = Some(head)).isEmpty,
+      "compaction must abort when it loses the CAS")
+    // and the winner's row is intact
+    assert(TxTable.read(spark, t).filter($"doc_id" === 30L).count() == 1)
+  }
+
+  test("empty table states read back with the schema intact") {
+    val t = freshDir()
+    assert(TxTable.create(docs().toDF("doc_id", "text")
+      .filter(lit(false)), t))
+    val df = TxTable.read(spark, t)
+    assert(df.columns.toSeq == Seq("doc_id", "text"))
+    assert(df.count() == 0)
+    TxTable.append(docs(4L), t)
+    assert(TxTable.read(spark, t).count() == 1)
+  }
+}
