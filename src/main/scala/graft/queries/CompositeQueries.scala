@@ -95,9 +95,10 @@ object CompositeQueries {
     // a broadcast join — the two-column projection keeps the build
     // side broadcastable orders of magnitude past where the full part
     // table would spill (beyond that, AQE falls back to a shuffle
-    // join on the same plan). Exact decimal sums; one double division
-    // on the output surface, rounded on both engines (FMA-drift
-    // guard, the q_agg_corr rule).
+    // join on the same plan). Exact decimal sums; the output ratio is
+    // a RATIONAL of exact decimals, so it surfaces micro-quantized
+    // (rule 10: scale-0 round + one bare IEEE division, never
+    // round(ratio, 9)).
     "q_tpch_q14" -> ((s, d) => {
       val promoPart = Tables.part(s, d)
         .select(col("p_partkey"),
@@ -113,8 +114,9 @@ object CompositeQueries {
             .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo"),
           revenue.as("total"))
         .select(
-          round(lit(100.0) * col("promo").cast("double") /
-            col("total").cast("double"), 9).as("promo_pct"),
+          (round(lit(100.0) * col("promo").cast("double") /
+            col("total").cast("double") * lit(1e9), 0) / lit(1e9))
+            .as("promo_pct"),
           col("total").cast("double").as("revenue"))
     }),
 
@@ -632,8 +634,8 @@ object CompositeQueries {
         |      (1 - CAST(l_discount AS DECIMAL(18,2)))
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9)
-        |    AS promo_pct,
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 1e9, 0)
+        |    / 1e9 AS promo_pct,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey

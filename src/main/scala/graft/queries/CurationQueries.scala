@@ -340,10 +340,13 @@ object CurationQueries {
       val dA = col("n_a") * n - col("na_tot") * t
       val dB = col("n_b") * n - col("nb_tot") * t
       cells.crossJoin(broadcast(tot)) // single-row totals frame
+        // rule 10: chi2 is a RATIONAL (exact-int numerators over
+        // exact-int denominators) — surface via scale-0 micro-
+        // quantization + one bare IEEE division, never round(ratio, 9)
         .withColumn("chi2_cell", round(
-          (dA * dA).cast("double") / (n * col("na_tot") * t).cast("double")
-            + (dB * dB).cast("double") / (n * col("nb_tot") * t).cast("double"),
-          9))
+          ((dA * dA).cast("double") / (n * col("na_tot") * t).cast("double")
+            + (dB * dB).cast("double") / (n * col("nb_tot") * t).cast("double"))
+            * lit(1e9), 0) / lit(1e9))
         .select(col("lang"), col("source"), col("n_a"), col("n_b"),
           col("chi2_cell"))
         .orderBy("lang", "source")
@@ -823,7 +826,7 @@ object CurationQueries {
         |         CAST(SUM(n_b) AS BIGINT) AS nb_tot
         |  FROM cells)
         |SELECT lang, source, n_a, n_b,
-        |  ROUND(
+        |  ROUND((
         |    CAST((n_a * (na_tot + nb_tot) - na_tot * (n_a + n_b)) *
         |         (n_a * (na_tot + nb_tot) - na_tot * (n_a + n_b))
         |      AS DOUBLE) /
@@ -832,8 +835,8 @@ object CurationQueries {
         |    CAST((n_b * (na_tot + nb_tot) - nb_tot * (n_a + n_b)) *
         |         (n_b * (na_tot + nb_tot) - nb_tot * (n_a + n_b))
         |      AS DOUBLE) /
-        |    CAST((na_tot + nb_tot) * nb_tot * (n_a + n_b) AS DOUBLE),
-        |  9) AS chi2_cell
+        |    CAST((na_tot + nb_tot) * nb_tot * (n_a + n_b) AS DOUBLE)
+        |  ) * 1e9, 0) / 1e9 AS chi2_cell
         |FROM cells, tot ORDER BY lang, source""".stripMargin,
     // The same mask-spread interleave, step by step in BIGINT — every
     // shift/and/or is exact 64-bit on both engines.

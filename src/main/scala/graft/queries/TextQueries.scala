@@ -67,8 +67,14 @@ object TextQueries {
         .select(col("doc_id"),
           col("r.n_bigrams").as("n_bigrams"),
           col("r.n_trigrams").as("n_trigrams"),
-          round(col("r.dup3_frac"), 6).as("dup3_frac"),
-          round(col("r.top2_frac"), 6).as("top2_frac"))
+          // rule 10: the fracs are INT ratios (dup count / n-gram
+          // count) — surface them micro-quantized (scale-0 round is
+          // half-grid-free on both engines) followed by ONE bare
+          // IEEE division, never round(ratio, 6)
+          (round(col("r.dup3_frac") * lit(1e6), 0) / lit(1e6))
+            .as("dup3_frac"),
+          (round(col("r.top2_frac") * lit(1e6), 0) / lit(1e6))
+            .as("top2_frac"))
         .orderBy("doc_id")
     }),
 
@@ -149,8 +155,9 @@ object TextQueries {
         |LIMIT 100""".stripMargin,
     // Bigram/trigram lists via DuckDB list comprehensions over a
     // 1-based range; top-bigram multiplicity via unnest + group.
-    // Fractions rounded to 6 on both sides (identical IEEE division
-    // order: 1.0 - distinct/total and max/total).
+    // Fractions micro-quantized on both sides (rule 10: int ratios
+    // never pass through round(x, k>0); scale-0 round then one bare
+    // IEEE division, identical order: 1.0 - distinct/total, max/total).
     "q_text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -168,12 +175,12 @@ object TextQueries {
         |SELECT g.doc_id,
         |  CAST(len(bi) AS INT) AS n_bigrams,
         |  CAST(len(tri) AS INT) AS n_trigrams,
-        |  round(CASE WHEN len(tri) > 0
+        |  round((CASE WHEN len(tri) > 0
         |    THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
-        |    ELSE 0.0 END, 6) AS dup3_frac,
-        |  round(CASE WHEN len(bi) > 0
+        |    ELSE 0.0 END) * 1e6, 0) / 1e6 AS dup3_frac,
+        |  round((CASE WHEN len(bi) > 0
         |    THEN CAST(m AS DOUBLE) / len(bi)
-        |    ELSE 0.0 END, 6) AS top2_frac
+        |    ELSE 0.0 END) * 1e6, 0) / 1e6 AS top2_frac
         |FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id
         |ORDER BY g.doc_id""".stripMargin,
     "q_dedup_exact" ->
