@@ -165,14 +165,14 @@ object RetrievalQueries {
         .withColumn("rc", rankOver("query_id", col("cos_sim"), col("doc_id")))
         .filter(col("rc") <= fusionDepth)
         .select("query_id", "doc_id", "rc")
-      // RRF: 1/(60+rank), absent ranker contributes 0. Exact-int add
-      // + exact conversion + one correctly-rounded division per term,
-      // then a single two-term IEEE add — bit-deterministic with no
-      // rounding needed.
+      // RRF via the SHARED scoring core (graft.operators.Rrf — one
+      // formula for this key and the S23 streaming twin): 1/(60+rank)
+      // on exact int ranks, absent ranker contributes 0 — exact-int
+      // add + one correctly-rounded division per term, then a single
+      // two-term IEEE add, bit-deterministic with no rounding needed.
       val fused = rb.join(rc, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("rb")).cast("double"), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rc")).cast("double"), lit(0.0)))
+          graft.operators.Rrf.scoreCol(col("rb"), col("rc")))
       fused
         .withColumn("rk", rankOver("query_id", col("rrf"), col("doc_id")))
         .filter(col("rk") <= 10)
