@@ -94,13 +94,20 @@ object TxTable {
   // Manifest JSON is written and parsed by this object only; data
   // file paths are generated (uuid + parquet part names) and the
   // schema is Spark DDL — neither contains characters needing JSON
-  // escaping beyond the quote check enforced at write time.
+  // escaping beyond the quote check enforced at write time. `txn`
+  // is the streaming exactly-once record: (appId, batchId) of the
+  // committing writer (the Delta txn-action pattern) — a replayed
+  // micro-batch finds its batchId already committed and no-ops.
   private def renderManifest(v: Long, op: String, schemaDdl: String,
-                             files: Seq[String]): String = {
-    require(!(schemaDdl + files.mkString).contains('"'),
+                             files: Seq[String],
+                             txn: Option[(String, Long)] = None): String = {
+    require(!(schemaDdl + files.mkString + txn.map(_._1).getOrElse(""))
+      .contains('"'),
       "manifest fields must not contain raw quotes")
     val fs = files.sorted.map(f => s""""$f"""").mkString("[", ",", "]")
-    s"""{"version":$v,"op":"$op","schema":"$schemaDdl","files":$fs}"""
+    val tx = txn.map { case (app, b) =>
+      s""","txn":{"app":"$app","batch":$b}""" }.getOrElse("")
+    s"""{"version":$v,"op":"$op","schema":"$schemaDdl","files":$fs$tx}"""
   }
 
   private val fileRe = """"([^"]+)"""".r
@@ -118,10 +125,14 @@ object TxTable {
           .map(_.group(1)).getOrElse("")
         val ddl = """"schema":"([^"]*)"""".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("")
+        // scan ONLY inside the files array — fields after its closing
+        // bracket (the txn record) must not parse as file paths
         val files = txt.indexOf(""""files":[""") match {
           case -1 => Seq.empty[String]
-          case i => fileRe.findAllMatchIn(txt.substring(i + 9))
-            .map(_.group(1)).toSeq
+          case i =>
+            val close = txt.indexOf(']', i)
+            fileRe.findAllMatchIn(txt.substring(i + 9, close))
+              .map(_.group(1)).toSeq
         }
         Some(Snapshot(v, op, ddl, files.map(f =>
           Paths.get(table).resolve(f).toString)))
@@ -147,16 +158,69 @@ object TxTable {
   /** Atomic CAS publish of version `v`: true iff this writer won the
     * slot. */
   private def publish(table: String, v: Long, op: String,
-                      schemaDdl: String, files: Seq[String]): Boolean = {
+                      schemaDdl: String, files: Seq[String],
+                      txn: Option[(String, Long)] = None): Boolean = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(
       s"tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp,
-      renderManifest(v, op, schemaDdl, files)
+      renderManifest(v, op, schemaDdl, files, txn)
         .getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(manifestPath(table, v), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
+  }
+
+  /** Highest batch id `appId` has ever committed to `table`, scanning
+    * the manifest log (O(versions) metadata reads — manifests are
+    * tiny; a production variant carries the per-app high-water mark
+    * forward in each manifest). */
+  def lastCommittedBatch(table: String, appId: String): Option[Long] = {
+    val re = (""""txn":\{"app":"""" + java.util.regex.Pattern.quote(appId) +
+      """","batch":(\d+)\}""").r
+    val vs = (1L to latestVersion(table).getOrElse(0L)).flatMap { v =>
+      val p = manifestPath(table, v)
+      if (!Files.exists(p)) None
+      else re.findFirstMatchIn(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        .map(_.group(1).toLong)
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** EXACTLY-ONCE streaming append: commit `df` as (`appId`,
+    * `batchId`) unless that batch (or a later one) is already in the
+    * log — the replay a restarted Structured Streaming query issues
+    * for its last in-flight micro-batch finds the txn recorded and
+    * NO-OPS instead of duplicating rows (the S13 idempotence
+    * contract, upgraded from partition-overwrite to a transactional
+    * commit). Concurrent writers with OTHER appIds interleave safely
+    * via the normal append rebase. Returns the committed (or
+    * already-present) version. */
+  def appendOnce(df: DataFrame, table: String, appId: String,
+                 batchId: Long, bucketKey: String = "doc_id",
+                 buckets: Int = 4, retries: Int = 20): Long = {
+    if (lastCommittedBatch(table, appId).exists(_ >= batchId))
+      return latestVersion(table).getOrElse(0L)
+    val files = writeData(df, table, bucketKey, buckets)
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendOnce to missing table $table"))
+      // re-check inside the loop: a CAS loss may mean OUR batch
+      // landed from a racing attempt of the same restarted query
+      if (lastCommittedBatch(table, appId).exists(_ >= batchId))
+        return head.version
+      val headRel = head.files.map(f =>
+        Paths.get(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "append", head.schemaDdl,
+          headRel ++ files, Some((appId, batchId))))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"appendOnce lost $retries CAS rounds on $table")
   }
 
   /** Write `df`'s rows as immutable data files under `data/<uuid>/`,

@@ -142,8 +142,10 @@ class Rule10LintSpec extends SparkSpec {
         // documented rule-10 absorbers (r9 audit): idf6 is ln-derived,
         // disc/ideal_disc are log2-derived — transcendental by
         // provenance even where the referencing ROUND no longer shows
-        // the ln/log2 call
-        val absorbers = Seq("IDF6", "DISC")
+        // the ln/log2 call. WORD-boundary matches only: a substring
+        // match would let L_DISCOUNT smuggle a real ratio past the
+        // lint under the DISC absorber.
+        val absorberRe = "\\b(IDF6|DISC|IDEAL_DISC)\\b".r
         // the textual walk flags ratios formed DIRECTLY from exact
         // aggregates/lengths inside the round argument — identifier
         // provenance (a CTE column that is already double) is the
@@ -153,7 +155,7 @@ class Rule10LintSpec extends SparkSpec {
             (arg.contains("/") || arg.contains("AVG(")) &&
             exactSource.exists(arg.contains) &&
             !transcendental.exists(arg.contains) &&
-            !absorbers.exists(arg.contains))
+            absorberRe.findFirstIn(arg).isEmpty)
           out += s"ROUND($arg, $scale)"
       }
       i = up.indexOf("ROUND(", i + 6)
