@@ -74,6 +74,20 @@ object TxTable {
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
 
+  /** Directory listing as a materialized Seq, with the underlying
+    * stream CLOSED — `Files.list`/`walk` hold an open fd until
+    * closed, and a long-lived library JVM must not leak one per
+    * metadata operation. */
+  private def listed(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
+  private def walked(p: Path): Seq[Path] = {
+    val st = Files.walk(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.json")
 
@@ -82,11 +96,10 @@ object TxTable {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) None
     else {
-      val vs = Files.list(dir).iterator().asScala
+      val vs = listed(dir)
         .map(_.getFileName.toString)
         .collect { case s if s.matches("v\\d{8}\\.json") =>
           s.substring(1, 9).toLong }
-        .toSeq
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -234,10 +247,10 @@ object TxTable {
     val dir = Paths.get(table).resolve(sub)
     df.repartition(buckets, col(bucketKey))
       .write.parquet(dir.toString)
-    Files.list(dir).iterator().asScala
+    listed(dir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .map(n => s"$sub/$n").toSeq
+      .map(n => s"$sub/$n")
   }
 
   /** Create the table at version 1 with `df`'s rows. Exactly one of
@@ -331,12 +344,11 @@ object TxTable {
       .flatMap(v => snapshot(table, Some(v)).toSeq.flatMap(_.files))
       .map(Paths.get(_).toAbsolutePath.toString).toSet
     var removed = 0
-    Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+    walked(dataDir).reverse.foreach { p =>
       if (Files.isRegularFile(p) &&
           !live.contains(p.toAbsolutePath.toString)) {
         Files.delete(p); removed += 1
-      } else if (Files.isDirectory(p) &&
-          !Files.list(p).iterator().hasNext) {
+      } else if (Files.isDirectory(p) && listed(p).isEmpty) {
         Files.delete(p)
       }
     }
