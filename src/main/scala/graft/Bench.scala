@@ -52,7 +52,7 @@ object Bench {
     "q_events_sessionize", "q_range_join", "q_pack_sequences",
     "q_pack_ffd", "q_ann_filtered", "q_ann_ivfpq", "q_join_skew_aqe",
     "q_dedup_canonical", "q_sketch_jaccard",
-    "q_multimodal_pipeline",
+    "q_multimodal_pipeline", "q_retrieval_fusion", "q_corpus_snapshot",
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q14",
     "q_tpch_q19", "q_tpch_q18")
 
