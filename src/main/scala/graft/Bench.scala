@@ -42,7 +42,7 @@ object Bench {
     "q_agg_hash", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
     "q_agg_grouping_sets",
     "q_win_rank", "q_win_running_sum", "q_win_lead_lag",
-    "q_sort_limit_topk", "q_set_union",
+    "q_sort_limit_topk",
     "q_str_funcs", "q_date_funcs", "q_math_funcs", "q_json_funcs",
     "q_array_funcs",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
@@ -53,8 +53,7 @@ object Bench {
     "q_pack_ffd", "q_ann_filtered", "q_ann_ivfpq", "q_join_skew_aqe",
     "q_dedup_canonical", "q_sketch_jaccard",
     "q_multimodal_pipeline", "q_retrieval_fusion", "q_corpus_snapshot",
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q14",
-    "q_tpch_q19", "q_tpch_q18")
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q18")
 
   private val headlineSet = headline.toSet
 

@@ -68,6 +68,38 @@ object TxQueries {
       }.reduce(_ unionByName _)
         .orderBy("version")
     }),
+
+    // Row-level change feed (CDC) across the same manifest history:
+    // per-transition insert/delete counts and fingerprint sums for
+    // the adjacent pairs AND the composed (1→4) range. The gate
+    // proves, against an independent EXCEPT ALL replay in DuckDB,
+    // that (a) an append's feed is exactly the appended rows, (b) a
+    // copy-on-write MERGE nets out to delete(old)+insert(new) per
+    // updated key plus plain inserts — rewrite noise cancels, (c) a
+    // compaction emits ZERO changes (the 3→4 row hashes as explicit
+    // zeros), and (d) a multi-version range feed equals the net diff
+    // (catch-up consumers skip intermediate rewrites). Scale: each
+    // feed reads only the transition's touched files; the append
+    // transition takes the shuffle-free fast path.
+    "q_corpus_changes" -> ((s, d) => {
+      val t = fixtureTable(s, d)
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).map { case (f, v) =>
+        val isIns = col("_change") === "insert"
+        TxTable.changes(s, t, f, v).agg(
+          coalesce(sum(when(isIns, 1L)), lit(0L)).as("n_insert"),
+          coalesce(sum(when(!isIns, 1L)), lit(0L)).as("n_delete"),
+          coalesce(sum(when(isIns, col("doc_id"))), lit(0L))
+            .as("insert_id_sum"),
+          coalesce(sum(when(!isIns, col("doc_id"))), lit(0L))
+            .as("delete_id_sum"),
+          coalesce(sum(when(isIns, length(col("text")).cast("long"))),
+            lit(0L)).as("insert_chars"))
+          .select(lit(f).as("from_version"), lit(v).as("to_version"),
+            col("n_insert"), col("n_delete"), col("insert_id_sum"),
+            col("delete_id_sum"), col("insert_chars"))
+      }.reduce(_ unionByName _)
+        .orderBy("from_version", "to_version")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -100,5 +132,56 @@ object TxQueries {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM versions GROUP BY version
         |ORDER BY version""".stripMargin,
+
+    // Independent CDC replay: rebuild each version's logical content
+    // (WITH lang, mirroring the engine's full-row multiset diff),
+    // diff adjacent versions and the (1→4) range with EXCEPT ALL
+    // both ways, and aggregate the same per-transition fingerprints.
+    // v4 = v3 (compaction), so the 3→4 row must be all zeros.
+    "q_corpus_changes" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' v3' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 60),
+        |i12 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+        |d12 AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2),
+        |i23 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2),
+        |d23 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3),
+        |i14 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+        |d14 AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+        |SELECT CAST(1 AS BIGINT) AS from_version,
+        |  CAST(2 AS BIGINT) AS to_version,
+        |  (SELECT COUNT(*) FROM i12) AS n_insert,
+        |  (SELECT COUNT(*) FROM d12) AS n_delete,
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM i12), 0) AS BIGINT)
+        |    AS insert_id_sum,
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM d12), 0) AS BIGINT)
+        |    AS delete_id_sum,
+        |  CAST(COALESCE((SELECT SUM(length(text)) FROM i12), 0) AS BIGINT)
+        |    AS insert_chars
+        |UNION ALL
+        |SELECT 2, 3,
+        |  (SELECT COUNT(*) FROM i23), (SELECT COUNT(*) FROM d23),
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM i23), 0) AS BIGINT),
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM d23), 0) AS BIGINT),
+        |  CAST(COALESCE((SELECT SUM(length(text)) FROM i23), 0) AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 4, 0, 0, 0, 0, 0
+        |UNION ALL
+        |SELECT 1, 4,
+        |  (SELECT COUNT(*) FROM i14), (SELECT COUNT(*) FROM d14),
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM i14), 0) AS BIGINT),
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM d14), 0) AS BIGINT),
+        |  CAST(COALESCE((SELECT SUM(length(text)) FROM i14), 0) AS BIGINT)
+        |ORDER BY from_version, to_version""".stripMargin,
   )
 }

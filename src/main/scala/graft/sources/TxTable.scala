@@ -334,6 +334,65 @@ object TxTable {
     else None
   }
 
+  /** Row-level CHANGE FEED between two committed versions — the CDC
+    * surface an incremental downstream consumer reads instead of
+    * rescanning the table (the public change-data-feed idea, derived
+    * here purely from the immutable manifests: no change journal, no
+    * tombstones, nothing extra written at commit time).
+    *
+    * The FILE-set diff bounds the work: only files touched between
+    * the versions are read. Inside the touched files a multiset ROW
+    * diff (EXCEPT ALL both ways) strips copy-on-write rewrite noise
+    * down to net changes:
+    * {{{
+    *   insert = rows(files(to) ∖ files(from))  ∖∖  rows(files(from) ∖ files(to))
+    *   delete = the reverse
+    * }}}
+    * so an append's feed is exactly the appended rows, a MERGE's feed
+    * is delete(old)+insert(new) per updated key plus plain inserts —
+    * the upsert shape a downstream MERGE applies verbatim — and a
+    * pure compaction cancels to an EMPTY feed (identical content,
+    * different files). Versions need not be adjacent: (v1, v4) yields
+    * the NET change of the whole range (intermediate rewrites cancel
+    * the same way), so a consumer that fell behind catches up in one
+    * read whose cost is the net file churn, not the commits missed.
+    *
+    * Output: the table schema plus a `_change` column
+    * ("insert" | "delete").
+    *
+    * Scale: the EXCEPT ALL pair is one hash shuffle of the
+    * touched-file rows only — a day's feed costs the day's churn,
+    * never the table. The append-only case (the dominant ingest
+    * shape, detected as "no files removed") short-circuits to a plain
+    * scan of the new files: NO shuffle at all. */
+  def changes(spark: SparkSession, table: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes requires fromVersion <= toVersion ($fromVersion > $toVersion)")
+    def snap(v: Long) = snapshot(table, Some(v)).getOrElse(
+      throw new IllegalArgumentException(s"no such version: $table @ $v"))
+    val from = snap(fromVersion)
+    val to = snap(toVersion)
+    val schema = StructType.fromDDL(to.schemaDdl)
+    def readFiles(fs: Seq[String]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(fs: _*)
+    val fromSet = from.files.toSet
+    val toSet = to.files.toSet
+    val addedFiles = to.files.filterNot(fromSet)
+    val removedFiles = from.files.filterNot(toSet)
+    val added = readFiles(addedFiles)
+    val removed = readFiles(removedFiles)
+    val ins =
+      if (removedFiles.isEmpty) added else added.exceptAll(removed)
+    val del =
+      if (addedFiles.isEmpty) removed else removed.exceptAll(added)
+    ins.withColumn("_change", lit("insert"))
+      .unionByName(del.withColumn("_change", lit("delete")))
+  }
+
   /** Delete orphan data files referenced by NO manifest (crashed or
     * CAS-losing writers). Time travel keeps every COMMITTED file
     * alive — only never-committed garbage goes. */

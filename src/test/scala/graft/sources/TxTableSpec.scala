@@ -113,6 +113,47 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, t).filter($"doc_id" === 30L).count() == 1)
   }
 
+  test("change feed: appends are exact and shuffle-free, merges net " +
+      "to delete+insert, compaction cancels, ranges compose") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t))                  // v1
+    TxTable.append(docs(3L), t)                              // v2
+    TxTable.merge(spark, t,                                  // v3
+      Seq((1L, "t1-new"), (5L, "t5")).toDF("doc_id", "text"))
+    assert(TxTable.compact(spark, t, buckets = 1).contains(4L)) // v4
+
+    def feed(f: Long, v: Long): Set[(Long, String, String)] =
+      TxTable.changes(spark, t, f, v)
+        .select("doc_id", "text", "_change")
+        .as[(Long, String, String)].collect().toSet
+
+    // append: exactly the appended rows, and the FAST PATH — the
+    // optimized plan must contain no Except (no shuffle for the
+    // dominant append-only shape)
+    assert(feed(1L, 2L) == Set((3L, "t3", "insert")))
+    val appendPlan = TxTable.changes(spark, t, 1L, 2L)
+      .queryExecution.optimizedPlan.toString
+    assert(!appendPlan.contains("Except"),
+      s"append-only feed must skip the row diff:\n$appendPlan")
+
+    // merge: rewrite noise cancels — only the updated key's old/new
+    // pair and the plain insert survive the multiset diff
+    assert(feed(2L, 3L) == Set(
+      (1L, "t1", "delete"), (1L, "t1-new", "insert"), (5L, "t5", "insert")))
+
+    // compaction: identical content, different files -> EMPTY feed
+    assert(TxTable.changes(spark, t, 3L, 4L).isEmpty,
+      "compaction must emit zero changes")
+
+    // range composability: 1→4 nets out intermediate rewrites
+    assert(feed(1L, 4L) == Set(
+      (1L, "t1", "delete"), (1L, "t1-new", "insert"),
+      (3L, "t3", "insert"), (5L, "t5", "insert")))
+
+    // identity: v→v is empty
+    assert(TxTable.changes(spark, t, 2L, 2L).isEmpty)
+  }
+
   test("empty table states read back with the schema intact") {
     val t = freshDir()
     assert(TxTable.create(docs().toDF("doc_id", "text")
