@@ -100,6 +100,51 @@ object TxQueries {
       }.reduce(_ unionByName _)
         .orderBy("from_version", "to_version")
     }),
+
+    // INCREMENTAL VIEW MAINTENANCE over the change feed: per-version
+    // corpus aggregates maintained WITHOUT ever rescanning a
+    // snapshot past v1 — each transition's feed aggregates to ONE
+    // signed delta row (insert = +1, delete = −1; sums over an
+    // abelian group commute with the diff), and the per-commit
+    // deltas fold in version order via the distributed PrefixSum
+    // primitive (no unpartitioned window). The gate is the IVM
+    // theorem made executable: the maintained state at every version
+    // hash-equals q_corpus_snapshot's DIRECT per-version replay. At
+    // 100 TB this is the nightly-stats pattern: the feed costs the
+    // day's churn, the fold costs one row per commit.
+    "q_corpus_ivm" -> ((s, d) => {
+      val t = fixtureTable(s, d)
+      val base = TxTable.read(s, t, Some(1L))
+        .select(lit(1L).as("version"), lit(1L).as("w"),
+          col("doc_id"), col("text"))
+      val feeds = (1L to 3L).map { k =>
+        TxTable.changes(s, t, k, k + 1)
+          .select(lit(k + 1).as("version"),
+            when(col("_change") === "insert", 1L).otherwise(-1L).as("w"),
+            col("doc_id"), col("text"))
+      }
+      val deltas = (base +: feeds).reduce(_ unionByName _)
+        .groupBy("version")
+        .agg(sum(col("w")).as("d_docs"),
+          sum(col("w") * length(col("text")).cast("long")).as("d_chars"),
+          sum(col("w") * col("doc_id")).as("d_ids"))
+      // version spine: an empty feed (the compaction transition)
+      // contributes no delta row but must still carry a version
+      val padded = s.range(1L, 5L).select(col("id").as("version"))
+        .join(deltas, Seq("version"), "left")
+        .select(col("version"),
+          coalesce(col("d_docs"), lit(0L)).as("d_docs"),
+          coalesce(col("d_chars"), lit(0L)).as("d_chars"),
+          coalesce(col("d_ids"), lit(0L)).as("d_ids"))
+      val folded = Seq(("d_docs", "n_docs"), ("d_chars", "n_chars"),
+        ("d_ids", "sum_ids"))
+        .foldLeft(padded) { case (df, (in, out)) =>
+          graft.operators.PrefixSum.prefixSum(df, col(in), out,
+            col("version"))
+        }
+      folded.select("version", "n_docs", "n_chars", "sum_ids")
+        .orderBy("version")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,5 +228,33 @@ object TxQueries {
         |  CAST(COALESCE((SELECT SUM(doc_id) FROM d14), 0) AS BIGINT),
         |  CAST(COALESCE((SELECT SUM(length(text)) FROM i14), 0) AS BIGINT)
         |ORDER BY from_version, to_version""".stripMargin,
+
+    // The IVM gate replays the DIRECT per-version aggregates — the
+    // same oracle as q_corpus_snapshot. Equality of the two keys'
+    // hashes against one oracle IS the maintained-state == direct
+    // theorem under the driver gate.
+    "q_corpus_ivm" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' v3' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 60),
+        |versions AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, doc_id, text FROM documents
+        |    WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
   )
 }

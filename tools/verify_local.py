@@ -158,13 +158,9 @@ PLAN_FLAG_ALLOW = {
     # bucketed LSH/IVF probe (AnnSearch scaladoc)
     "q_ann_pq": {"nested_loop_join"},
     "q_ann_recall": {"nested_loop_join"},
-    # the dense side of hybrid fusion: 20 broadcast query vectors
-    # (query_id < 20 by contract) scanned against the corpus — O(20N)
-    # LINEAR work, the exact re-rank shape; the sublinear swap-in at
-    # scale is the IVF cell equi-join (RetrievalQueries scaladoc)
-    "q_retrieval_fusion": {"nested_loop_join"},
-    # same bounded dense scan inside the nDCG eval's relevance side
-    "q_retrieval_ndcg": {"nested_loop_join"},
+    # r10: q_retrieval_fusion / q_retrieval_ndcg entries REMOVED —
+    # the dense leg is now AnnSearch.exactCosineTopK (cell equi-join
+    # with a triangle-inequality bound), no NLJ in either plan.
     # the TAIL of the head/tail bigram-model join: the broadcast
     # heavy-hitter head (> N/4096 occurrences, ≤ 4096 rows by
     # pigeonhole) is screened out by a broadcast anti-join first, so
