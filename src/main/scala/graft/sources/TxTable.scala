@@ -360,11 +360,13 @@ object TxTable {
     * Output: the table schema plus a `_change` column
     * ("insert" | "delete").
     *
-    * Scale: the EXCEPT ALL pair is one hash shuffle of the
-    * touched-file rows only — a day's feed costs the day's churn,
-    * never the table. The append-only case (the dominant ingest
-    * shape, detected as "no files removed") short-circuits to a plain
-    * scan of the new files: NO shuffle at all. */
+    * Scale: the general path is ONE hash shuffle of the touched-file
+    * rows (a signed-count aggregation computing both EXCEPT ALL
+    * directions in a single pass — not two separate excepts, which
+    * would shuffle the churn twice) — a day's feed costs the day's
+    * churn, never the table. The append-only case (the dominant
+    * ingest shape, detected as "no files removed") short-circuits to
+    * a plain scan of the new files: NO shuffle, NO aggregation. */
   def changes(spark: SparkSession, table: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -383,14 +385,35 @@ object TxTable {
     val toSet = to.files.toSet
     val addedFiles = to.files.filterNot(fromSet)
     val removedFiles = from.files.filterNot(toSet)
-    val added = readFiles(addedFiles)
-    val removed = readFiles(removedFiles)
-    val ins =
-      if (removedFiles.isEmpty) added else added.exceptAll(removed)
-    val del =
-      if (addedFiles.isEmpty) removed else removed.exceptAll(added)
-    ins.withColumn("_change", lit("insert"))
-      .unionByName(del.withColumn("_change", lit("delete")))
+    val fields = schema.fieldNames.toSeq
+    val reserved = Seq("_change", "_sign", "_n", "_dup").filter(
+      fields.contains)
+    require(reserved.isEmpty,
+      s"table columns collide with change-feed internals: $reserved")
+    if (removedFiles.isEmpty)
+      // append-only fast path (also covers the v -> v identity):
+      // every added row IS an insert — plain scan, no shuffle
+      readFiles(addedFiles).withColumn("_change", lit("insert"))
+    else if (addedFiles.isEmpty)
+      // pure retention shrink: every removed row is a delete
+      readFiles(removedFiles).withColumn("_change", lit("delete"))
+    else {
+      // copy-on-write rewrite: net multiset count per distinct row
+      // (+1 per added copy, -1 per removed copy) in ONE aggregation;
+      // positive nets emit that many inserts, negative that many
+      // deletes — bit-identical to the EXCEPT ALL pair, half the
+      // shuffles. Zero nets (carried rows) vanish here, which is
+      // the whole point: rewrite noise never leaves the aggregate.
+      readFiles(addedFiles).withColumn("_sign", lit(1L))
+        .unionByName(readFiles(removedFiles).withColumn("_sign", lit(-1L)))
+        .groupBy(fields.map(col): _*)
+        .agg(sum(col("_sign")).as("_n"))
+        .filter(col("_n") =!= 0L)
+        .select(fields.map(col) :+
+          when(col("_n") > 0, "insert").otherwise("delete").as("_change") :+
+          explode(expr("sequence(1, cast(abs(_n) AS int))")).as("_dup"): _*)
+        .drop("_dup")
+    }
   }
 
   /** Delete orphan data files referenced by NO manifest (crashed or

@@ -128,13 +128,21 @@ class TxTableSpec extends SparkSpec {
         .as[(Long, String, String)].collect().toSet
 
     // append: exactly the appended rows, and the FAST PATH — the
-    // optimized plan must contain no Except (no shuffle for the
-    // dominant append-only shape)
+    // optimized plan must contain no aggregation at all (no shuffle
+    // for the dominant append-only shape: a plain scan)
     assert(feed(1L, 2L) == Set((3L, "t3", "insert")))
     val appendPlan = TxTable.changes(spark, t, 1L, 2L)
       .queryExecution.optimizedPlan.toString
-    assert(!appendPlan.contains("Except"),
+    assert(!appendPlan.contains("Except") &&
+      !appendPlan.contains("Aggregate"),
       s"append-only feed must skip the row diff:\n$appendPlan")
+    // general path: ONE aggregation computes both diff directions —
+    // never two excepts (each would shuffle the churn separately)
+    val mergePlan = TxTable.changes(spark, t, 2L, 3L)
+      .queryExecution.optimizedPlan.toString
+    assert(!mergePlan.contains("Except") &&
+      mergePlan.split("Aggregate").length - 1 <= 2, // partial+final
+      s"merge feed must diff with one signed aggregation:\n$mergePlan")
 
     // merge: rewrite noise cancels — only the updated key's old/new
     // pair and the plain insert survive the multiset diff
