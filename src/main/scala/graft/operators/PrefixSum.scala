@@ -34,24 +34,48 @@ object PrefixSum {
     * dropped; the input row set is unchanged.
     */
   def prefixSum(df: DataFrame, valueCol: Column, outCol: String,
+      orderKeys: Column*): DataFrame =
+    prefixSums(df, Seq(valueCol -> outCol), orderKeys: _*)
+
+  /** Multi-column variant: every (valueCol -> outCol) scan shares
+    * ONE range shuffle, ONE per-partition totals frame and ONE
+    * carry join — k prefix sums cost exactly what one costs (the
+    * q_corpus_ivm fold was 3 chained single-column calls = 3x the
+    * two-pass machinery before this). Carries ride a single struct
+    * array; the within-partition windows reuse one WindowExec. */
+  def prefixSums(df: DataFrame, vals: Seq[(Column, String)],
       orderKeys: Column*): DataFrame = {
-    val ranged = df.repartitionByRange(orderKeys: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", valueCol)
-    val totals = ranged.groupBy("_pid").agg(sum(col("_v")).as("_pt"))
+    val vcols = vals.zipWithIndex.map { case ((v, _), i) => (s"_v$i", v) }
+    val ranged = vcols.foldLeft(
+        df.repartitionByRange(orderKeys: _*)
+          .withColumn("_pid", spark_partition_id())) {
+        case (d, (n, v)) => d.withColumn(n, v)
+      }
+    val totals = ranged.groupBy("_pid")
+      .agg(sum(col(vcols.head._1)).as("_pt0"),
+        vcols.tail.zipWithIndex.map { case ((n, _), i) =>
+          sum(col(n)).as(s"_pt${i + 1}") }: _*)
     // one row, one ≤ #shuffle-partitions-long array (see scaladoc)
+    val ptFields = vcols.indices.map(i => s"_pt$i")
+    val carryFields = vcols.indices.map { i =>
+      s"aggregate(slice(ts, 1, i), 0L, (a, x) -> a + x._pt$i) AS _carry$i"
+    }.mkString(",\n")
     val carry = totals
-      .agg(sort_array(collect_list(struct(col("_pid"), col("_pt"))))
-        .as("ts"))
+      .agg(sort_array(collect_list(struct(col("_pid") +:
+        ptFields.map(col): _*))).as("ts"))
       .select(explode(expr(
-        """transform(ts, (t, i) -> struct(
-          |  t._pid AS _pid,
-          |  aggregate(slice(ts, 1, i), 0L, (a, x) -> a + x._pt)
-          |    AS _carry))""".stripMargin)).as("c"))
-      .select(col("c._pid").as("_pid"), col("c._carry").as("_carry"))
+        s"""transform(ts, (t, i) -> struct(
+           |  t._pid AS _pid,
+           |$carryFields))""".stripMargin)).as("c"))
+      .select(col("c._pid").as("_pid") +:
+        vcols.indices.map(i => col(s"c._carry$i").as(s"_carry$i")): _*)
     val w = Window.partitionBy("_pid").orderBy(orderKeys: _*)
-    ranged.join(broadcast(carry), "_pid")
-      .withColumn(outCol, col("_carry") + sum(col("_v")).over(w))
-      .drop("_pid", "_v", "_carry")
+    val joined = ranged.join(broadcast(carry), "_pid")
+    val out = vals.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, outCol), i)) =>
+        d.withColumn(outCol, col(s"_carry$i") + sum(col(s"_v$i")).over(w))
+    }
+    out.drop("_pid" +: vcols.indices.flatMap(i =>
+      Seq(s"_v$i", s"_carry$i")): _*)
   }
 }

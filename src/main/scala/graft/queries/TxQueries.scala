@@ -136,12 +136,9 @@ object TxQueries {
           coalesce(col("d_docs"), lit(0L)).as("d_docs"),
           coalesce(col("d_chars"), lit(0L)).as("d_chars"),
           coalesce(col("d_ids"), lit(0L)).as("d_ids"))
-      val folded = Seq(("d_docs", "n_docs"), ("d_chars", "n_chars"),
-        ("d_ids", "sum_ids"))
-        .foldLeft(padded) { case (df, (in, out)) =>
-          graft.operators.PrefixSum.prefixSum(df, col(in), out,
-            col("version"))
-        }
+      val folded = graft.operators.PrefixSum.prefixSums(padded,
+        Seq(col("d_docs") -> "n_docs", col("d_chars") -> "n_chars",
+          col("d_ids") -> "sum_ids"), col("version"))
       folded.select("version", "n_docs", "n_chars", "sum_ids")
         .orderBy("version")
     }),

@@ -39,6 +39,36 @@ class PrefixSumSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("ps")).toSeq == Seq(5L, 12L, 22L))
   }
 
+  test("multi-column fold equals chained single-column calls and " +
+      "shares one range shuffle") {
+    val rows = Seq[(Long, Long, Long)](
+      (5, 3, 1), (1, -2, 4), (9, 7, -2), (3, 0, 0), (7, -5, 9),
+      (2, 10, -7), (8, 1, 3), (4, -1, 5), (6, 4, -6), (10, -3, 2))
+    val df = rows.toDF("k", "a", "b").repartition(5)
+    val multi = PrefixSum.prefixSums(df,
+        Seq(col("a") -> "pa", col("b") -> "pb"), col("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("pa"),
+        r.getAs[Long]("pb")))
+    val chained = PrefixSum.prefixSum(
+        PrefixSum.prefixSum(df, col("a"), "pa", col("k")),
+        col("b"), "pb", col("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("pa"),
+        r.getAs[Long]("pb")))
+    assert(multi.toSeq == chained.toSeq)
+    // k columns, ONE pass: exactly as many range exchanges as the
+    // single-column operator (the chained form pays one per column)
+    def ranges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.toString.split("rangepartitioning").length - 1
+    val one = ranges(PrefixSum.prefixSum(df, col("a"), "pa", col("k"))
+      .queryExecution.executedPlan)
+    val two = ranges(PrefixSum.prefixSums(df,
+      Seq(col("a") -> "pa", col("b") -> "pb"), col("k"))
+      .queryExecution.executedPlan)
+    assert(two == one, s"multi-column fold re-shuffled: $two vs $one")
+  }
+
   test("no unpartitioned window in the physical plan") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
