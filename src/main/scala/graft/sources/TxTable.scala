@@ -369,12 +369,17 @@ object TxTable {
     * a plain scan of the new files: NO shuffle, NO aggregation. */
   def changes(spark: SparkSession, table: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"changes requires fromVersion <= toVersion ($fromVersion > $toVersion)")
+    require(0L <= fromVersion && fromVersion <= toVersion,
+      s"changes requires 0 <= fromVersion <= toVersion " +
+        s"($fromVersion, $toVersion)")
     def snap(v: Long) = snapshot(table, Some(v)).getOrElse(
       throw new IllegalArgumentException(s"no such version: $table @ $v"))
-    val from = snap(fromVersion)
     val to = snap(toVersion)
+    // version 0 = the empty table, so the CREATE commit's feed is
+    // pure inserts — lets a consumer tail a table from birth
+    val from =
+      if (fromVersion == 0L) Snapshot(0L, "empty", to.schemaDdl, Nil)
+      else snap(fromVersion)
     val schema = StructType.fromDDL(to.schemaDdl)
     def readFiles(fs: Seq[String]): DataFrame =
       if (fs.isEmpty)
