@@ -51,6 +51,22 @@ object TxQueries {
       dir
     }
 
+  /** Second fixture for the schema-evolution key: v1 create (3
+    * columns), v2 appendEvolve adding a `source` column — built once
+    * per JVM through DerivedCache like the main fixture. */
+  private def evoTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_evo_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txevo_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
+      TxTable.appendEvolve(docs.filter(col("doc_id") % 3 === 1)
+        .withColumn("source", concat(lit("s:"), col("lang"))), dir)
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-version aggregate fingerprint over the full manifest
     // history: rows, chars, id-sum at every pinned version. Scale:
@@ -141,6 +157,31 @@ object TxQueries {
           col("d_ids") -> "sum_ids"), col("version"))
       folded.select("version", "n_docs", "n_chars", "sum_ids")
         .orderBy("version")
+    }),
+
+    // SCHEMA EVOLUTION under the hash gate: v2 widened the table
+    // with a `source` column (appendEvolve — no data rewrite; old
+    // files read the new column as NULL), and v1 stays SCHEMA-PINNED
+    // (time travel must not leak the evolved column — asserted at
+    // plan-build time). The per-version fingerprints prove old rows
+    // carry NULL source (n_source counts non-nulls) and history
+    // replays with its own schema.
+    "q_corpus_schema_evolution" -> ((s, d) => {
+      val t = evoTable(s, d)
+      val v1 = TxTable.read(s, t, Some(1L))
+      require(!v1.columns.contains("source"),
+        "time travel leaked a column that did not exist at v1")
+      val v2 = TxTable.read(s, t, Some(2L))
+      val r1 = v1.agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(lit(1L).as("version"), col("n_docs"), col("n_chars"),
+          lit(0L).as("n_source"))
+      val r2 = v2.agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          count(col("source")).as("n_source"))
+        .select(lit(2L).as("version"), col("n_docs"), col("n_chars"),
+          col("n_source"))
+      r1.unionByName(r2).orderBy("version")
     }),
   )
 
@@ -252,6 +293,21 @@ object TxQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
+
+    // Evolution replay: v1 = the %3=0 slice with NO source column
+    // (n_source pinned 0), v2 = %3 IN (0,1) where only the appended
+    // %3=1 rows carry a non-null source.
+    "q_corpus_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(0 AS BIGINT) AS n_source
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, COUNT(*), CAST(SUM(length(text)) AS BIGINT),
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY version""".stripMargin,
   )
 }

@@ -284,6 +284,45 @@ object TxTable {
       s"append lost $retries CAS rounds on $table")
   }
 
+  /** Append with SCHEMA EVOLUTION: columns of `df` not in the table
+    * schema WIDEN it (appended in `df`'s order); columns both sides
+    * share must keep their exact type (no silent coercion — a type
+    * change is a rewrite, not an append). Old data files simply lack
+    * the new columns and read as NULL under the widened manifest
+    * schema (parquet schema reconciliation) — no data rewrite,
+    * O(files) metadata cost like every commit here. Time travel
+    * stays SCHEMA-PINNED: a pre-evolution version replays with its
+    * own manifest's schema, the new columns absent — readers of
+    * history never see columns that did not exist yet. Returns the
+    * committed version. */
+  def appendEvolve(df: DataFrame, table: String,
+                   bucketKey: String = "doc_id", buckets: Int = 4,
+                   retries: Int = 20): Long = {
+    val files = writeData(df, table, bucketKey, buckets)
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendEvolve to missing table $table"))
+      val headSchema = StructType.fromDDL(head.schemaDdl)
+      for (f <- df.schema.fields if headSchema.fieldNames.contains(f.name))
+        require(headSchema(f.name).dataType == f.dataType,
+          s"appendEvolve cannot change ${f.name}: " +
+            s"${headSchema(f.name).dataType} -> ${f.dataType}")
+      val widened = StructType(headSchema.fields ++
+        df.schema.fields.filterNot(f =>
+          headSchema.fieldNames.contains(f.name)))
+      val headRel = head.files.map(f =>
+        Paths.get(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "append_evolve",
+          widened.toDDL, headRel ++ files))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"appendEvolve lost $retries CAS rounds on $table")
+  }
+
   /** MERGE (upsert) `updates` into the table on `key`: matching rows
     * are replaced, new keys inserted — the q_corpus_upsert semantics
     * as a COPY-ON-WRITE transaction. A CAS loss re-RUNS the merge

@@ -162,6 +162,39 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.changes(spark, t, 2L, 2L).isEmpty)
   }
 
+  test("schema evolution: new columns widen, old files read NULL, " +
+      "history stays schema-pinned, type changes are refused") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t))              // v1: 2 cols
+    TxTable.appendEvolve(Seq((3L, "t3", "web"))
+      .toDF("doc_id", "text", "source"), t)              // v2: +source
+    // head: widened schema; pre-evolution rows read source as NULL
+    val head = TxTable.read(spark, t).orderBy("doc_id")
+      .select("doc_id", "source").as[(Long, Option[String])]
+      .collect().toSeq
+    assert(head == Seq((1L, None), (2L, None), (3L, Some("web"))))
+    // time travel is schema-pinned: v1 has no source column at all
+    assert(!TxTable.read(spark, t, Some(1L)).columns.contains("source"))
+    // the feed across the evolution is the appended rows (fast path)
+    assert(TxTable.changes(spark, t, 1L, 2L)
+      .select("doc_id", "_change").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "insert")))
+    // merge keeps working on the widened schema (old rows' source
+    // stays NULL through the copy-on-write rewrite)
+    TxTable.merge(spark, t, Seq((1L, "t1-new", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source"), key = "doc_id")
+    val merged = TxTable.read(spark, t).orderBy("doc_id")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(merged == Seq((1L, "t1-new", None), (2L, "t2", None),
+      (3L, "t3", Some("web"))))
+    // a type change is a rewrite, not an append — refuse it
+    intercept[IllegalArgumentException] {
+      TxTable.appendEvolve(Seq((9L, 42))
+        .toDF("doc_id", "text"), t)
+    }
+  }
+
   test("empty table states read back with the schema intact") {
     val t = freshDir()
     assert(TxTable.create(docs().toDF("doc_id", "text")
