@@ -1,13 +1,14 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType,
+  IntegerType, LongType, StructField, StructType}
 
 /** Snapshot-isolated transactional table on parquet — the commit-log
   * storage layer under the corpus refresh. The reference keeps its
@@ -15,13 +16,15 @@ import org.apache.spark.sql.types.StructType
   * (kinesis-to-humio.py:48-68); this is the same idea generalized to
   * the shape a 100 TB corpus team needs the first time two refresh
   * jobs race: a VERSIONED MANIFEST log with atomic swap, optimistic
-  * concurrency, time travel, and compaction (the Delta/Iceberg
-  * architecture, reduced to its load-bearing core).
+  * concurrency, time travel, row-level delete, retention, and
+  * compaction (the Delta/Iceberg architecture, reduced to its
+  * load-bearing core).
   *
   * Layout under the table root:
   * {{{
   *   _txlog/v00000001.json     one immutable manifest per version:
-  *   _txlog/v00000002.json     {version, op, schema DDL, data files}
+  *   _txlog/v00000002.json     {version, op, schema DDL, data files,
+  *   _txlog/_head                per-app txn high-water map}
   *   data/<uuid>/part-*.parquet  immutable data files
   * }}}
   *
@@ -33,20 +36,48 @@ import org.apache.spark.sql.types.StructType
   * observe a half-written manifest. Readers resolve the newest
   * manifest once and read ONLY the files it lists: concurrent
   * commits are invisible until their manifest lands (snapshot
-  * isolation), and any version's manifest replays forever (time
-  * travel — manifests and data files are immutable).
+  * isolation), and any retained version's manifest replays forever
+  * (time travel — manifests and data files are immutable).
   *
   * Losers REBASE: an append re-targets the new head (append sets
-  * commute, data files are reused verbatim); a merge re-RUNS against
-  * the new snapshot (copy-on-write — its stale files become orphan
-  * garbage for [[vacuum]]); compaction simply aborts (pure
-  * maintenance — never worth contending with real writers).
+  * commute, data files are reused verbatim); a merge or delete
+  * re-RUNS against the new snapshot (copy-on-write — stale files
+  * become orphan garbage for [[vacuum]]); compaction simply aborts
+  * (pure maintenance — never worth contending with real writers).
   *
   * == Crash safety ==
   * Data files land BEFORE the manifest that references them. A
   * writer that dies mid-job leaves orphan files no manifest points
   * to — readers never see them, and [[vacuum]] deletes them. There
-  * is no partial-commit state to repair.
+  * is no partial-commit state to repair. As a belt-and-suspenders
+  * against a mis-configured vacuum racing an in-flight writer,
+  * [[publish]] re-verifies every referenced data file exists
+  * immediately before the CAS and fails LOUDLY instead of
+  * committing a manifest that points at missing files.
+  *
+  * == Head resolution ==
+  * `_txlog/_head` is a monotone HINT (best-effort atomic replace
+  * after each successful publish): readers jump to the hinted
+  * version and probe forward until the first missing manifest —
+  * O(1 + publish lag) instead of listing the whole log, which at
+  * one commit per streaming micro-batch (S24) grows without bound.
+  * The hint is never trusted blindly: a missing or stale hint falls
+  * back to a full listing, so resolution is ALWAYS equivalent to
+  * the listing (proven by TxTableSpec).
+  *
+  * == Exactly-once txn records ==
+  * Every manifest carries the full per-app `{appId -> highest
+  * batchId}` map, folded forward commit over commit, so
+  * [[lastCommittedBatch]] reads ONLY the head manifest (O(1), not
+  * O(versions) — a long-lived streaming sink would otherwise pay
+  * O(V²) metadata reads over its lifetime). CONTRACT: an appId must
+  * commit nondecreasing batch ids (Structured Streaming guarantees
+  * this for its micro-batch ids); a batchId at or below the
+  * high-water mark is treated as a REPLAY and no-ops — out-of-order
+  * ids from a non-streaming caller would be silently dropped, which
+  * is why the contract is stated here and asserted in scaladoc
+  * rather than loosened to exact membership (which would require
+  * unbounded per-batch state).
   *
   * == Scale mapping ==
   * Manifests are O(files) metadata, never data-sized; the data path
@@ -61,10 +92,12 @@ import org.apache.spark.sql.types.StructType
   */
 object TxTable {
 
-  /** One resolved table version: the manifest's file list, absolute
-    * paths. `files` empty means an empty (but existing) table. */
+  /** One resolved table version: the manifest's file list (absolute
+    * paths; empty means an empty but existing table) plus the
+    * carried-forward per-app txn high-water map. */
   case class Snapshot(version: Long, op: String, schemaDdl: String,
-                      files: Seq[String])
+                      files: Seq[String],
+                      txns: Map[String, Long] = Map.empty)
 
   /** Thrown when `retries` successive CAS attempts all lose — the
     * caller is contending with a pathological writer storm and must
@@ -72,7 +105,13 @@ object TxTable {
   final class CommitContentionException(msg: String)
       extends RuntimeException(msg)
 
+  /** Counts from a retention [[vacuum]] run. */
+  case class VacuumStats(expiredManifests: Int, removedDataFiles: Int)
+
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
+
+  private def headHintPath(table: String): Path =
+    logDir(table).resolve("_head")
 
   /** Directory listing as a materialized Seq, with the underlying
     * stream CLOSED — `Files.list`/`walk` hold an open fd until
@@ -91,42 +130,79 @@ object TxTable {
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.json")
 
-  /** Newest committed version, if the table exists. */
+  // v00000001.json .. with 8+ digits: the %08d format grows past 8
+  // digits at version 10^8 instead of wrapping, and this pattern
+  // keeps accepting it — no silent format cliff where new commits
+  // become invisible to readers.
+  private val manifestNameRe = """v(\d{8,})\.json""".r
+
+  private def listedVersions(table: String): Seq[Long] =
+    listed(logDir(table)).map(_.getFileName.toString).collect {
+      case manifestNameRe(d) => d.toLong
+    }
+
+  /** Newest committed version, if the table exists. O(1 + publish
+    * lag) via the `_head` hint when present; a full `_txlog` listing
+    * otherwise (and whenever the hint is stale past a vacuumed
+    * manifest) — both resolutions are equivalent by construction
+    * because the hint is only ever written AFTER its manifest. */
   def latestVersion(table: String): Option[Long] = {
     val dir = logDir(table)
-    if (!Files.isDirectory(dir)) None
-    else {
-      val vs = listed(dir)
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d{8}\\.json") =>
-          s.substring(1, 9).toLong }
-      if (vs.isEmpty) None else Some(vs.max)
+    if (!Files.isDirectory(dir)) return None
+    val hinted: Option[Long] = {
+      val hp = headHintPath(table)
+      if (!Files.exists(hp)) None
+      else scala.util.Try(new String(Files.readAllBytes(hp),
+        StandardCharsets.UTF_8).trim.toLong).toOption
+        .filter(v => v >= 1L && Files.exists(manifestPath(table, v)))
+    }
+    hinted match {
+      case Some(h) =>
+        // probe forward: the hint is monotone but may lag the last
+        // few publishes (best-effort update, racing writers)
+        var v = h
+        while (Files.exists(manifestPath(table, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val vs = listedVersions(table)
+        if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
   // Manifest JSON is written and parsed by this object only; data
   // file paths are generated (uuid + parquet part names) and the
   // schema is Spark DDL — neither contains characters needing JSON
-  // escaping beyond the quote check enforced at write time. `txn`
-  // is the streaming exactly-once record: (appId, batchId) of the
-  // committing writer (the Delta txn-action pattern) — a replayed
-  // micro-batch finds its batchId already committed and no-ops.
+  // escaping beyond the quote check enforced at write time. `txns`
+  // is the streaming exactly-once record: the full per-app
+  // high-water batch map, carried forward in EVERY manifest so the
+  // head alone answers [[lastCommittedBatch]].
   private def renderManifest(v: Long, op: String, schemaDdl: String,
                              files: Seq[String],
-                             txn: Option[(String, Long)] = None): String = {
-    require(!(schemaDdl + files.mkString + txn.map(_._1).getOrElse(""))
+                             txns: Map[String, Long]): String = {
+    require(!(schemaDdl + files.mkString + txns.keys.mkString)
       .contains('"'),
       "manifest fields must not contain raw quotes")
     val fs = files.sorted.map(f => s""""$f"""").mkString("[", ",", "]")
-    val tx = txn.map { case (app, b) =>
-      s""","txn":{"app":"$app","batch":$b}""" }.getOrElse("")
+    val tx =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sortBy(_._1)
+        .map { case (app, b) => s""""$app":$b""" }
+        .mkString(""","txns":{""", ",", "}")
     s"""{"version":$v,"op":"$op","schema":"$schemaDdl","files":$fs$tx}"""
   }
 
   private val fileRe = """"([^"]+)"""".r
+  private val txnsEntryRe = """"([^"]+)":(\d+)""".r
+  // pre-round-11 manifests carried a single {"app":...,"batch":...}
+  // record per commit; parse it too so existing tables keep their
+  // exactly-once guarantee across the format upgrade
+  private val legacyTxnRe =
+    """"txn":\{"app":"([^"]+)","batch":(\d+)\}""".r
 
   /** The snapshot at `version` (default: newest). None if the table
-    * (or that version) does not exist. */
+    * (or that version) does not exist — a RETENTION-EXPIRED version
+    * reads as absent, so a pinned reader of expired history fails
+    * cleanly instead of resolving a half-vacuumed file set. */
   def snapshot(table: String, version: Option[Long] = None)
       : Option[Snapshot] =
     version.orElse(latestVersion(table)).flatMap { v =>
@@ -139,7 +215,7 @@ object TxTable {
         val ddl = """"schema":"([^"]*)"""".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("")
         // scan ONLY inside the files array — fields after its closing
-        // bracket (the txn record) must not parse as file paths
+        // bracket (the txns map) must not parse as file paths
         val files = txt.indexOf(""""files":[""") match {
           case -1 => Seq.empty[String]
           case i =>
@@ -147,20 +223,35 @@ object TxTable {
             fileRe.findAllMatchIn(txt.substring(i + 9, close))
               .map(_.group(1)).toSeq
         }
+        val txns: Map[String, Long] = txt.indexOf(""""txns":{""") match {
+          case -1 =>
+            legacyTxnRe.findFirstMatchIn(txt)
+              .map(m => Map(m.group(1) -> m.group(2).toLong))
+              .getOrElse(Map.empty)
+          case i =>
+            val close = txt.indexOf('}', i)
+            txnsEntryRe.findAllMatchIn(txt.substring(i + 8, close))
+              .map(m => m.group(1) -> m.group(2).toLong).toMap
+        }
         Some(Snapshot(v, op, ddl, files.map(f =>
-          Paths.get(table).resolve(f).toString)))
+          Paths.get(table).resolve(f).toString), txns))
       }
     }
 
   /** Read a snapshot as a DataFrame — `version = None` reads the
     * newest; a pinned version is time travel. The schema always
     * comes from the manifest, so an empty snapshot still reads with
-    * the table's schema. */
+    * the table's schema — and after a type-widening
+    * [[appendEvolve]], pre-widening files read UP to the manifest
+    * type through parquet's widening reconciliation (int32 under a
+    * bigint schema, float under double — native in the Spark 4
+    * readers, both vectorized and row paths). */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val s = snapshot(table, version).getOrElse(
       throw new IllegalArgumentException(
-        s"no such table/version: $table @ $version"))
+        s"no such table/version (missing or retention-expired): " +
+          s"$table @ $version"))
     val schema = StructType.fromDDL(s.schemaDdl)
     if (s.files.isEmpty)
       spark.createDataFrame(
@@ -169,36 +260,75 @@ object TxTable {
   }
 
   /** Atomic CAS publish of version `v`: true iff this writer won the
-    * slot. */
+    * slot. Before the CAS, every referenced data file's existence is
+    * re-verified so a writer whose files were wrongly vacuumed while
+    * it sat in the retry loop fails loudly instead of committing a
+    * permanently unreadable snapshot. On a win, the `_head` hint is
+    * refreshed best-effort (atomic replace; losers and laggards are
+    * harmless — readers probe forward and never trust a stale
+    * hint). */
   private def publish(table: String, v: Long, op: String,
                       schemaDdl: String, files: Seq[String],
-                      txn: Option[(String, Long)] = None): Boolean = {
+                      txns: Map[String, Long]): Boolean = {
+    val missing = files.filterNot(f =>
+      Files.exists(Paths.get(table).resolve(f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"refusing to commit $table v$v: ${missing.size} referenced " +
+          s"data files are missing (vacuumed under an in-flight " +
+          s"writer? first: ${missing.head}) — run vacuum with a " +
+          "grace window longer than the slowest writer's commit")
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(
       s"tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp,
-      renderManifest(v, op, schemaDdl, files, txn)
+      renderManifest(v, op, schemaDdl, files, txns)
         .getBytes(StandardCharsets.UTF_8))
-    try { Files.createLink(manifestPath(table, v), tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    val won =
+      try { Files.createLink(manifestPath(table, v), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    if (won) {
+      // best-effort monotone hint: a concurrent slower writer may
+      // re-publish a smaller v afterwards; readers probe forward so
+      // a regressed hint only costs extra probes, never correctness
+      try {
+        val ht = logDir(table).resolve(
+          s"tmp-head-${java.util.UUID.randomUUID().toString}")
+        Files.write(ht, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(ht, headHintPath(table),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: java.io.IOException => () }
+    }
+    won
   }
 
-  /** Highest batch id `appId` has ever committed to `table`, scanning
-    * the manifest log (O(versions) metadata reads — manifests are
-    * tiny; a production variant carries the per-app high-water mark
-    * forward in each manifest). */
+  /** Highest batch id `appId` has ever committed to `table`. O(1):
+    * the head manifest carries the full per-app high-water map. For
+    * tables whose head predates the carried map, falls back to a
+    * newest-first scan that stops at the first map-carrying
+    * manifest (every commit after the upgrade re-establishes the
+    * O(1) head read). */
   def lastCommittedBatch(table: String, appId: String): Option[Long] = {
-    val re = (""""txn":\{"app":"""" + java.util.regex.Pattern.quote(appId) +
-      """","batch":(\d+)\}""").r
-    val vs = (1L to latestVersion(table).getOrElse(0L)).flatMap { v =>
-      val p = manifestPath(table, v)
-      if (!Files.exists(p)) None
-      else re.findFirstMatchIn(
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-        .map(_.group(1).toLong)
+    var v = latestVersion(table).getOrElse(return None)
+    var legacyMax: Option[Long] = None
+    while (v >= 1L) {
+      snapshot(table, Some(v)) match {
+        case None => return legacyMax // older history retention-expired
+        case Some(s) =>
+          val txt = new String(
+            Files.readAllBytes(manifestPath(table, v)),
+            StandardCharsets.UTF_8)
+          if (txt.contains(""""txns":{"""))
+            return (legacyMax.toSeq ++ s.txns.get(appId).toSeq)
+              .reduceOption(_ max _)
+          legacyMax = (legacyMax.toSeq ++ s.txns.get(appId).toSeq)
+            .reduceOption(_ max _)
+      }
+      v -= 1L
     }
-    if (vs.isEmpty) None else Some(vs.max)
+    legacyMax
   }
 
   /** EXACTLY-ONCE streaming append: commit `df` as (`appId`,
@@ -209,7 +339,16 @@ object TxTable {
     * contract, upgraded from partition-overwrite to a transactional
     * commit). Concurrent writers with OTHER appIds interleave safely
     * via the normal append rebase. Returns the committed (or
-    * already-present) version. */
+    * already-present) version.
+    *
+    * CONTRACT: each appId must commit NONDECREASING batch ids —
+    * exactly what Structured Streaming's micro-batch ids guarantee.
+    * The replay check is a high-water comparison (the Delta
+    * txn-action semantics): a batchId at or below the recorded
+    * high-water is treated as an already-committed replay and
+    * no-ops. A caller that genuinely commits out of order would have
+    * its low batch dropped as a "replay" — do not use this entry
+    * point outside a monotone-batch protocol. */
   def appendOnce(df: DataFrame, table: String, appId: String,
                  batchId: Long, bucketKey: String = "doc_id",
                  buckets: Int = 4, retries: Int = 20): Long = {
@@ -221,14 +360,15 @@ object TxTable {
       val head = snapshot(table).getOrElse(
         throw new IllegalArgumentException(
           s"appendOnce to missing table $table"))
-      // re-check inside the loop: a CAS loss may mean OUR batch
-      // landed from a racing attempt of the same restarted query
-      if (lastCommittedBatch(table, appId).exists(_ >= batchId))
+      // re-check against the head we are about to rebase onto: a CAS
+      // loss may mean OUR batch landed from a racing attempt of the
+      // same restarted query (O(1) — the head carries the txn map)
+      if (head.txns.get(appId).exists(_ >= batchId))
         return head.version
       val headRel = head.files.map(f =>
         Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append", head.schemaDdl,
-          headRel ++ files, Some((appId, batchId))))
+          headRel ++ files, head.txns + (appId -> batchId)))
         return head.version + 1
       attempt += 1
     }
@@ -259,7 +399,7 @@ object TxTable {
   def create(df: DataFrame, table: String, bucketKey: String = "doc_id",
              buckets: Int = 4): Boolean = {
     val files = writeData(df, table, bucketKey, buckets)
-    publish(table, 1L, "create", df.schema.toDDL, files)
+    publish(table, 1L, "create", df.schema.toDDL, files, Map.empty)
   }
 
   /** Append `df`'s rows. Appends COMMUTE, so a CAS loss just
@@ -272,11 +412,10 @@ object TxTable {
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
         throw new IllegalArgumentException(s"append to missing table $table"))
-      val rel = files // already table-relative
       val headRel = head.files.map(f =>
         Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append", head.schemaDdl,
-          headRel ++ rel))
+          headRel ++ files, head.txns))
         return head.version + 1
       attempt += 1
     }
@@ -284,17 +423,30 @@ object TxTable {
       s"append lost $retries CAS rounds on $table")
   }
 
+  /** True iff parquet reads `from`-typed files UP to `to` natively —
+    * the SAFE widenings (no precision or range loss, supported by
+    * the Spark 4 vectorized and row readers alike). */
+  private def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
   /** Append with SCHEMA EVOLUTION: columns of `df` not in the table
-    * schema WIDEN it (appended in `df`'s order); columns both sides
-    * share must keep their exact type (no silent coercion — a type
-    * change is a rewrite, not an append). Old data files simply lack
-    * the new columns and read as NULL under the widened manifest
-    * schema (parquet schema reconciliation) — no data rewrite,
-    * O(files) metadata cost like every commit here. Time travel
-    * stays SCHEMA-PINNED: a pre-evolution version replays with its
-    * own manifest's schema, the new columns absent — readers of
-    * history never see columns that did not exist yet. Returns the
-    * committed version. */
+    * schema WIDEN it (appended in `df`'s order), and shared columns
+    * may SAFELY WIDEN their type — int→long, float→double — with the
+    * manifest schema taking the wider type and files on EITHER side
+    * of the widening reading up through parquet's native type
+    * promotion (no data rewrite, O(files) metadata cost like every
+    * commit here). Any other type change — narrowing, string↔number,
+    * nested edits — is refused: that is a rewrite, not an append.
+    * Old data files simply lack brand-new columns and read as NULL
+    * under the widened manifest schema. Time travel stays
+    * SCHEMA-PINNED: a pre-evolution version replays with its own
+    * manifest's schema — readers of history never see columns (or
+    * widths) that did not exist yet. Returns the committed
+    * version. */
   def appendEvolve(df: DataFrame, table: String,
                    bucketKey: String = "doc_id", buckets: Int = 4,
                    retries: Int = 20): Long = {
@@ -305,17 +457,27 @@ object TxTable {
         throw new IllegalArgumentException(
           s"appendEvolve to missing table $table"))
       val headSchema = StructType.fromDDL(head.schemaDdl)
-      for (f <- df.schema.fields if headSchema.fieldNames.contains(f.name))
-        require(headSchema(f.name).dataType == f.dataType,
-          s"appendEvolve cannot change ${f.name}: " +
-            s"${headSchema(f.name).dataType} -> ${f.dataType}")
-      val widened = StructType(headSchema.fields ++
+      val resolved = headSchema.fields.map { hf =>
+        df.schema.fields.find(_.name == hf.name) match {
+          case None => hf
+          case Some(nf) if nf.dataType == hf.dataType => hf
+          case Some(nf) if widens(hf.dataType, nf.dataType) =>
+            StructField(hf.name, nf.dataType, hf.nullable || nf.nullable)
+          case Some(nf) if widens(nf.dataType, hf.dataType) => hf
+          case Some(nf) =>
+            throw new IllegalArgumentException(
+              s"appendEvolve cannot change ${hf.name}: " +
+                s"${hf.dataType} -> ${nf.dataType} is not a safe " +
+                "widening (int->long, float->double)")
+        }
+      }
+      val widened = StructType(resolved ++
         df.schema.fields.filterNot(f =>
           headSchema.fieldNames.contains(f.name)))
       val headRel = head.files.map(f =>
         Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append_evolve",
-          widened.toDDL, headRel ++ files))
+          widened.toDDL, headRel ++ files, head.txns))
         return head.version + 1
       attempt += 1
     }
@@ -323,19 +485,35 @@ object TxTable {
       s"appendEvolve lost $retries CAS rounds on $table")
   }
 
-  /** MERGE (upsert) `updates` into the table on `key`: matching rows
-    * are replaced, new keys inserted — the q_corpus_upsert semantics
-    * as a COPY-ON-WRITE transaction. A CAS loss re-RUNS the merge
-    * against the new snapshot (merge does not commute with other
-    * writes), abandoning the stale files to [[vacuum]]. Returns the
-    * committed version.
+  /** MERGE (upsert) `updates` into the table on `key`: a matching
+    * key's row is REPLACED BY THE WHOLE UPDATE ROW (a NULL in an
+    * update column nulls the field out — match-marker semantics, not
+    * per-column coalesce, which could never clear a value), new keys
+    * are inserted — the q_corpus_upsert semantics as a COPY-ON-WRITE
+    * transaction. `updates` must carry exactly the table's columns
+    * and at most one row per key (duplicate keys would fan out
+    * through the join; they are REJECTED up front rather than
+    * resolved arbitrarily). A CAS loss re-RUNS the merge against the
+    * new snapshot (merge does not commute with other writes),
+    * abandoning the stale files to [[vacuum]]. Returns the committed
+    * version.
     *
     * Scale: one co-partitioned full-outer join per attempt; both
     * sides arrive key-bucketed (this table's own layout), so on a
-    * cluster with bucket-aware scans the merge exchange is free. */
+    * cluster with bucket-aware scans the merge exchange is free. The
+    * duplicate-key precheck is a key-only aggregation of `updates`
+    * (the small side), paid once across all attempts. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             key: String = "doc_id", buckets: Int = 4,
             retries: Int = 20): Long = {
+    require(!updates.columns.contains("_graft_matched"),
+      "updates must not carry the reserved column _graft_matched")
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge updates carry duplicate key ${dup.headOption.map(_.get(0))}" +
+        s" — one row per $key required")
+    val marked = updates.withColumn("_graft_matched", lit(true))
     var attempt = 0
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
@@ -343,16 +521,71 @@ object TxTable {
       val current = read(spark, table, Some(head.version))
       val others = current.columns.filterNot(_ == key)
       val merged = current.as("c")
-        .join(updates.as("u"), Seq(key), "full_outer")
+        .join(marked.as("u"), Seq(key), "full_outer")
         .select(col(key) +: others.map(c =>
-          coalesce(col(s"u.$c"), col(s"c.$c")).as(c)): _*)
+          when(col("_graft_matched").isNotNull, col(s"u.$c"))
+            .otherwise(col(s"c.$c")).as(c)): _*)
       val files = writeData(merged, table, key, buckets)
-      if (publish(table, head.version + 1, "merge", head.schemaDdl, files))
+      if (publish(table, head.version + 1, "merge", head.schemaDdl,
+          files, head.txns))
         return head.version + 1
       attempt += 1
     }
     throw new CommitContentionException(
       s"merge lost $retries CAS rounds on $table")
+  }
+
+  /** Row-level DELETE WHERE `pred` — the takedown/compliance verb: a
+    * copy-on-write rewrite of ONLY the files that contain matching
+    * rows, committed as one version. Standard SQL DELETE semantics:
+    * rows where `pred` is TRUE go; FALSE and NULL stay.
+    *
+    * File pruning is computed, not guessed: one scan WITH the
+    * predicate pushed down collects the distinct matching file paths
+    * (O(files) driver state — the same bound as the manifest
+    * itself); untouched files carry over to the new manifest
+    * verbatim, so a delete that hits 3 files out of 30 000 rewrites
+    * 3. Deletes surface in [[changes]] as NET DELETE rows (the
+    * carried rows of rewritten files cancel in the signed multiset
+    * diff) and compose across versions like every other commit; a
+    * delete matching NOTHING commits no version at all and returns
+    * the current head. A CAS loss re-RUNS against the new snapshot
+    * (delete does not commute with writes that may add matching
+    * rows). Returns the committed (or unchanged) version. */
+  def delete(spark: SparkSession, table: String, pred: Column,
+             bucketKey: String = "doc_id", buckets: Int = 4,
+             retries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"delete from missing table $table"))
+      if (head.files.isEmpty) return head.version
+      val schema = StructType.fromDDL(head.schemaDdl)
+      // phase 1: which files hold matching rows? predicate pushed to
+      // the scan; result bounded by the file count
+      val touchedUris = spark.read.schema(schema)
+        .parquet(head.files: _*)
+        .filter(coalesce(pred, lit(false)))
+        .select(input_file_name().as("_f")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSet
+      val touched = head.files.filter(f =>
+        touchedUris.contains(Paths.get(f).toAbsolutePath.toString))
+      if (touched.isEmpty) return head.version
+      // phase 2: rewrite ONLY the touched files without the matches
+      val kept = spark.read.schema(schema).parquet(touched: _*)
+        .filter(!coalesce(pred, lit(false)))
+      val newFiles = writeData(kept, table, bucketKey, buckets)
+      val untouchedRel = head.files.filterNot(touched.contains)
+        .map(f => Paths.get(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "delete", head.schemaDdl,
+          untouchedRel ++ newFiles, head.txns))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"delete lost $retries CAS rounds on $table")
   }
 
   /** Rewrite the current snapshot's files into `buckets` files with
@@ -368,7 +601,8 @@ object TxTable {
       throw new IllegalArgumentException(s"compact of missing table $table"))
     val files = writeData(read(spark, table, Some(head.version)),
       table, bucketKey, buckets)
-    if (publish(table, head.version + 1, "compact", head.schemaDdl, files))
+    if (publish(table, head.version + 1, "compact", head.schemaDdl,
+        files, head.txns))
       Some(head.version + 1)
     else None
   }
@@ -388,13 +622,15 @@ object TxTable {
     *   delete = the reverse
     * }}}
     * so an append's feed is exactly the appended rows, a MERGE's feed
-    * is delete(old)+insert(new) per updated key plus plain inserts —
-    * the upsert shape a downstream MERGE applies verbatim — and a
-    * pure compaction cancels to an EMPTY feed (identical content,
-    * different files). Versions need not be adjacent: (v1, v4) yields
-    * the NET change of the whole range (intermediate rewrites cancel
-    * the same way), so a consumer that fell behind catches up in one
-    * read whose cost is the net file churn, not the commits missed.
+    * is delete(old)+insert(new) per updated key plus plain inserts,
+    * a row-level DELETE's feed is exactly the net deleted rows (the
+    * rewritten files' kept rows cancel) — the upsert shape a
+    * downstream MERGE applies verbatim — and a pure compaction
+    * cancels to an EMPTY feed (identical content, different files).
+    * Versions need not be adjacent: (v1, v4) yields the NET change
+    * of the whole range (intermediate rewrites cancel the same way),
+    * so a consumer that fell behind catches up in one read whose
+    * cost is the net file churn, not the commits missed.
     *
     * Output: the table schema plus a `_change` column
     * ("insert" | "delete").
@@ -460,24 +696,76 @@ object TxTable {
     }
   }
 
-  /** Delete orphan data files referenced by NO manifest (crashed or
-    * CAS-losing writers). Time travel keeps every COMMITTED file
-    * alive — only never-committed garbage goes. */
-  def vacuum(table: String): Int = {
+  /** Orphan-only vacuum (back-compat form): deletes data files
+    * referenced by NO manifest, keeps every committed version.
+    * Equivalent to `vacuumRetain(table, Int.MaxValue, 0L)` — see
+    * there for the safety contract. Returns removed file count. */
+  def vacuum(table: String): Int =
+    vacuumRetain(table, Int.MaxValue, 0L).removedDataFiles
+
+  /** RETENTION-BOUNDED vacuum: keep the newest `keepVersions`
+    * committed versions replayable, EXPIRE older manifests, and
+    * delete every data file that (a) is referenced by no retained
+    * manifest and (b) is older than `graceMs` — which covers both
+    * never-committed orphans (crashed or CAS-losing writers) and
+    * files whose every referencing version just expired.
+    *
+    * SAFETY CONTRACT:
+    *   - A reader pinned to a RETAINED version is unaffected —
+    *     retained manifests and all files they reference survive.
+    *   - A reader pinned to an EXPIRED version fails CLEANLY at
+    *     [[read]]/[[snapshot]] resolution ("missing or
+    *     retention-expired") — it can never resolve a manifest whose
+    *     files are gone, because the manifest goes first and the
+    *     resolution path starts from the manifest.
+    *   - `graceMs` is the in-flight-writer guard (the Delta VACUUM
+    *     retention pattern): a writer lands data files BEFORE its
+    *     manifest and may sit in the CAS retry loop, so files
+    *     younger than the grace window are NEVER deleted even when
+    *     unreferenced. Run with graceMs comfortably above the
+    *     slowest writer's land-to-commit latency (minutes);
+    *     `graceMs = 0` is only safe with NO in-flight writers (the
+    *     quiet-window maintenance assumption). [[publish]]
+    *     additionally re-verifies file existence pre-CAS, turning a
+    *     mis-sized grace window into a loud commit failure instead
+    *     of a silently unreadable snapshot.
+    *   - Retention must exceed every consumer's lag: an incremental
+    *     [[changes]] reader needs its `fromVersion` still retained,
+    *     and [[lastCommittedBatch]]'s fallback scan for PRE-UPGRADE
+    *     manifests stops at the retention horizon (post-upgrade
+    *     heads carry the txn map, so streaming exactly-once is
+    *     retention-independent).
+    *
+    * At one commit per streaming micro-batch (S24) this is what
+    * keeps `_txlog/` and dead copy-on-write files bounded on disk:
+    * O(keepVersions) manifests + the files they reference. */
+  def vacuumRetain(table: String, keepVersions: Int,
+                   graceMs: Long): VacuumStats = {
+    require(keepVersions >= 1, "must retain at least the head version")
+    val latest = latestVersion(table).getOrElse(return VacuumStats(0, 0))
+    val keepFrom = math.max(1L, latest - keepVersions.toLong + 1L)
+    // expire manifests below the horizon (oldest first, so a crash
+    // mid-vacuum leaves a contiguous retained suffix)
+    var expired = 0
+    listedVersions(table).filter(_ < keepFrom).sorted.foreach { v =>
+      if (Files.deleteIfExists(manifestPath(table, v))) expired += 1
+    }
     val dataDir = Paths.get(table).resolve("data")
-    if (!Files.isDirectory(dataDir)) return 0
-    val live: Set[String] = (1L to latestVersion(table).getOrElse(0L))
+    if (!Files.isDirectory(dataDir)) return VacuumStats(expired, 0)
+    val live: Set[String] = (keepFrom to latest)
       .flatMap(v => snapshot(table, Some(v)).toSeq.flatMap(_.files))
       .map(Paths.get(_).toAbsolutePath.toString).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     walked(dataDir).reverse.foreach { p =>
       if (Files.isRegularFile(p) &&
-          !live.contains(p.toAbsolutePath.toString)) {
+          !live.contains(p.toAbsolutePath.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) {
         Files.delete(p); removed += 1
-      } else if (Files.isDirectory(p) && listed(p).isEmpty) {
+      } else if (Files.isDirectory(p) && p != dataDir && listed(p).isEmpty) {
         Files.delete(p)
       }
     }
-    removed
+    VacuumStats(expired, removed)
   }
 }

@@ -195,6 +195,182 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("delete removes matching rows copy-on-write, prunes to touched " +
+      "files, feeds net deletes, and composes with compaction") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t, buckets = 1))        // v1
+    TxTable.append(docs(3L, 4L), t, buckets = 1)                // v2
+    TxTable.append(docs(5L, 6L), t, buckets = 1)                // v3
+    val before = TxTable.snapshot(t).get
+    assert(before.files.size == 3)
+    // delete hits only v2's file (ids 3,4) -> exactly one file
+    // rewritten, the other two carried over VERBATIM
+    val v4 = TxTable.delete(spark, t, $"doc_id" === 3L)
+    assert(v4 == 4L)
+    val after = TxTable.snapshot(t).get
+    assert(before.files.toSet.intersect(after.files.toSet).size == 2,
+      s"untouched files must carry over: ${before.files} -> ${after.files}")
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L, 6L))
+    // time travel: pre-delete versions still hold the row
+    assert(TxTable.read(spark, t, Some(3L)).filter($"doc_id" === 3L)
+      .count() == 1)
+    // the change feed is the NET delete — the rewritten file's kept
+    // row (4) cancels
+    assert(TxTable.changes(spark, t, 3L, 4L)
+      .select("doc_id", "_change").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "delete")))
+    // SQL NULL semantics: pred NULL keeps the row
+    TxTable.appendEvolve(Seq((7L, "t7", "web"), (8L, "t8", null))
+      .toDF("doc_id", "text", "source"), t)                     // v5
+    TxTable.delete(spark, t, $"source" === "web")               // v6
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 4L, 5L, 6L, 8L),
+      "rows where the delete predicate is NULL must stay")
+    // delete matching nothing commits NO version
+    assert(TxTable.delete(spark, t, $"doc_id" === 999L) == 6L)
+    assert(TxTable.latestVersion(t).contains(6L))
+    // delete ∘ compact: content survives, feed of the compaction is
+    // empty, and the composed range nets out the insert-then-delete
+    // of row 7 entirely — only the surviving insert remains
+    assert(TxTable.compact(spark, t, buckets = 1).contains(7L))
+    assert(TxTable.changes(spark, t, 6L, 7L).isEmpty)
+    assert(TxTable.changes(spark, t, 4L, 7L)
+      .select("doc_id", "_change").as[(Long, String)]
+      .collect().toSet == Set((8L, "insert")))
+  }
+
+  test("retention vacuum keeps retained versions replayable, fails " +
+      "expired reads cleanly, and honors the grace window") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L), t, buckets = 1))            // v1
+    TxTable.append(docs(2L), t, buckets = 1)                    // v2
+    TxTable.merge(spark, t, Seq((1L, "t1-new")).toDF("doc_id", "text"),
+      buckets = 1)                                              // v3 (CoW)
+    TxTable.append(docs(4L), t, buckets = 1)                    // v4
+    // grace window: nothing is young enough to delete, manifests
+    // still expire (metadata, not in-flight state)
+    val guarded = TxTable.vacuumRetain(t, keepVersions = 2,
+      graceMs = 3600000L)
+    assert(guarded.expiredManifests == 2 && guarded.removedDataFiles == 0,
+      s"grace window must protect young files: $guarded")
+    // expired version reads fail cleanly
+    intercept[IllegalArgumentException] { TxTable.read(spark, t, Some(1L)) }
+    intercept[IllegalArgumentException] { TxTable.read(spark, t, Some(2L)) }
+    // retained versions are untouched
+    assert(TxTable.read(spark, t, Some(3L)).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(TxTable.read(spark, t, Some(4L)).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    // with the grace window elapsed (0ms), dead pre-merge files go
+    val reaped = TxTable.vacuumRetain(t, keepVersions = 2, graceMs = 0L)
+    assert(reaped.expiredManifests == 0 && reaped.removedDataFiles > 0,
+      s"dead expired files must be reaped: $reaped")
+    assert(TxTable.read(spark, t, Some(3L)).count() == 2 &&
+      TxTable.read(spark, t, Some(4L)).count() == 3,
+      "retained reads must survive the data reap")
+    assert(TxTable.vacuumRetain(t, 2, 0L) == TxTable.VacuumStats(0, 0),
+      "vacuum is idempotent")
+    // head resolution after manifest expiry still works both ways
+    assert(TxTable.latestVersion(t).contains(4L))
+    Files.deleteIfExists(Paths.get(t, "_txlog", "_head"))
+    assert(TxTable.latestVersion(t).contains(4L),
+      "listing fallback must agree after retention expiry")
+  }
+
+  test("head hint resolution is equivalent to listing: stale, missing, " +
+      "and corrupt hints all resolve the same head") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L), t, buckets = 1))
+    (0 until 4).foreach(i => TxTable.append(docs(10L + i), t, buckets = 1))
+    assert(TxTable.latestVersion(t).contains(5L))
+    val hint = Paths.get(t, "_txlog", "_head")
+    // stale hint (lags several publishes): probe-forward recovers
+    Files.write(hint, "2".getBytes)
+    assert(TxTable.latestVersion(t).contains(5L))
+    // corrupt hint: listing fallback
+    Files.write(hint, "not-a-number".getBytes)
+    assert(TxTable.latestVersion(t).contains(5L))
+    // missing hint: listing fallback
+    Files.deleteIfExists(hint)
+    assert(TxTable.latestVersion(t).contains(5L))
+    // and a normal commit restores the O(1) hint
+    TxTable.append(docs(99L), t, buckets = 1)
+    assert(new String(Files.readAllBytes(hint)).trim == "6")
+  }
+
+  test("merge replaces the whole matched row (NULLs clear fields) and " +
+      "rejects duplicate update keys") {
+    val t = freshDir()
+    assert(TxTable.create(
+      Seq((1L, "t1", "web"), (2L, "t2", "pdf"))
+        .toDF("doc_id", "text", "source"), t, buckets = 1))
+    // the update row carries NULL source: match-marker semantics
+    // must null the field out, not keep 'web' via coalesce
+    TxTable.merge(spark, t,
+      Seq((1L, "t1-upd", null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "source"), buckets = 1)
+    val rows = TxTable.read(spark, t).orderBy("doc_id")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, "t1-upd", None), (2L, "t2", Some("pdf"))),
+      s"merge must replace the whole matched row: $rows")
+    // duplicate keys in updates are rejected, not fanned out
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, t,
+        Seq((2L, "a", "x"), (2L, "b", "y"))
+          .toDF("doc_id", "text", "source"), buckets = 1)
+    }
+  }
+
+  test("type widening: int->long and float->double evolve in place; " +
+      "narrowing and incompatible changes are refused") {
+    val t = freshDir()
+    import org.apache.spark.sql.types._
+    assert(TxTable.create(
+      Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("k", "score", "text"),
+      t, bucketKey = "k", buckets = 1))
+    // widen: new rows carry long k + double score
+    TxTable.appendEvolve(
+      Seq((3000000000L, 3.25, "c")).toDF("k", "score", "text"),
+      t, bucketKey = "k", buckets = 1)
+    val head = TxTable.read(spark, t)
+    assert(head.schema("k").dataType == LongType &&
+      head.schema("score").dataType == DoubleType,
+      s"manifest must take the wider types: ${head.schema}")
+    // old int/float files read UP under the widened schema
+    assert(head.orderBy("k").select("k", "score").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 1.5), (2L, 2.5), (3000000000L, 3.25)))
+    // time travel stays width-pinned: v1 replays int/float
+    val v1 = TxTable.read(spark, t, Some(1L))
+    assert(v1.schema("k").dataType == IntegerType &&
+      v1.schema("score").dataType == FloatType)
+    // appending the NARROW type after widening is fine (reads up)
+    TxTable.appendEvolve(Seq((4, 4.5f, "d")).toDF("k", "score", "text"),
+      t, bucketKey = "k", buckets = 1)
+    assert(TxTable.read(spark, t).schema("k").dataType == LongType)
+    assert(TxTable.read(spark, t).filter($"k" === 4).count() == 1)
+    // refusals: long->int narrowing, string->int incompatible
+    intercept[IllegalArgumentException] {
+      TxTable.appendEvolve(Seq((5, 5.5, 42)).toDF("k", "score", "text"),
+        t, bucketKey = "k", buckets = 1)
+    }
+  }
+
+  test("publish verifies referenced files exist: a vacuumed-under-writer " +
+      "commit fails loudly instead of landing unreadable") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t, buckets = 1))
+    // simulate a mis-configured vacuum racing the writer: a committed
+    // file vanishes; the next append carries it forward and must
+    // refuse to commit a manifest pointing at a missing file
+    val victim = Paths.get(TxTable.snapshot(t).get.files.head)
+    Files.delete(victim)
+    intercept[IllegalStateException] {
+      TxTable.append(docs(3L), t, buckets = 1)
+    }
+  }
+
   test("empty table states read back with the schema intact") {
     val t = freshDir()
     assert(TxTable.create(docs().toDF("doc_id", "text")
