@@ -51,20 +51,89 @@ object TxQueries {
       dir
     }
 
-  /** Second fixture for the schema-evolution key: v1 create (3
-    * columns), v2 appendEvolve adding a `source` column — built once
-    * per JVM through DerivedCache like the main fixture. */
+  /** Second fixture for the schema-evolution key: v1 create (4
+    * columns, `score` FLOAT), v2 appendEvolve adding a `source`
+    * column (column evolution), v3 appendEvolve carrying `score` as
+    * DOUBLE (safe TYPE WIDENING — pre-v3 float files read up through
+    * parquet's native promotion, no rewrite). Built once per JVM
+    * through DerivedCache like the main fixture. Score values are
+    * exact in both widths (integers and integer+0.5 halves), so the
+    * double sums are order-independent and DuckDB-replayable. */
   private def evoTable(s: SparkSession, d: String): String =
     graft.operators.DerivedCache.memoValue(s, s"tx_evo_fixture:$d") {
       val dir = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft_txevo_").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("n_chars").cast("float").as("score")),
+        dir), "create lost its CAS")
+      TxTable.appendEvolve(docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars").cast("float").as("score"),
+          concat(lit("s:"), col("lang")).as("source")), dir)
+      TxTable.appendEvolve(docs.filter(col("doc_id") % 3 === 2 &&
+          col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"), col("text"),
+          (col("n_chars").cast("double") + lit(0.5)).as("score"),
+          concat(lit("s:"), col("lang")).as("source")), dir)
+      dir
+    }
+
+  /** Third fixture, for the row-level DELETE keys: v1 create
+    * (doc_id%3=0), v2 append (%3=1), v3 DELETE WHERE lang='de' OR
+    * doc_id%7=3 (copy-on-write, file-pruned), v4 compact. Shared by
+    * q_corpus_delete (per-version fingerprints) and
+    * q_corpus_delete_feed (change-feed replay). */
+  private def delTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_del_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txdel_").toString
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       require(TxTable.create(
         docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
-      TxTable.appendEvolve(docs.filter(col("doc_id") % 3 === 1)
-        .withColumn("source", concat(lit("s:"), col("lang"))), dir)
+      TxTable.append(docs.filter(col("doc_id") % 3 === 1), dir)
+      require(TxTable.delete(s, dir,
+        col("lang") === "de" || col("doc_id") % 7 === 3) == 3L,
+        "delete must land as v3")
+      require(TxTable.compact(s, dir).contains(4L),
+        "compact must land as v4")
       dir
+    }
+
+  /** Fourth fixture, for the retention-vacuum key — DESTRUCTIVE
+    * (expires history), so it gets its own table: v1 create (%3=0),
+    * v2 delete (%5=0), v3 compact, then vacuumRetain(keep=2) expiring
+    * v1 and reaping its dead rewritten files. Returns the table dir
+    * plus the driver-observed audit flags, all computed exactly once
+    * inside the memo. */
+  private def vacAudit(s: SparkSession, d: String)
+      : (String, java.lang.Long, java.lang.Long, java.lang.Long,
+         java.lang.Long) =
+    graft.operators.DerivedCache.memoValue(s, s"tx_vac_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txvac_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
+      require(TxTable.delete(s, dir, col("doc_id") % 5 === 0) == 2L,
+        "delete must land as v2")
+      require(TxTable.compact(s, dir).contains(3L),
+        "compact must land as v3")
+      val first = TxTable.vacuumRetain(dir, keepVersions = 2, graceMs = 0L)
+      val second = TxTable.vacuumRetain(dir, keepVersions = 2, graceMs = 0L)
+      val v1Fails =
+        try { TxTable.read(s, dir, Some(1L)); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      (dir, Long.box(first.expiredManifests.toLong),
+        Long.box(if (first.removedDataFiles > 0) 1L else 0L),
+        Long.box(if (second == TxTable.VacuumStats(0, 0)) 1L else 0L),
+        Long.box(v1Fails))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,29 +228,128 @@ object TxQueries {
         .orderBy("version")
     }),
 
-    // SCHEMA EVOLUTION under the hash gate: v2 widened the table
-    // with a `source` column (appendEvolve — no data rewrite; old
-    // files read the new column as NULL), and v1 stays SCHEMA-PINNED
-    // (time travel must not leak the evolved column — asserted at
+    // SCHEMA EVOLUTION under the hash gate, both axes: v2 widened
+    // the table with a `source` COLUMN (appendEvolve — no data
+    // rewrite; old files read the new column as NULL) and v3 widened
+    // `score`'s TYPE float→double (safe widening — pre-v3 files read
+    // UP through parquet's native promotion, still no rewrite). Time
+    // travel stays schema-pinned on BOTH axes: v1 has no source
+    // column and v1/v2 keep score at FLOAT width (asserted at
     // plan-build time). The per-version fingerprints prove old rows
-    // carry NULL source (n_source counts non-nulls) and history
-    // replays with its own schema.
+    // carry NULL source, score sums survive the widening exactly
+    // (all values are integers or integer+0.5 — exact in either
+    // width), and history replays with its own schema.
     "q_corpus_schema_evolution" -> ((s, d) => {
       val t = evoTable(s, d)
       val v1 = TxTable.read(s, t, Some(1L))
       require(!v1.columns.contains("source"),
         "time travel leaked a column that did not exist at v1")
       val v2 = TxTable.read(s, t, Some(2L))
+      val v3 = TxTable.read(s, t, Some(3L))
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      require(v1.schema("score").dataType == FloatType &&
+        v2.schema("score").dataType == FloatType,
+        "time travel leaked the widened type into pre-widening history")
+      require(v3.schema("score").dataType == DoubleType,
+        "v3 must carry the widened score type")
       val r1 = v1.agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text")).cast("long")).as("n_chars"))
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(col("score").cast("double")).as("score_sum"))
         .select(lit(1L).as("version"), col("n_docs"), col("n_chars"),
-          lit(0L).as("n_source"))
+          lit(0L).as("n_source"), col("score_sum"),
+          lit(0L).as("score_is_double"))
       val r2 = v2.agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"),
-          count(col("source")).as("n_source"))
+          count(col("source")).as("n_source"),
+          sum(col("score").cast("double")).as("score_sum"))
         .select(lit(2L).as("version"), col("n_docs"), col("n_chars"),
-          col("n_source"))
-      r1.unionByName(r2).orderBy("version")
+          col("n_source"), col("score_sum"), lit(0L).as("score_is_double"))
+      val r3 = v3.agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          count(col("source")).as("n_source"),
+          sum(col("score")).as("score_sum"))
+        .select(lit(3L).as("version"), col("n_docs"), col("n_chars"),
+          col("n_source"), col("score_sum"), lit(1L).as("score_is_double"))
+      r1.unionByName(r2).unionByName(r3).orderBy("version")
+    }),
+
+    // Row-level DELETE under the hash gate: per-version fingerprints
+    // across create → append → DELETE WHERE (lang='de' OR doc_id%7=3)
+    // → compact. The v3-vs-v2 drop is exactly the predicate's rows
+    // (snapshot-before/after), v4 proves delete∘compact is
+    // content-neutral, and pre-delete history replays untouched
+    // (time travel). Scale: the delete rewrote ONLY the files
+    // containing matches (file-set pruned via the pushed-down
+    // predicate scan); each version read here is a plain parquet
+    // scan of that manifest's files.
+    "q_corpus_delete" -> ((s, d) => {
+      val t = delTable(s, d)
+      (1L to 4L).map { v =>
+        TxTable.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"),
+            sum(col("doc_id")).as("sum_ids"))
+          .select(lit(v).as("version"), col("n_docs"),
+            col("n_chars"), col("sum_ids"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
+    }),
+
+    // The DELETE's change feed, replayed independently in DuckDB via
+    // EXCEPT ALL: the 2→3 transition must be PURE NET DELETES (the
+    // copy-on-write rewrite noise of kept rows in touched files
+    // cancels in the signed multiset diff), 3→4 (compaction) must be
+    // zeros, and the composed 1→4 range must net the appends against
+    // the deletes. This is the takedown-compliance audit a corpus
+    // team replays downstream: the feed IS the deletion evidence.
+    "q_corpus_delete_feed" -> ((s, d) => {
+      val t = delTable(s, d)
+      val isIns = col("_change") === "insert"
+      Seq((2L, 3L), (3L, 4L), (1L, 4L)).map { case (f, v) =>
+        TxTable.changes(s, t, f, v).agg(
+          coalesce(sum(when(isIns, 1L)), lit(0L)).as("n_insert"),
+          coalesce(sum(when(!isIns, 1L)), lit(0L)).as("n_delete"),
+          coalesce(sum(when(isIns, col("doc_id"))), lit(0L))
+            .as("insert_id_sum"),
+          coalesce(sum(when(!isIns, col("doc_id"))), lit(0L))
+            .as("delete_id_sum"))
+          .select(lit(f).as("from_version"), lit(v).as("to_version"),
+            col("n_insert"), col("n_delete"), col("insert_id_sum"),
+            col("delete_id_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("from_version", "to_version")
+    }),
+
+    // RETENTION-BOUNDED VACUUM audit: keepVersions=2 over a
+    // create → delete → compact history expires exactly v1's
+    // manifest, reaps its dead rewritten files (the compaction's
+    // copy-on-write garbage), leaves every retained version
+    // bit-replayable, reads of expired history failing CLEANLY, and
+    // a re-vacuum finding nothing (idempotence). The content rows
+    // (v2/v3 fingerprints) are computed DISTRIBUTED over the
+    // post-vacuum table — if the reaper touched a live file, these
+    // diverge from the oracle's replay; the audit flags are
+    // driver-observed metadata counts (bounded O(1) state from the
+    // vacuum run itself).
+    "q_corpus_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val (t, expired, reaped, revac, v1fails) = vacAudit(s, d)
+      val flags = Seq(
+        ("a_expired_manifests", expired.longValue()),
+        ("b_reaped_dead_files", reaped.longValue()),
+        ("c_revacuum_noop", revac.longValue()),
+        ("d_expired_read_fails", v1fails.longValue())).toDF("chk", "value")
+      val contents = Seq(2L, 3L).map { v =>
+        TxTable.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("ids"))
+          .select(explode(array(
+            struct(lit(s"v${v}_docs").as("chk"), col("n").as("value")),
+            struct(lit(s"v${v}_id_sum").as("chk"),
+              col("ids").as("value")))).as("kv"))
+          .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
+      }.reduce(_ unionByName _)
+      flags.unionByName(contents).orderBy("chk")
     }),
   )
 
@@ -295,19 +463,120 @@ object TxQueries {
         |FROM versions GROUP BY version
         |ORDER BY version""".stripMargin,
 
-    // Evolution replay: v1 = the %3=0 slice with NO source column
-    // (n_source pinned 0), v2 = %3 IN (0,1) where only the appended
-    // %3=1 rows carry a non-null source.
+    // Evolution replay, both axes: v1 = the %3=0 slice with NO
+    // source column (n_source pinned 0) and float scores (exact
+    // integers — the double sum replays exactly); v2 adds the %3=1
+    // rows (only they carry source); v3 adds the %3=2,<60 rows whose
+    // scores are n_chars+0.5 AS DOUBLE (the widening commit — halves
+    // stay exact, so the sum is order-independent).
     "q_corpus_schema_evolution" ->
-      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
+      """WITH v3x AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 60)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(0 AS BIGINT) AS n_source
+        |  CAST(0 AS BIGINT) AS n_source,
+        |  SUM(CAST(n_chars AS DOUBLE)) AS score_sum,
+        |  CAST(0 AS BIGINT) AS score_is_double
         |FROM documents WHERE doc_id % 3 = 0
         |UNION ALL
         |SELECT 2, COUNT(*), CAST(SUM(length(text)) AS BIGINT),
         |  CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
-        |    AS BIGINT)
+        |    AS BIGINT),
+        |  SUM(CAST(n_chars AS DOUBLE)), 0
         |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 IN (0, 1))
+        |    + (SELECT COUNT(*) FROM v3x),
+        |  (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents
+        |     WHERE doc_id % 3 IN (0, 1))
+        |    + (SELECT CAST(SUM(length(text)) AS BIGINT) FROM v3x),
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 1)
+        |    + (SELECT COUNT(*) FROM v3x),
+        |  (SELECT SUM(CAST(n_chars AS DOUBLE)) FROM documents
+        |     WHERE doc_id % 3 IN (0, 1))
+        |    + (SELECT SUM(CAST(n_chars AS DOUBLE) + 0.5) FROM v3x),
+        |  1
         |ORDER BY version""".stripMargin,
+
+    // Delete replay: v1/v2 are the modulo slices, v3 = v2 minus the
+    // predicate's rows, v4 = v3 (delete ∘ compact is content-neutral).
+    "q_corpus_delete" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)
+        |    AND NOT (lang = 'de' OR doc_id % 7 = 3)),
+        |versions AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
+
+    // Independent CDC replay of the delete: EXCEPT ALL both ways per
+    // transition. 2→3 must be pure deletes (no inserts — the
+    // rewrite's kept rows cancel), 3→4 all zeros (compaction), 1→4
+    // the appends net of the deletes.
+    "q_corpus_delete_feed" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)
+        |    AND NOT (lang = 'de' OR doc_id % 7 = 3)),
+        |i23 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2),
+        |d23 AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3),
+        |i14 AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+        |d14 AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+        |SELECT CAST(2 AS BIGINT) AS from_version,
+        |  CAST(3 AS BIGINT) AS to_version,
+        |  (SELECT COUNT(*) FROM i23) AS n_insert,
+        |  (SELECT COUNT(*) FROM d23) AS n_delete,
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM i23), 0) AS BIGINT)
+        |    AS insert_id_sum,
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM d23), 0) AS BIGINT)
+        |    AS delete_id_sum
+        |UNION ALL
+        |SELECT 3, 4, 0, 0, 0, 0
+        |UNION ALL
+        |SELECT 1, 4,
+        |  (SELECT COUNT(*) FROM i14), (SELECT COUNT(*) FROM d14),
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM i14), 0) AS BIGINT),
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM d14), 0) AS BIGINT)
+        |ORDER BY from_version, to_version""".stripMargin,
+
+    // Vacuum replay: the audit flags are invariant metadata facts
+    // (exactly one expired manifest, dead files reaped, idempotent
+    // re-run, expired read refused); the content rows replay the
+    // RETAINED versions' logical state — v2 = v1 minus the %5=0
+    // deletes, v3 = v2 (compaction) — from the post-vacuum table.
+    "q_corpus_vacuum" ->
+      """WITH kept AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 3 = 0 AND NOT doc_id % 5 = 0)
+        |SELECT 'a_expired_manifests' AS chk, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'b_reaped_dead_files', 1
+        |UNION ALL SELECT 'c_revacuum_noop', 1
+        |UNION ALL SELECT 'd_expired_read_fails', 1
+        |UNION ALL SELECT 'v2_docs', (SELECT COUNT(*) FROM kept)
+        |UNION ALL SELECT 'v2_id_sum',
+        |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept)
+        |UNION ALL SELECT 'v3_docs', (SELECT COUNT(*) FROM kept)
+        |UNION ALL SELECT 'v3_id_sum',
+        |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept)
+        |ORDER BY chk""".stripMargin,
   )
 }
