@@ -268,20 +268,19 @@ object AnnSearch {
   def exactCosineTopK(embeddings: DataFrame, queryPred: Column,
                       k: Int, nCells: Int = 16, nProbe: Int = 4,
                       kmeansIters: Int = 1,
-                      index: Option[Array[(Int, Seq[Float])]] = None)
-      : DataFrame = {
+                      index: Option[Array[(Int, Seq[Float])]] = None,
+                      cacheKey: Option[String] = None): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val cents = index.getOrElse(trainQuantizer(e, nCells, kmeansIters))
-    // cell radii: one pass over the corpus; nCells rows to the driver
-    // (bounded by contract, like every quantizer collect here)
-    val best = array_max(cellSimsFor(cents)(col("embedding")))
-    val radii: Map[Int, Double] = assignCells(e, cents)
-      .withColumn("sim_own", best.getField("sim"))
-      .groupBy("cell")
-      .agg(max(sqrt(greatest(lit(0.0),
-        lit(2.0) - lit(2.0) * col("sim_own")))).as("r"))
+    val assigned = assignedWithRadius(e, cents, cacheKey)
+    // cell radii: nCells rows to the driver (bounded by contract,
+    // like every quantizer collect here) off the SHARED assigned
+    // frame — with a cacheKey the corpus is scanned/assigned ONCE
+    // for both the radii pass and the candidate frame
+    val radii: Map[Int, Double] = assigned
+      .groupBy("cell").agg(max(col("r_own")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val corpus = assignCells(e, cents)
+    val corpus = assigned
       .select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
         VectorFns.norm2(col("embedding")).as("cn"), col("cell"))
     val q = e.filter(queryPred)
@@ -323,6 +322,104 @@ object AnnSearch {
       .withColumn("rk", row_number().over(wq).cast("int"))
       .filter(col("rk") <= k)
       .select("query_id", "doc_id", "cos_sim")
+  }
+
+  /** The shared cell-assignment frame (vec_id, embedding, cell,
+    * r_own) behind the exact cell-bounded kernels — r_own is the
+    * row's chord distance to its own centroid, √(2 − 2·cos(x,c)),
+    * whose per-cell max is the cell radius. With a `cacheKey` the
+    * frame is memoized through [[DerivedCache]] (eager local
+    * checkpoint), so the radii/stats pass and the candidate frame
+    * scan the corpus ONCE between them — the shared-index
+    * discipline; without one, callers pay an extra assignment pass
+    * (fine for one-shot use). */
+  private def assignedWithRadius(e: DataFrame,
+      cents: Array[(Int, Seq[Float])],
+      cacheKey: Option[String]): DataFrame = {
+    def build = {
+      val best = array_max(cellSimsFor(cents)(col("embedding")))
+      e.withColumn("cell", best.getField("cell"))
+        .withColumn("r_own", sqrt(greatest(lit(0.0),
+          lit(2.0) - lit(2.0) * best.getField("sim"))))
+    }
+    cacheKey match {
+      case Some(k) =>
+        DerivedCache.memo(e.sparkSession, s"$k:assigned")(build)
+      case None => build
+    }
+  }
+
+  /** EXACT cosine THRESHOLD pairs (a_id < b_id, cos ≥ tau) through
+    * the cell partition — the scale-shaped replacement for the brute
+    * all-pairs theta join, BIT-IDENTICAL to it by the same triangle
+    * inequality as [[exactCosineTopK]]: for x in cell a and y in
+    * cell b, chord(x,y) ≥ chord(c_a,c_b) − r_a − r_b, and cos(x,y) ≥
+    * tau ⟺ chord(x,y) ≤ √(2−2·tau), so only cell pairs with
+    * chord(c_a,c_b) ≤ √(2−2·tau) + r_a + r_b can hold a qualifying
+    * pair — every other cell pair is provably empty and never
+    * joined. The candidate join is two EQUI-joins through a
+    * broadcast ≤ nCells² qualifying-cell-pair frame (never a
+    * nested-loop row cross); margins only ADD candidates (the 2e-6
+    * absorbs the 6-decimal output rounding of the ≥ tau filter, the
+    * 1e-6 chord slack absorbs driver-side fp), so exactness is
+    * one-sided and the final rounded-cosine filter decides.
+    *
+    * Scale shape: on clustered real-world embeddings at production
+    * thresholds (0.9+) most cell pairs are pruned and candidates ≈
+    * within-cell pairs (the SemDeDup geometry, with a proof instead
+    * of a recall gamble); on adversarially uniform vectors at loose
+    * thresholds the bound degrades to all cell pairs — same results,
+    * linear-in-pairs work, still the bucketed join shape that
+    * salts/partitions instead of crossing rows. */
+  def exactCosineThresholdPairs(embeddings: DataFrame, tau: Double,
+      nCells: Int = 16, kmeansIters: Int = 1,
+      index: Option[Array[(Int, Seq[Float])]] = None,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = index.getOrElse(trainQuantizer(e, nCells, kmeansIters))
+    val assigned = assignedWithRadius(e, cents, cacheKey)
+    val radii: Map[Int, Double] = assigned
+      .groupBy("cell").agg(max(col("r_own")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // driver-side qualifying cell pairs (≤ nCells² — quantizer-sized
+    // metadata, like the centroid array itself); both directions so
+    // the a_id < b_id winner can sit in either cell
+    def chord(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.sqrt(math.max(0.0, 2.0 - 2.0 * c))
+    }
+    val chordMax = math.sqrt(math.max(0.0, 2.0 - 2.0 * (tau - 2e-6)))
+    val qualifying = for {
+      (ca, va) <- cents.toSeq
+      (cb, vb) <- cents.toSeq
+      if chord(va, vb) <= chordMax + radii.getOrElse(ca, 0.0) +
+        radii.getOrElse(cb, 0.0) + 1e-6
+    } yield (ca, cb)
+    import spark.implicits._
+    val cellPairs = qualifying.toDF("cell_a", "cell_b")
+    val a = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("a_id"), col("embedding").as("va"),
+      VectorFns.norm2(col("embedding")).as("na"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("b_id"), col("embedding").as("vb"),
+      VectorFns.norm2(col("embedding")).as("nb"))
+    a.join(broadcast(cellPairs), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(VectorFns.cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select("a_id", "b_id", "cos_sim")
   }
 
   /** Per-subspace L2 assignment: argmin ‖v − c‖² = argmax

@@ -101,7 +101,7 @@ object RetrievalQueries {
       s, s"cosine_scored:q=$nQueries:k=$fusionDepth:$d") {
       graft.operators.AnnSearch.exactCosineTopK(
         Tables.embeddings(s, d), col("vec_id") < nQueries,
-        k = fusionDepth)
+        k = fusionDepth, cacheKey = Some(s"cosine_scored:$d"))
     }
 
   private def rankOver(part: String, score: Column, id: Column): Column =

@@ -292,4 +292,39 @@ class AnnSearchSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       "exactCosineTopK build plan contains a nested-loop/cartesian join")
   }
+
+  test("exactCosineThresholdPairs equals the brute all-pairs theta join " +
+      "bit-for-bit and its plan is cell equi-joins, never a nested loop") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
+    for (tau <- Seq(0.4, 0.7)) {
+      val got = AnnSearch.exactCosineThresholdPairs(e, tau)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        VectorFns.norm2(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        VectorFns.norm2(col("embedding")).as("nb"))
+      val brute = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          round(VectorFns.cosineWithNorms(col("va"), col("vb"),
+            col("na"), col("nb")), 6))
+        .filter(col("cos_sim") >= tau)
+        .select("a_id", "b_id", "cos_sim")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val (gr, br) = (rows(got), rows(brute))
+      // the fixture has pairs at 0.4; 0.7 exercises hard pruning
+      // (both sides empty is the correct answer there)
+      if (tau == 0.4) assert(gr.nonEmpty, "tau=0.4 must produce pairs")
+      assert(gr.sameElements(br),
+        s"tau=$tau cell-pruned pairs diverged from the exact theta join: " +
+          gr.zip(br).find { case (x, y) => x != y }.toString)
+      val plan = got.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "threshold-pair build plan contains a nested-loop/cartesian join")
+    }
+  }
 }

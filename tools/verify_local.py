@@ -139,11 +139,11 @@ PLAN_FLAG_ALLOW = {
     # non-equi theta join: broadcast side is nation, fixed 25 rows at
     # every SF; BNLJ is the only physical plan for `<` predicates
     "q_join_theta": {"nested_loop_join"},
-    # brute-force exact tier, N bounded by contract (vec_id < 200/300
-    # filter pushed to scan); the scale path is q_ann_lsh / q_ann_ivf
-    # which bucket first (SimilarityQueries scaladoc)
-    "q_sim_topk": {"nested_loop_join"},
-    "q_dedup_embed_cosine": {"nested_loop_join"},
+    # r11: q_sim_topk / q_dedup_embed_cosine entries REMOVED — both
+    # now ride the exact cell equi-join kernels (exactCosineTopK /
+    # exactCosineThresholdPairs, triangle-inequality bounds,
+    # bit-identical to the brute scans by AnnSearchSpec), no NLJ in
+    # either plan.
     # label-pair matrix over the same bounded vec_id<200 baseline
     # convention as q_sim_topk (AnalyticsQueries scaladoc)
     "q_sim_matrix": {"nested_loop_join"},
