@@ -83,6 +83,22 @@ object Bpe {
     out.result()
   }
 
+  /** [[mergePair]] over live arrays — the distributed trainer's loop
+    * body (no Vector re-wrapping per word per round). */
+  private def mergePairArr(syms: Array[String],
+                           pair: (String, String)): Array[String] = {
+    val out = Array.newBuilder[String]
+    out.sizeHint(syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 &&
+          syms(j + 1) == pair._2) {
+        out += syms(j) + syms(j + 1); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
   def ranks(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
@@ -148,41 +164,57 @@ object Bpe {
                        nMerges: Int): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs.select(col(textCol)).as[String]
+    // The word-frequency build is the only corpus-sized pass — SQL
+    // agg with map-side combine. The merge LOOP then runs on a plain
+    // RDD[(Array[String], Long)]: a typed Dataset would pay a
+    // Catalyst serialize/deserialize of the symbol array EVERY round
+    // (the encoder round-trip dominated the loop's CPU 5:1 — at 32
+    // contract rounds that was most of the key's wall time); the
+    // object RDD keeps the vocab as live JVM arrays between rounds.
+    val wordFreq = docs.select(col(textCol)).as[String]
       .flatMap(preTokens(_))
       .groupBy(col("value").as("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      // same char-level seeding as the serial reference (String.map
-      // over chars) — not split-by-regex, whose empty-string edge
-      // semantics differ across engines
-      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
-      .localCheckpoint(true)
+    // same char-level seeding as the serial reference (String.map
+    // over chars) — not split-by-regex, whose empty-string edge
+    // semantics differ across engines
+    var words = wordFreq.rdd
+      .map { case (w, n) => (w.map(_.toString).toArray, n) }
     // Right-size the vocab frame ONCE: per-round latency is
     // scheduler-bound (every merge round launches a job over this
     // frame), so partition for ~256k words/task instead of
     // inheriting the corpus shuffle width — a 50k-word vocab runs
     // each round as 2 tasks, a 100M-word vocab as ~400. The count is
-    // one extra job, paid once.
+    // one extra job, paid once (it also materializes the build).
+    words.localCheckpoint()
     val nPart = math.max(2, (words.count() / 262144L).toInt)
-    words = words.repartition(nPart).localCheckpoint(true)
+    words = words.repartition(nPart)
+    words.localCheckpoint()
+    words.count()
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
     // the (-count, a, b) total order of the serial reference, applied
-    // distributively: per-partition min after an exact reduceByKey,
-    // then a driver min over one candidate per partition
-    implicit val argmaxOrd: Ordering[((String, String), Long)] =
+    // to the driver-combined exact counts — deterministic regardless
+    // of map iteration order
+    val argmaxOrd: Ordering[((String, String), Long)] =
       Ordering.by { case ((a, b), n) => (-n, a, b) }
     while (round < nMerges && !exhausted) {
-      // Pair counting as an RDD map-side combine: each task folds its
-      // words into a local pair→count map (no per-pair row objects),
-      // the shuffle carries only distinct (pair, partial) entries,
-      // and the argmax `min` action ships ONE candidate per partition
-      // to the driver. Plain RDD ops on purpose: an SQL
-      // explode/groupBy/TakeOrdered here re-plans and re-codegens
-      // EVERY round — 5x the wall time of the whole loop — for a
-      // dataflow this fixed.
-      val counts = words.rdd.mapPartitions { it =>
+      // Pair counting as ONE map-only stage: each task folds its
+      // words into a local pair→count map (no per-pair row objects)
+      // and ships the whole partial map to the driver, which
+      // combines and takes the argmax. No shuffle stage at all — the
+      // earlier reduceByKey + takeOrdered shape paid two stages per
+      // round, and at 32 contract rounds the loop is job-launch
+      // bound, not data bound. The collect is BOUNDED BY THE SYMBOL
+      // ALPHABET, not the corpus: distinct adjacent pairs number at
+      // most (|base alphabet| + merges-so-far)² — the same codebook
+      // class as the quantizer collects, and exactly the data the
+      // old shuffle moved, one hop instead of two. Plain RDD ops on
+      // purpose: an SQL explode/groupBy/TakeOrdered here re-plans
+      // and re-codegens EVERY round — 5x the wall time of the whole
+      // loop — for a dataflow this fixed.
+      val partials = words.mapPartitions { it =>
         val m = scala.collection.mutable.HashMap
           .empty[(String, String), Long]
         it.foreach { case (syms, n) =>
@@ -193,25 +225,27 @@ object Bpe {
             i += 1
           }
         }
-        m.iterator
-      }.reduceByKey(_ + _)
-      // takeOrdered(1): per-partition best + driver merge, ONE job —
-      // isEmpty/min as separate actions would recount every pair
-      val best = counts.takeOrdered(1)(argmaxOrd)
-      if (best.isEmpty) exhausted = true
+        Iterator.single(m)
+      }.collect()
+      val total = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      partials.foreach(_.foreach { case (p, n) =>
+        total.update(p, total.getOrElse(p, 0L) + n)
+      })
+      if (total.isEmpty) exhausted = true
       else {
-        val pair = best(0)._1
+        val pair = total.min(argmaxOrd)._1
         merges += pair
-        words = words.map { case (syms, n) =>
-          (mergePair(syms.toVector, pair), n)
-        }
+        words = words.map { case (syms, n) => (mergePairArr(syms, pair), n) }
         round += 1
         // re-checkpoint every few rounds: deep map lineage would make
         // round k replay every earlier rewrite, but a handful of
         // narrow maps replay locally for free — checkpointing each
         // round doubles the per-round job count for nothing (the
-        // [[PageRank]] lesson, amortized)
-        if (round % 4 == 0) words = words.localCheckpoint(true)
+        // [[PageRank]] lesson, amortized). RDD.localCheckpoint marks
+        // lazily; the next round's counting job materializes it in
+        // the same pass.
+        if (round % 4 == 0) words.localCheckpoint()
       }
     }
     merges.result()
