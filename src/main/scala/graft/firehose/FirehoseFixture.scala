@@ -58,6 +58,51 @@ object FirehoseFixture {
     nFiles.toLong * blocks * events
   }
 
+  /** Like [[block]] but with deterministic LOW-QUALITY events mixed
+    * in: every event with index e ≡ 3 (mod 4) carries a one-word
+    * message (`noise<e>`) that a word-count quality gate drops. Used
+    * by the streaming-pipeline fixture, where the oracle reconstructs
+    * exactly which events survive the gate. */
+  def blockNoisy(blockIdx: Int, nEvents: Int, logStream: String,
+                 logGroup: String = "/aws/lambda/app"): String = {
+    val events = (0 until nEvents).map { e =>
+      val ts = BaseTs + blockIdx.toLong * 100000 + e
+      val msg = if (e % 4 == 3) s"noise$e"
+        else s"line $e of block $blockIdx"
+      s"""{"id":"ev-$blockIdx-$e","timestamp":$ts,"message":"$msg"}"""
+    }.mkString(",")
+    s"""{"messageType":"DATA_MESSAGE","owner":"123456789012","logGroup":"$logGroup","logStream":"$logStream","subscriptionFilters":["all"],"logEvents":[$events]}"""
+  }
+
+  /** The STREAMING-pipeline fixture: four files with STRICTLY
+    * ASCENDING modification times (10 s apart), so the file source
+    * admits them oldest-first and `maxFilesPerTrigger=1` maps one
+    * file to one micro-batch deterministically. Content exercises
+    * the whole ingest chain:
+    *   f1.gz        blocks 10 (3 ev) + 11 (4 ev, one noise)
+    *   f2.log       plain, block 12 (5 ev, one noise)
+    *   f3.gz        REDELIVERY of block 10 (same ids — the Kinesis
+    *                at-least-once shape) + new block 13 (2 ev)
+    *   f4.gz.gz     double-gzip, block 14 (3 ev), 1-segment logStream
+    * Idempotent and byte-identical across regenerations. */
+  def writeStreaming(dir: File): Unit = {
+    val f1 = write(dir, "f1.gz", gzip(
+      (blockNoisy(10, 3, "2024/05/01/app/i-1") +
+        blockNoisy(11, 4, "2024/05/01/app/i-2")).getBytes("UTF-8")))
+    val f2 = write(dir, "f2.log",
+      blockNoisy(12, 5, "2024/05/02/app/i-3").getBytes("UTF-8"))
+    val f3 = write(dir, "f3.gz", gzip(
+      (blockNoisy(10, 3, "2024/05/01/app/i-1") +
+        blockNoisy(13, 2, "2024/05/03/app/i-4")).getBytes("UTF-8")))
+    val f4 = write(dir, "f4.gz.gz", gzip(gzip(
+      blockNoisy(14, 3, "shorty").getBytes("UTF-8"))))
+    Seq(f1, f2, f3, f4).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          BaseTs + i.toLong * 10000))
+    }
+  }
+
   /** The standard fixture set: plain / gzip / double-gzip files with
     * several blocks, a <2-segment logStream, and a zero-delimiter
     * file (must yield 0 events, not an error). Returns total expected

@@ -100,8 +100,60 @@ object PipelineQueries {
       .orderBy("file", "block_idx", "batch_id")
   }
 
+  /** One-shot streaming-pipeline run (S26): Firehose ingest → quality
+    * gate → duplicate screen → exactly-once TxTable commits, over the
+    * deterministic 4-file staging fixture (one file per micro-batch —
+    * strictly ascending mod times + maxFilesPerTrigger=1). Built once
+    * per JVM through DerivedCache so Bench attributes the run to
+    * build_sec; the gated key then reads the COMMIT LOG the run left
+    * behind. */
+  private def streamingPipelineTable(s: SparkSession): String =
+    graft.operators.DerivedCache.memoValue(s, "pipeline_streaming_table") {
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), p)
+      val staging = tmp("graft_stream_staging_")
+      graft.firehose.FirehoseFixture.writeStreaming(staging.toFile)
+      val table = tmp("graft_stream_table_").toString
+      val ckpt = tmp("graft_stream_ckpt_").toString
+      val q = graft.streaming.StreamingCorpusPipeline.start(
+        s, staging.toString, table, ckpt, appId = "pipeline_streaming")
+      q.awaitTermination()
+      val v = graft.sources.TxTable.latestVersion(table)
+      require(v.contains(5L),
+        s"expected 5 versions (create + one per staged file), got $v")
+      table
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_firehose_pipeline" -> ((s, _) => firehosePipeline(s)),
+
+    // S26 end-to-end under the hash gate: the per-version CHANGE FEED
+    // of the pipeline's commit log — one version per staged file —
+    // with the running total maintained IVM-style from the feed
+    // itself (PrefixSum fold, the S25 consumer pattern; the spec
+    // additionally pins fold == direct per-version reads). The DuckDB
+    // oracle reconstructs the staged fixture arithmetically (seeded
+    // generator, FIXTURES.md §A) and replays gate + dedup semantics:
+    // v2 ← f1 (blocks 10+11, one noise event gated), v3 ← f2, v4 ←
+    // f3 (block 10's REDELIVERY fully deduped — n_streams proves not
+    // one copy leaked), v5 ← f4 (double-gzip, 1-segment logStream).
+    "q_pipeline_streaming" -> ((s, _) => {
+      val t = streamingPipelineTable(s)
+      val isIns = col("_change") === "insert"
+      val perV = (1L to 5L).map { v =>
+        graft.sources.TxTable.changes(s, t, v - 1, v)
+          .agg(coalesce(sum(when(isIns, 1L)), lit(0L)).as("n_insert"),
+            coalesce(sum(when(isIns, col("ts"))), lit(0L)).as("ts_sum"),
+            countDistinct(when(isIns, col("log_stream")))
+              .as("n_streams"))
+          .select(lit(v).as("version"), col("n_insert"),
+            col("ts_sum"), col("n_streams"))
+      }.reduce(_ unionByName _)
+      graft.operators.PrefixSum.prefixSums(perV,
+          Seq(col("n_insert") -> "n_total"), col("version"))
+        .select("version", "n_insert", "ts_sum", "n_streams", "n_total")
+        .orderBy("version")
+    }),
     "q_firehose_throughput" -> ((s, _) => firehoseThroughput(s)),
     "q_firehose_payloads" -> ((s, _) => firehosePayloads(s, batchSize = 3)),
 
@@ -227,6 +279,45 @@ object PipelineQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // S26 replay: the staging fixture is seeded arithmetic
+    // (FirehoseFixture.blockNoisy — ids ev-<b>-<e>, ts = 1.7e12 +
+    // b*100000 + e, every e≡3 (mod 4) a one-word noise message), so
+    // the oracle REBUILDS the staged events from the generator
+    // contract, applies the gate (drop noise) and the dedup (block
+    // 10's redelivery in f3 contributes nothing — its events keep
+    // their v2 attribution), and aggregates the same per-version
+    // feed stats + running total. The DECODE itself is independently
+    // golden-twin gated by q_firehose_pipeline; this key gates the
+    // pipeline composition end-to-end.
+    "q_pipeline_streaming" ->
+      """WITH blocks(block_id, n_ev, ver, stream) AS (VALUES
+        |  (10, 3, 2, '2024/05/01/app/i-1'),
+        |  (11, 4, 2, '2024/05/01/app/i-2'),
+        |  (12, 5, 3, '2024/05/02/app/i-3'),
+        |  (13, 2, 4, '2024/05/03/app/i-4'),
+        |  (14, 3, 5, 'shorty')),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS e),
+        |ev AS (
+        |  SELECT b.block_id, g.e,
+        |    CAST(1700000000000 AS BIGINT) + b.block_id * 100000 + g.e
+        |      AS ts,
+        |    b.ver, b.stream
+        |  FROM blocks b JOIN g ON g.e <= b.n_ev - 1
+        |  WHERE g.e % 4 <> 3),
+        |per AS (
+        |  SELECT ver, COUNT(*) AS n_insert, SUM(ts) AS ts_sum,
+        |    COUNT(DISTINCT stream) AS n_streams
+        |  FROM ev GROUP BY ver),
+        |vers AS (SELECT unnest(generate_series(1, 5)) AS version)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(COALESCE(n_insert, 0) AS BIGINT) AS n_insert,
+        |  CAST(COALESCE(ts_sum, 0) AS BIGINT) AS ts_sum,
+        |  CAST(COALESCE(n_streams, 0) AS BIGINT) AS n_streams,
+        |  CAST((SELECT COUNT(*) FROM ev e2 WHERE e2.ver <= version)
+        |    AS BIGINT) AS n_total
+        |FROM vers LEFT JOIN per ON per.ver = version
+        |ORDER BY version""".stripMargin,
+
     // Firehose keys: hash-gated against the independent stdlib-Python
     // decoder's committed golden rows (tools/firehose_oracle.py).
     "q_firehose_pipeline" ->
