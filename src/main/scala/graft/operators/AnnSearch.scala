@@ -324,6 +324,28 @@ object AnnSearch {
       .select("query_id", "doc_id", "cos_sim")
   }
 
+  /** [[exactCosineTopK]] under the bounded-baseline contract's
+    * SELF-EXCLUSION (the [[bruteTopK]] output shape): every vector
+    * queries the corpus, its own row is dropped, ranks re-assigned
+    * among the rest. Exact by composition: the kernel runs at k+1
+    * and the top-k non-self rows are always a subset of the overall
+    * top-(k+1). Output (a_id, b_id, cos_sim, rk) — bit-identical to
+    * the brute self-join it replaces, no nested loop. */
+  def exactCosineTopKNonSelf(embeddings: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1,
+      index: Option[Array[(Int, Seq[Float])]] = None,
+      cacheKey: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    exactCosineTopK(embeddings, lit(true), k + 1, nCells, nProbe,
+        kmeansIters, index, cacheKey)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id").as("a_id"), col("doc_id").as("b_id"),
+        col("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** The shared cell-assignment frame (vec_id, embedding, cell,
     * r_own) behind the exact cell-bounded kernels — r_own is the
     * row's chord distance to its own centroid, √(2 − 2·cos(x,c)),

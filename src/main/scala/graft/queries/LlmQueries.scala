@@ -289,7 +289,12 @@ object LlmQueries {
     "q_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       def pairs(df: DataFrame) = df.select("a_id", "b_id")
-      val brute = pairs(AnnSearch.bruteTopK(e, k = 5, maxId = 200))
+      // ground truth rides the exact cell-join kernel (bit-identical
+      // to bruteTopK by its triangle-inequality proof — no NLJ), and
+      // SHARES q_sim_topk's memoized cell-assignment frame
+      val brute = pairs(AnnSearch.exactCosineTopKNonSelf(
+        e.filter(col("vec_id") < 200), k = 5,
+        cacheKey = Some(s"sim_topk:max=200:$d")))
       val lsh = pairs(AnnSearch.lshTopK(e, k = 5, maxId = 200))
       val ivf = pairs(AnnSearch.ivfTopK(e, k = 5, maxId = 200,
         kmeansIters = 0))

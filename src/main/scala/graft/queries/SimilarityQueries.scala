@@ -52,21 +52,12 @@ object SimilarityQueries {
     // convention; the baseline contract here excludes them, so the
     // kernel runs at k+1 and the self row is dropped and re-ranked
     // (top-k non-self ⊆ top-(k+1) overall, always).
-    "q_sim_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-      val w = Window.partitionBy("a_id")
-        .orderBy(col("cos_sim").desc, col("b_id").asc)
-      graft.operators.AnnSearch.exactCosineTopK(
-          e, lit(true), k = topK + 1,
+    "q_sim_topk" -> ((s, d) =>
+      graft.operators.AnnSearch.exactCosineTopKNonSelf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 200), k = topK,
           cacheKey = Some(s"sim_topk:max=200:$d"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .select(col("query_id").as("a_id"), col("doc_id").as("b_id"),
-          col("cos_sim"))
-        .withColumn("rk", row_number().over(w).cast("int"))
-        .filter(col("rk") <= topK)
         .select("a_id", "b_id", "cos_sim", "rk")
-        .orderBy("a_id", "rk")
-    }),
+        .orderBy("a_id", "rk")),
 
     // Near-duplicate pairs by cosine threshold (unordered pairs,
     // a_id < b_id) through the exact cell-pair-pruned equi-join

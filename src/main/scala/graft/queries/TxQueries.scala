@@ -102,6 +102,29 @@ object TxQueries {
         "delete must land as v3")
       require(TxTable.compact(s, dir).contains(4L),
         "compact must land as v4")
+      // v5: the delete turns out overbroad — RESTORE to the
+      // pre-delete state, reusing v2's immutable files (no data IO)
+      require(TxTable.restore(s, dir, 2L) == 5L,
+        "restore must land as v5")
+      dir
+    }
+
+  /** Fifth fixture, for the clustered-compaction/file-skipping key:
+    * v1 create (%3=0, hash-bucketed), v2 append (%3=1), v3 CLUSTERED
+    * compaction (range-partitioned + sorted on doc_id) — the layout
+    * that makes the manifest's per-file [min,max] stats selective,
+    * so [[TxTable.readKeyRange]] skips files at the MANIFEST level. */
+  private def clusterTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_cluster_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txclust_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
+      TxTable.append(docs.filter(col("doc_id") % 3 === 1), dir)
+      require(TxTable.compact(s, dir, rangeCluster = true).contains(3L),
+        "clustered compact must land as v3")
       dir
     }
 
@@ -331,6 +354,56 @@ object TxQueries {
     // diverge from the oracle's replay; the audit flags are
     // driver-observed metadata counts (bounded O(1) state from the
     // vacuum run itself).
+    // RESTORE under the hash gate: v5 rolls the table back to the
+    // pre-delete v2 by REUSING v2's immutable files (no data IO —
+    // one manifest commit), history intact. The gate fingerprints
+    // v2/v4/v5 (v5 must equal v2 exactly) and the 4→5 change feed
+    // (pure RE-INSERTS of exactly the deleted rows, zero deletes) —
+    // the undo verb's evidence, replayed independently in DuckDB.
+    "q_corpus_restore" -> ((s, d) => {
+      val t = delTable(s, d)
+      val fps = Seq(2L, 4L, 5L).map { v =>
+        TxTable.read(s, t, Some(v))
+          .agg(count(lit(1)).as("m1"),
+            sum(length(col("text")).cast("long")).as("m2"),
+            sum(col("doc_id")).as("m3"))
+          .select(lit(s"v$v").as("step"), col("m1"), col("m2"),
+            col("m3"))
+      }
+      val isIns = col("_change") === "insert"
+      val feed = TxTable.changes(s, t, 4L, 5L)
+        .agg(coalesce(sum(when(isIns, 1L)), lit(0L)).as("m1"),
+          coalesce(sum(when(!isIns, 1L)), lit(0L)).as("m2"),
+          coalesce(sum(when(isIns, col("doc_id"))), lit(0L)).as("m3"))
+        .select(lit("feed_4_5").as("step"), col("m1"), col("m2"),
+          col("m3"))
+      (fps :+ feed).reduce(_ unionByName _).orderBy("step")
+    }),
+
+    // CLUSTERED COMPACTION + manifest-level file skipping: after the
+    // range-clustered rewrite, each file owns a doc_id slice and
+    // readKeyRange prunes disjoint files from the MANIFEST's
+    // [min,max] stats before any parquet footer is opened (the spec
+    // pins the actual skip arithmetic; at 100 TB / 100k files this
+    // is manifest-read vs 100k footer opens). The gate proves the
+    // pruned read is CONTENT-EXACT: an in-range slice and a fully
+    // disjoint range (everything pruned → zero rows), both replayed
+    // in DuckDB.
+    "q_corpus_cluster_prune" -> ((s, d) => {
+      val t = clusterTable(s, d)
+      def slice(tag: String, lo: Long, hi: Long) =
+        TxTable.readKeyRange(s, t, "doc_id", lo, hi)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("n_chars"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+          .select(lit(tag).as("range"), col("n_docs"), col("n_chars"),
+            col("sum_ids"))
+      slice("a_mid", 20L, 220L)
+        .unionByName(slice("b_disjoint", 1000000000L, 2000000000L))
+        .orderBy("range")
+    }),
+
     "q_corpus_vacuum" -> ((s, d) => {
       import s.implicits._
       val (t, expired, reaped, revac, v1fails) = vacAudit(s, d)
@@ -557,6 +630,46 @@ object TxQueries {
         |  CAST(COALESCE((SELECT SUM(doc_id) FROM i14), 0) AS BIGINT),
         |  CAST(COALESCE((SELECT SUM(doc_id) FROM d14), 0) AS BIGINT)
         |ORDER BY from_version, to_version""".stripMargin,
+
+    // Restore replay: v2 = the pre-delete state, v4 = v2 minus the
+    // delete predicate's rows (compacted), v5 = v2 again (restore).
+    // The 4→5 feed is the deleted rows coming back: inserts = v2
+    // EXCEPT ALL v4 (= exactly the predicate's rows), deletes = 0.
+    "q_corpus_restore" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |v4 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)
+        |    AND NOT (lang = 'de' OR doc_id % 7 = 3)),
+        |back AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v4)
+        |SELECT 'feed_4_5' AS step,
+        |  (SELECT COUNT(*) FROM back) AS m1,
+        |  CAST(0 AS BIGINT) AS m2,
+        |  CAST(COALESCE((SELECT SUM(doc_id) FROM back), 0) AS BIGINT)
+        |    AS m3
+        |UNION ALL
+        |SELECT 'v2', COUNT(*), CAST(SUM(length(text)) AS BIGINT),
+        |  CAST(SUM(doc_id) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 'v4', COUNT(*), CAST(SUM(length(text)) AS BIGINT),
+        |  CAST(SUM(doc_id) AS BIGINT) FROM v4
+        |UNION ALL
+        |SELECT 'v5', COUNT(*), CAST(SUM(length(text)) AS BIGINT),
+        |  CAST(SUM(doc_id) AS BIGINT) FROM v2
+        |ORDER BY step""".stripMargin,
+
+    // Pruned-read replay: the mid slice straight off `documents`,
+    // and the disjoint range as explicit zeros (every file pruned).
+    "q_corpus_cluster_prune" ->
+      """SELECT 'a_mid' AS range, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE doc_id % 3 IN (0, 1) AND doc_id BETWEEN 20 AND 220
+        |UNION ALL
+        |SELECT 'b_disjoint', 0, 0, 0
+        |ORDER BY range""".stripMargin,
 
     // Vacuum replay: the audit flags are invariant metadata facts
     // (exactly one expired manifest, dead files reaped, idempotent

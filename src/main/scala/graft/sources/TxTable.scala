@@ -94,10 +94,17 @@ object TxTable {
 
   /** One resolved table version: the manifest's file list (absolute
     * paths; empty means an empty but existing table) plus the
-    * carried-forward per-app txn high-water map. */
+    * carried-forward per-app txn high-water map, the commit wall
+    * time (`tsMillis`, 0 for pre-upgrade manifests — used only by
+    * [[versionAsOf]], never by content gates), and per-file
+    * `[min, max]` stats of the integral bucket key (absolute-path
+    * keyed; files without stats are simply absent — readers must
+    * treat absence as "cannot prune"). */
   case class Snapshot(version: Long, op: String, schemaDdl: String,
                       files: Seq[String],
-                      txns: Map[String, Long] = Map.empty)
+                      txns: Map[String, Long] = Map.empty,
+                      tsMillis: Long = 0L,
+                      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** Thrown when `retries` successive CAS attempts all lose — the
     * caller is contending with a pathological writer storm and must
@@ -176,11 +183,17 @@ object TxTable {
   // is the streaming exactly-once record: the full per-app
   // high-water batch map, carried forward in EVERY manifest so the
   // head alone answers [[lastCommittedBatch]].
+  // field ORDER is load-bearing for the regex parser: the files
+  // array must close before any other '['-bearing field (stats), and
+  // txns/stats each end at the first '}' after their opener (their
+  // entries hold no nested braces)
   private def renderManifest(v: Long, op: String, schemaDdl: String,
                              files: Seq[String],
-                             txns: Map[String, Long]): String = {
-    require(!(schemaDdl + files.mkString + txns.keys.mkString)
-      .contains('"'),
+                             txns: Map[String, Long],
+                             tsMillis: Long,
+                             stats: Map[String, (Long, Long)]): String = {
+    require(!(schemaDdl + files.mkString + txns.keys.mkString +
+        stats.keys.mkString).contains('"'),
       "manifest fields must not contain raw quotes")
     val fs = files.sorted.map(f => s""""$f"""").mkString("[", ",", "]")
     val tx =
@@ -188,11 +201,18 @@ object TxTable {
       else txns.toSeq.sortBy(_._1)
         .map { case (app, b) => s""""$app":$b""" }
         .mkString(""","txns":{""", ",", "}")
-    s"""{"version":$v,"op":"$op","schema":"$schemaDdl","files":$fs$tx}"""
+    val st =
+      if (stats.isEmpty) ""
+      else stats.toSeq.sortBy(_._1)
+        .map { case (f, (lo, hi)) => s""""$f":[$lo,$hi]""" }
+        .mkString(""","stats":{""", ",", "}")
+    s"""{"version":$v,"op":"$op","schema":"$schemaDdl",""" +
+      s""""files":$fs$tx,"ts":$tsMillis$st}"""
   }
 
   private val fileRe = """"([^"]+)"""".r
   private val txnsEntryRe = """"([^"]+)":(\d+)""".r
+  private val statsEntryRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   // pre-round-11 manifests carried a single {"app":...,"batch":...}
   // record per commit; parse it too so existing tables keep their
   // exactly-once guarantee across the format upgrade
@@ -233,8 +253,19 @@ object TxTable {
             txnsEntryRe.findAllMatchIn(txt.substring(i + 8, close))
               .map(m => m.group(1) -> m.group(2).toLong).toMap
         }
+        val ts = """"ts":(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(0L)
+        val stats: Map[String, (Long, Long)] =
+          txt.indexOf(""""stats":{""") match {
+            case -1 => Map.empty
+            case i =>
+              val close = txt.indexOf('}', i)
+              statsEntryRe.findAllMatchIn(txt.substring(i + 9, close))
+                .map(m => Paths.get(table).resolve(m.group(1)).toString ->
+                  (m.group(2).toLong, m.group(3).toLong)).toMap
+          }
         Some(Snapshot(v, op, ddl, files.map(f =>
-          Paths.get(table).resolve(f).toString), txns))
+          Paths.get(table).resolve(f).toString), txns, ts, stats))
       }
     }
 
@@ -269,7 +300,9 @@ object TxTable {
     * hint). */
   private def publish(table: String, v: Long, op: String,
                       schemaDdl: String, files: Seq[String],
-                      txns: Map[String, Long]): Boolean = {
+                      txns: Map[String, Long],
+                      stats: Map[String, (Long, Long)] = Map.empty)
+      : Boolean = {
     val missing = files.filterNot(f =>
       Files.exists(Paths.get(table).resolve(f)))
     if (missing.nonEmpty)
@@ -282,7 +315,8 @@ object TxTable {
     val tmp = logDir(table).resolve(
       s"tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp,
-      renderManifest(v, op, schemaDdl, files, txns)
+      renderManifest(v, op, schemaDdl, files, txns,
+        System.currentTimeMillis(), stats)
         .getBytes(StandardCharsets.UTF_8))
     val won =
       try { Files.createLink(manifestPath(table, v), tmp); true }
@@ -331,6 +365,17 @@ object TxTable {
     legacyMax
   }
 
+  /** A snapshot's stats map re-keyed to table-relative paths (the
+    * form manifests store), restricted to `keep` when given — the
+    * carry-forward step every commit that retains head files runs. */
+  private def relStats(table: String, s: Snapshot,
+                       keep: Option[Set[String]] = None)
+      : Map[String, (Long, Long)] = {
+    val rel = s.stats.map { case (abs, mm) =>
+      Paths.get(table).relativize(Paths.get(abs)).toString -> mm }
+    keep.map(k => rel.filter { case (f, _) => k(f) }).getOrElse(rel)
+  }
+
   /** EXACTLY-ONCE streaming append: commit `df` as (`appId`,
     * `batchId`) unless that batch (or a later one) is already in the
     * log — the replay a restarted Structured Streaming query issues
@@ -354,7 +399,7 @@ object TxTable {
                  buckets: Int = 4, retries: Int = 20): Long = {
     if (lastCommittedBatch(table, appId).exists(_ >= batchId))
       return latestVersion(table).getOrElse(0L)
-    val files = writeData(df, table, bucketKey, buckets)
+    val (files, newStats) = writeData(df, table, bucketKey, buckets)
     var attempt = 0
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
@@ -368,7 +413,8 @@ object TxTable {
       val headRel = head.files.map(f =>
         Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append", head.schemaDdl,
-          headRel ++ files, head.txns + (appId -> batchId)))
+          headRel ++ files, head.txns + (appId -> batchId),
+          relStats(table, head) ++ newStats))
         return head.version + 1
       attempt += 1
     }
@@ -376,21 +422,53 @@ object TxTable {
       s"appendOnce lost $retries CAS rounds on $table")
   }
 
-  /** Write `df`'s rows as immutable data files under `data/<uuid>/`,
-    * repartitioned by hash of `bucketKey` into `buckets` tasks (the
-    * bucketed-sink alignment), and return their table-relative
-    * paths. No manifest is touched — the files are invisible until a
-    * commit references them. */
+  /** Write `df`'s rows as immutable data files under `data/<uuid>/`
+    * and return their table-relative paths plus per-file `[min,max]`
+    * stats of `bucketKey` (integral key types only — stats enable
+    * MANIFEST-LEVEL file skipping in [[readKeyRange]]). Layout:
+    * hash-repartitioned by the key (the bucketed-sink alignment), or
+    * RANGE-CLUSTERED + sorted when `rangeCluster` — the layout that
+    * makes the stats selective (a hash bucket spans the whole key
+    * range; a range cluster owns a slice). The stats pass re-reads
+    * only THIS COMMIT'S files (one churn-sized job, page-cache warm
+    * — the poor man's write-time stats collector). No manifest is
+    * touched — the files are invisible until a commit references
+    * them. */
   private def writeData(df: DataFrame, table: String, bucketKey: String,
-                        buckets: Int): Seq[String] = {
+                        buckets: Int, rangeCluster: Boolean = false)
+      : (Seq[String], Map[String, (Long, Long)]) = {
     val sub = s"data/${java.util.UUID.randomUUID().toString}"
     val dir = Paths.get(table).resolve(sub)
-    df.repartition(buckets, col(bucketKey))
-      .write.parquet(dir.toString)
-    listed(dir)
+    val shaped =
+      if (rangeCluster)
+        df.repartitionByRange(buckets, col(bucketKey))
+          .sortWithinPartitions(col(bucketKey))
+      else df.repartition(buckets, col(bucketKey))
+    shaped.write.parquet(dir.toString)
+    val files = listed(dir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$sub/$n")
+    val integral = df.schema.fields.find(_.name == bucketKey)
+      .exists(f => f.dataType == IntegerType || f.dataType == LongType)
+    val stats: Map[String, (Long, Long)] =
+      if (!integral || files.isEmpty) Map.empty
+      else {
+        val abs = files.map(f => Paths.get(table).resolve(f).toString)
+        df.sparkSession.read.parquet(abs: _*)
+          .groupBy(input_file_name().as("_f"))
+          .agg(min(col(bucketKey)).cast("long").as("_lo"),
+            max(col(bucketKey)).cast("long").as("_hi"))
+          .collect()
+          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+          .map { r =>
+            val p = new java.net.URI(r.getString(0)).getPath
+            Paths.get(table).relativize(
+              Paths.get(p).toAbsolutePath).toString ->
+              (r.getLong(1), r.getLong(2))
+          }.toMap
+      }
+    (files, stats)
   }
 
   /** Create the table at version 1 with `df`'s rows. Exactly one of
@@ -398,8 +476,9 @@ object TxTable {
     * files become vacuum-able orphans). */
   def create(df: DataFrame, table: String, bucketKey: String = "doc_id",
              buckets: Int = 4): Boolean = {
-    val files = writeData(df, table, bucketKey, buckets)
-    publish(table, 1L, "create", df.schema.toDDL, files, Map.empty)
+    val (files, newStats) = writeData(df, table, bucketKey, buckets)
+    publish(table, 1L, "create", df.schema.toDDL, files, Map.empty,
+      newStats)
   }
 
   /** Append `df`'s rows. Appends COMMUTE, so a CAS loss just
@@ -407,7 +486,7 @@ object TxTable {
     * committed version. */
   def append(df: DataFrame, table: String, bucketKey: String = "doc_id",
              buckets: Int = 4, retries: Int = 20): Long = {
-    val files = writeData(df, table, bucketKey, buckets)
+    val (files, newStats) = writeData(df, table, bucketKey, buckets)
     var attempt = 0
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
@@ -415,7 +494,7 @@ object TxTable {
       val headRel = head.files.map(f =>
         Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append", head.schemaDdl,
-          headRel ++ files, head.txns))
+          headRel ++ files, head.txns, relStats(table, head) ++ newStats))
         return head.version + 1
       attempt += 1
     }
@@ -450,7 +529,7 @@ object TxTable {
   def appendEvolve(df: DataFrame, table: String,
                    bucketKey: String = "doc_id", buckets: Int = 4,
                    retries: Int = 20): Long = {
-    val files = writeData(df, table, bucketKey, buckets)
+    val (files, newStats) = writeData(df, table, bucketKey, buckets)
     var attempt = 0
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
@@ -477,7 +556,8 @@ object TxTable {
       val headRel = head.files.map(f =>
         Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append_evolve",
-          widened.toDDL, headRel ++ files, head.txns))
+          widened.toDDL, headRel ++ files, head.txns,
+          relStats(table, head) ++ newStats))
         return head.version + 1
       attempt += 1
     }
@@ -525,9 +605,9 @@ object TxTable {
         .select(col(key) +: others.map(c =>
           when(col("_graft_matched").isNotNull, col(s"u.$c"))
             .otherwise(col(s"c.$c")).as(c)): _*)
-      val files = writeData(merged, table, key, buckets)
+      val (files, newStats) = writeData(merged, table, key, buckets)
       if (publish(table, head.version + 1, "merge", head.schemaDdl,
-          files, head.txns))
+          files, head.txns, newStats))
         return head.version + 1
       attempt += 1
     }
@@ -576,11 +656,12 @@ object TxTable {
       // phase 2: rewrite ONLY the touched files without the matches
       val kept = spark.read.schema(schema).parquet(touched: _*)
         .filter(!coalesce(pred, lit(false)))
-      val newFiles = writeData(kept, table, bucketKey, buckets)
+      val (newFiles, newStats) = writeData(kept, table, bucketKey, buckets)
       val untouchedRel = head.files.filterNot(touched.contains)
         .map(f => Paths.get(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "delete", head.schemaDdl,
-          untouchedRel ++ newFiles, head.txns))
+          untouchedRel ++ newFiles, head.txns,
+          relStats(table, head, Some(untouchedRel.toSet)) ++ newStats))
         return head.version + 1
       attempt += 1
     }
@@ -593,18 +674,116 @@ object TxTable {
     * maintenance: on a CAS loss — including planning against a
     * stale pinned snapshot `at` — it ABORTS (returns None) rather
     * than contend with real writers; rerun it in the next quiet
-    * window. */
+    * window.
+    *
+    * `rangeCluster = true` is CLUSTERED compaction: files come out
+    * RANGE-partitioned and sorted on `bucketKey` instead of
+    * hash-bucketed, so each file owns a key slice and the manifest's
+    * per-file `[min,max]` stats turn selective — [[readKeyRange]]
+    * then skips whole files at the MANIFEST level (a hash bucket
+    * spans the full range; stats on it prune nothing). Same
+    * content-neutrality contract either way. */
   def compact(spark: SparkSession, table: String,
               bucketKey: String = "doc_id", buckets: Int = 4,
-              at: Option[Snapshot] = None): Option[Long] = {
+              at: Option[Snapshot] = None,
+              rangeCluster: Boolean = false): Option[Long] = {
     val head = at.orElse(snapshot(table)).getOrElse(
       throw new IllegalArgumentException(s"compact of missing table $table"))
-    val files = writeData(read(spark, table, Some(head.version)),
-      table, bucketKey, buckets)
+    val (files, newStats) = writeData(read(spark, table, Some(head.version)),
+      table, bucketKey, buckets, rangeCluster)
     if (publish(table, head.version + 1, "compact", head.schemaDdl,
-        files, head.txns))
+        files, head.txns, newStats))
       Some(head.version + 1)
     else None
+  }
+
+  /** RESTORE the table to the content of `toVersion` — the undo verb
+    * (a bad delete, a botched merge): publishes a NEW head whose file
+    * list, schema and stats are `toVersion`'s, REUSING its immutable
+    * data files verbatim (no data is written — O(manifest) cost).
+    * History is preserved, not rewritten: the bad commits stay
+    * replayable between `toVersion` and the restore, the restore is
+    * itself one more commit, and [[changes]] across it nets to
+    * exactly the rows the bad commits touched (an undone delete's
+    * feed is pure re-inserts). Txn state does NOT roll back — the
+    * head's per-app high-water map carries forward, so streaming
+    * exactly-once survives a restore. `toVersion` must still be
+    * retained (an expired version fails cleanly). A CAS loss re-runs
+    * against the new head (restore does not commute with concurrent
+    * writes — last restore wins, like any transaction). Returns the
+    * committed version. */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+              retries: Int = 20): Long = {
+    val target = snapshot(table, Some(toVersion)).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore target missing or retention-expired: " +
+          s"$table @ $toVersion"))
+    val targetRel = target.files.map(f =>
+      Paths.get(table).relativize(Paths.get(f)).toString)
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore of missing table $table"))
+      if (publish(table, head.version + 1, "restore", target.schemaDdl,
+          targetRel, head.txns,
+          relStats(table, target)))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"restore lost $retries CAS rounds on $table")
+  }
+
+  /** Newest version committed at or before `tsMillis` wall time —
+    * timestamp time travel ("the table as of last midnight"). Commit
+    * times are the writers' clocks (monotone only as far as the
+    * fleet's clocks are — the usual lakehouse caveat; version pins
+    * are the precise form). Scans retained manifests newest-first
+    * and returns the first old-enough one; pre-upgrade manifests
+    * (no ts field) count as time 0. None if every retained version
+    * is newer. */
+  def versionAsOf(table: String, tsMillis: Long): Option[Long] = {
+    var v = latestVersion(table).getOrElse(return None)
+    while (v >= 1L) {
+      snapshot(table, Some(v)) match {
+        case None => return None // older history retention-expired
+        case Some(s) if s.tsMillis <= tsMillis => return Some(v)
+        case _ => v -= 1L
+      }
+    }
+    None
+  }
+
+  /** Read rows with `bucketKey` in `[lo, hi]`, skipping every data
+    * file whose manifest `[min,max]` stats prove it disjoint from
+    * the range — MANIFEST-LEVEL file pruning: at 100 TB / 100k files
+    * this is the difference between opening 100k parquet footers and
+    * reading one manifest (row-group stats only help AFTER a file is
+    * opened). Selectivity needs a range-clustered layout
+    * ([[compact]] with `rangeCluster = true`); on hash-bucketed
+    * files every file spans the whole range and nothing prunes —
+    * same answer, no skipping. Files WITHOUT stats (non-integral
+    * keys, pre-stats manifests) are conservatively read. Always
+    * equivalent to `read(...).filter(key between lo hi)`. */
+  def readKeyRange(spark: SparkSession, table: String, bucketKey: String,
+                   lo: Long, hi: Long,
+                   version: Option[Long] = None): DataFrame = {
+    val s = snapshot(table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such table/version (missing or retention-expired): " +
+          s"$table @ $version"))
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val kept = s.files.filter(f => s.stats.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept: _*)
+    base.filter(col(bucketKey).between(lo, hi))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC

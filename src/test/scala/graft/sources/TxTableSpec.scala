@@ -357,6 +357,94 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls content back without data IO, feeds net " +
+      "re-inserts, preserves history and txn state, refuses expired " +
+      "targets") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L, 3L), t, buckets = 1))   // v1
+    TxTable.appendOnce(docs(4L), t, appId = "app", batchId = 7L,
+      buckets = 1)                                             // v2
+    TxTable.delete(spark, t, $"doc_id" isin (2L, 4L))          // v3
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    val v2files = TxTable.snapshot(t, Some(2L)).get.files.toSet
+    assert(TxTable.restore(spark, t, 2L) == 4L)                // v4
+    // content = v2, files REUSED verbatim (no data written)
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(TxTable.snapshot(t).get.files.toSet == v2files,
+      "restore must reuse the target's immutable files")
+    // the undo's feed: exactly the deleted rows come back
+    assert(TxTable.changes(spark, t, 3L, 4L)
+      .select("doc_id", "_change").as[(Long, String)].collect().toSet ==
+      Set((2L, "insert"), (4L, "insert")))
+    // history preserved: the bad delete still replays
+    assert(TxTable.read(spark, t, Some(3L)).count() == 2)
+    // txn state carries FORWARD through the restore (exactly-once
+    // must not roll back with the data)
+    assert(TxTable.lastCommittedBatch(t, "app").contains(7L))
+    // restoring to an expired version fails cleanly
+    TxTable.vacuumRetain(t, keepVersions = 2, graceMs = 0L)
+    intercept[IllegalArgumentException] { TxTable.restore(spark, t, 1L) }
+  }
+
+  test("versionAsOf resolves commit wall time; clustered compaction " +
+      "makes manifest stats selective and readKeyRange skips files") {
+    val t = freshDir()
+    assert(TxTable.create(
+      (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      t, buckets = 4))
+    Thread.sleep(15)
+    TxTable.append(docs(100L), t, buckets = 1)
+    Thread.sleep(15)
+    TxTable.append(docs(101L), t, buckets = 1)
+    // timestamp time travel: each commit's own ts resolves to it
+    // (commits are >15ms apart, so ties cannot mask the order)
+    (1L to 3L).foreach { v =>
+      val ts = TxTable.snapshot(t, Some(v)).get.tsMillis
+      assert(ts > 0L, "manifests must carry commit time")
+      assert(TxTable.versionAsOf(t, ts).contains(v),
+        s"versionAsOf(ts of v$v) must be v$v")
+    }
+    assert(TxTable.versionAsOf(t,
+      TxTable.snapshot(t, Some(1L)).get.tsMillis - 1L).isEmpty,
+      "a time before the first commit resolves to nothing")
+    // hash-bucketed layout: stats exist but each file spans ~the
+    // whole range — nothing prunes, content still exact
+    def kept(lo: Long, hi: Long) = {
+      val s = TxTable.snapshot(t).get
+      s.files.count(f => s.stats.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      })
+    }
+    assert(TxTable.readKeyRange(spark, t, "doc_id", 5L, 20L)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      (5L to 20L).toSeq)
+    // clustered compaction: files become key slices; a narrow range
+    // now PRUNES whole files at the manifest level
+    assert(TxTable.compact(spark, t, buckets = 4, rangeCluster = true)
+      .contains(4L))
+    val total = TxTable.snapshot(t).get.files.size
+    assert(kept(5L, 20L) < total,
+      s"range-clustered stats must prune files: ${kept(5L, 20L)}/$total")
+    assert(TxTable.readKeyRange(spark, t, "doc_id", 5L, 20L)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      (5L to 20L).toSeq,
+      "pruned read must equal the filtered read")
+    assert(TxTable.readKeyRange(spark, t, "doc_id", 5000L, 6000L)
+      .isEmpty, "fully disjoint range reads empty")
+    // a STRING-keyed table writes no stats; readKeyRange on a table
+    // without stats stays correct (conservative no-prune)
+    val ts2 = freshDir()
+    assert(TxTable.create(
+      Seq(("a", 1L), ("b", 2L)).toDF("id", "v"), ts2,
+      bucketKey = "id", buckets = 1))
+    assert(TxTable.snapshot(ts2).get.stats.isEmpty)
+    assert(TxTable.readKeyRange(spark, ts2, "v", 2L, 9L)
+      .select("v").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("publish verifies referenced files exist: a vacuumed-under-writer " +
       "commit fails loudly instead of landing unreadable") {
     val t = freshDir()

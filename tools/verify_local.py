@@ -153,11 +153,13 @@ PLAN_FLAG_ALLOW = {
     # same bounded-N baseline contract; scale path screens with the
     # band join then verifies containment (ApproxDedup scaladoc)
     "q_dedup_containment": {"nested_loop_join"},
-    # PQ ADC / recall audit both contain a brute-force exact-baseline
-    # pass, bounded maxId=200 by contract; the production path is the
-    # bucketed LSH/IVF probe (AnnSearch scaladoc)
+    # The PQ whole-corpus ADC scan IS the documented contrast tier
+    # (q_ann_ivfpq's cell-local ADC is the scale path); its exact
+    # re-rank stays bounded by the candidate set, maxId=200 contract
     "q_ann_pq": {"nested_loop_join"},
-    "q_ann_recall": {"nested_loop_join"},
+    # r11: q_ann_recall entry REMOVED — its exact ground truth now
+    # rides exactCosineTopKNonSelf (cell equi-join, bit-identical to
+    # the brute scan), sharing q_sim_topk's memoized assignment frame.
     # r10: q_retrieval_fusion / q_retrieval_ndcg entries REMOVED —
     # the dense leg is now AnnSearch.exactCosineTopK (cell equi-join
     # with a triangle-inequality bound), no NLJ in either plan.
