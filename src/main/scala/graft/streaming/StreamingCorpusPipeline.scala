@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.util.sketch.BloomFilter
+
 import graft.firehose.FirehoseDecoder
 import graft.sources.TxTable
 
@@ -37,11 +45,14 @@ import graft.sources.TxTable
   *
   * == Scale shape ==
   * Decode and gate are stateless per-row work fused into the source
-  * scan. The cross-batch screen reads ONE column (id) of the table —
-  * column-pruned parquet over bucketed files; at 100 TB the same
-  * join runs against the id-bucketed layout (this table's own
-  * bucketing), or a Bloom prescreen (q_contamination_bloom's
-  * pattern) cuts it to a broadcast — the reference does the exact
+  * scan. The cross-batch screen is LAYERED: a standing driver-held
+  * BLOOM FILTER over the table's ids (built once per start, folded
+  * forward per batch — no false negatives, so "absent" commits with
+  * NO table read) classifies first, and only the maybe-residue
+  * (fpp·batch + true redeliveries) pays the exact anti-join against
+  * the table's id column — column-pruned parquet over the table's
+  * own id-bucketed files, elided entirely by AQE's empty-relation
+  * propagation when the residue is empty. The reference does the
   * same anti-join against its processed-file log, at file
   * granularity. The commit is one manifest CAS per micro-batch.
   */
@@ -82,6 +93,54 @@ object StreamingCorpusPipeline {
     FirehoseDecoder.decodeBlocks(blocks)
   }
 
+  // ── standing Bloom prescreen over the table's committed event ids ──
+  // The cross-batch duplicate screen's scale lever: a driver-held
+  // Bloom filter (built from the table ONCE per pipeline start,
+  // folded forward with each commit's ids) classifies arriving
+  // events BEFORE the anti-join. Bloom filters have NO false
+  // negatives, so "absent" = DEFINITELY NEW (committed without any
+  // table read); only the "maybe" residue — fpp·batch + true
+  // redeliveries — reaches the exact anti-join, and when that residue
+  // is empty AQE's empty-relation propagation elides the table scan
+  // entirely. Ids are xxhash64'd to longs first (a hash collision
+  // can only move a new id into the "maybe" class — verified
+  // exactly, never dropped). Replays re-fold ids harmlessly (Bloom
+  // insert is idempotent); a restart rebuilds from the table. The
+  // filter is capacity-sized driver state (like a broadcast
+  // codebook), not data-sized.
+  private val bloomBits: Long = 1L << 20 // ~128 KB, fpp ~1% at 100k ids
+
+  private def idHash: org.apache.spark.sql.Column = xxhash64(col("id"))
+
+  private def emptyBloom(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    BloomFilter.create(100000L, bloomBits).writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def bloomAggOf(ids: DataFrame): Option[Array[Byte]] = {
+    val agg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(idHash),
+        Literal(100000L), Literal(bloomBits)).toAggregateExpression())
+    Option(ids.agg(agg.as("bf")).head().getAs[Array[Byte]](0))
+  }
+
+  private def foldBloom(base: Array[Byte], ids: DataFrame): Array[Byte] =
+    bloomAggOf(ids) match {
+      case None => base
+      case Some(delta) =>
+        val b = BloomFilter.readFrom(new ByteArrayInputStream(base))
+        b.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(delta)))
+        val bos = new ByteArrayOutputStream()
+        b.writeTo(bos)
+        bos.toByteArray
+    }
+
+  private def mightContain(bf: Array[Byte]): org.apache.spark.sql.Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bf), GraftColumnBridge.expression(idHash)))
+
   /** Start the pipeline: ingest `stagingDir` into the TxTable at
     * `table` (created empty with [[tableDdl]] if absent), exactly
     * once end-to-end. Runs with Trigger.AvailableNow — drains
@@ -99,6 +158,9 @@ object StreamingCorpusPipeline {
         buckets = 2) || TxTable.latestVersion(table).nonEmpty,
         s"could not initialize pipeline table $table")
     }
+    // per-start() standing filter: rebuilt from the table on (re)start
+    val bloomRef = new java.util.concurrent.atomic.AtomicReference[
+      Array[Byte]](null)
     decodedStream(spark, stagingDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -112,10 +174,26 @@ object StreamingCorpusPipeline {
             col("logStreamPrefix").as("stream_prefix"),
             col("message"))
           .dropDuplicates("id")
-        val fresh = evs.join(
-          TxTable.read(spark, table).select("id"), Seq("id"), "left_anti")
+        val bf = bloomRef.get() match {
+          case null =>
+            val built = bloomAggOf(TxTable.read(spark, table).select("id"))
+              .getOrElse(emptyBloom())
+            bloomRef.set(built); built
+          case b => b
+        }
+        // prescreen: "definitely new" commits with NO table read;
+        // only the maybe-residue pays the exact anti-join (AQE
+        // elides the table scan when the residue is empty)
+        val suspects = evs.filter(mightContain(bf))
+          .join(TxTable.read(spark, table).select("id"),
+            Seq("id"), "left_anti")
+        val fresh = evs.filter(!mightContain(bf)).unionByName(suspects)
         TxTable.appendOnce(fresh, table, appId, batchId,
           bucketKey = "id", buckets = 2)
+        // fold ALL the batch's gated ids (not just fresh): folding an
+        // already-present id is idempotent, and evs's lineage carries
+        // no table read — one cheap batch-local pass
+        bloomRef.set(foldBloom(bf, evs.select("id")))
         ()
       }
       .start()
