@@ -271,7 +271,7 @@ object AnnSearch {
                       index: Option[Array[(Int, Seq[Float])]] = None,
                       cacheKey: Option[String] = None): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val cents = index.getOrElse(trainQuantizer(e, nCells, kmeansIters))
+    val cents = index.getOrElse(memoCents(e, nCells, kmeansIters, cacheKey))
     val assigned = assignedWithRadius(e, cents, cacheKey)
     // cell radii: nCells rows to the driver (bounded by contract,
     // like every quantizer collect here) off the SHARED assigned
@@ -355,6 +355,29 @@ object AnnSearch {
     * scan the corpus ONCE between them — the shared-index
     * discipline; without one, callers pay an extra assignment pass
     * (fine for one-shot use). */
+  /** Train-or-recall the coarse quantizer for the exact cell-bounded
+    * kernels. With a `cacheKey` the trained centroid ARRAY memoizes
+    * through [[DerivedCache.memoValue]] under the SAME key family as
+    * the cached assignment frame — so a later call probes with
+    * provably the very centroids the memoized assignment (and its
+    * radii) was built from. Retraining per call would make the
+    * triangle-inequality bound's exactness hinge on distributed
+    * float aggregation being bit-reproducible across runs (it is not
+    * guaranteed to be): a 1-ulp centroid drift between the cached
+    * assignment and a fresh probe could silently drop a true
+    * neighbor. Without a key, one-shot callers train inline as
+    * before (one call site, one training — nothing to drift
+    * against). */
+  private def memoCents(e: DataFrame, nCells: Int, kmeansIters: Int,
+      cacheKey: Option[String]): Array[(Int, Seq[Float])] =
+    cacheKey match {
+      case Some(k) =>
+        DerivedCache.memoValue(e.sparkSession,
+          s"$k:cents:$nCells:$kmeansIters")(
+          trainQuantizer(e, nCells, kmeansIters))
+      case None => trainQuantizer(e, nCells, kmeansIters)
+    }
+
   private def assignedWithRadius(e: DataFrame,
       cents: Array[(Int, Seq[Float])],
       cacheKey: Option[String]): DataFrame = {
@@ -399,7 +422,7 @@ object AnnSearch {
       cacheKey: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val cents = index.getOrElse(trainQuantizer(e, nCells, kmeansIters))
+    val cents = index.getOrElse(memoCents(e, nCells, kmeansIters, cacheKey))
     val assigned = assignedWithRadius(e, cents, cacheKey)
     val radii: Map[Int, Double] = assigned
       .groupBy("cell").agg(max(col("r_own")).as("r"))

@@ -200,38 +200,47 @@ object Bpe {
     val argmaxOrd: Ordering[((String, String), Long)] =
       Ordering.by { case ((a, b), n) => (-n, a, b) }
     while (round < nMerges && !exhausted) {
-      // Pair counting as ONE map-only stage: each task folds its
-      // words into a local pair→count map (no per-pair row objects)
-      // and ships the whole partial map to the driver, which
-      // combines and takes the argmax. No shuffle stage at all — the
-      // earlier reduceByKey + takeOrdered shape paid two stages per
-      // round, and at 32 contract rounds the loop is job-launch
-      // bound, not data bound. The collect is BOUNDED BY THE SYMBOL
-      // ALPHABET, not the corpus: distinct adjacent pairs number at
-      // most (|base alphabet| + merges-so-far)² — the same codebook
-      // class as the quantizer collects, and exactly the data the
-      // old shuffle moved, one hop instead of two. Plain RDD ops on
-      // purpose: an SQL explode/groupBy/TakeOrdered here re-plans
-      // and re-codegens EVERY round — 5x the wall time of the whole
-      // loop — for a dataflow this fixed.
-      val partials = words.mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap
-          .empty[(String, String), Long]
-        it.foreach { case (syms, n) =>
+      // Pair counting as ONE tree-aggregated job: each task folds its
+      // words into a local pair→count map (no per-pair row objects),
+      // partials combine EXECUTOR-SIDE down a 2-level tree, and the
+      // driver's reduce step merges arriving results into ONE
+      // accumulator — driver state is O(distinct pairs), NEVER
+      // O(partitions × pairs) (a per-partition `collect()` of the
+      // maps would centralize every partial at once: at ~400
+      // partitions × a CJK-seeded alphabet that is a driver-OOM
+      // class, not a codebook class). Still no shuffle at fixture
+      // partition counts (the tree only inserts a combine stage when
+      // partitions exceed the scale threshold) — the earlier
+      // reduceByKey + takeOrdered shape paid two stages per round,
+      // and at 32 contract rounds the loop is job-launch bound, not
+      // data bound. The merged map is BOUNDED BY THE SYMBOL ALPHABET:
+      // distinct adjacent pairs number at most (|base alphabet| +
+      // merges-so-far)² — the same codebook class as the quantizer
+      // collects. Plain RDD ops on purpose: an SQL explode/groupBy/
+      // TakeOrdered here re-plans and re-codegens EVERY round — 5x
+      // the wall time of the whole loop — for a dataflow this fixed.
+      val total = words.treeAggregate(
+        scala.collection.mutable.HashMap.empty[(String, String), Long])(
+        seqOp = { (m, wc) =>
+          val (syms, n) = wc
           var i = 0
           while (i < syms.length - 1) {
             val p = (syms(i), syms(i + 1))
             m.update(p, m.getOrElse(p, 0L) + n)
             i += 1
           }
-        }
-        Iterator.single(m)
-      }.collect()
-      val total = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      partials.foreach(_.foreach { case (p, n) =>
-        total.update(p, total.getOrElse(p, 0L) + n)
-      })
+          m
+        },
+        combOp = { (a, b) =>
+          // merge the smaller map into the larger — combine cost is
+          // min(|a|,|b|), and the result reuses the big accumulator
+          val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+          small.foreach { case (p, n) =>
+            big.update(p, big.getOrElse(p, 0L) + n)
+          }
+          big
+        },
+        depth = 2)
       if (total.isEmpty) exhausted = true
       else {
         val pair = total.min(argmaxOrd)._1

@@ -99,12 +99,17 @@ object TxTable {
     * [[versionAsOf]], never by content gates), and per-file
     * `[min, max]` stats of the integral bucket key (absolute-path
     * keyed; files without stats are simply absent — readers must
-    * treat absence as "cannot prune"). */
+    * treat absence as "cannot prune"). `hasTxnsMap` records whether
+    * the manifest carried the POST-UPGRADE full `"txns":{...}` map
+    * (true) or only a legacy single-commit record / nothing (false)
+    * — the bit [[carriedTxns]] and [[lastCommittedBatch]] key their
+    * upgrade handling on. */
   case class Snapshot(version: Long, op: String, schemaDdl: String,
                       files: Seq[String],
                       txns: Map[String, Long] = Map.empty,
                       tsMillis: Long = 0L,
-                      stats: Map[String, (Long, Long)] = Map.empty)
+                      stats: Map[String, (Long, Long)] = Map.empty,
+                      hasTxnsMap: Boolean = false)
 
   /** Thrown when `retries` successive CAS attempts all lose — the
     * caller is contending with a pathological writer storm and must
@@ -115,7 +120,16 @@ object TxTable {
   /** Counts from a retention [[vacuum]] run. */
   case class VacuumStats(expiredManifests: Int, removedDataFiles: Int)
 
-  private def logDir(table: String): Path = Paths.get(table, "_txlog")
+  /** The table root, normalized to an ABSOLUTE path once — every
+    * relativize/containment comparison below runs against this, so a
+    * caller-supplied RELATIVE table path (a perfectly reasonable way
+    * to address a local working table) cannot trip
+    * `Path.relativize`'s absolute-vs-relative IllegalArgumentException
+    * in the stats pass or delete's touched-file matching. */
+  private def root(table: String): Path =
+    Paths.get(table).toAbsolutePath.normalize()
+
+  private def logDir(table: String): Path = root(table).resolve("_txlog")
 
   private def headHintPath(table: String): Path =
     logDir(table).resolve("_head")
@@ -243,6 +257,7 @@ object TxTable {
             fileRe.findAllMatchIn(txt.substring(i + 9, close))
               .map(_.group(1)).toSeq
         }
+        val hasMap = txt.contains(""""txns":{""")
         val txns: Map[String, Long] = txt.indexOf(""""txns":{""") match {
           case -1 =>
             legacyTxnRe.findFirstMatchIn(txt)
@@ -261,11 +276,11 @@ object TxTable {
             case i =>
               val close = txt.indexOf('}', i)
               statsEntryRe.findAllMatchIn(txt.substring(i + 9, close))
-                .map(m => Paths.get(table).resolve(m.group(1)).toString ->
+                .map(m => root(table).resolve(m.group(1)).toString ->
                   (m.group(2).toLong, m.group(3).toLong)).toMap
           }
         Some(Snapshot(v, op, ddl, files.map(f =>
-          Paths.get(table).resolve(f).toString), txns, ts, stats))
+          root(table).resolve(f).toString), txns, ts, stats, hasMap))
       }
     }
 
@@ -304,7 +319,7 @@ object TxTable {
                       stats: Map[String, (Long, Long)] = Map.empty)
       : Boolean = {
     val missing = files.filterNot(f =>
-      Files.exists(Paths.get(table).resolve(f)))
+      Files.exists(root(table).resolve(f)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"refusing to commit $table v$v: ${missing.size} referenced " +
@@ -338,31 +353,49 @@ object TxTable {
     won
   }
 
-  /** Highest batch id `appId` has ever committed to `table`. O(1):
-    * the head manifest carries the full per-app high-water map. For
-    * tables whose head predates the carried map, falls back to a
-    * newest-first scan that stops at the first map-carrying
-    * manifest (every commit after the upgrade re-establishes the
-    * O(1) head read). */
-  def lastCommittedBatch(table: String, appId: String): Option[Long] = {
-    var v = latestVersion(table).getOrElse(return None)
-    var legacyMax: Option[Long] = None
+  /** The COMPLETE per-app txn high-water map as of `head` — the map
+    * every commit must carry forward. INVARIANT: any manifest bearing
+    * a `"txns":{...}` map holds the complete retained history at its
+    * commit time, because every publisher here carries THIS map
+    * forward. The first commit onto a PRE-UPGRADE head (no map — only
+    * per-commit legacy `"txn":{...}` records, and plain appends with
+    * nothing at all) therefore seeds by folding ALL retained
+    * manifests' records, max per app — a one-time O(versions) scan
+    * that re-establishes the O(1) head read for everything after.
+    * Seeding from `head.txns` alone would DROP legacy records below
+    * a record-less head and break exactly-once across the upgrade
+    * (a replayed legacy batch would commit twice). */
+  private def carriedTxns(table: String, head: Snapshot)
+      : Map[String, Long] = {
+    if (head.hasTxnsMap) return head.txns
+    var acc = Map.empty[String, Long]
+    var v = head.version
     while (v >= 1L) {
       snapshot(table, Some(v)) match {
-        case None => return legacyMax // older history retention-expired
+        case None => return acc // older history retention-expired
         case Some(s) =>
-          val txt = new String(
-            Files.readAllBytes(manifestPath(table, v)),
-            StandardCharsets.UTF_8)
-          if (txt.contains(""""txns":{"""))
-            return (legacyMax.toSeq ++ s.txns.get(appId).toSeq)
-              .reduceOption(_ max _)
-          legacyMax = (legacyMax.toSeq ++ s.txns.get(appId).toSeq)
-            .reduceOption(_ max _)
+          s.txns.foreach { case (app, b) =>
+            if (acc.getOrElse(app, Long.MinValue) < b) acc += app -> b
+          }
+          // a map-bearing manifest is complete by the invariant —
+          // records below it are already folded into it
+          if (s.hasTxnsMap) return acc
       }
       v -= 1L
     }
-    legacyMax
+    acc
+  }
+
+  /** Highest batch id `appId` has ever committed to `table`. O(1):
+    * the head manifest carries the full per-app high-water map
+    * (complete by the [[carriedTxns]] invariant — the first
+    * post-upgrade commit seeds it from the whole retained legacy
+    * history, so stopping at a map-bearing manifest never hides a
+    * legacy record below it). For tables whose head predates the
+    * carried map, falls back to a newest-first scan over the legacy
+    * records down to the retention horizon. */
+  def lastCommittedBatch(table: String, appId: String): Option[Long] = {
+    snapshot(table).flatMap(h => carriedTxns(table, h).get(appId))
   }
 
   /** A snapshot's stats map re-keyed to table-relative paths (the
@@ -372,7 +405,7 @@ object TxTable {
                        keep: Option[Set[String]] = None)
       : Map[String, (Long, Long)] = {
     val rel = s.stats.map { case (abs, mm) =>
-      Paths.get(table).relativize(Paths.get(abs)).toString -> mm }
+      root(table).relativize(Paths.get(abs)).toString -> mm }
     keep.map(k => rel.filter { case (f, _) => k(f) }).getOrElse(rel)
   }
 
@@ -407,13 +440,16 @@ object TxTable {
           s"appendOnce to missing table $table"))
       // re-check against the head we are about to rebase onto: a CAS
       // loss may mean OUR batch landed from a racing attempt of the
-      // same restarted query (O(1) — the head carries the txn map)
-      if (head.txns.get(appId).exists(_ >= batchId))
+      // same restarted query (O(1) — the head carries the txn map;
+      // carriedTxns also seeds the first commit onto a pre-upgrade
+      // head from the full retained legacy history)
+      val carried = carriedTxns(table, head)
+      if (carried.get(appId).exists(_ >= batchId))
         return head.version
       val headRel = head.files.map(f =>
-        Paths.get(table).relativize(Paths.get(f)).toString)
+        root(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append", head.schemaDdl,
-          headRel ++ files, head.txns + (appId -> batchId),
+          headRel ++ files, carried + (appId -> batchId),
           relStats(table, head) ++ newStats))
         return head.version + 1
       attempt += 1
@@ -438,7 +474,7 @@ object TxTable {
                         buckets: Int, rangeCluster: Boolean = false)
       : (Seq[String], Map[String, (Long, Long)]) = {
     val sub = s"data/${java.util.UUID.randomUUID().toString}"
-    val dir = Paths.get(table).resolve(sub)
+    val dir = root(table).resolve(sub)
     val shaped =
       if (rangeCluster)
         df.repartitionByRange(buckets, col(bucketKey))
@@ -454,7 +490,7 @@ object TxTable {
     val stats: Map[String, (Long, Long)] =
       if (!integral || files.isEmpty) Map.empty
       else {
-        val abs = files.map(f => Paths.get(table).resolve(f).toString)
+        val abs = files.map(f => root(table).resolve(f).toString)
         df.sparkSession.read.parquet(abs: _*)
           .groupBy(input_file_name().as("_f"))
           .agg(min(col(bucketKey)).cast("long").as("_lo"),
@@ -463,7 +499,7 @@ object TxTable {
           .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
           .map { r =>
             val p = new java.net.URI(r.getString(0)).getPath
-            Paths.get(table).relativize(
+            root(table).relativize(
               Paths.get(p).toAbsolutePath).toString ->
               (r.getLong(1), r.getLong(2))
           }.toMap
@@ -492,9 +528,9 @@ object TxTable {
       val head = snapshot(table).getOrElse(
         throw new IllegalArgumentException(s"append to missing table $table"))
       val headRel = head.files.map(f =>
-        Paths.get(table).relativize(Paths.get(f)).toString)
+        root(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append", head.schemaDdl,
-          headRel ++ files, head.txns, relStats(table, head) ++ newStats))
+          headRel ++ files, carriedTxns(table, head), relStats(table, head) ++ newStats))
         return head.version + 1
       attempt += 1
     }
@@ -554,9 +590,9 @@ object TxTable {
         df.schema.fields.filterNot(f =>
           headSchema.fieldNames.contains(f.name)))
       val headRel = head.files.map(f =>
-        Paths.get(table).relativize(Paths.get(f)).toString)
+        root(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "append_evolve",
-          widened.toDDL, headRel ++ files, head.txns,
+          widened.toDDL, headRel ++ files, carriedTxns(table, head),
           relStats(table, head) ++ newStats))
         return head.version + 1
       attempt += 1
@@ -607,7 +643,7 @@ object TxTable {
             .otherwise(col(s"c.$c")).as(c)): _*)
       val (files, newStats) = writeData(merged, table, key, buckets)
       if (publish(table, head.version + 1, "merge", head.schemaDdl,
-          files, head.txns, newStats))
+          files, carriedTxns(table, head), newStats))
         return head.version + 1
       attempt += 1
     }
@@ -658,9 +694,9 @@ object TxTable {
         .filter(!coalesce(pred, lit(false)))
       val (newFiles, newStats) = writeData(kept, table, bucketKey, buckets)
       val untouchedRel = head.files.filterNot(touched.contains)
-        .map(f => Paths.get(table).relativize(Paths.get(f)).toString)
+        .map(f => root(table).relativize(Paths.get(f)).toString)
       if (publish(table, head.version + 1, "delete", head.schemaDdl,
-          untouchedRel ++ newFiles, head.txns,
+          untouchedRel ++ newFiles, carriedTxns(table, head),
           relStats(table, head, Some(untouchedRel.toSet)) ++ newStats))
         return head.version + 1
       attempt += 1
@@ -692,7 +728,7 @@ object TxTable {
     val (files, newStats) = writeData(read(spark, table, Some(head.version)),
       table, bucketKey, buckets, rangeCluster)
     if (publish(table, head.version + 1, "compact", head.schemaDdl,
-        files, head.txns, newStats))
+        files, carriedTxns(table, head), newStats))
       Some(head.version + 1)
     else None
   }
@@ -719,14 +755,14 @@ object TxTable {
         s"restore target missing or retention-expired: " +
           s"$table @ $toVersion"))
     val targetRel = target.files.map(f =>
-      Paths.get(table).relativize(Paths.get(f)).toString)
+      root(table).relativize(Paths.get(f)).toString)
     var attempt = 0
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
         throw new IllegalArgumentException(
           s"restore of missing table $table"))
       if (publish(table, head.version + 1, "restore", target.schemaDdl,
-          targetRel, head.txns,
+          targetRel, carriedTxns(table, head),
           relStats(table, target)))
         return head.version + 1
       attempt += 1
@@ -929,7 +965,7 @@ object TxTable {
     listedVersions(table).filter(_ < keepFrom).sorted.foreach { v =>
       if (Files.deleteIfExists(manifestPath(table, v))) expired += 1
     }
-    val dataDir = Paths.get(table).resolve("data")
+    val dataDir = root(table).resolve("data")
     if (!Files.isDirectory(dataDir)) return VacuumStats(expired, 0)
     val live: Set[String] = (keepFrom to latest)
       .flatMap(v => snapshot(table, Some(v)).toSeq.flatMap(_.files))
@@ -937,9 +973,13 @@ object TxTable {
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     walked(dataDir).reverse.foreach { p =>
+      // <= not <: with graceMs = 0 (the quiet-window form) a dead
+      // file whose mtime falls in the very millisecond of the vacuum
+      // — or in the same COARSER fs-timestamp tick — must still reap,
+      // or the reap count turns nondeterministic on fast hardware
       if (Files.isRegularFile(p) &&
           !live.contains(p.toAbsolutePath.toString) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.getLastModifiedTime(p).toMillis <= cutoff) {
         Files.delete(p); removed += 1
       } else if (Files.isDirectory(p) && p != dataDir && listed(p).isEmpty) {
         Files.delete(p)

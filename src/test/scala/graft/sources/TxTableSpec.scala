@@ -459,6 +459,66 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("exactly-once survives the txn-format upgrade: legacy records " +
+      "below a record-less head seed the first new-format commit") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L), t, buckets = 1))              // v1
+    TxTable.appendOnce(docs(2L), t, appId = "A", batchId = 5L,
+      buckets = 1)                                                // v2
+    TxTable.append(docs(3L), t, buckets = 1)                      // v3
+    // DOWNGRADE the log in place to the pre-upgrade format: v2 gets
+    // the legacy single-commit record, v3 (a plain append) carries
+    // nothing — the exact shape a table last written by the old code
+    // presents (legacy appendOnce at v2, legacy append at v3)
+    def rewrite(v: Long, f: String => String): Unit = {
+      val p = Paths.get(t, "_txlog", f"v$v%08d.json")
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      Files.write(p, f(txt).getBytes("UTF-8"))
+    }
+    rewrite(2L, _.replace(""","txns":{"A":5}""",
+      ""","txn":{"app":"A","batch":5}"""))
+    rewrite(3L, _.replace(""","txns":{"A":5}""", ""))
+    assert(!TxTable.snapshot(t).get.hasTxnsMap,
+      "fixture must present a record-less legacy head")
+    assert(TxTable.lastCommittedBatch(t, "A").contains(5L),
+      "legacy records below a record-less head must stay visible")
+    // first POST-UPGRADE commit by a DIFFERENT app: its carried map
+    // must seed from the retained legacy history, not head.txns
+    TxTable.appendOnce(docs(4L), t, appId = "B", batchId = 1L,
+      buckets = 1)                                                // v4
+    assert(TxTable.snapshot(t).get.txns ==
+      Map("A" -> 5L, "B" -> 1L),
+      "upgrade commit must fold legacy records into the carried map")
+    // the replay that used to duplicate: A's batch 5 must NO-OP
+    val v = TxTable.appendOnce(docs(99L), t, appId = "A", batchId = 5L,
+      buckets = 1)
+    assert(v == 4L, "replayed legacy batch must no-op, not commit")
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "replay across the format upgrade duplicated rows")
+  }
+
+  test("a RELATIVE table root works end to end (create, stats pass, " +
+      "appendOnce, delete)") {
+    val rel = s"target/txrel_${java.util.UUID.randomUUID()}"
+    try {
+      assert(TxTable.create(docs(1L, 2L, 3L), rel, buckets = 1))
+      TxTable.appendOnce(docs(4L), rel, appId = "app", batchId = 0L,
+        buckets = 1)
+      assert(TxTable.snapshot(rel).get.stats.nonEmpty,
+        "stats pass must survive a relative root")
+      TxTable.delete(spark, rel, $"doc_id" === 2L, buckets = 1)
+      assert(TxTable.read(spark, rel).select("doc_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      assert(TxTable.lastCommittedBatch(rel, "app").contains(0L))
+    } finally {
+      val d = Paths.get(rel).toAbsolutePath
+      if (Files.exists(d))
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   test("empty table states read back with the schema intact") {
     val t = freshDir()
     assert(TxTable.create(docs().toDF("doc_id", "text")
