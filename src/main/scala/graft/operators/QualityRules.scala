@@ -29,12 +29,31 @@ object QualityRules {
   val StopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Fixture-adapted rule thresholds. */
-  val MinWords = 30
-  val MaxWords = 90
-  val MinMeanWordLen = 3.0
-  val MaxMeanWordLen = 10.0
-  val MinStopWords = 1
+  /** One tuning of the rule tree — the thresholds are corpus policy,
+    * the TREE is the shared operator. `minStop = 0` disables the
+    * stop-word rule (non-prose corpora: logs, code). */
+  case class Profile(minWords: Int, maxWords: Int,
+                     minMeanWordLen: Double, maxMeanWordLen: Double,
+                     minStop: Int)
+
+  /** The document-tuned profile (the fixture-adapted Gopher bands
+    * every q_quality_* key gates under). */
+  val DocumentProfile: Profile = Profile(30, 90, 3.0, 10.0, 1)
+
+  /** LOG-EVENT-tuned profile for the S26 streaming flagship: message
+    *-sized word band (a CloudWatch line is sentences, not pages),
+    * a wide mean-word-length band that still rejects binary blobs /
+    * minified one-liners, and NO stop-word rule (log lines are not
+    * prose). Same tree, different policy. */
+  val LogEventProfile: Profile = Profile(3, 256, 1.0, 40.0, 0)
+
+  /** Fixture-adapted rule thresholds (the document profile's — kept
+    * as named constants because the oracle SQL quotes them). */
+  val MinWords = DocumentProfile.minWords
+  val MaxWords = DocumentProfile.maxWords
+  val MinMeanWordLen = DocumentProfile.minMeanWordLen
+  val MaxMeanWordLen = DocumentProfile.maxMeanWordLen
+  val MinStopWords = DocumentProfile.minStop
 
   def nWords(text: Column): Column = size(split(text, " "))
 
@@ -53,10 +72,23 @@ object QualityRules {
     * run on the same unrounded signals the output surfaces. */
   def verdict(nWords: Column, meanWordLen: Column,
               nStop: Column): Column =
-    when(nWords < MinWords, "too_few_words")
-      .when(nWords > MaxWords, "too_many_words")
-      .when(meanWordLen < MinMeanWordLen ||
-        meanWordLen > MaxMeanWordLen, "word_len_out_of_band")
-      .when(nStop < MinStopWords, "no_stopword")
+    verdictWith(DocumentProfile)(nWords, meanWordLen, nStop)
+
+  /** [[verdict]] under an explicit [[Profile]] — ONE expression tree
+    * for every tuning (the batch quality keys, the S22 streaming
+    * gate, the S26 log-event admission all compile from here). */
+  def verdictWith(p: Profile)(nWords: Column, meanWordLen: Column,
+                              nStop: Column): Column =
+    when(nWords < p.minWords, "too_few_words")
+      .when(nWords > p.maxWords, "too_many_words")
+      .when(meanWordLen < p.minMeanWordLen ||
+        meanWordLen > p.maxMeanWordLen, "word_len_out_of_band")
+      .when(nStop < p.minStop, "no_stopword")
       .otherwise("keep")
+
+  /** Boolean admission form: 'keep' under `p` for a text column —
+    * the single-call shape a streaming gate fuses into its scan. */
+  def keeps(text: Column, p: Profile): Column =
+    verdictWith(p)(nWords(text), meanWordLen(text), nStop(text)) ===
+      "keep"
 }

@@ -281,14 +281,18 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     // S26 replay: the staging fixture is seeded arithmetic
     // (FirehoseFixture.blockNoisy — ids ev-<b>-<e>, ts = 1.7e12 +
-    // b*100000 + e, every e≡3 (mod 4) a one-word noise message), so
-    // the oracle REBUILDS the staged events from the generator
-    // contract, applies the gate (drop noise) and the dedup (block
-    // 10's redelivery in f3 contributes nothing — its events keep
-    // their v2 attribution), and aggregates the same per-version
-    // feed stats + running total. The DECODE itself is independently
-    // golden-twin gated by q_firehose_pipeline; this key gates the
-    // pipeline composition end-to-end.
+    // b*100000 + e, message 'line <e> of block <b>' except every
+    // e≡3 (mod 4) a one-word 'noise<e>'), so the oracle REBUILDS the
+    // staged events AND their messages from the generator contract,
+    // applies the QUALITY RULE TREE at log-event tuning (word count
+    // in [3, 256], mean word length in [1, 40], no stop-word rule —
+    // the same QualityRules profile the engine gate compiles from,
+    // replayed on the reconstructed text rather than positionally)
+    // and the dedup (block 10's redelivery in f3 contributes nothing
+    // — its events keep their v2 attribution), and aggregates the
+    // same per-version feed stats + running total. The DECODE itself
+    // is independently golden-twin gated by q_firehose_pipeline;
+    // this key gates the pipeline composition end-to-end.
     "q_pipeline_streaming" ->
       """WITH blocks(block_id, n_ev, ver, stream) AS (VALUES
         |  (10, 3, 2, '2024/05/01/app/i-1'),
@@ -297,13 +301,21 @@ object PipelineQueries {
         |  (13, 2, 4, '2024/05/03/app/i-4'),
         |  (14, 3, 5, 'shorty')),
         |g AS (SELECT unnest(generate_series(0, 9)) AS e),
-        |ev AS (
+        |raw AS (
         |  SELECT b.block_id, g.e,
         |    CAST(1700000000000 AS BIGINT) + b.block_id * 100000 + g.e
         |      AS ts,
-        |    b.ver, b.stream
-        |  FROM blocks b JOIN g ON g.e <= b.n_ev - 1
-        |  WHERE g.e % 4 <> 3),
+        |    b.ver, b.stream,
+        |    CASE WHEN g.e % 4 = 3 THEN 'noise' || g.e
+        |      ELSE 'line ' || g.e || ' of block ' || b.block_id
+        |    END AS message
+        |  FROM blocks b JOIN g ON g.e <= b.n_ev - 1),
+        |ev AS (
+        |  SELECT * FROM raw
+        |  WHERE len(string_split(message, ' ')) BETWEEN 3 AND 256
+        |    AND length(replace(message, ' ', ''))
+        |      / CAST(len(string_split(message, ' ')) AS DOUBLE)
+        |      BETWEEN 1.0 AND 40.0),
         |per AS (
         |  SELECT ver, COUNT(*) AS n_insert, SUM(ts) AS ts_sum,
         |    COUNT(DISTINCT stream) AS n_streams

@@ -128,6 +128,39 @@ object TxQueries {
       dir
     }
 
+  /** Multi-column-stats fixture: ONE table whose history carries the
+    * three clustered layouts the manifest stats serve — v1 create
+    * (hash-bucketed on the STRING id), v2 range-clustered compaction
+    * on the string id (string `[min,max]` per file turn selective),
+    * v3 Z-ORDER clustered compaction on (x, y) with per-column stats
+    * (each file owns a Z-curve tile, tight on BOTH dimensions).
+    * Compactions are content-neutral, so every version's logical
+    * content is the same `documents` slice — the oracle replays it
+    * once and the pruned reads must match it exactly. */
+  private def multiClusterTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_mcluster_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txmclust_").toString
+      val docs = Tables.documents(s, d).select(
+        format_string("doc_%06d", col("doc_id")).as("id_str"),
+        (col("doc_id") % 32).as("x"),
+        expr("(doc_id div 32) % 32").as("y"),
+        col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 < 2)
+      require(TxTable.create(docs, dir, bucketKey = "id_str",
+        buckets = 4), "create lost its CAS")
+      require(TxTable.compact(s, dir, bucketKey = "id_str", buckets = 8,
+        rangeCluster = true).contains(2L),
+        "string-clustered compact must land as v2")
+      require(TxTable.compact(s, dir, bucketKey = "id_str",
+        buckets = 16,
+        clusterBy = Some(graft.functions.ZOrder.z16(col("x"), col("y"))),
+        statsCols = Seq("x", "y")).contains(3L),
+        "z-ordered compact must land as v3")
+      dir
+    }
+
   /** Fourth fixture, for the retention-vacuum key — DESTRUCTIVE
     * (expires history), so it gets its own table: v1 create (%3=0),
     * v2 delete (%5=0), v3 compact, then vacuumRetain(keep=2) expiring
@@ -404,6 +437,32 @@ object TxQueries {
         .orderBy("range")
     }),
 
+    // STRING-KEYED + 2-D (Z-ordered) manifest pruning under the hash
+    // gate: a string-id range read against the string-clustered v2,
+    // a two-column range read against the Z-ordered v3 (per-file
+    // stats tight on BOTH x and y), and a disjoint string range
+    // (everything pruned → the zero row). Each read skips files at
+    // the MANIFEST level (TxTableSpec pins the skip arithmetic); the
+    // gate proves the pruned reads are CONTENT-EXACT vs DuckDB's
+    // replay of the same slices.
+    "q_corpus_cluster_prune_multi" -> ((s, d) => {
+      val t = multiClusterTable(s, d)
+      def agg(df: DataFrame, tag: String) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(length(col("text")).cast("long")), lit(0L))
+            .as("n_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+          .select(lit(tag).as("range"), col("n_docs"), col("n_chars"),
+            col("sum_ids"))
+      agg(TxTable.readKeyRangeString(s, t, "id_str",
+          "doc_000010", "doc_000040", version = Some(2L)), "a_str")
+        .unionByName(agg(TxTable.readKeyRanges(s, t,
+          Map("x" -> (0L, 7L), "y" -> (1L, 7L))), "b_2d"))
+        .unionByName(agg(TxTable.readKeyRangeString(s, t, "id_str",
+          "zzz", "zzzz", version = Some(2L)), "c_str_disjoint"))
+        .orderBy("range")
+    }),
+
     "q_corpus_vacuum" -> ((s, d) => {
       import s.implicits._
       val (t, expired, reaped, revac, v1fails) = vacAudit(s, d)
@@ -669,6 +728,28 @@ object TxQueries {
         |WHERE doc_id % 3 IN (0, 1) AND doc_id BETWEEN 20 AND 220
         |UNION ALL
         |SELECT 'b_disjoint', 0, 0, 0
+        |ORDER BY range""".stripMargin,
+
+    // The multi-cluster fixture's content is one `documents` slice
+    // (compactions are content-neutral); each pruned read replays as
+    // a plain WHERE over it. y = (doc_id // 32) % 32 mirrors the
+    // engine's integer-div derivation exactly.
+    "q_corpus_cluster_prune_multi" ->
+      """WITH base AS (
+        |  SELECT printf('doc_%06d', doc_id) AS id_str,
+        |    doc_id % 32 AS x, (doc_id // 32) % 32 AS y, doc_id, text
+        |  FROM documents WHERE doc_id % 3 < 2)
+        |SELECT 'a_str' AS range, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+        |FROM base WHERE id_str BETWEEN 'doc_000010' AND 'doc_000040'
+        |UNION ALL
+        |SELECT 'b_2d', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+        |FROM base WHERE x BETWEEN 0 AND 7 AND y BETWEEN 1 AND 7
+        |UNION ALL
+        |SELECT 'c_str_disjoint', 0, 0, 0
         |ORDER BY range""".stripMargin,
 
     // Vacuum replay: the audit flags are invariant metadata facts

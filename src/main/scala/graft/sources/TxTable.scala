@@ -97,19 +97,57 @@ object TxTable {
     * carried-forward per-app txn high-water map, the commit wall
     * time (`tsMillis`, 0 for pre-upgrade manifests — used only by
     * [[versionAsOf]], never by content gates), and per-file
-    * `[min, max]` stats of the integral bucket key (absolute-path
-    * keyed; files without stats are simply absent — readers must
-    * treat absence as "cannot prune"). `hasTxnsMap` records whether
-    * the manifest carried the POST-UPGRADE full `"txns":{...}` map
-    * (true) or only a legacy single-commit record / nothing (false)
-    * — the bit [[carriedTxns]] and [[lastCommittedBatch]] key their
-    * upgrade handling on. */
+    * per-file column statistics. `stats` holds integral `[min, max]`
+    * keyed by (column, absolute file path); `strStats` the string
+    * `[min, max]` the same way; `rowCounts` per-file row counts
+    * (absent for pre-upgrade files). Column "" is the LEGACY
+    * wildcard: pre-multi-column manifests recorded stats under the
+    * bare file path (implicitly the write's bucket key) — readers
+    * fall back to it via [[Snapshot.numRange]]. Files without stats
+    * are simply absent — readers must treat absence as "cannot
+    * prune". `hasTxnsMap` records whether the manifest carried the
+    * POST-UPGRADE full `"txns":{...}` map (true) or only a legacy
+    * single-commit record / nothing (false) — the bit
+    * [[carriedTxns]] and [[lastCommittedBatch]] key their upgrade
+    * handling on. */
   case class Snapshot(version: Long, op: String, schemaDdl: String,
                       files: Seq[String],
                       txns: Map[String, Long] = Map.empty,
                       tsMillis: Long = 0L,
-                      stats: Map[String, (Long, Long)] = Map.empty,
-                      hasTxnsMap: Boolean = false)
+                      stats: Map[(String, String), (Long, Long)] =
+                        Map.empty,
+                      hasTxnsMap: Boolean = false,
+                      strStats: Map[(String, String), (String, String)] =
+                        Map.empty,
+                      rowCounts: Map[String, Long] = Map.empty) {
+    /** Integral `[min,max]` of `c` in `absFile`, falling back to the
+      * legacy wildcard-column entry. */
+    def numRange(c: String, absFile: String): Option[(Long, Long)] =
+      stats.get((c, absFile)).orElse(stats.get(("", absFile)))
+    /** String `[min,max]` of `c` in `absFile`. */
+    def strRange(c: String, absFile: String): Option[(String, String)] =
+      strStats.get((c, absFile))
+    /** Exact row count of the snapshot, when EVERY file carries one
+      * (post-upgrade commits always record counts; a None means some
+      * file predates them and the caller must count the data). O(1)
+      * metadata — what a consumer sizes capacity-bound state (e.g.
+      * the S26 Bloom prescreen) from without scanning the table. */
+    def totalRows: Option[Long] =
+      if (files.forall(rowCounts.contains))
+        Some(files.map(rowCounts).sum)
+      else None
+  }
+
+  /** Per-file statistics of one commit's files, keyed by (column,
+    * TABLE-RELATIVE path) — the write-side twin of the [[Snapshot]]
+    * maps (which re-key to absolute paths for readers). */
+  case class FileStats(
+      num: Map[(String, String), (Long, Long)] = Map.empty,
+      str: Map[(String, String), (String, String)] = Map.empty,
+      rows: Map[String, Long] = Map.empty) {
+    def ++(o: FileStats): FileStats =
+      FileStats(num ++ o.num, str ++ o.str, rows ++ o.rows)
+  }
 
   /** Thrown when `retries` successive CAS attempts all lose — the
     * caller is contending with a pathological writer storm and must
@@ -198,16 +236,25 @@ object TxTable {
   // high-water batch map, carried forward in EVERY manifest so the
   // head alone answers [[lastCommittedBatch]].
   // field ORDER is load-bearing for the regex parser: the files
-  // array must close before any other '['-bearing field (stats), and
-  // txns/stats each end at the first '}' after their opener (their
-  // entries hold no nested braces)
+  // array must close before any other '['-bearing field (stats /
+  // sstats values), and txns/stats/sstats/nrows each end at the
+  // first '}' after their opener (their entries hold no nested
+  // braces). Stat keys are "col|relfile" — the legacy wildcard
+  // column renders as the bare file path (round-tripping pre-upgrade
+  // entries unchanged).
+  private def statKey(k: (String, String)): String =
+    if (k._1.isEmpty) k._2 else s"${k._1}|${k._2}"
+
   private def renderManifest(v: Long, op: String, schemaDdl: String,
                              files: Seq[String],
                              txns: Map[String, Long],
                              tsMillis: Long,
-                             stats: Map[String, (Long, Long)]): String = {
+                             stats: FileStats): String = {
     require(!(schemaDdl + files.mkString + txns.keys.mkString +
-        stats.keys.mkString).contains('"'),
+        stats.num.keys.map(statKey).mkString +
+        stats.str.keys.map(statKey).mkString +
+        stats.str.values.map(p => p._1 + p._2).mkString +
+        stats.rows.keys.mkString).contains('"'),
       "manifest fields must not contain raw quotes")
     val fs = files.sorted.map(f => s""""$f"""").mkString("[", ",", "]")
     val tx =
@@ -216,17 +263,37 @@ object TxTable {
         .map { case (app, b) => s""""$app":$b""" }
         .mkString(""","txns":{""", ",", "}")
     val st =
-      if (stats.isEmpty) ""
-      else stats.toSeq.sortBy(_._1)
-        .map { case (f, (lo, hi)) => s""""$f":[$lo,$hi]""" }
+      if (stats.num.isEmpty) ""
+      else stats.num.toSeq.sortBy(p => statKey(p._1))
+        .map { case (k, (lo, hi)) => s""""${statKey(k)}":[$lo,$hi]""" }
         .mkString(""","stats":{""", ",", "}")
+    val ss =
+      if (stats.str.isEmpty) ""
+      else stats.str.toSeq.sortBy(p => statKey(p._1))
+        .map { case (k, (lo, hi)) =>
+          s""""${statKey(k)}":["$lo","$hi"]""" }
+        .mkString(""","sstats":{""", ",", "}")
+    val nr =
+      if (stats.rows.isEmpty) ""
+      else stats.rows.toSeq.sortBy(_._1)
+        .map { case (f, n) => s""""$f":$n""" }
+        .mkString(""","nrows":{""", ",", "}")
     s"""{"version":$v,"op":"$op","schema":"$schemaDdl",""" +
-      s""""files":$fs$tx,"ts":$tsMillis$st}"""
+      s""""files":$fs$tx,"ts":$tsMillis$st$ss$nr}"""
   }
 
   private val fileRe = """"([^"]+)"""".r
   private val txnsEntryRe = """"([^"]+)":(\d+)""".r
   private val statsEntryRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  private val strStatsEntryRe = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
+
+  // "col|relfile" -> (col, relfile); a bare path (no '|') is a legacy
+  // wildcard-column entry — see Snapshot scaladoc
+  private def splitStatKey(k: String): (String, String) =
+    k.indexOf('|') match {
+      case -1 => ("", k)
+      case i => (k.substring(0, i), k.substring(i + 1))
+    }
   // pre-round-11 manifests carried a single {"app":...,"batch":...}
   // record per commit; parse it too so existing tables keep their
   // exactly-once guarantee across the format upgrade
@@ -270,17 +337,33 @@ object TxTable {
         }
         val ts = """"ts":(\d+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toLong).getOrElse(0L)
-        val stats: Map[String, (Long, Long)] =
-          txt.indexOf(""""stats":{""") match {
-            case -1 => Map.empty
+        def mapBody(field: String): Option[String] =
+          txt.indexOf(s""""$field":{""") match {
+            case -1 => None
             case i =>
-              val close = txt.indexOf('}', i)
-              statsEntryRe.findAllMatchIn(txt.substring(i + 9, close))
-                .map(m => root(table).resolve(m.group(1)).toString ->
-                  (m.group(2).toLong, m.group(3).toLong)).toMap
+              val open = i + field.length + 4
+              Some(txt.substring(open, txt.indexOf('}', open)))
           }
+        def absKey(k: String): (String, String) = {
+          val (c, f) = splitStatKey(k)
+          (c, root(table).resolve(f).toString)
+        }
+        val stats: Map[(String, String), (Long, Long)] =
+          mapBody("stats").map(b => statsEntryRe.findAllMatchIn(b)
+            .map(m => absKey(m.group(1)) ->
+              (m.group(2).toLong, m.group(3).toLong)).toMap)
+            .getOrElse(Map.empty)
+        val strStats: Map[(String, String), (String, String)] =
+          mapBody("sstats").map(b => strStatsEntryRe.findAllMatchIn(b)
+            .map(m => absKey(m.group(1)) -> (m.group(2), m.group(3)))
+            .toMap).getOrElse(Map.empty)
+        val rowCounts: Map[String, Long] =
+          mapBody("nrows").map(b => txnsEntryRe.findAllMatchIn(b)
+            .map(m => root(table).resolve(m.group(1)).toString ->
+              m.group(2).toLong).toMap).getOrElse(Map.empty)
         Some(Snapshot(v, op, ddl, files.map(f =>
-          root(table).resolve(f).toString), txns, ts, stats, hasMap))
+          root(table).resolve(f).toString), txns, ts, stats, hasMap,
+          strStats, rowCounts))
       }
     }
 
@@ -316,7 +399,7 @@ object TxTable {
   private def publish(table: String, v: Long, op: String,
                       schemaDdl: String, files: Seq[String],
                       txns: Map[String, Long],
-                      stats: Map[String, (Long, Long)] = Map.empty)
+                      stats: FileStats = FileStats())
       : Boolean = {
     val missing = files.filterNot(f =>
       Files.exists(root(table).resolve(f)))
@@ -398,15 +481,22 @@ object TxTable {
     snapshot(table).flatMap(h => carriedTxns(table, h).get(appId))
   }
 
-  /** A snapshot's stats map re-keyed to table-relative paths (the
-    * form manifests store), restricted to `keep` when given — the
+  /** A snapshot's stats re-keyed to table-relative paths (the form
+    * manifests store), restricted to `keep` when given — the
     * carry-forward step every commit that retains head files runs. */
   private def relStats(table: String, s: Snapshot,
-                       keep: Option[Set[String]] = None)
-      : Map[String, (Long, Long)] = {
-    val rel = s.stats.map { case (abs, mm) =>
-      root(table).relativize(Paths.get(abs)).toString -> mm }
-    keep.map(k => rel.filter { case (f, _) => k(f) }).getOrElse(rel)
+                       keep: Option[Set[String]] = None): FileStats = {
+    def rel(abs: String): String =
+      root(table).relativize(Paths.get(abs)).toString
+    val kept: String => Boolean =
+      keep.map(k => (f: String) => k(f)).getOrElse(_ => true)
+    FileStats(
+      s.stats.map { case ((c, f), mm) => (c, rel(f)) -> mm }
+        .filter { case ((_, f), _) => kept(f) },
+      s.strStats.map { case ((c, f), mm) => (c, rel(f)) -> mm }
+        .filter { case ((_, f), _) => kept(f) },
+      s.rowCounts.map { case (f, n) => rel(f) -> n }
+        .filter { case (f, _) => kept(f) })
   }
 
   /** EXACTLY-ONCE streaming append: commit `df` as (`appId`,
@@ -458,53 +548,98 @@ object TxTable {
       s"appendOnce lost $retries CAS rounds on $table")
   }
 
+  /** True iff a string STAT BOUND is safe to embed in a manifest:
+    * short (bounds are metadata, not payload) and free of the
+    * characters the quote-free JSON renderer refuses. An unsafe
+    * bound just drops its entry — readers treat absence as "cannot
+    * prune", so correctness never depends on a stat existing. */
+  private def safeStrBound(v: String): Boolean =
+    v != null && v.length <= 64 &&
+      !v.exists(c => c == '"' || c == '\\' || c == '|' || c < ' ')
+
   /** Write `df`'s rows as immutable data files under `data/<uuid>/`
-    * and return their table-relative paths plus per-file `[min,max]`
-    * stats of `bucketKey` (integral key types only — stats enable
-    * MANIFEST-LEVEL file skipping in [[readKeyRange]]). Layout:
-    * hash-repartitioned by the key (the bucketed-sink alignment), or
-    * RANGE-CLUSTERED + sorted when `rangeCluster` — the layout that
-    * makes the stats selective (a hash bucket spans the whole key
-    * range; a range cluster owns a slice). The stats pass re-reads
-    * only THIS COMMIT'S files (one churn-sized job, page-cache warm
-    * — the poor man's write-time stats collector). No manifest is
-    * touched — the files are invisible until a commit references
-    * them. */
+    * and return their table-relative paths plus per-file statistics:
+    * row counts (always), and `[min,max]` of every `statsCols`
+    * column that is integral (long bounds) or string (truncation-free
+    * bounds, skipped when unsafe to embed — see [[safeStrBound]]) —
+    * the stats that enable MANIFEST-LEVEL file skipping in
+    * [[readKeyRange]]/[[readKeyRangeString]]. Layout:
+    * hash-repartitioned by the bucket key (the bucketed-sink
+    * alignment); RANGE-CLUSTERED + sorted on the key when
+    * `rangeCluster`; or range-clustered + sorted on an arbitrary
+    * `clusterBy` expression (the Z-ORDER layout path — cluster on
+    * the interleaved key, collect stats on the source columns) —
+    * the layouts that make stats selective (a hash bucket spans the
+    * whole key range; a cluster owns a slice). The stats pass
+    * re-reads only THIS COMMIT'S files (one churn-sized job,
+    * page-cache warm — the poor man's write-time stats collector).
+    * No manifest is touched — the files are invisible until a
+    * commit references them. */
   private def writeData(df: DataFrame, table: String, bucketKey: String,
-                        buckets: Int, rangeCluster: Boolean = false)
-      : (Seq[String], Map[String, (Long, Long)]) = {
+                        buckets: Int, rangeCluster: Boolean = false,
+                        statsCols: Seq[String] = Nil,
+                        clusterBy: Option[Column] = None)
+      : (Seq[String], FileStats) = {
     val sub = s"data/${java.util.UUID.randomUUID().toString}"
     val dir = root(table).resolve(sub)
-    val shaped =
-      if (rangeCluster)
+    val shaped = clusterBy match {
+      case Some(k) =>
+        df.repartitionByRange(buckets, k).sortWithinPartitions(k)
+      case None if rangeCluster =>
         df.repartitionByRange(buckets, col(bucketKey))
           .sortWithinPartitions(col(bucketKey))
-      else df.repartition(buckets, col(bucketKey))
+      case None => df.repartition(buckets, col(bucketKey))
+    }
     shaped.write.parquet(dir.toString)
     val files = listed(dir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .map(n => s"$sub/$n")
-    val integral = df.schema.fields.find(_.name == bucketKey)
-      .exists(f => f.dataType == IntegerType || f.dataType == LongType)
-    val stats: Map[String, (Long, Long)] =
-      if (!integral || files.isEmpty) Map.empty
-      else {
-        val abs = files.map(f => root(table).resolve(f).toString)
-        df.sparkSession.read.parquet(abs: _*)
-          .groupBy(input_file_name().as("_f"))
-          .agg(min(col(bucketKey)).cast("long").as("_lo"),
-            max(col(bucketKey)).cast("long").as("_hi"))
-          .collect()
-          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-          .map { r =>
-            val p = new java.net.URI(r.getString(0)).getPath
-            root(table).relativize(
-              Paths.get(p).toAbsolutePath).toString ->
-              (r.getLong(1), r.getLong(2))
-          }.toMap
+    if (files.isEmpty) return (files, FileStats())
+    def typeOf(c: String): Option[DataType] =
+      df.schema.fields.find(_.name == c).map(_.dataType)
+    val numCols = (bucketKey +: statsCols).distinct.filter(c =>
+      typeOf(c).exists(t => t == IntegerType || t == LongType))
+    val strCols = (bucketKey +: statsCols).distinct.filter(c =>
+      typeOf(c).contains(org.apache.spark.sql.types.StringType))
+    val aggs =
+      count(lit(1L)).as("_n") +:
+        (numCols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"_lo_$c"),
+          max(col(c)).cast("long").as(s"_hi_$c"))) ++
+         strCols.flatMap(c => Seq(
+           min(col(c)).as(s"_slo_$c"), max(col(c)).as(s"_shi_$c"))))
+    val abs = files.map(f => root(table).resolve(f).toString)
+    val perFile = df.sparkSession.read.parquet(abs: _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    var num = Map.empty[(String, String), (Long, Long)]
+    var str = Map.empty[(String, String), (String, String)]
+    var rows = Map.empty[String, Long]
+    perFile.foreach { r =>
+      val p = new java.net.URI(r.getAs[String]("_f")).getPath
+      val rel = root(table).relativize(Paths.get(p).toAbsolutePath)
+        .toString
+      rows += rel -> r.getAs[Long]("_n")
+      numCols.foreach { c =>
+        val lo = r.getAs[Any](s"_lo_$c"); val hi = r.getAs[Any](s"_hi_$c")
+        if (lo != null && hi != null)
+          num += (c, rel) -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
       }
-    (files, stats)
+      strCols.foreach { c =>
+        val lo = r.getAs[String](s"_slo_$c")
+        val hi = r.getAs[String](s"_shi_$c")
+        if (safeStrBound(lo) && safeStrBound(hi))
+          str += (c, rel) -> (lo, hi)
+      }
+    }
+    // a zero-row part file forms no group above but still needs its
+    // count recorded — Snapshot.totalRows is defined only when EVERY
+    // file carries one, and an empty create would otherwise poison
+    // the O(1) row count for the table's whole life
+    files.foreach(f => if (!rows.contains(f)) rows += f -> 0L)
+    (files, FileStats(num, str, rows))
   }
 
   /** Create the table at version 1 with `df`'s rows. Exactly one of
@@ -718,15 +853,26 @@ object TxTable {
     * per-file `[min,max]` stats turn selective — [[readKeyRange]]
     * then skips whole files at the MANIFEST level (a hash bucket
     * spans the full range; stats on it prune nothing). Same
-    * content-neutrality contract either way. */
+    * content-neutrality contract either way.
+    *
+    * `clusterBy` generalizes the clustered layout to an ARBITRARY
+    * sort expression — pass a [[graft.functions.ZOrder]] interleave
+    * of two columns and name them in `statsCols`, and each file owns
+    * a Z-curve slice whose per-COLUMN `[min,max]` manifest stats
+    * stay tight on BOTH dimensions (the OPTIMIZE ZORDER layout): a
+    * 2-D range read via [[readKeyRanges]] then prunes at the
+    * manifest on both predicates. `statsCols` adds per-file stats
+    * for extra columns (integral or string) on any layout. */
   def compact(spark: SparkSession, table: String,
               bucketKey: String = "doc_id", buckets: Int = 4,
               at: Option[Snapshot] = None,
-              rangeCluster: Boolean = false): Option[Long] = {
+              rangeCluster: Boolean = false,
+              clusterBy: Option[Column] = None,
+              statsCols: Seq[String] = Nil): Option[Long] = {
     val head = at.orElse(snapshot(table)).getOrElse(
       throw new IllegalArgumentException(s"compact of missing table $table"))
     val (files, newStats) = writeData(read(spark, table, Some(head.version)),
-      table, bucketKey, buckets, rangeCluster)
+      table, bucketKey, buckets, rangeCluster, statsCols, clusterBy)
     if (publish(table, head.version + 1, "compact", head.schemaDdl,
         files, carriedTxns(table, head), newStats))
       Some(head.version + 1)
@@ -804,13 +950,57 @@ object TxTable {
     * equivalent to `read(...).filter(key between lo hi)`. */
   def readKeyRange(spark: SparkSession, table: String, bucketKey: String,
                    lo: Long, hi: Long,
-                   version: Option[Long] = None): DataFrame = {
+                   version: Option[Long] = None): DataFrame =
+    readKeyRanges(spark, table, Map(bucketKey -> (lo, hi)), version)
+
+  /** Multi-column form of [[readKeyRange]]: rows satisfying EVERY
+    * `col BETWEEN lo AND hi` in `ranges`, skipping each file any ONE
+    * column's manifest `[min,max]` proves disjoint (per-file pruning
+    * predicates AND together, so pruning power compounds across
+    * dimensions — selective on a Z-ordered layout, where every file
+    * is tight on every clustered column; see [[compact]]'s
+    * `clusterBy`). Files without stats on a column are conservatively
+    * kept. Always equivalent to `read(...).filter(all ranges)`. */
+  def readKeyRanges(spark: SparkSession, table: String,
+                    ranges: Map[String, (Long, Long)],
+                    version: Option[Long] = None): DataFrame = {
     val s = snapshot(table, version).getOrElse(
       throw new IllegalArgumentException(
         s"no such table/version (missing or retention-expired): " +
           s"$table @ $version"))
     val schema = StructType.fromDDL(s.schemaDdl)
-    val kept = s.files.filter(f => s.stats.get(f) match {
+    val kept = s.files.filter(f => ranges.forall { case (c, (lo, hi)) =>
+      s.numRange(c, f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    })
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept: _*)
+    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c).between(lo, hi)) }
+  }
+
+  /** [[readKeyRange]] for a STRING key (doc ids are strings in most
+    * real corpora): rows with `key` in `[lo, hi]` lexicographically,
+    * skipping every file whose manifest string `[min,max]` proves it
+    * disjoint. Selectivity needs a range-clustered layout on the key
+    * (the stats exist on any layout — string bounds are recorded at
+    * write time like integral ones, minus the rare unsafe-to-embed
+    * bound, which conservatively reads). Always equivalent to
+    * `read(...).filter(key between lo hi)`. */
+  def readKeyRangeString(spark: SparkSession, table: String, key: String,
+                         lo: String, hi: String,
+                         version: Option[Long] = None): DataFrame = {
+    val s = snapshot(table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such table/version (missing or retention-expired): " +
+          s"$table @ $version"))
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val kept = s.files.filter(f => s.strRange(key, f) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true
     })
@@ -819,7 +1009,7 @@ object TxTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept: _*)
-    base.filter(col(bucketKey).between(lo, hi))
+    base.filter(col(key).between(lo, hi))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC

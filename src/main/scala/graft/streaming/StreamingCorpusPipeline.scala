@@ -63,13 +63,16 @@ object StreamingCorpusPipeline {
   val tableDdl: String = "id STRING,ts BIGINT,log_group STRING," +
     "log_stream STRING,stream_prefix STRING,message STRING"
 
-  /** The stateless quality gate: at least 3 whitespace words — the
-    * S22 admission shape reduced to log-event scale (the Gopher rule
-    * tree in [[graft.operators.QualityRules]] is document-tuned; a
-    * log pipeline gates on the same principle with message-sized
-    * thresholds). Pure per-row projection — fuses into the scan. */
+  /** The stateless quality gate: the SHARED
+    * [[graft.operators.QualityRules]] verdict tree under its
+    * log-event-tuned profile — message-sized word band, wide
+    * mean-word-length band, no stop-word rule. The same expression
+    * tree every batch quality key and the S22 streaming gate compile
+    * from, at log-line policy: one operator, tuned twice. Pure
+    * per-row projection — fuses into the scan. */
   def qualityKeep: org.apache.spark.sql.Column =
-    size(split(col("message"), " ")) >= 3
+    graft.operators.QualityRules.keeps(col("message"),
+      graft.operators.QualityRules.LogEventProfile)
 
   /** The streaming decode: binaryFile source → the SAME
     * gunzip/split/parse kernel as the batch scan
@@ -95,51 +98,95 @@ object StreamingCorpusPipeline {
 
   // ── standing Bloom prescreen over the table's committed event ids ──
   // The cross-batch duplicate screen's scale lever: a driver-held
-  // Bloom filter (built from the table ONCE per pipeline start,
-  // folded forward with each commit's ids) classifies arriving
-  // events BEFORE the anti-join. Bloom filters have NO false
-  // negatives, so "absent" = DEFINITELY NEW (committed without any
-  // table read); only the "maybe" residue — fpp·batch + true
-  // redeliveries — reaches the exact anti-join, and when that residue
-  // is empty AQE's empty-relation propagation elides the table scan
-  // entirely. Ids are xxhash64'd to longs first (a hash collision
-  // can only move a new id into the "maybe" class — verified
-  // exactly, never dropped). Replays re-fold ids harmlessly (Bloom
-  // insert is idempotent); a restart rebuilds from the table. The
-  // filter is capacity-sized driver state (like a broadcast
-  // codebook), not data-sized.
-  private val bloomBits: Long = 1L << 20 // ~128 KB, fpp ~1% at 100k ids
+  // Bloom filter (built from the table at pipeline start, folded
+  // forward with each commit's ids) classifies arriving events
+  // BEFORE the anti-join. Bloom filters have NO false negatives, so
+  // "absent" = DEFINITELY NEW (committed without any table read);
+  // only the "maybe" residue — fpp·batch + true redeliveries —
+  // reaches the exact anti-join, and when that residue is empty
+  // AQE's empty-relation propagation elides the table scan entirely.
+  // Ids are xxhash64'd to longs first (a hash collision can only
+  // move a new id into the "maybe" class — verified exactly, never
+  // dropped). Replays re-fold ids harmlessly (Bloom insert is
+  // idempotent); a restart rebuilds from the table.
+  //
+  // SIZING is manifest-driven, not fixed: the head manifest carries
+  // per-file row counts, so the committed id count is an O(1)
+  // metadata read (Snapshot.totalRows — never a table scan), and the
+  // filter is created for 2× that count (headroom) at ~1% fpp. After
+  // each commit the new head count is re-checked against the build
+  // capacity; when it crosses, the filter is REBUILT from the table
+  // at the new 2× size — without this a fixed filter silently
+  // saturates as the table grows (fpp → 1) and the prescreen
+  // degrades to the exact anti-join it exists to elide. No false
+  // negatives at ANY fill level, so correctness never depends on the
+  // resize; only the residue volume does. The filter is
+  // capacity-sized driver state (like a broadcast codebook), not
+  // data-sized.
+
+  /** Spec observability: prescreen rebuilds and exact-anti-join
+    * residue volume (counted only when wired — costs a job per
+    * batch). */
+  final class PipelineDiag {
+    val bloomRebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+    val residueRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  private case class BloomState(bytes: Array[Byte], capacity: Long)
+
+  /** ~1% fpp: numBits = n·ln(1/p)/ln²2 ≈ 9.585·n, floored for tiny
+    * tables. */
+  private def bitsFor(capacity: Long): Long =
+    math.max(64L, (capacity * 9.6).toLong)
 
   private def idHash: org.apache.spark.sql.Column = xxhash64(col("id"))
 
-  private def emptyBloom(): Array[Byte] = {
+  private def emptyBloom(capacity: Long): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    BloomFilter.create(100000L, bloomBits).writeTo(bos)
+    BloomFilter.create(capacity, bitsFor(capacity)).writeTo(bos)
     bos.toByteArray
   }
 
-  private def bloomAggOf(ids: DataFrame): Option[Array[Byte]] = {
+  // est/numBits literals MUST match the build capacity exactly —
+  // util.sketch merge refuses mismatched filters
+  private def bloomAggOf(ids: DataFrame, capacity: Long)
+      : Option[Array[Byte]] = {
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(idHash),
-        Literal(100000L), Literal(bloomBits)).toAggregateExpression())
+        Literal(capacity), Literal(bitsFor(capacity)))
+        .toAggregateExpression())
     Option(ids.agg(agg.as("bf")).head().getAs[Array[Byte]](0))
   }
 
-  private def foldBloom(base: Array[Byte], ids: DataFrame): Array[Byte] =
-    bloomAggOf(ids) match {
+  private def foldBloom(base: BloomState, ids: DataFrame): BloomState =
+    bloomAggOf(ids, base.capacity) match {
       case None => base
       case Some(delta) =>
-        val b = BloomFilter.readFrom(new ByteArrayInputStream(base))
+        val b = BloomFilter.readFrom(new ByteArrayInputStream(base.bytes))
         b.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(delta)))
         val bos = new ByteArrayOutputStream()
         b.writeTo(bos)
-        bos.toByteArray
+        BloomState(bos.toByteArray, base.capacity)
     }
 
-  private def mightContain(bf: Array[Byte]): org.apache.spark.sql.Column =
+  /** (Re)build the standing filter from the table: capacity = 2× the
+    * committed row count (O(1) off the head manifest's per-file
+    * counts; a pre-upgrade table without counts pays one COUNT —
+    * once, at start), floored at `minCapacity`. */
+  private def buildBloom(spark: SparkSession, table: String,
+                         minCapacity: Long): BloomState = {
+    val committed = TxTable.snapshot(table).flatMap(_.totalRows)
+      .getOrElse(TxTable.read(spark, table).count())
+    val capacity = math.max(minCapacity, 2L * committed)
+    val built = bloomAggOf(TxTable.read(spark, table).select("id"),
+      capacity).getOrElse(emptyBloom(capacity))
+    BloomState(built, capacity)
+  }
+
+  private def mightContain(bf: BloomState): org.apache.spark.sql.Column =
     GraftColumnBridge.column(BloomFilterMightContain(
-      Literal(bf), GraftColumnBridge.expression(idHash)))
+      Literal(bf.bytes), GraftColumnBridge.expression(idHash)))
 
   /** Start the pipeline: ingest `stagingDir` into the TxTable at
     * `table` (created empty with [[tableDdl]] if absent), exactly
@@ -149,7 +196,9 @@ object StreamingCorpusPipeline {
     * anything already committed. */
   def start(spark: SparkSession, stagingDir: String, table: String,
             checkpoint: String, appId: String,
-            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+            maxFilesPerTrigger: Int = 1,
+            bloomMinCapacity: Long = 4096L,
+            diag: Option[PipelineDiag] = None): StreamingQuery = {
     if (TxTable.latestVersion(table).isEmpty) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -160,7 +209,7 @@ object StreamingCorpusPipeline {
     }
     // per-start() standing filter: rebuilt from the table on (re)start
     val bloomRef = new java.util.concurrent.atomic.AtomicReference[
-      Array[Byte]](null)
+      BloomState](null)
     decodedStream(spark, stagingDir, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -176,8 +225,7 @@ object StreamingCorpusPipeline {
           .dropDuplicates("id")
         val bf = bloomRef.get() match {
           case null =>
-            val built = bloomAggOf(TxTable.read(spark, table).select("id"))
-              .getOrElse(emptyBloom())
+            val built = buildBloom(spark, table, bloomMinCapacity)
             bloomRef.set(built); built
           case b => b
         }
@@ -187,13 +235,26 @@ object StreamingCorpusPipeline {
         val suspects = evs.filter(mightContain(bf))
           .join(TxTable.read(spark, table).select("id"),
             Seq("id"), "left_anti")
+        diag.foreach(_.residueRows.addAndGet(
+          evs.filter(mightContain(bf)).count()))
         val fresh = evs.filter(!mightContain(bf)).unionByName(suspects)
         TxTable.appendOnce(fresh, table, appId, batchId,
           bucketKey = "id", buckets = 2)
-        // fold ALL the batch's gated ids (not just fresh): folding an
-        // already-present id is idempotent, and evs's lineage carries
-        // no table read — one cheap batch-local pass
-        bloomRef.set(foldBloom(bf, evs.select("id")))
+        // saturation check off the committed head's O(1) row count:
+        // past the build capacity the filter's fpp decays toward 1
+        // (residue → whole batch), so re-size and rebuild from the
+        // table — the post-commit read includes this batch, keeping
+        // the no-false-negative invariant across the swap
+        val committed = TxTable.snapshot(table).flatMap(_.totalRows)
+        if (committed.exists(_ > bf.capacity)) {
+          bloomRef.set(buildBloom(spark, table, bloomMinCapacity))
+          diag.foreach(_.bloomRebuilds.incrementAndGet())
+        } else {
+          // fold ALL the batch's gated ids (not just fresh): folding
+          // an already-present id is idempotent, and evs's lineage
+          // carries no table read — one cheap batch-local pass
+          bloomRef.set(foldBloom(bf, evs.select("id")))
+        }
         ()
       }
       .start()

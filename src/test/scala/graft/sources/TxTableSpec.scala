@@ -413,7 +413,7 @@ class TxTableSpec extends SparkSpec {
     // whole range — nothing prunes, content still exact
     def kept(lo: Long, hi: Long) = {
       val s = TxTable.snapshot(t).get
-      s.files.count(f => s.stats.get(f) match {
+      s.files.count(f => s.numRange("doc_id", f) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       })
@@ -434,15 +434,81 @@ class TxTableSpec extends SparkSpec {
       "pruned read must equal the filtered read")
     assert(TxTable.readKeyRange(spark, t, "doc_id", 5000L, 6000L)
       .isEmpty, "fully disjoint range reads empty")
-    // a STRING-keyed table writes no stats; readKeyRange on a table
-    // without stats stays correct (conservative no-prune)
+    // a STRING-keyed table records STRING [min,max] stats; a numeric
+    // readKeyRange on an unstat'd column stays correct (no-prune)
     val ts2 = freshDir()
     assert(TxTable.create(
       Seq(("a", 1L), ("b", 2L)).toDF("id", "v"), ts2,
       bucketKey = "id", buckets = 1))
-    assert(TxTable.snapshot(ts2).get.stats.isEmpty)
+    val snap2 = TxTable.snapshot(ts2).get
+    assert(snap2.stats.isEmpty, "no integral stats for a string key")
+    assert(snap2.files.forall(f => snap2.strRange("id", f).nonEmpty),
+      "string bucket key must record string stats")
     assert(TxTable.readKeyRange(spark, ts2, "v", 2L, 9L)
       .select("v").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("string-keyed range-clustered layout prunes files at the " +
+      "manifest; pruned reads stay content-exact; row counts are " +
+      "carried exactly") {
+    val t = freshDir()
+    val rows = (0 until 100).map(i => (f"doc_$i%03d", i.toLong))
+      .toDF("id", "v")
+    assert(TxTable.create(rows, t, bucketKey = "id", buckets = 4))
+    assert(TxTable.compact(spark, t, bucketKey = "id", buckets = 4,
+      rangeCluster = true).contains(2L))
+    val s = TxTable.snapshot(t).get
+    val keptN = s.files.count(f => s.strRange("id", f) match {
+      case Some((mn, mx)) => mx >= "doc_010" && mn <= "doc_025"
+      case None => true
+    })
+    assert(keptN < s.files.size,
+      s"string-clustered stats must prune: $keptN/${s.files.size}")
+    assert(TxTable.readKeyRangeString(spark, t, "id",
+      "doc_010", "doc_025").select("id").as[String].collect()
+      .sorted.toSeq == (10 to 25).map(i => f"doc_$i%03d"),
+      "pruned string read must equal the filtered read")
+    assert(TxTable.readKeyRangeString(spark, t, "id", "zzz", "zzzz")
+      .isEmpty, "fully disjoint string range reads empty")
+    // exact O(1) row counts at every version (create and compact)
+    assert(TxTable.snapshot(t, Some(1L)).get.totalRows.contains(100L))
+    assert(s.totalRows.contains(100L))
+  }
+
+  test("Z-order clustered compaction makes 2-D manifest stats " +
+      "selective on BOTH columns; readKeyRanges prunes and stays " +
+      "content-exact") {
+    import graft.functions.ZOrder
+    val t = freshDir()
+    // a 32x32 grid: points (x, y); either single-column sort would
+    // leave the OTHER column spanning its whole range in every file
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y =>
+      (x.toLong * 32 + y, x.toLong, y.toLong))).toDF("id", "x", "y")
+    assert(TxTable.create(grid, t, bucketKey = "id", buckets = 4))
+    assert(TxTable.compact(spark, t, bucketKey = "id", buckets = 16,
+      clusterBy = Some(ZOrder.z16(col("x"), col("y"))),
+      statsCols = Seq("x", "y")).contains(2L))
+    val s = TxTable.snapshot(t).get
+    def keptFiles(xr: (Long, Long), yr: (Long, Long)) =
+      s.files.count(f =>
+        Seq(("x", xr), ("y", yr)).forall { case (c, (lo, hi)) =>
+          s.numRange(c, f) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        })
+    // a quadrant query must prune most z-clustered files
+    val kept = keptFiles((0L, 7L), (0L, 7L))
+    assert(kept < s.files.size / 2,
+      s"z-layout must prune a quadrant query: $kept/${s.files.size}")
+    val got = TxTable.readKeyRanges(spark, t,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = (0 until 8).flatMap(x => (0 until 8).map(y =>
+      x.toLong * 32 + y)).sorted
+    assert(got == want, "2-D pruned read must equal the filtered read")
+    assert(TxTable.readKeyRanges(spark, t,
+      Map("x" -> (500L, 600L), "y" -> (0L, 31L))).isEmpty)
   }
 
   test("publish verifies referenced files exist: a vacuumed-under-writer " +

@@ -62,6 +62,61 @@ class StreamingCorpusPipelineSpec extends SparkSpec {
     assert(TxTable.read(spark, table, Some(2L)).count() == 6L)
   }
 
+  test("forced Bloom saturation: the manifest-sized prescreen " +
+      "rebuilds when committed rows cross capacity, keeps " +
+      "no-false-negatives (zero duplicates), and the residue stays " +
+      "bounded") {
+    val (staging, table, cp) =
+      (tmp("s26b_stage_"), tmp("s26b_tbl_"), tmp("s26b_cp_"))
+    FirehoseFixture.writeStreaming(new java.io.File(staging))
+    val diag = new StreamingCorpusPipeline.PipelineDiag
+    // bloomMinCapacity = 2: the filter starts sized for 2 ids, and
+    // every commit (6, then 4, ... kept events) drives committed
+    // rows past capacity — each batch forces the saturation path
+    val q = StreamingCorpusPipeline.start(spark, staging, table, cp,
+      appId = "s26_bloom_spec", bloomMinCapacity = 2L,
+      diag = Some(diag))
+    try q.awaitTermination() finally q.stop()
+    assert(diag.bloomRebuilds.get() >= 2L,
+      s"forced saturation must rebuild: ${diag.bloomRebuilds.get()}")
+    // no false negatives at any fill level: an existing id must never
+    // classify "definitely new" — which would re-append it. Content
+    // must therefore be EXACTLY the expected set, no duplicates.
+    assert(ids(table) == expected,
+      "saturated/rebuilt prescreen lost or duplicated events")
+    val n = TxTable.read(spark, table).count()
+    assert(n == expected.size.toLong,
+      s"duplicate rows under saturation: $n != ${expected.size}")
+    // residue bound: the maybe-class can never exceed the total
+    // gated volume (14 kept + 3 redelivered = 17); a rebuilt,
+    // rightly-sized filter keeps it at redeliveries + fpp noise
+    assert(diag.residueRows.get() <= 17L,
+      s"residue exceeded the gated volume: ${diag.residueRows.get()}")
+    // the post-run filter is sized from the head manifest's O(1)
+    // row count — present for every commit this pipeline wrote
+    assert(TxTable.snapshot(table).get.totalRows.contains(
+      expected.size.toLong))
+  }
+
+  test("batch/stream quality-verdict parity: the streaming gate IS " +
+      "the shared QualityRules tree at log-event tuning") {
+    import org.apache.spark.sql.functions._
+    val msgs = Seq(
+      "line 0 of block 10",            // keep
+      "noise3",                        // too few words
+      "a b " + "x" * 200,              // mean word len out of band
+      Seq.fill(300)("w").mkString(" ") // too many words
+    ).toDF("message")
+    val gate = msgs.filter(StreamingCorpusPipeline.qualityKeep)
+      .as[String].collect().toSeq
+    val batch = msgs.filter(graft.operators.QualityRules.keeps(
+        col("message"), graft.operators.QualityRules.LogEventProfile))
+      .as[String].collect().toSeq
+    assert(gate == batch, "stream gate must equal the batch tree")
+    assert(gate == Seq("line 0 of block 10"),
+      s"log profile verdicts off: $gate")
+  }
+
   test("restart resumes from the checkpoint; a forced replay of the " +
       "last micro-batch commits nothing twice") {
     val (staging, table, cp) =
