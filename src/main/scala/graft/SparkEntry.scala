@@ -34,7 +34,8 @@ object SparkEntry {
       CorpusQueries.queries ++
       GraphQueries.queries ++
       RetrievalQueries.queries ++
-      TxQueries.queries
+      TxQueries.queries ++
+      IndexQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by
     * DuckDB on the same parquet tables. Omitted keys get the driver's
@@ -56,5 +57,6 @@ object SparkEntry {
       CorpusQueries.oracleSql ++
       GraphQueries.oracleSql ++
       RetrievalQueries.oracleSql ++
-      TxQueries.oracleSql
+      TxQueries.oracleSql ++
+      IndexQueries.oracleSql
 }

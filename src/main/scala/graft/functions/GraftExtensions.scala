@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // theta→banded-equi-join rewrite; no-op until
     // spark.graft.bandJoin.width is set (see BandJoinRule scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    // SQL face of the TxTable corpus verbs: tx.`path` relations,
+    // VERSION/TIMESTAMP AS OF, DELETE FROM (resolution rule), and
+    // the RESTORE/VACUUM statements (parser) — see TxSqlSupport
+    ext.injectResolutionRule(s => graft.plans.TxRelationRule(s))
+    ext.injectParser((_, delegate) => new graft.plans.TxSqlParser(delegate))
   }
 }
 

@@ -33,31 +33,58 @@ object Bm25 {
   final case class Index(postings: DataFrame, idf: DataFrame,
                          stats: DataFrame)
 
-  /** Build the inverted index from (doc_id, text) rows. Tokenizer is
-    * the engine-wide single-space split (FIXTURES.md corpus
-    * contract). dl rides through the explode so no corpus-sized
-    * doc_id join is needed to reattach it. */
-  def buildIndex(docs: DataFrame): Index = {
+  /** Per-doc postings rows (doc_id, term, tf, dl) for (doc_id, text)
+    * docs. Tokenizer is the engine-wide single-space split
+    * (FIXTURES.md corpus contract). dl rides through the explode so
+    * no corpus-sized doc_id join is needed to reattach it. Postings
+    * are PER-DOCUMENT decomposable — postings(A ⊎ B) =
+    * postings(A) ⊎ postings(B) — which is what makes the index
+    * incrementally maintainable ([[IncrementalIndex]]). */
+  def postings(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    val postings = docs
+    docs
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(w).as("term"),
         size(w).cast("long").as("dl"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val idf = postings.select("doc_id", "term").distinct()
+  }
+
+  private def idfFrom(postings: DataFrame, stats: DataFrame): DataFrame =
+    postings.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("term"),
         round(log(lit(1.0) +
           ((col("n_docs") - col("df")) + lit(0.5)) /
             (col("df") + lit(0.5))), 6).as("idf6"))
-    Index(postings, idf, stats)
+
+  /** Build the inverted index from (doc_id, text) rows. */
+  def buildIndex(docs: DataFrame): Index = {
+    val p = postings(docs)
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    Index(p, idfFrom(p, stats), stats)
+  }
+
+  /** Rehydrate an [[Index]] from a MAINTAINED postings frame
+    * ([[IncrementalIndex]]'s durable state): idf/avgdl are
+    * vocabulary-/scalar-sized aggregates over the postings, so they
+    * are consistent with them by construction. Every doc carries at
+    * least one posting row (the single-space split of an empty text
+    * is one empty-string token), so the per-doc dl regroup loses no
+    * document; with unique doc_ids (the corpus contract) the stats
+    * equal [[buildIndex]]'s doc-side computation exactly — the sum
+    * and count are integer-exact, the avgdl division is the same
+    * single IEEE op. */
+  def fromPostings(postings: DataFrame): Index = {
+    val stats = postings.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    Index(postings, idfFrom(postings, stats), stats)
   }
 
   /** Per-term contribution on the 1e-6 grid:

@@ -1,0 +1,243 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.Origin
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.TxTable
+
+/** SQL surface for the [[graft.sources.TxTable]] corpus verbs — the
+  * face a notebook / dbt-style job speaks to the transactional
+  * storage layer, installed by [[graft.functions.GraftExtensions]]:
+  *
+  *   - reads: any table reference of the form `tx.`/abs/path``
+  *     resolves to the table's head snapshot, and Spark's OWN time
+  *     travel grammar applies — `SELECT … FROM tx.`p` VERSION AS OF
+  *     3` / `TIMESTAMP AS OF '2026-01-01 00:00:00'` (the parser
+  *     already produces [[RelationTimeTravel]]; the engine only
+  *     supplies its resolution). No custom SELECT grammar at all.
+  *   - `DELETE FROM tx.`p` WHERE pred` — Spark's own DELETE grammar
+  *     ([[DeleteFromTable]]), routed to [[TxTable.delete]]'s
+  *     copy-on-write rewrite. Returns the committed version.
+  *   - `RESTORE [TABLE] tx.`p` TO VERSION [AS OF] n` (or `TO
+  *     TIMESTAMP AS OF 'ts'`) — [[TxTable.restore]], the undo verb.
+  *   - `VACUUM tx.`p` RETAIN n VERSIONS [GRACE m MILLISECONDS]` —
+  *     [[TxTable.vacuumRetain]].
+  *
+  * Only the two statements Spark has no grammar for (RESTORE,
+  * VACUUM) are parsed here, by [[TxSqlParser]] — a thin
+  * delegate-everything wrapper, the standard extension pattern.
+  * Everything else rides the stock parser, so the SQL dialect stays
+  * Spark's. Reference scope: the reference program mutates its
+  * processed-file state imperatively (kinesis-to-humio.py:141-166);
+  * these verbs are that state's lifecycle, grown to a versioned
+  * corpus table and given the declarative face.
+  *
+  * `tx` acts as a virtual schema: the identifier's second part is
+  * the table's filesystem root. A real catalog database named `tx`
+  * would be shadowed for 2-part references — documented trade of the
+  * zero-registration UX (quote nothing, pre-create nothing).
+  */
+object TxSqlSupport {
+
+  /** The `tx.`path`` virtual-schema match. */
+  private[plans] def txPath(parts: Seq[String]): Option[String] =
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("tx"))
+      Some(parts(1))
+    else None
+
+  /** Evaluate a time-travel timestamp to epoch millis (UTC —
+    * the engine-wide session zone). Foldable expressions only: time
+    * travel pins a snapshot, so the instant must be decidable at
+    * resolution time. */
+  private[plans] def tsMillis(e: Expression): Long = {
+    val evald =
+      try Cast(e, TimestampType, Some("UTC")).eval()
+      catch {
+        case ex: Exception => throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF expression is not a foldable timestamp: " +
+            s"${e.sql}", ex)
+      }
+    if (evald == null) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF expression evaluates to NULL: ${e.sql}")
+    evald.asInstanceOf[Long] / 1000L // micros -> millis
+  }
+
+  private[plans] def parseTs(s: String): Long =
+    tsMillis(Literal(UTF8String.fromString(s), StringType))
+}
+
+/** Opaque predicate holder: keeps the (unresolved) DELETE condition
+  * out of the command's `expressions` traversal so CheckAnalysis
+  * does not reject the plan for carrying unresolved attributes —
+  * resolution happens at RUN time against the table's own schema
+  * (exactly [[TxTable.delete]]'s `df.filter` contract). Plain class,
+  * not a case class: TreeNode must not recurse into it. */
+final class TxPredHolder(val pred: Expression) {
+  override def toString: String = pred.sql
+}
+
+/** `DELETE FROM tx.`path` WHERE pred` → copy-on-write row delete.
+  * Emits the committed version (unchanged head when nothing
+  * matched — the no-op-delete contract of [[TxTable.delete]]). */
+case class TxDeleteCommand(table: String, cond: TxPredHolder)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.delete(spark, table,
+      org.apache.spark.sql.GraftColumnBridge.column(cond.pred))))
+}
+
+/** `RESTORE [TABLE] tx.`path` TO VERSION n | TO TIMESTAMP AS OF ts`.
+  * Emits the newly committed version. */
+case class TxRestoreCommand(table: String, toVersion: Option[Long],
+                            toTsMillis: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = toVersion.orElse(toTsMillis.map(ms =>
+      TxTable.versionAsOf(table, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version committed at or before timestamp: $table"))))
+      .get
+    Seq(Row(TxTable.restore(spark, table, v)))
+  }
+}
+
+/** `VACUUM tx.`path` RETAIN n VERSIONS [GRACE m MILLISECONDS]`.
+  * Emits the reap counts. */
+case class TxVacuumCommand(table: String, keepVersions: Int,
+                           graceMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("expired_manifests", LongType, nullable = false)(),
+    AttributeReference("removed_data_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = TxTable.vacuumRetain(table, keepVersions, graceMs)
+    Seq(Row(st.expiredManifests.toLong, st.removedDataFiles.toLong))
+  }
+}
+
+/** Analyzer resolution rule: gives `tx.`path`` references, Spark's
+  * native `VERSION AS OF` / `TIMESTAMP AS OF` clauses, and
+  * `DELETE FROM` statements their TxTable meaning. Injected via
+  * [[graft.functions.GraftExtensions]]; runs inside the main
+  * resolution batch, after the built-ins have declined the lookup
+  * (an unknown relation is left unresolved until CheckAnalysis, so
+  * the rule sees it before any error fires). */
+case class TxRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def readPlan(path: String, version: Option[Long]): LogicalPlan =
+    org.apache.spark.sql.GraftColumnBridge.analyzed(
+      TxTable.read(spark, path, version))
+
+  // TOP-DOWN: DeleteFromTable / RelationTimeTravel wrap the
+  // UnresolvedRelation as a child — the parent must claim the match
+  // before the bare-relation case rewrites the child out from under
+  // it (bottom-up would resolve the child first and the parent
+  // pattern would never fire).
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case DeleteFromTable(u: UnresolvedRelation, cond)
+          if TxSqlSupport.txPath(u.multipartIdentifier).isDefined =>
+        TxDeleteCommand(TxSqlSupport.txPath(u.multipartIdentifier).get,
+          new TxPredHolder(cond))
+      case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if TxSqlSupport.txPath(u.multipartIdentifier).isDefined =>
+        val path = TxSqlSupport.txPath(u.multipartIdentifier).get
+        val version = ver match {
+          case Some(v) =>
+            try v.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"VERSION AS OF must be an integer version, got: $v") }
+          case None =>
+            val ms = TxSqlSupport.tsMillis(ts.get)
+            TxTable.versionAsOf(path, ms).getOrElse(
+              throw new IllegalArgumentException(
+                s"no version committed at or before the timestamp: $path"))
+        }
+        readPlan(path, Some(version))
+      case u: UnresolvedRelation
+          if TxSqlSupport.txPath(u.multipartIdentifier).isDefined =>
+        readPlan(TxSqlSupport.txPath(u.multipartIdentifier).get, None)
+    }
+}
+
+/** Parser extension for the two corpus statements Spark has no
+  * grammar for. Everything else — including every SELECT, DELETE,
+  * and time-travel clause — delegates verbatim to the stock parser,
+  * so installing the extension changes no existing SQL. A statement
+  * that unambiguously targets this grammar (`RESTORE`/`VACUUM` on a
+  * `tx.`…`` reference) but is malformed raises a [[ParseException]]
+  * with the expected shape, not a silent fall-through. */
+class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val restoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?tx\s*\.\s*`([^`]+)`\s+TO\s+""" +
+      """(.*?)\s*;?\s*$""").r
+  private val restoreVersionRe =
+    """(?is)^VERSION\s+(?:AS\s+OF\s+)?(\d+)$""".r
+  private val restoreTsRe =
+    """(?is)^TIMESTAMP\s+AS\s+OF\s+'([^']+)'$""".r
+  private val vacuumRe =
+    ("""(?is)^\s*VACUUM\s+tx\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+""" +
+      """VERSIONS(?:\s+GRACE\s+(\d+)\s+MILLISECONDS)?\s*;?\s*$""").r
+  // a RESTORE/VACUUM that names a tx table but failed the full match:
+  // claim it (error), do not let it fall through to the delegate's
+  // unrelated error message
+  private val claimedRe =
+    """(?is)^\s*(?:RESTORE|VACUUM)\s+(?:TABLE\s+)?tx\s*\.\s*`.*""".r
+
+  private def fail(sql: String, hint: String): Nothing =
+    throw new ParseException(Some(sql), Origin(), "PARSE_SYNTAX_ERROR",
+      Map("error" -> s"'${sql.trim.takeWhile(!_.isWhitespace)}'",
+        "hint" -> s": $hint"))
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case restoreRe(path, target) => target match {
+      case restoreVersionRe(v) =>
+        TxRestoreCommand(path, Some(v.toLong), None)
+      case restoreTsRe(ts) =>
+        TxRestoreCommand(path, None, Some(TxSqlSupport.parseTs(ts)))
+      case _ => fail(sqlText,
+        "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n " +
+          "or TO TIMESTAMP AS OF 'ts'")
+    }
+    case vacuumRe(path, keep, grace) =>
+      TxVacuumCommand(path, keep.toInt,
+        Option(grace).map(_.toLong).getOrElse(0L))
+    case claimedRe() => fail(sqlText,
+      "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n | " +
+        "TO TIMESTAMP AS OF 'ts', or VACUUM tx.`path` RETAIN n " +
+        "VERSIONS [GRACE m MILLISECONDS]")
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

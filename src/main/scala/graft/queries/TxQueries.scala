@@ -109,6 +109,32 @@ object TxQueries {
       dir
     }
 
+  /** SQL-surface fixture: the SAME lifecycle as [[delTable]]'s first
+    * four versions, but every verb after the creates is issued
+    * through `spark.sql(...)` against the `tx.`path`` virtual schema
+    * ([[graft.plans.TxSqlSupport]]) — v3 is a SQL `DELETE FROM`
+    * (same predicate as the API fixture), v4 a SQL `RESTORE … TO
+    * VERSION 2`. The statements' own result rows (committed
+    * versions) are require-checked at build time. */
+  private def sqlTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_sql_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txsql_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
+      TxTable.append(docs.filter(col("doc_id") % 3 === 1), dir)
+      val v3 = s.sql(
+        s"DELETE FROM tx.`$dir` WHERE lang = 'de' OR doc_id % 7 = 3")
+        .head.getLong(0)
+      require(v3 == 3L, s"SQL DELETE must land as v3, got $v3")
+      val v4 = s.sql(s"RESTORE TABLE tx.`$dir` TO VERSION 2")
+        .head.getLong(0)
+      require(v4 == 4L, s"SQL RESTORE must land as v4, got $v4")
+      dir
+    }
+
   /** Fifth fixture, for the clustered-compaction/file-skipping key:
     * v1 create (%3=0, hash-bucketed), v2 append (%3=1), v3 CLUSTERED
     * compaction (range-partitioned + sorted on doc_id) — the layout
@@ -413,6 +439,36 @@ object TxQueries {
       (fps :+ feed).reduce(_ unionByName _).orderBy("step")
     }),
 
+    // THE SQL SURFACE under the hash gate: the delete→restore
+    // lifecycle driven entirely through spark.sql — DELETE FROM
+    // (Spark's own grammar, routed to the copy-on-write delete by
+    // the injected resolution rule), RESTORE (the parser extension),
+    // and every read here a SQL `VERSION AS OF` time travel plus one
+    // bare head read (= the restored v2 content). Same per-version
+    // fingerprints as q_corpus_delete, so the oracle replays the
+    // logical content straight from `documents` — if any statement
+    // routed wrong (or time travel leaked the wrong snapshot), the
+    // hashes diverge. Scale: identical plans to the API verbs; the
+    // SQL face adds one resolution-rule rewrite, no new operators.
+    "q_corpus_sql_verbs" -> ((s, d) => {
+      val t = sqlTable(s, d)
+      val reads = (1L to 4L).map { v =>
+        s.sql(
+          s"""SELECT $v AS version, COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+             |FROM tx.`$t` VERSION AS OF $v""".stripMargin)
+      } :+ s.sql(
+        s"""SELECT 5 AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+           |FROM tx.`$t`""".stripMargin)
+      reads.reduce(_ unionByName _)
+        .select(col("version").cast("long").as("version"), col("n_docs"),
+          col("n_chars"), col("sum_ids"))
+        .orderBy("version")
+    }),
+
     // CLUSTERED COMPACTION + manifest-level file skipping: after the
     // range-clustered rewrite, each file owns a doc_id slice and
     // readKeyRange prunes disjoint files from the MANIFEST's
@@ -648,6 +704,31 @@ object TxQueries {
         |  UNION ALL SELECT 2, * FROM v2
         |  UNION ALL SELECT 3, * FROM v3
         |  UNION ALL SELECT 4, * FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
+
+    // The SQL-surface lifecycle replayed logically: v1/v2 modulo
+    // slices, v3 = v2 minus the DELETE predicate's rows, v4 and the
+    // bare head (row 5) = v2 again (RESTORE TO VERSION 2).
+    "q_corpus_sql_verbs" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1)
+        |    AND NOT (lang = 'de' OR doc_id % 7 = 3)),
+        |versions AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v2
+        |  UNION ALL SELECT 5, * FROM v2)
         |SELECT CAST(version AS BIGINT) AS version,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,

@@ -840,6 +840,88 @@ object TxTable {
       s"delete lost $retries CAS rounds on $table")
   }
 
+  /** Row-level DELETE of every row whose `key` appears in `keys` —
+    * the KEY-FRAME form of [[delete]] an incremental consumer issues
+    * when the keys to retract arrive as a DataFrame (a change feed's
+    * deleted ids, a takedown list). Semantics: rows whose `key`
+    * equals any non-NULL key in `keys` go; NULL keys match nothing
+    * (SQL join semantics). Returns the committed (or unchanged)
+    * version.
+    *
+    * Scale: `keys` is churn-sized, never table-sized — it is
+    * deduplicated and BROADCAST; phase 1 finds touched files with a
+    * semi-join under the scan (O(files) driver state, same bound as
+    * the manifest), phase 2 rewrites only those files with an
+    * anti-join. Nothing key-list-sized ever reaches the driver —
+    * the [[delete]] predicate form would need an `isin` literal
+    * list, which does. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+                 key: String = "doc_id", bucketKey: String = "doc_id",
+                 buckets: Int = 4, retries: Int = 20): Long = {
+    val keyFrame = keys.select(col(key)).na.drop().distinct()
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"deleteKeys from missing table $table"))
+      if (head.files.isEmpty) return head.version
+      val schema = StructType.fromDDL(head.schemaDdl)
+      // manifest-level candidate pruning: files whose per-file
+      // [min,max] stat on `key` cannot intersect the key frame's
+      // bounds never reach the phase-1 scan (selective after a
+      // clustered compaction; a hash-bucketed file spans the range
+      // and prunes nothing). One tiny bounds aggregate on the
+      // churn-sized key frame buys it; an empty frame short-circuits
+      // the whole delete here.
+      val keyType = schema.fields.find(_.name == key).map(_.dataType)
+      val candidates: Seq[String] = keyType match {
+        case Some(IntegerType | LongType) =>
+          val b = keyFrame.agg(min(col(key)).cast("long"),
+            max(col(key)).cast("long")).head()
+          if (b.isNullAt(0)) Nil
+          else head.files.filter(f => head.numRange(key, f) match {
+            case Some((lo, hi)) => hi >= b.getLong(0) && lo <= b.getLong(1)
+            case None => true
+          })
+        case Some(org.apache.spark.sql.types.StringType) =>
+          val b = keyFrame.agg(min(col(key)), max(col(key))).head()
+          if (b.isNullAt(0)) Nil
+          else head.files.filter(f => head.strRange(key, f) match {
+            case Some((lo, hi)) =>
+              hi >= b.getString(0) && lo <= b.getString(1)
+            case None => true
+          })
+        case _ => head.files
+      }
+      if (candidates.isEmpty) return head.version
+      // input_file_name is projected BELOW the join — over the scan
+      // it names, where it is unambiguous (over the join it would be
+      // a multi-source error)
+      val touchedUris = spark.read.schema(schema).parquet(candidates: _*)
+        .select(col(key), input_file_name().as("_f"))
+        .join(broadcast(keyFrame), Seq(key), "left_semi")
+        .select("_f").distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSet
+      val touched = candidates.filter(f =>
+        touchedUris.contains(Paths.get(f).toAbsolutePath.toString))
+      if (touched.isEmpty) return head.version
+      val kept = spark.read.schema(schema).parquet(touched: _*)
+        .join(broadcast(keyFrame), Seq(key), "left_anti")
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      val (newFiles, newStats) = writeData(kept, table, bucketKey, buckets)
+      val untouchedRel = head.files.filterNot(touched.contains)
+        .map(f => root(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "delete", head.schemaDdl,
+          untouchedRel ++ newFiles, carriedTxns(table, head),
+          relStats(table, head, Some(untouchedRel.toSet)) ++ newStats))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"deleteKeys lost $retries CAS rounds on $table")
+  }
+
   /** Rewrite the current snapshot's files into `buckets` files with
     * identical logical content (small-file compaction). Pure
     * maintenance: on a CAS loss — including planning against a

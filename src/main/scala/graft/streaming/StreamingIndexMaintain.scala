@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.IncrementalIndex
+import graft.sources.TxTable
+
+/** S27 — LIVE index maintenance: the corpus table's commit log
+  * streamed (the S25 file-source tail of `_txlog/v*.json`) into
+  * [[IncrementalIndex]]'s per-version fold, so the BM25 postings
+  * index follows the corpus by the latency of one micro-batch
+  * instead of a from-scratch rebuild per session. Each newly
+  * observed corpus version applies exactly once — the apply is
+  * guarded by the index table's transactional batch ledger keyed by
+  * the SOURCE version, so crash replays and duplicate micro-batch
+  * groupings no-op (the S24/S25 idempotence discipline, applied to
+  * derived state). Versions apply in ascending order within a batch,
+  * keeping the ledger's high-water exact across any batching.
+  *
+  * Scale: per corpus commit the work is the commit's churn (feed →
+  * retract keys + inserted docs' postings) plus two metadata CAS
+  * commits on the index table; no snapshot rescan, no executor
+  * state. The same loop serves the IVF index via [[applyIvfVersions]]
+  * with a pinned quantizer.
+  */
+object StreamingIndexMaintain {
+
+  /** Versions named by a micro-batch of manifest lines, ascending. */
+  private def versionsIn(batch: DataFrame): Seq[Long] =
+    batch
+      .select(regexp_extract(col("value"), """"version":(\d+)""", 1)
+        .cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Tail `corpus`'s commit log and maintain the postings index at
+    * `index` (created on first use), exactly once per source
+    * version. */
+  def start(spark: SparkSession, corpus: String, index: String,
+            appId: String, checkpoint: String): StreamingQuery = {
+    IncrementalIndex.initBm25(spark, index)
+    spark.readStream.text(s"$corpus/_txlog/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        for (v <- versionsIn(batch))
+          IncrementalIndex.applyBm25(spark, corpus, index, v, appId)
+        ()
+      }
+      .start()
+  }
+
+  /** The IVF twin: same tail, pinned centroids. */
+  def startIvf(spark: SparkSession, corpus: String, index: String,
+               centroidsTable: String, appId: String,
+               checkpoint: String): StreamingQuery = {
+    val cents = IncrementalIndex.loadCentroids(spark, centroidsTable)
+    spark.readStream.text(s"$corpus/_txlog/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        for (v <- versionsIn(batch))
+          IncrementalIndex.applyIvf(spark, corpus, index, cents, v, appId)
+        ()
+      }
+      .start()
+  }
+}

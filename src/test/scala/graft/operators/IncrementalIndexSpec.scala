@@ -1,0 +1,137 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.TxTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[IncrementalIndex]]: the maintained BM25 postings / IVF
+  * assignment state must equal the from-scratch build at every
+  * corpus version (the IVM theorem on index rows), across inserts,
+  * updates (delete+insert feeds), key deletes, and compactions —
+  * and the apply must be exactly-once under crash replay, including
+  * the torn half-applied state (retract committed, append not). */
+class IncrementalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(
+      Paths.get(System.getProperty("java.io.tmpdir")), p).toString
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def postingsOf(index: String): Set[(Long, String, Long, Long)] =
+    TxTable.read(spark, index).select("doc_id", "term", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+  private def rebuilt(corpus: String): Set[(Long, String, Long, Long)] =
+    Bm25.postings(TxTable.read(spark, corpus).select("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+
+  test("maintained postings equal the rebuild at every version of a " +
+      "create/append/merge/delete/compact lifecycle") {
+    val (corpus, index) = (tmp("iidx_c_"), tmp("iidx_i_"))
+    assert(TxTable.create(docs(1L -> "a b a", 2L -> "b c"), corpus))
+    TxTable.append(docs(3L -> "c c d"), corpus)
+    TxTable.merge(spark, corpus,
+      docs(2L -> "b c UPDATED", 4L -> "e"))            // v3: update+insert
+    assert(TxTable.delete(spark, corpus, col("doc_id") === 1L) == 4L)
+    assert(TxTable.compact(spark, corpus).contains(5L))
+    IncrementalIndex.initBm25(spark, index)
+    for (v <- 1L to 5L) {
+      IncrementalIndex.applyBm25(spark, corpus, index, v)
+      val expected = Bm25.postings(
+        TxTable.read(spark, corpus, Some(v)).select("doc_id", "text"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(postingsOf(index) == expected,
+        s"maintained != rebuilt after applying corpus v$v")
+    }
+    // updated doc 2 must carry the NEW text's postings only
+    assert(postingsOf(index).filter(_._1 == 2L).map(_._2) ==
+      Set("b", "c", "UPDATED"))
+  }
+
+  test("apply is exactly-once: full replay no-ops; a torn replay " +
+      "(retract landed, append lost) completes without double rows") {
+    val (corpus, index) = (tmp("iidx_c2_"), tmp("iidx_i2_"))
+    assert(TxTable.create(docs(1L -> "x y"), corpus))
+    TxTable.append(docs(2L -> "y z"), corpus)           // v2
+    IncrementalIndex.initBm25(spark, index)
+    IncrementalIndex.applyBm25(spark, corpus, index, 1L)
+    IncrementalIndex.applyBm25(spark, corpus, index, 2L)
+    val done = postingsOf(index)
+    val vDone = TxTable.latestVersion(index)
+    // full replay of both transitions: ledger guard, zero new commits
+    IncrementalIndex.applyBm25(spark, corpus, index, 1L)
+    IncrementalIndex.applyBm25(spark, corpus, index, 2L)
+    assert(postingsOf(index) == done)
+    assert(TxTable.latestVersion(index) == vDone)
+
+    // torn state for v3 (an update of doc 1): the retract commits,
+    // the append "crashes" — then the replay must complete exactly
+    TxTable.merge(spark, corpus, docs(1L -> "x REPLACED"))   // corpus v3
+    val feed = TxTable.changes(spark, corpus, 2L, 3L)
+    TxTable.deleteKeys(spark, index, feed.select("doc_id"),
+      key = "doc_id")                                   // half-applied
+    assert(postingsOf(index).forall(_._1 != 1L),
+      "retract must have removed doc 1's postings")
+    IncrementalIndex.applyBm25(spark, corpus, index, 3L) // the "replay"
+    assert(postingsOf(index) == rebuilt(corpus),
+      "torn replay must converge to the rebuild")
+    assert(postingsOf(index).filter(_._1 == 1L).map(_._2) ==
+      Set("x", "REPLACED"))
+  }
+
+  test("bm25Index rehydrates scoring state from the maintained " +
+      "table: scores equal a buildIndex over the same corpus") {
+    val (corpus, index) = (tmp("iidx_c3_"), tmp("iidx_i3_"))
+    assert(TxTable.create(
+      docs(1L -> "apple banana apple", 2L -> "banana cherry",
+        3L -> "cherry apple date"), corpus))
+    IncrementalIndex.initBm25(spark, index)
+    IncrementalIndex.applyBm25(spark, corpus, index, 1L)
+    val q = Seq((10L, "apple"), (10L, "cherry"))
+      .toDF("query_id", "term")
+    val fromMaintained = Bm25.score(q,
+      IncrementalIndex.bm25Index(spark, index))
+      .as[(Long, Long, Double)].collect().toSet
+    val fromScratch = Bm25.score(q, Bm25.buildIndex(
+      TxTable.read(spark, corpus).select("doc_id", "text")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromMaintained == fromScratch)
+    assert(fromMaintained.nonEmpty)
+  }
+
+  test("IVF assignment maintenance equals pinned-centroid rebuild " +
+      "across append / key delete / compaction") {
+    val (corpus, index, cents) =
+      (tmp("iivf_c_"), tmp("iivf_i_"), tmp("iivf_k_"))
+    def vecs(ids: Long*): DataFrame =
+      ids.map(i => (i, Seq.tabulate(4)(j =>
+        math.sin(i * 3.7 + j).toFloat))).toDF("vec_id", "embedding")
+    assert(TxTable.create(vecs(0L, 1L, 2L, 3L), corpus,
+      bucketKey = "vec_id"))
+    IncrementalIndex.initIvf(spark, corpus, index, cents,
+      nCells = 2, kmeansIters = 1)
+    TxTable.append(vecs(4L, 5L, 6L), corpus, bucketKey = "vec_id") // v2
+    assert(TxTable.deleteKeys(spark, corpus,
+      Seq(1L, 4L).toDF("vec_id"), key = "vec_id",
+      bucketKey = "vec_id") == 3L)
+    assert(TxTable.compact(spark, corpus, bucketKey = "vec_id")
+      .contains(4L))
+    val quant = IncrementalIndex.loadCentroids(spark, cents)
+    assert(quant.length == 2)
+    for (v <- 1L to 4L)
+      IncrementalIndex.applyIvf(spark, corpus, index, quant, v)
+    val maintained = TxTable.read(spark, index).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toSet
+    val expected = AnnSearch.assignCells(
+      TxTable.read(spark, corpus), quant)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(maintained == expected)
+    assert(maintained.map(_._1) == Set(0L, 2L, 3L, 5L, 6L))
+  }
+}

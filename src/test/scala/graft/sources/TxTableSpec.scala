@@ -585,6 +585,59 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteKeys removes exactly the keyed rows; NULL and absent " +
+      "keys match nothing; empty/no-match frames hold the head") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L, 3L, 4L, 5L), t))
+    // duplicates in the key frame collapse; NULL keys match nothing
+    val keys = Seq(Some(2L), Some(2L), None, Some(4L), Some(99L))
+      .toDF("doc_id")
+    assert(TxTable.deleteKeys(spark, t, keys) == 2L)
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // no-match and empty frames commit nothing
+    assert(TxTable.deleteKeys(spark, t, Seq(77L).toDF("doc_id")) == 2L)
+    assert(TxTable.deleteKeys(spark, t,
+      Seq.empty[Long].toDF("doc_id")) == 2L)
+    assert(TxTable.latestVersion(t).contains(2L))
+  }
+
+  test("deleteKeys prunes untouched files at the manifest level on " +
+      "a clustered layout and carries them over verbatim") {
+    val t = freshDir()
+    assert(TxTable.create(
+      (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      t, buckets = 4))
+    assert(TxTable.compact(spark, t, buckets = 4, rangeCluster = true)
+      .contains(2L))
+    val before = TxTable.snapshot(t).get.files.toSet
+    // keys confined to one key slice: only that file may be rewritten
+    assert(TxTable.deleteKeys(spark, t,
+      Seq(10L, 11L, 12L).toDF("doc_id")) == 3L)
+    val after = TxTable.snapshot(t).get.files.toSet
+    val carried = before.intersect(after)
+    assert(carried.size == before.size - 1,
+      s"exactly one clustered file must be rewritten: " +
+        s"${before.size} -> carried ${carried.size}")
+    assert(TxTable.read(spark, t).count() == 97L)
+    assert(TxTable.read(spark, t)
+      .filter(col("doc_id").between(10L, 12L)).isEmpty)
+    // string-keyed pruning path: bounds compare lexicographically
+    val t2 = freshDir()
+    assert(TxTable.create(
+      (0 until 40).map(i => (f"k$i%02d", i)).toDF("id", "v"), t2,
+      bucketKey = "id", buckets = 2))
+    assert(TxTable.compact(spark, t2, bucketKey = "id", buckets = 2,
+      rangeCluster = true).contains(2L))
+    val b2 = TxTable.snapshot(t2).get.files.toSet
+    assert(TxTable.deleteKeys(spark, t2, Seq("k01").toDF("id"),
+      key = "id", bucketKey = "id") == 3L)
+    val a2 = TxTable.snapshot(t2).get.files.toSet
+    assert(b2.intersect(a2).size == b2.size - 1,
+      "string-stat pruning must spare the disjoint clustered file")
+    assert(TxTable.read(spark, t2).count() == 39L)
+  }
+
   test("empty table states read back with the schema intact") {
     val t = freshDir()
     assert(TxTable.create(docs().toDF("doc_id", "text")

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Seeded multi-writer CONTENTION stress for the CAS commit
+  * protocol — the invariants someone mapping `createLink` publishes
+  * to object-store conditional PUTs must be able to rely on:
+  * four concurrent appenders, a key-frame deleter, and a compactor
+  * race ~100 commits; afterwards the version history must be a
+  * gapless linear chain, no appended row may be lost or duplicated,
+  * every committed delete must have landed exactly, manifest row
+  * counts must stay exact at every sampled version, and change feeds
+  * over random version ranges must replay the content diff exactly
+  * (the EXCEPT-ALL-both-ways oracle, in-engine). */
+class TxTableStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory(
+      Paths.get(System.getProperty("java.io.tmpdir")), "txstress_")
+      .toString
+
+  private def rows(ids: Seq[Long]) =
+    ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+
+  test("~100 racing commits (4 appenders + deleter + compactor): " +
+      "linear history, no lost rows, exact feeds and row counts") {
+    val t = freshDir()
+    val seed = 20260816L
+    // victims are fully present BEFORE the race, so every delete
+    // commit removes exactly its range (no append/delete ambiguity)
+    val victims = (0L until 100L)
+    assert(TxTable.create(rows(victims), t))
+
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val appendsPerWriter = 20
+    val writers = 4
+    // appender w commits ids (w+1)*10000+k — disjoint from the
+    // victim space, so deletes and appends never race for one id
+    val appenders = (0 until writers).map { w =>
+      new Thread(() => {
+        val rnd = new Random(seed + w)
+        try {
+          for (b <- 0 until appendsPerWriter) {
+            TxTable.append(
+              rows(Seq((w + 1) * 10000L + 2 * b,
+                (w + 1) * 10000L + 2 * b + 1)),
+              t, retries = 200)
+            if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(8).toLong)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    // deleter removes 10 disjoint victim ranges of 10 ids each
+    val deleter = new Thread(() => {
+      val rnd = new Random(seed - 1)
+      try {
+        for (r <- 0 until 10) {
+          val ids = (r * 10L until r * 10L + 10L)
+          TxTable.deleteKeys(spark, t, ids.toDF("doc_id"),
+            retries = 200)
+          Thread.sleep(rnd.nextInt(15).toLong)
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    // compactor: best-effort maintenance, aborts on contention
+    @volatile var compactions = 0
+    val compactor = new Thread(() => {
+      val rnd = new Random(seed + 99)
+      try {
+        for (_ <- 0 until 6) {
+          if (TxTable.compact(spark, t).nonEmpty) compactions += 1
+          Thread.sleep(rnd.nextInt(40).toLong)
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    })
+
+    val all = appenders :+ deleter :+ compactor
+    all.foreach(_.start()); all.foreach(_.join())
+    assert(errors.isEmpty,
+      s"writer threads failed: ${errors.toArray.mkString("; ")}")
+
+    // 1) gapless linear version chain, every version replayable
+    val head = TxTable.latestVersion(t).get
+    val expectedCommits = 1 + writers * appendsPerWriter + 10 +
+      compactions
+    assert(head == expectedCommits,
+      s"version chain must be exactly one slot per committed write: " +
+        s"head=$head expected=$expectedCommits")
+    for (v <- 1L to head)
+      assert(TxTable.snapshot(t, Some(v)).nonEmpty,
+        s"gap in the version chain at v$v")
+
+    // 2) no lost / duplicated rows: victims minus deleted + appends
+    val appended = for (w <- 0 until writers;
+                        k <- 0 until appendsPerWriter * 2)
+      yield (w + 1) * 10000L + k
+    // the deleter removed ALL 100 victims (10 ranges x 10 ids)
+    val expected = appended.toSet
+    val got = TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(got.size == got.distinct.size,
+      "a CAS rebase duplicated rows")
+    assert(got.toSet == expected,
+      s"lost/phantom rows: missing=${expected -- got.toSet} " +
+        s"phantom=${got.toSet -- expected}")
+
+    // 3) manifest row counts exact at sampled versions
+    val rnd = new Random(seed)
+    val sampleVs = (Seq(1L, head) ++
+      Seq.fill(6)(1L + rnd.nextInt(head.toInt).toLong)).distinct
+    for (v <- sampleVs) {
+      val s = TxTable.snapshot(t, Some(v)).get
+      val n = TxTable.read(spark, t, Some(v)).count()
+      assert(s.totalRows.contains(n),
+        s"manifest row count at v$v: ${s.totalRows} != $n")
+    }
+
+    // 4) change feeds replay the content diff exactly over random
+    // ranges (inserts = read(b) \\ read(a), deletes = the reverse)
+    val pairs = Seq.fill(5) {
+      val a = rnd.nextInt(head.toInt).toLong      // 0..head-1
+      val b = a + 1 + rnd.nextInt((head - a).toInt)
+      (a, b)
+    }.distinct
+    for ((a, b) <- pairs) {
+      def content(v: Long) =
+        if (v == 0L) rows(Nil) else TxTable.read(spark, t, Some(v))
+      val feed = TxTable.changes(spark, t, a, b)
+      val ins = feed.filter(col("_change") === "insert")
+        .select("doc_id", "text")
+      val del = feed.filter(col("_change") === "delete")
+        .select("doc_id", "text")
+      val expIns = content(b).exceptAll(content(a))
+      val expDel = content(a).exceptAll(content(b))
+      assert(ins.exceptAll(expIns).isEmpty &&
+        expIns.exceptAll(ins).isEmpty,
+        s"feed($a,$b) inserts diverge from the content diff")
+      assert(del.exceptAll(expDel).isEmpty &&
+        expDel.exceptAll(del).isEmpty,
+        s"feed($a,$b) deletes diverge from the content diff")
+    }
+  }
+}

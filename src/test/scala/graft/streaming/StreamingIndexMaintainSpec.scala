@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.operators.Bm25
+import graft.sources.TxTable
+import org.apache.spark.sql.functions._
+
+/** S27: live BM25 index maintenance off the streamed commit log.
+  * After every stream drain the maintained postings table must equal
+  * the from-scratch build over the corpus head — across micro-batch
+  * groupings, restarts, a FORCED replay (checkpoint commit-marker
+  * deletion, the S24/S25 recipe), and maintenance commits
+  * (compaction folds zero). */
+class StreamingIndexMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(
+      Paths.get(System.getProperty("java.io.tmpdir")), prefix).toString
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def runOnce(corpus: String, index: String, cp: String): Unit = {
+    val q = StreamingIndexMaintain.start(spark, corpus, index,
+      appId = "s27_spec", checkpoint = cp)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def maintained(index: String): Set[(Long, String, Long, Long)] =
+    TxTable.read(spark, index).select("doc_id", "term", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+  private def rebuilt(corpus: String): Set[(Long, String, Long, Long)] =
+    Bm25.postings(TxTable.read(spark, corpus).select("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+
+  test("streamed maintenance tracks the corpus exactly across " +
+      "commits, restarts and a forced checkpoint replay") {
+    val (corpus, index, cp) = (tmp("s27_c_"), tmp("s27_i_"), tmp("s27_cp_"))
+    assert(TxTable.create(docs(1L -> "a b", 2L -> "b c"), corpus))
+    runOnce(corpus, index, cp)
+    assert(maintained(index) == rebuilt(corpus))
+
+    // several commits in ONE micro-batch: append + update + delete
+    TxTable.append(docs(3L -> "c d"), corpus)                  // v2
+    TxTable.merge(spark, corpus, docs(1L -> "a REPLACED"))     // v3
+    assert(TxTable.delete(spark, corpus, col("doc_id") === 2L) == 4L)
+    runOnce(corpus, index, cp)
+    assert(maintained(index) == rebuilt(corpus))
+    assert(maintained(index).filter(_._1 == 1L).map(_._2) ==
+      Set("a", "REPLACED"))
+    assert(maintained(index).forall(_._1 != 2L))
+
+    // compaction folds zero: content unchanged
+    assert(TxTable.compact(spark, corpus).contains(5L))
+    val before = maintained(index)
+    runOnce(corpus, index, cp)
+    assert(maintained(index) == before)
+
+    // forced replay: drop the newest checkpoint commit marker so the
+    // restarted query re-delivers its last micro-batch — the ledger
+    // guard must no-op every replayed version
+    val commits = Paths.get(cp, "commits")
+    val names = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    Files.list(commits).iterator().forEachRemaining(p =>
+      if (!p.getFileName.toString.startsWith(".")) names += p)
+    val victim = names.maxBy(_.getFileName.toString.toLong)
+    Files.delete(victim)
+    Files.deleteIfExists(
+      commits.resolve(s".${victim.getFileName.toString}.crc"))
+    val vBefore = TxTable.latestVersion(index).get
+    runOnce(corpus, index, cp)
+    assert(maintained(index) == rebuilt(corpus),
+      "replay must not perturb the maintained index")
+    assert(TxTable.latestVersion(index).get == vBefore,
+      "replayed versions must not commit new index versions")
+
+    // life goes on: a fresh commit streams through
+    TxTable.append(docs(9L -> "z z z"), corpus)                // v6
+    runOnce(corpus, index, cp)
+    assert(maintained(index) == rebuilt(corpus))
+    assert(maintained(index).exists(p => p._1 == 9L && p._3 == 3L))
+  }
+}
