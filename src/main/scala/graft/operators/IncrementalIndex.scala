@@ -76,32 +76,74 @@ object IncrementalIndex {
   def postings(docs: DataFrame): DataFrame =
     Bm25.postings(docs)
 
-  /** Create the (empty) postings index table. Idempotent: a lost
-    * create against an existing table is fine. */
-  def initBm25(spark: SparkSession, index: String): Unit =
+  /** Maintained SimHash fingerprint schema
+    * ([[ApproxDedup.simhashOf]]'s output, made durable — the
+    * near-dup screen's standing state). */
+  val simhashSchemaDdl: String = "doc_id BIGINT,simhash BIGINT"
+
+  /** Create an (empty) index table with `ddl`'s schema. Idempotent:
+    * a lost create against an existing table is fine. */
+  def init(spark: SparkSession, index: String, ddl: String,
+           idCol: String): Unit =
     if (TxTable.latestVersion(index).isEmpty)
-      require(TxTable.create(emptyFrame(spark, postingsSchemaDdl), index,
-        bucketKey = "doc_id") || TxTable.latestVersion(index).nonEmpty,
+      require(TxTable.create(emptyFrame(spark, ddl), index,
+        bucketKey = idCol) || TxTable.latestVersion(index).nonEmpty,
         s"could not initialize index table $index")
+
+  /** THE SHARED FOLD for any per-row-decomposable index — one whose
+    * rows are a function of single corpus rows (`rowsOf(A ⊎ B) =
+    * rowsOf(A) ⊎ rowsOf(B)`): fold the corpus transition (v−1 → v)
+    * into the index, exactly once per (appId, v). Retracts EVERY id
+    * the feed touches (deletes AND the delete half of updates; a
+    * pure insert's id matches nothing in the index), then appends
+    * `rowsOf` of the inserted rows under the source version's txn
+    * record. Returns the index version after the apply.
+    *
+    * Crash safety: the ledger guard covers the whole apply; a replay
+    * after the retract committed but before the append re-runs the
+    * retract (no-op — the rows are already gone and the guarded
+    * append has not re-added them) and completes the append. */
+  def applyDecomposable(spark: SparkSession, corpus: String,
+                        index: String, v: Long, appId: String,
+                        idCol: String, buckets: Int = 4)(
+      rowsOf: DataFrame => DataFrame): Long = {
+    if (TxTable.lastCommittedBatch(index, appId).exists(_ >= v))
+      return TxTable.latestVersion(index).getOrElse(0L)
+    val feed = TxTable.changes(spark, corpus, v - 1, v)
+    TxTable.deleteKeys(spark, index, feed.select(idCol),
+      key = idCol, bucketKey = idCol, buckets = buckets)
+    val ins = feed.filter(col("_change") === "insert")
+    TxTable.appendOnce(rowsOf(ins), index, appId, batchId = v,
+      bucketKey = idCol, buckets = buckets)
+  }
+
+  /** Create the (empty) postings index table. */
+  def initBm25(spark: SparkSession, index: String): Unit =
+    init(spark, index, postingsSchemaDdl, "doc_id")
 
   /** Fold the corpus transition (v−1 → v) into the postings index,
     * exactly once per (appId, v). Returns the index table's version
     * after the apply. */
   def applyBm25(spark: SparkSession, corpus: String, index: String,
                 v: Long, appId: String = "graft_bm25_index",
-                buckets: Int = 4): Long = {
-    if (TxTable.lastCommittedBatch(index, appId).exists(_ >= v))
-      return TxTable.latestVersion(index).getOrElse(0L)
-    val feed = TxTable.changes(spark, corpus, v - 1, v)
-    // retract EVERY id the feed touches (deletes AND the delete half
-    // of updates; a pure insert's id matches nothing in the index)
-    TxTable.deleteKeys(spark, index, feed.select("doc_id"),
-      key = "doc_id", bucketKey = "doc_id", buckets = buckets)
-    val ins = feed.filter(col("_change") === "insert")
-      .select("doc_id", "text")
-    TxTable.appendOnce(postings(ins), index, appId, batchId = v,
-      bucketKey = "doc_id", buckets = buckets)
-  }
+                buckets: Int = 4): Long =
+    applyDecomposable(spark, corpus, index, v, appId, "doc_id",
+      buckets)(ins => postings(ins.select("doc_id", "text")))
+
+  /** Create the (empty) SimHash fingerprint index table. */
+  def initSimhash(spark: SparkSession, index: String): Unit =
+    init(spark, index, simhashSchemaDdl, "doc_id")
+
+  /** Fold the corpus transition into the SimHash fingerprint index —
+    * the standing near-dup screen state ([[ApproxDedup.simhashOf]]
+    * per inserted doc; portable md5-derived fingerprints, so the
+    * maintained table is row-level DuckDB-replayable). */
+  def applySimhash(spark: SparkSession, corpus: String, index: String,
+                   v: Long, appId: String = "graft_simhash_index",
+                   buckets: Int = 4): Long =
+    applyDecomposable(spark, corpus, index, v, appId, "doc_id",
+      buckets)(ins => ApproxDedup.simhashOf(
+        ins.select("doc_id", "text")))
 
   /** The maintained index as a scorable [[Bm25.Index]]: postings
     * from the table's snapshot (head or time-traveled), idf/avgdl
@@ -128,10 +170,7 @@ object IncrementalIndex {
         buckets = 1) || TxTable.latestVersion(centroidsTable).nonEmpty,
         s"could not initialize centroids table $centroidsTable")
     }
-    if (TxTable.latestVersion(index).isEmpty)
-      require(TxTable.create(emptyFrame(spark, ivfSchemaDdl), index,
-        bucketKey = "vec_id") || TxTable.latestVersion(index).nonEmpty,
-        s"could not initialize index table $index")
+    init(spark, index, ivfSchemaDdl, "vec_id")
   }
 
   /** The pinned quantizer, loaded back (nCells rows — driver-bounded
@@ -149,17 +188,9 @@ object IncrementalIndex {
   def applyIvf(spark: SparkSession, corpus: String, index: String,
                centroids: Array[(Int, Seq[Float])], v: Long,
                appId: String = "graft_ivf_index",
-               buckets: Int = 4): Long = {
-    if (TxTable.lastCommittedBatch(index, appId).exists(_ >= v))
-      return TxTable.latestVersion(index).getOrElse(0L)
-    val feed = TxTable.changes(spark, corpus, v - 1, v)
-    TxTable.deleteKeys(spark, index, feed.select("vec_id"),
-      key = "vec_id", bucketKey = "vec_id", buckets = buckets)
-    val ins = feed.filter(col("_change") === "insert")
-      .select("vec_id", "embedding")
-    val assigned = AnnSearch.assignCells(ins, centroids)
-      .select("vec_id", "cell")
-    TxTable.appendOnce(assigned, index, appId, batchId = v,
-      bucketKey = "vec_id", buckets = buckets)
-  }
+               buckets: Int = 4): Long =
+    applyDecomposable(spark, corpus, index, v, appId, "vec_id",
+      buckets)(ins => AnnSearch.assignCells(
+        ins.select("vec_id", "embedding"), centroids)
+        .select("vec_id", "cell"))
 }

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.Origin
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -73,6 +73,19 @@ object TxSqlSupport {
 
   private[plans] def parseTs(s: String): Long =
     tsMillis(Literal(UTF8String.fromString(s), StringType))
+
+  /** Bucket key for a table's rewrites through the SQL face: the
+    * engine-wide default id column when present, else the first
+    * column (the manifest does not record the creation-time layout
+    * key; any column is CORRECT — layout only affects stats
+    * selectivity). */
+  private[plans] def bucketKeyOf(table: String): String = {
+    val schema = StructType.fromDDL(TxTable.snapshot(table).getOrElse(
+      throw new IllegalArgumentException(s"missing table $table"))
+      .schemaDdl)
+    if (schema.fieldNames.contains("doc_id")) "doc_id"
+    else schema.fieldNames.head
+  }
 }
 
 /** Opaque predicate holder: keeps the (unresolved) DELETE condition
@@ -85,6 +98,15 @@ final class TxPredHolder(val pred: Expression) {
   override def toString: String = pred.sql
 }
 
+/** Same opacity trick for arbitrary payloads a command carries past
+  * the analyzer (an unresolved source plan, assignment lists):
+  * resolution happens inside the command's own `run`, in a fresh
+  * analysis where the tx rules apply again (so a MERGE source may
+  * itself read tx tables). */
+final class TxOpaque[T](val value: T) {
+  override def toString: String = "…"
+}
+
 /** `DELETE FROM tx.`path` WHERE pred` → copy-on-write row delete.
   * Emits the committed version (unchanged head when nothing
   * matched — the no-op-delete contract of [[TxTable.delete]]). */
@@ -94,7 +116,8 @@ case class TxDeleteCommand(table: String, cond: TxPredHolder)
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxTable.delete(spark, table,
-      org.apache.spark.sql.GraftColumnBridge.column(cond.pred))))
+      org.apache.spark.sql.GraftColumnBridge.column(cond.pred),
+      bucketKey = TxSqlSupport.bucketKeyOf(table))))
 }
 
 /** `RESTORE [TABLE] tx.`path` TO VERSION n | TO TIMESTAMP AS OF ts`.
@@ -128,6 +151,91 @@ case class TxVacuumCommand(table: String, keepVersions: Int,
   }
 }
 
+/** `INSERT INTO | OVERWRITE tx.`path` [BY NAME] <query>` → append /
+  * content overwrite. Positional inserts rename-and-cast the query's
+  * output to the table schema (arity-checked); BY NAME selects the
+  * table's columns from the query output. Emits the committed
+  * version. */
+case class TxInsertCommand(table: String,
+                           query: TxOpaque[LogicalPlan],
+                           overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(spark, query.value)
+    val target = StructType.fromDDL(TxTable.snapshot(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"INSERT into missing table $table")).schemaDdl)
+    val shaped =
+      if (byName) {
+        val missing = target.fieldNames.toSet -- src.columns.toSet
+        require(missing.isEmpty,
+          s"INSERT BY NAME is missing table columns: $missing")
+        src.select(target.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(f.dataType).as(f.name)).toSeq: _*)
+      } else {
+        require(src.columns.length == target.fields.length,
+          s"INSERT arity ${src.columns.length} != table arity " +
+            s"${target.fields.length}")
+        src.select(src.columns.zip(target.fields).map { case (c, f) =>
+          org.apache.spark.sql.functions.col(c)
+            .cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    val bk = TxSqlSupport.bucketKeyOf(table)
+    val v =
+      if (overwrite) TxTable.overwrite(shaped, table, bucketKey = bk)
+      else TxTable.append(shaped, table, bucketKey = bk)
+    Seq(Row(v))
+  }
+}
+
+/** `UPDATE tx.`path` SET c = expr, … [WHERE pred]` →
+  * [[TxTable.update]]'s copy-on-write rewrite. Emits the committed
+  * version. */
+case class TxUpdateCommand(table: String,
+                           set: TxOpaque[Seq[(String, Expression)]],
+                           cond: TxPredHolder)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.GraftColumnBridge.column
+    Seq(Row(TxTable.update(spark, table, column(cond.pred),
+      set.value.map { case (n, e) => (n, column(e)) },
+      bucketKey = TxSqlSupport.bucketKeyOf(table))))
+  }
+}
+
+/** `MERGE INTO tx.`path` t USING <source> s ON t.k = s.k
+  * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+  * the canonical upsert form, routed to [[TxTable.merge]] (whole-row
+  * replace on match, insert otherwise — exactly the SET-star /
+  * INSERT-star semantics). Non-canonical clauses are refused at
+  * resolution with a clear message rather than silently
+  * approximated. */
+case class TxMergeCommand(table: String, key: String,
+                          source: TxOpaque[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(spark, source.value)
+    val target = StructType.fromDDL(TxTable.snapshot(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"MERGE into missing table $table")).schemaDdl)
+    require(src.columns.toSet == target.fieldNames.toSet,
+      s"MERGE source columns ${src.columns.toSet} != table columns " +
+        s"${target.fieldNames.toSet} (SET * / INSERT * requires the " +
+        "full row)")
+    Seq(Row(TxTable.merge(spark, table, src, key)))
+  }
+}
+
 /** Analyzer resolution rule: gives `tx.`path`` references, Spark's
   * native `VERSION AS OF` / `TIMESTAMP AS OF` clauses, and
   * `DELETE FROM` statements their TxTable meaning. Injected via
@@ -141,6 +249,17 @@ case class TxRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     org.apache.spark.sql.GraftColumnBridge.analyzed(
       TxTable.read(spark, path, version))
 
+  /** A tx.`path` reference, optionally under the alias a DML
+    * statement's `tx.`p` t` form parses to. */
+  private object TxRel {
+    def unapply(plan: LogicalPlan): Option[String] = plan match {
+      case u: UnresolvedRelation =>
+        TxSqlSupport.txPath(u.multipartIdentifier)
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
   // TOP-DOWN: DeleteFromTable / RelationTimeTravel wrap the
   // UnresolvedRelation as a child — the parent must claim the match
   // before the bare-relation case rewrites the child out from under
@@ -148,10 +267,50 @@ case class TxRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // pattern would never fire).
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
-      case DeleteFromTable(u: UnresolvedRelation, cond)
-          if TxSqlSupport.txPath(u.multipartIdentifier).isDefined =>
-        TxDeleteCommand(TxSqlSupport.txPath(u.multipartIdentifier).get,
-          new TxPredHolder(cond))
+      case DeleteFromTable(TxRel(path), cond) =>
+        TxDeleteCommand(path, new TxPredHolder(cond))
+      case InsertIntoStatement(TxRel(path), parts, cols,
+          query, overwrite, _, byName) =>
+        require(parts.isEmpty,
+          "tx tables have no partition spec — INSERT without PARTITION")
+        require(cols.isEmpty,
+          "tx INSERT takes the full row (positional or BY NAME), " +
+            "not a column list")
+        TxInsertCommand(path, new TxOpaque(query), overwrite, byName)
+      case UpdateTable(TxRel(path), assignments, cond) =>
+        val set = assignments.map {
+          case Assignment(k: UnresolvedAttribute, v)
+              if k.nameParts.length == 1 =>
+            (k.nameParts.head, v)
+          case a => throw new IllegalArgumentException(
+            s"tx UPDATE supports top-level column assignments only: " +
+              s"${a.sql}")
+        }
+        TxUpdateCommand(path, new TxOpaque(set),
+          new TxPredHolder(cond.getOrElse(Literal(true))))
+      case MergeIntoTable(TxRel(path), source, mergeCond,
+          matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
+        val canonical =
+          (matched match {
+            case Seq(UpdateStarAction(None)) => true
+            case _ => false
+          }) && (notMatched match {
+            case Seq(InsertStarAction(None)) => true
+            case _ => false
+          }) && notMatchedBySource.isEmpty && !withSchemaEvolution
+        require(canonical,
+          "tx MERGE supports the canonical upsert only: WHEN MATCHED " +
+            "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+            "(no clause conditions, no NOT MATCHED BY SOURCE)")
+        val key = mergeCond match {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if a.nameParts.last == b.nameParts.last =>
+            a.nameParts.last
+          case other => throw new IllegalArgumentException(
+            "tx MERGE requires ON target.k = source.k on one shared " +
+              s"key column, got: ${other.sql}")
+        }
+        TxMergeCommand(path, key, new TxOpaque(source))
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           if TxSqlSupport.txPath(u.multipartIdentifier).isDefined =>
         val path = TxSqlSupport.txPath(u.multipartIdentifier).get

@@ -109,6 +109,21 @@ object IndexQueries {
       (corpus, index, ivs, Long.box(diff))
     }
 
+  /** SimHash index over the SAME lifecycle corpus as [[bm25Fixture]]
+    * (the fixture memo hands back the corpus dir — built once),
+    * maintained transition by transition. Returns the index dir. */
+  private def simhashFixture(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"index_sh_fixture:$d") {
+      val (corpus, _, _, _) = bm25Fixture(s, d)
+      val index = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_idxsh_").toString
+      IncrementalIndex.initSimhash(s, index)
+      (1L to 5L).foreach(v =>
+        IncrementalIndex.applySimhash(s, corpus, index, v))
+      index
+    }
+
   /** Tall (chk, value) fingerprint rows for one index version. */
   private def tall(pairs: Seq[(String, org.apache.spark.sql.Column)])
       : Seq[org.apache.spark.sql.Column] =
@@ -164,6 +179,19 @@ object IndexQueries {
         .filter(col("rk") <= 10)
         .select("query_id", "doc_id", "score", "rk")
         .orderBy("query_id", "rk")
+    }),
+
+    // The maintained SimHash near-dup index at corpus head, emitted
+    // ROW-LEVEL: every (doc_id, fingerprint) must equal DuckDB's
+    // bit-for-bit md5-vote replay over the lifecycle's final content
+    // — the strongest possible gate (no summary, no flag: each of
+    // the 64 bits of every maintained fingerprint is checked). At
+    // 100 TB this table IS the dedup screen's standing state; a
+    // corpus commit costs its churn, not a re-fingerprint pass.
+    "q_index_incremental_simhash" -> ((s, d) => {
+      val index = simhashFixture(s, d)
+      TxTable.read(s, index).select("doc_id", "simhash")
+        .orderBy("doc_id")
     }),
 
     // Maintained IVF assignment fingerprints per corpus version +
@@ -308,6 +336,42 @@ object IndexQueries {
         |SELECT query_id, doc_id, score, rk
         |FROM ranked WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin,
+
+    // Bit-for-bit md5-vote fingerprint replay over the lifecycle
+    // head (v4 content): same portable-simhash CTEs as
+    // q_dedup_simhash's oracle, re-pointed at the replayed corpus.
+    "q_index_incremental_simhash" -> {
+      val votes = (0 until 60).map(j =>
+        s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val fold = (0 until 60).map(j =>
+        s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" | ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN text || ' v3' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 3 IN (0, 1)
+         |    AND NOT (lang = 'de' OR doc_id % 7 = 3)
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 2 AND doc_id < 60
+         |    AND NOT (lang = 'de' OR doc_id % 7 = 3)),
+         |toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+         |    AS tok
+         |  FROM corpus),
+         |h AS (
+         |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT
+         |    AS th
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $fold AS simhash FROM votes)
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+    },
 
     // Replays the embeddings corpus lifecycle's vector sets: counts
     // and id sums per version; assignment exactness rides the

@@ -135,6 +135,51 @@ object TxQueries {
       dir
     }
 
+  /** SQL-DML fixture: the WRITE side of the SQL face — v2 `INSERT
+    * INTO … SELECT`, v3 `UPDATE … SET … WHERE` (the copy-on-write
+    * [[TxTable.update]] verb), v4 canonical `MERGE INTO … UPDATE SET
+    * * / INSERT *`, v5 `INSERT OVERWRITE`. Every statement's
+    * committed version is require-checked. The merge source's
+    * matched keys (doc_id%12=4) are disjoint from v3's update set
+    * (%6=0 is even, %12=4 is ≡4 mod 6), so the oracle replay is
+    * unambiguous. */
+  private def dmlTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_dml_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txdml_").toString
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      docs.createOrReplaceTempView("graft_dml_docs")
+      require(TxTable.create(
+        docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
+      def one(sql: String): Long = s.sql(sql).head.getLong(0)
+      require(one(
+        s"""INSERT INTO tx.`$dir`
+           |SELECT doc_id, lang, text FROM graft_dml_docs
+           |WHERE doc_id % 3 = 1""".stripMargin) == 2L,
+        "SQL INSERT must land as v2")
+      require(one(
+        s"""UPDATE tx.`$dir` SET text = concat(text, ' u3')
+           |WHERE doc_id % 6 = 0""".stripMargin) == 3L,
+        "SQL UPDATE must land as v3")
+      require(one(
+        s"""MERGE INTO tx.`$dir` t
+           |USING (SELECT doc_id, lang, concat('m: ', text) AS text
+           |       FROM graft_dml_docs
+           |       WHERE doc_id % 12 = 4
+           |          OR (doc_id % 3 = 2 AND doc_id < 40)) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin) == 4L,
+        "SQL MERGE must land as v4")
+      require(one(
+        s"""INSERT OVERWRITE tx.`$dir`
+           |SELECT doc_id, lang, text FROM graft_dml_docs
+           |WHERE doc_id % 5 = 0""".stripMargin) == 5L,
+        "SQL INSERT OVERWRITE must land as v5")
+      dir
+    }
+
   /** Fifth fixture, for the clustered-compaction/file-skipping key:
     * v1 create (%3=0, hash-bucketed), v2 append (%3=1), v3 CLUSTERED
     * compaction (range-partitioned + sorted on doc_id) — the layout
@@ -469,6 +514,27 @@ object TxQueries {
         .orderBy("version")
     }),
 
+    // THE SQL WRITE PATH under the hash gate: INSERT INTO, row-level
+    // UPDATE (the copy-on-write TxTable.update verb), canonical
+    // MERGE INTO, and INSERT OVERWRITE — the full DML lifecycle
+    // driven through spark.sql, fingerprinted per version via SQL
+    // time travel, replayed logically in DuckDB. Update/merge
+    // interactions are deliberately disjoint (see the fixture doc)
+    // so the replay is exact.
+    "q_corpus_sql_dml" -> ((s, d) => {
+      val t = dmlTable(s, d)
+      (1L to 5L).map { v =>
+        s.sql(
+          s"""SELECT $v AS version, COUNT(*) AS n_docs,
+             |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+             |FROM tx.`$t` VERSION AS OF $v""".stripMargin)
+      }.reduce(_ unionByName _)
+        .select(col("version").cast("long").as("version"), col("n_docs"),
+          col("n_chars"), col("sum_ids"))
+        .orderBy("version")
+    }),
+
     // CLUSTERED COMPACTION + manifest-level file skipping: after the
     // range-clustered rewrite, each file owns a doc_id slice and
     // readKeyRange prunes disjoint files from the MANIFEST's
@@ -729,6 +795,45 @@ object TxQueries {
         |  UNION ALL SELECT 3, * FROM v3
         |  UNION ALL SELECT 4, * FROM v2
         |  UNION ALL SELECT 5, * FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
+
+    // The SQL DML lifecycle replayed logically: v2 adds the %3=1
+    // slice, v3 appends ' u3' to %6=0 texts, v4 replaces %12=4 rows
+    // with 'm: '||original (disjoint from v3's evens-only update
+    // set… %12=4 is ≡4 mod 6) and inserts the %3=2 <40 rows with the
+    // same prefix, v5 overwrites to the %5=0 slice.
+    "q_corpus_sql_dml" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' u3' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |v4 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 12 = 4 THEN 'm: ' || text
+        |         WHEN doc_id % 6 = 0 THEN text || ' u3'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, 'm: ' || text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 40),
+        |v5 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |versions AS (
+        |  SELECT 1 AS version, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v4
+        |  UNION ALL SELECT 5, * FROM v5)
         |SELECT CAST(version AS BIGINT) AS version,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,

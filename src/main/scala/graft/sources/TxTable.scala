@@ -840,6 +840,100 @@ object TxTable {
       s"delete lost $retries CAS rounds on $table")
   }
 
+  /** Row-level UPDATE — standard SQL semantics: rows where `pred`
+    * is TRUE get each `set` column replaced by its expression
+    * (evaluated against the OLD row, cast to the column's declared
+    * type); FALSE and NULL rows pass through untouched. A
+    * copy-on-write rewrite of ONLY the files containing matching
+    * rows, like [[delete]]: phase 1 collects touched files with the
+    * predicate pushed to the scan (O(files) driver state), phase 2
+    * rewrites them with a per-column `when(pred, value)` projection,
+    * untouched files carry over verbatim. Updates surface in
+    * [[changes]] as delete(old row)+insert(new row) per touched row
+    * (carried rows cancel in the signed diff). A no-match update
+    * commits nothing. Returns the committed (or unchanged) version.
+    * Set columns must exist; assignments cannot target the table's
+    * bucket key's type-unsafely (values are cast, a failing cast
+    * surfaces as the scan error it is). */
+  def update(spark: SparkSession, table: String, pred: Column,
+             set: Seq[(String, Column)], bucketKey: String = "doc_id",
+             buckets: Int = 4, retries: Int = 20): Long = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"update of missing table $table"))
+      if (head.files.isEmpty) return head.version
+      val schema = StructType.fromDDL(head.schemaDdl)
+      val setMap = set.toMap
+      val unknown = setMap.keySet -- schema.fieldNames.toSet
+      require(unknown.isEmpty, s"update SET of unknown columns: $unknown")
+      val touchedUris = spark.read.schema(schema)
+        .parquet(head.files: _*)
+        .filter(coalesce(pred, lit(false)))
+        .select(input_file_name().as("_f")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath)
+        .toSet
+      val touched = head.files.filter(f =>
+        touchedUris.contains(Paths.get(f).toAbsolutePath.toString))
+      if (touched.isEmpty) return head.version
+      val rewritten = spark.read.schema(schema).parquet(touched: _*)
+        .select(schema.fields.map { fld =>
+          setMap.get(fld.name) match {
+            case Some(v) =>
+              when(coalesce(pred, lit(false)), v.cast(fld.dataType))
+                .otherwise(col(fld.name)).as(fld.name)
+            case None => col(fld.name)
+          }
+        }.toSeq: _*)
+      val (newFiles, newStats) =
+        writeData(rewritten, table, bucketKey, buckets)
+      val untouchedRel = head.files.filterNot(touched.contains)
+        .map(f => root(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "update", head.schemaDdl,
+          untouchedRel ++ newFiles, carriedTxns(table, head),
+          relStats(table, head, Some(untouchedRel.toSet)) ++ newStats))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"update lost $retries CAS rounds on $table")
+  }
+
+  /** OVERWRITE the table's content with `df`'s rows in one commit
+    * (the INSERT OVERWRITE verb): the new manifest references ONLY
+    * the new files — previous content expires into history (still
+    * time-travelable until vacuumed), the schema stays the table's
+    * (df must carry exactly its columns). The change feed across an
+    * overwrite nets old∖new deletes + new∖old inserts like any
+    * copy-on-write commit. Returns the committed version. */
+  def overwrite(df: DataFrame, table: String,
+                bucketKey: String = "doc_id", buckets: Int = 4,
+                retries: Int = 20): Long = {
+    val head0 = snapshot(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"overwrite of missing table $table"))
+    val expect = StructType.fromDDL(head0.schemaDdl).fieldNames.toSet
+    require(df.columns.toSet == expect,
+      s"overwrite columns ${df.columns.toSet} != table columns $expect")
+    val (files, newStats) = writeData(
+      df.select(StructType.fromDDL(head0.schemaDdl).fieldNames
+        .map(col).toSeq: _*), table, bucketKey, buckets)
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"overwrite of missing table $table"))
+      if (publish(table, head.version + 1, "overwrite", head.schemaDdl,
+          files, carriedTxns(table, head), newStats))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"overwrite lost $retries CAS rounds on $table")
+  }
+
   /** Row-level DELETE of every row whose `key` appears in `keys` —
     * the KEY-FRAME form of [[delete]] an incremental consumer issues
     * when the keys to retract arrive as a DataFrame (a change feed's

@@ -105,6 +105,25 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(fromMaintained.nonEmpty)
   }
 
+  test("SimHash fingerprint maintenance equals the from-scratch " +
+      "fingerprints across updates and deletes") {
+    val (corpus, index) = (tmp("iish_c_"), tmp("iish_i_"))
+    assert(TxTable.create(
+      docs(1L -> "alpha beta", 2L -> "gamma delta"), corpus))
+    TxTable.merge(spark, corpus, docs(1L -> "alpha CHANGED", 3L -> "eps"))
+    assert(TxTable.delete(spark, corpus, col("doc_id") === 2L) == 3L)
+    IncrementalIndex.initSimhash(spark, index)
+    for (v <- 1L to 3L)
+      IncrementalIndex.applySimhash(spark, corpus, index, v)
+    val maintained = TxTable.read(spark, index)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
+    val expected = ApproxDedup.simhashOf(
+      TxTable.read(spark, corpus).select("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(maintained == expected)
+    assert(maintained.map(_._1) == Set(1L, 3L))
+  }
+
   test("IVF assignment maintenance equals pinned-centroid rebuild " +
       "across append / key delete / compaction") {
     val (corpus, index, cents) =

@@ -1,0 +1,153 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.TxTable
+import org.apache.spark.sql.functions._
+
+/** The SQL WRITE path for tx tables: INSERT INTO / INSERT OVERWRITE
+  * (positional and BY NAME), row-level UPDATE (the copy-on-write
+  * [[TxTable.update]] verb), canonical MERGE INTO — plus the refusal
+  * paths (partition specs, column lists, nested assignments,
+  * non-canonical merge clauses) failing with clear messages instead
+  * of silent approximations. */
+class TxSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory(
+      Paths.get(System.getProperty("java.io.tmpdir")), "txdml_")
+      .toString
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def contents(t: String): Map[Long, String] =
+    TxTable.read(spark, t).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+
+  test("INSERT INTO appends (positional rename+cast and BY NAME); " +
+      "INSERT OVERWRITE replaces content, history intact") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L -> "a"), t))
+    // positional: different output names, int id cast to long
+    val v2 = spark.sql(
+      s"INSERT INTO tx.`$t` SELECT 2 AS i, 'b' AS s").head.getLong(0)
+    assert(v2 == 2L)
+    // BY NAME: shuffled column order
+    val v3 = spark.sql(
+      s"INSERT INTO tx.`$t` BY NAME SELECT 'c' AS text, 3L AS doc_id")
+      .head.getLong(0)
+    assert(v3 == 3L)
+    assert(contents(t) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    val v4 = spark.sql(
+      s"INSERT OVERWRITE tx.`$t` SELECT 9L, 'z'").head.getLong(0)
+    assert(v4 == 4L)
+    assert(contents(t) == Map(9L -> "z"))
+    assert(TxTable.read(spark, t, Some(3L)).count() == 3L,
+      "overwritten history must stay time-travelable")
+  }
+
+  test("UPDATE rewrites matching rows in place: SET expressions see " +
+      "the OLD row, NULL predicates leave rows untouched, values " +
+      "cast to the column type") {
+    val t = freshDir()
+    assert(TxTable.create(
+      Seq((1L, "x", 10L), (2L, null, 20L), (3L, "y", 30L))
+        .toDF("doc_id", "text", "n"), t))
+    val v = spark.sql(
+      s"""UPDATE tx.`$t` SET n = n + 1, text = concat(text, '!')
+         |WHERE length(text) = 1""".stripMargin).head.getLong(0)
+    assert(v == 2L)
+    val rows = TxTable.read(spark, t)
+      .select("doc_id", "text", "n").as[(Long, String, Long)]
+      .collect().toSet
+    // row 2's NULL text fails the predicate -> untouched
+    assert(rows == Set((1L, "x!", 11L), (2L, null, 20L), (3L, "y!", 31L)))
+    // no-match UPDATE commits nothing
+    assert(spark.sql(s"UPDATE tx.`$t` SET n = 0 WHERE doc_id > 99")
+      .head.getLong(0) == 2L)
+    assert(TxTable.latestVersion(t).contains(2L))
+    // UPDATE without WHERE touches every row
+    assert(spark.sql(s"UPDATE tx.`$t` SET n = 7").head.getLong(0) == 3L)
+    assert(TxTable.read(spark, t).select("n").as[Long]
+      .collect().toSet == Set(7L))
+  }
+
+  test("canonical MERGE INTO upserts whole rows; update feeds " +
+      "surface in the change feed") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L -> "old", 2L -> "keep"), t))
+    val v = spark.sql(
+      s"""MERGE INTO tx.`$t` t
+         |USING (SELECT 1L AS doc_id, 'new' AS text
+         |       UNION ALL SELECT 5L, 'ins') s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head.getLong(0)
+    assert(v == 2L)
+    assert(contents(t) == Map(1L -> "new", 2L -> "keep", 5L -> "ins"))
+    val feed = TxTable.changes(spark, t, 1L, 2L)
+      .select("_change", "doc_id").as[(String, Long)].collect().toSet
+    assert(feed == Set(("delete", 1L), ("insert", 1L), ("insert", 5L)))
+  }
+
+  test("refusal paths: partition specs, column lists, nested " +
+      "assignments, and non-canonical merge clauses fail loudly") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L -> "a"), t))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO tx.`$t` PARTITION (p=1) SELECT 2L, 'b'")
+    }
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO tx.`$t` (doc_id) SELECT 2L")
+    }
+    intercept[Exception] { // non-canonical: matched DELETE
+      spark.sql(
+        s"""MERGE INTO tx.`$t` t USING (SELECT 1L AS doc_id, 'x' AS text) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    intercept[Exception] { // non-equality merge condition
+      spark.sql(
+        s"""MERGE INTO tx.`$t` t USING (SELECT 1L AS doc_id, 'x' AS text) s
+           |ON t.doc_id < s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // table unchanged by any refused statement
+    assert(contents(t) == Map(1L -> "a"))
+    assert(TxTable.latestVersion(t).contains(1L))
+  }
+
+  test("DML works on tables without a doc_id column (bucket key " +
+      "derived from the table schema)") {
+    val t = freshDir()
+    assert(TxTable.create(
+      Seq(("a", 1L), ("b", 2L)).toDF("id", "v"), t,
+      bucketKey = "id"))
+    assert(spark.sql(s"INSERT INTO tx.`$t` SELECT 'c', 3L")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(s"UPDATE tx.`$t` SET v = v * 10 WHERE id = 'a'")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(s"DELETE FROM tx.`$t` WHERE id = 'b'")
+      .head.getLong(0) == 4L)
+    val rows = TxTable.read(spark, t).select("id", "v")
+      .as[(String, Long)].collect().toSet
+    assert(rows == Set(("a", 10L), ("c", 3L)))
+  }
+
+  test("a MERGE source may itself read tx tables (nested resolution " +
+      "in the command's own analysis)") {
+    val (t, src) = (freshDir(), freshDir())
+    assert(TxTable.create(docs(1L -> "old"), t))
+    assert(TxTable.create(docs(1L -> "from-src", 2L -> "ins"), src))
+    spark.sql(
+      s"""MERGE INTO tx.`$t` t USING (SELECT * FROM tx.`$src`) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(contents(t) == Map(1L -> "from-src", 2L -> "ins"))
+  }
+}

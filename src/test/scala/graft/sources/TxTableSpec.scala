@@ -638,6 +638,32 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, t2).count() == 39L)
   }
 
+  test("update rewrites only the files containing matches and " +
+      "surfaces as delete+insert in the change feed") {
+    val t = freshDir()
+    assert(TxTable.create(
+      (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      t, buckets = 4))
+    assert(TxTable.compact(spark, t, buckets = 4, rangeCluster = true)
+      .contains(2L))
+    val before = TxTable.snapshot(t).get.files.toSet
+    assert(TxTable.update(spark, t,
+      col("doc_id").between(10L, 12L),
+      Seq("text" -> concat(col("text"), lit("-u")))) == 3L)
+    val after = TxTable.snapshot(t).get.files.toSet
+    assert(before.intersect(after).size == before.size - 1,
+      "exactly one clustered file holds ids 10..12")
+    val updated = TxTable.read(spark, t)
+      .filter(col("doc_id").between(10L, 12L))
+      .select("text").as[String].collect().sorted.toSeq
+    assert(updated == Seq("t10-u", "t11-u", "t12-u"))
+    assert(TxTable.read(spark, t).count() == 100L)
+    val feed = TxTable.changes(spark, t, 2L, 3L)
+      .groupBy("_change").count().as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 3L, "insert" -> 3L),
+      s"update feed must net to per-row replace: $feed")
+  }
+
   test("empty table states read back with the schema intact") {
     val t = freshDir()
     assert(TxTable.create(docs().toDF("doc_id", "text")
