@@ -210,9 +210,21 @@ object AnnSearch {
       trainQuantizer(e, nCentroids, kmeansIters))
     // assignment: argmax similarity over the broadcast centroid
     // array; only qualifying vectors become candidates (pre-filter)
-    val assigned = assignCells(e.filter(candidateFilter), centroids)
+    ivfTopKFrom(assignCells(e.filter(candidateFilter), centroids),
+      e, centroids, k, nProbe)
+  }
+
+  /** The probe/score/top-k core of [[ivfTopK]] over an ALREADY
+    * cell-assigned candidate frame (vec_id, embedding, cell) — the
+    * entry point a MAINTAINED assignment index feeds
+    * ([[IncrementalIndex.searchIvf]]) instead of re-assigning the
+    * corpus per session. `queries` is (vec_id, embedding). */
+  private[graft] def ivfTopKFrom(assigned: DataFrame,
+                                 queries: DataFrame,
+                                 centroids: Array[(Int, Seq[Float])],
+                                 k: Int, nProbe: Int): DataFrame = {
     // probes: top-nProbe cells per query vector
-    val probed = probeCells(e, centroids, nProbe)
+    val probed = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos_sim").desc, col("b_id").asc)
     // No distinct needed: each candidate is assigned exactly one cell

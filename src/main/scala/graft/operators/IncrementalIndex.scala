@@ -182,6 +182,27 @@ object IncrementalIndex {
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
 
+  /** ANN top-k SERVED FROM THE MAINTAINED INDEX: the assignment
+    * table routes (cell per vec_id), the corpus table supplies the
+    * vectors — both TxTables bucketed on vec_id, so the
+    * re-attachment join is co-partitioned on a cluster with
+    * bucket-aware scans. No per-session re-assignment of the corpus:
+    * the session cost is loading nCells centroids. Results are
+    * identical to [[AnnSearch.ivfTopK]] over the same content and
+    * pinned quantizer (spec-gated). */
+  def searchIvf(spark: SparkSession, corpus: String, index: String,
+                centroidsTable: String,
+                queryPred: org.apache.spark.sql.Column, k: Int = 5,
+                nProbe: Int = 2): DataFrame = {
+    val cents = loadCentroids(spark, centroidsTable)
+    val e = TxTable.read(spark, corpus).select("vec_id", "embedding")
+    val assigned = TxTable.read(spark, index)
+      .join(e, Seq("vec_id"))
+      .select("vec_id", "embedding", "cell")
+    AnnSearch.ivfTopKFrom(assigned, e.filter(queryPred), cents, k,
+      nProbe)
+  }
+
   /** Fold the corpus transition (v−1 → v) into the IVF assignment
     * index against the pinned centroids, exactly once per
     * (appId, v). Returns the index version after the apply. */

@@ -152,5 +152,18 @@ class IncrementalIndexSpec extends SparkSpec {
       .select("vec_id", "cell").as[(Long, Int)].collect().toSet
     assert(maintained == expected)
     assert(maintained.map(_._1) == Set(0L, 2L, 3L, 5L, 6L))
+
+    // search served from the maintained index == ivfTopK over the
+    // same content and pinned quantizer, neighbor for neighbor
+    val fromIndex = IncrementalIndex.searchIvf(spark, corpus, index,
+      cents, queryPred = col("vec_id") < 3L, k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val direct = AnnSearch.ivfTopK(TxTable.read(spark, corpus), k = 3,
+      maxId = Long.MaxValue, nProbe = 2, index = Some(quant))
+      .filter(col("a_id") < 3L)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(fromIndex == direct, "maintained-index search must equal " +
+      s"the direct IVF search: $fromIndex vs $direct")
+    assert(fromIndex.nonEmpty)
   }
 }
