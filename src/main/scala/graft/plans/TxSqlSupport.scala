@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.Origin
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -148,6 +148,61 @@ case class TxVacuumCommand(table: String, keepVersions: Int,
   override def run(spark: SparkSession): Seq[Row] = {
     val st = TxTable.vacuumRetain(table, keepVersions, graceMs)
     Seq(Row(st.expiredManifests.toLong, st.removedDataFiles.toLong))
+  }
+}
+
+/** `CREATE TABLE tx.`path` AS <query>` — table birth through SQL,
+  * completing the pure-SQL lifecycle (create → ingest → curate →
+  * undo → retire without touching the Scala API). Bucket key:
+  * `doc_id` when the query provides one, else the first output
+  * column (layout only affects stats selectivity, never
+  * correctness). `IF NOT EXISTS` no-ops against an existing table;
+  * otherwise an existing table is an error. Emits version 1 (or the
+  * existing head under IF NOT EXISTS). */
+case class TxCreateCommand(table: String,
+                           query: TxOpaque[LogicalPlan],
+                           ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.latestVersion(table) match {
+      case Some(v) =>
+        if (ignoreIfExists) return Seq(Row(v))
+        throw new IllegalArgumentException(
+          s"tx table already exists: $table (use IF NOT EXISTS)")
+      case None => ()
+    }
+    val df = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(spark, query.value)
+    val bk = if (df.columns.contains("doc_id")) "doc_id"
+      else df.columns.head
+    val won = TxTable.create(df, table, bucketKey = bk)
+    if (!won && !ignoreIfExists) throw new IllegalStateException(
+      s"lost the create race for $table")
+    Seq(Row(TxTable.latestVersion(table).getOrElse(1L)))
+  }
+}
+
+/** `DESCRIBE HISTORY tx.`path`` — the audit verb: one row per
+  * RETAINED version, newest first (expired manifests are absent by
+  * definition of retention). n_rows is NULL when any file of that
+  * version predates row-count manifests. */
+case class TxHistoryCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("ts_millis", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val head = TxTable.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"DESCRIBE HISTORY of missing table $table"))
+    (head to 1L by -1L).flatMap(v =>
+      TxTable.snapshot(table, Some(v)).map(s =>
+        Row(v, s.op, s.tsMillis, s.files.size.toLong,
+          s.totalRows.map(Long.box).orNull)))
   }
 }
 
@@ -349,6 +404,8 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^VERSION\s+(?:AS\s+OF\s+)?(\d+)$""".r
   private val restoreTsRe =
     """(?is)^TIMESTAMP\s+AS\s+OF\s+'([^']+)'$""".r
+  private val historyRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+tx\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val vacuumRe =
     ("""(?is)^\s*VACUUM\s+tx\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+""" +
       """VERSIONS(?:\s+GRACE\s+(\d+)\s+MILLISECONDS)?\s*;?\s*$""").r
@@ -356,7 +413,8 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
   // claim it (error), do not let it fall through to the delegate's
   // unrelated error message
   private val claimedRe =
-    """(?is)^\s*(?:RESTORE|VACUUM)\s+(?:TABLE\s+)?tx\s*\.\s*`.*""".r
+    ("""(?is)^\s*(?:RESTORE|VACUUM|DESCRIBE\s+HISTORY)\s+""" +
+      """(?:TABLE\s+)?tx\s*\.\s*`.*""").r
 
   private def fail(sql: String, hint: String): Nothing =
     throw new ParseException(Some(sql), Origin(), "PARSE_SYNTAX_ERROR",
@@ -373,14 +431,29 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
         "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n " +
           "or TO TIMESTAMP AS OF 'ts'")
     }
+    case historyRe(path) => TxHistoryCommand(path)
     case vacuumRe(path, keep, grace) =>
       TxVacuumCommand(path, keep.toInt,
         Option(grace).map(_.toLong).getOrElse(0L))
     case claimedRe() => fail(sqlText,
       "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n | " +
-        "TO TIMESTAMP AS OF 'ts', or VACUUM tx.`path` RETAIN n " +
-        "VERSIONS [GRACE m MILLISECONDS]")
-    case _ => delegate.parsePlan(sqlText)
+        "TO TIMESTAMP AS OF 'ts', VACUUM tx.`path` RETAIN n " +
+        "VERSIONS [GRACE m MILLISECONDS], or DESCRIBE HISTORY " +
+        "tx.`path`")
+    // CTAS must be claimed AT PARSE TIME: the built-in
+    // session-catalog resolution would otherwise convert it to a v1
+    // catalog command before any extension resolution rule runs
+    case _ => delegate.parsePlan(sqlText) match {
+      case CreateTableAsSelect(ui: UnresolvedIdentifier, partitioning,
+          query, _, _, ignoreIfExists, _)
+          if TxSqlSupport.txPath(ui.nameParts).isDefined =>
+        if (partitioning.nonEmpty) fail(sqlText,
+          "tx tables take no PARTITIONED BY — layout comes from " +
+            "clustered compaction")
+        TxCreateCommand(TxSqlSupport.txPath(ui.nameParts).get,
+          new TxOpaque(query), ignoreIfExists)
+      case p => p
+    }
   }
 
   override def parseQuery(sqlText: String): LogicalPlan =

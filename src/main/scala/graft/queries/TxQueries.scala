@@ -535,6 +535,19 @@ object TxQueries {
         .orderBy("version")
     }),
 
+    // DESCRIBE HISTORY — the audit verb, gated on its replayable
+    // columns (version, op, exact manifest row count) over the SQL
+    // DML lifecycle. The op sequence pins that every statement
+    // routed to the verb it claims (a DELETE that silently appended
+    // would flip its op), and n_rows pins the manifests' O(1) row
+    // counts against DuckDB's recount of each version's content.
+    "q_corpus_history" -> ((s, d) => {
+      val t = dmlTable(s, d)
+      s.sql(s"DESCRIBE HISTORY tx.`$t`")
+        .select(col("version"), col("op"), col("n_rows"))
+        .orderBy("version")
+    }),
+
     // CLUSTERED COMPACTION + manifest-level file skipping: after the
     // range-clustered rewrite, each file owns a doc_id slice and
     // readKeyRange prunes disjoint files from the MANIFEST's
@@ -839,6 +852,23 @@ object TxQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM versions GROUP BY version
+        |ORDER BY version""".stripMargin,
+
+    // Version/op/row-count audit replay of the DML lifecycle.
+    "q_corpus_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+        |    AS n_rows
+        |UNION ALL SELECT 2, 'append',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 IN (0, 1))
+        |UNION ALL SELECT 3, 'update',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 IN (0, 1))
+        |UNION ALL SELECT 4, 'merge',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 IN (0, 1))
+        |  + (SELECT COUNT(*) FROM documents
+        |     WHERE doc_id % 3 = 2 AND doc_id < 40)
+        |UNION ALL SELECT 5, 'overwrite',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0)
         |ORDER BY version""".stripMargin,
 
     // Independent CDC replay of the delete: EXCEPT ALL both ways per

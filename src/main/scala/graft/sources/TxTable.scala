@@ -925,6 +925,13 @@ object TxTable {
       val head = snapshot(table).getOrElse(
         throw new IllegalArgumentException(
           s"overwrite of missing table $table"))
+      // a concurrent schema evolution between attempts would publish
+      // a manifest whose schema the already-written files cannot
+      // honor — fail loudly rather than commit silently-NULL columns
+      if (head.schemaDdl != head0.schemaDdl)
+        throw new IllegalStateException(
+          s"table schema evolved under overwrite of $table — rerun " +
+            "against the new schema")
       if (publish(table, head.version + 1, "overwrite", head.schemaDdl,
           files, carriedTxns(table, head), newStats))
         return head.version + 1

@@ -138,6 +138,46 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(rows == Set(("a", 10L), ("c", 3L)))
   }
 
+  test("CREATE TABLE tx AS SELECT births a table through SQL; " +
+      "IF NOT EXISTS no-ops; plain re-create errors") {
+    val t = freshDir() + "/ctas" // not yet created on disk
+    val v1 = spark.sql(
+      s"CREATE TABLE tx.`$t` AS SELECT 1L AS doc_id, 'a' AS text")
+      .head.getLong(0)
+    assert(v1 == 1L)
+    assert(contents(t) == Map(1L -> "a"))
+    // full pure-SQL lifecycle on the SQL-born table
+    spark.sql(s"INSERT INTO tx.`$t` SELECT 2L, 'b'")
+    assert(spark.sql(
+      s"CREATE TABLE IF NOT EXISTS tx.`$t` AS SELECT 9L AS doc_id, " +
+        "'x' AS text").head.getLong(0) == 2L,
+      "IF NOT EXISTS must no-op and report the current head")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE tx.`$t` AS SELECT 9L AS doc_id, " +
+        "'x' AS text")
+    }
+    assert(contents(t) == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("DESCRIBE HISTORY lists retained versions newest first with " +
+      "ops and exact row counts") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L -> "a", 2L -> "b"), t))
+    spark.sql(s"DELETE FROM tx.`$t` WHERE doc_id = 2")
+    TxTable.compact(spark, t)
+    val h = spark.sql(s"DESCRIBE HISTORY tx.`$t`")
+      .select("version", "op", "n_rows")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(h == Seq((3L, "compact", 1L), (2L, "delete", 1L),
+      (1L, "create", 2L)), s"unexpected history: $h")
+    // ts and file counts are present and sane
+    val full = spark.sql(s"DESCRIBE HISTORY tx.`$t`").collect()
+    assert(full.forall(r => r.getLong(2) > 0L && r.getLong(3) >= 1L))
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("DESCRIBE HISTORY tx.`unterminated")
+    }
+  }
+
   test("a MERGE source may itself read tx tables (nested resolution " +
       "in the command's own analysis)") {
     val (t, src) = (freshDir(), freshDir())
