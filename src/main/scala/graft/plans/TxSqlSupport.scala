@@ -31,10 +31,19 @@ import graft.sources.TxTable
   *     TIMESTAMP AS OF 'ts'`) — [[TxTable.restore]], the undo verb.
   *   - `VACUUM tx.`p` RETAIN n VERSIONS [GRACE m MILLISECONDS]` —
   *     [[TxTable.vacuumRetain]].
+  *   - writes: `INSERT INTO | OVERWRITE` ([[TxInsertCommand]]),
+  *     `UPDATE … SET … WHERE` ([[TxTable.update]]'s copy-on-write
+  *     rewrite), canonical `MERGE INTO … UPDATE SET * / INSERT *`
+  *     ([[TxTable.merge]]), `CREATE TABLE … AS <query>`
+  *     ([[TxCreateCommand]]), and `DESCRIBE HISTORY`
+  *     ([[TxHistoryCommand]], the audit verb).
   *
-  * Only the two statements Spark has no grammar for (RESTORE,
-  * VACUUM) are parsed here, by [[TxSqlParser]] — a thin
-  * delegate-everything wrapper, the standard extension pattern.
+  * Only the statements Spark has no grammar for (RESTORE, VACUUM,
+  * DESCRIBE HISTORY) are parsed here, by [[TxSqlParser]] — a thin
+  * delegate-everything wrapper, the standard extension pattern —
+  * plus CTAS, which the parser must CLAIM from the delegate's output
+  * (the built-in session-catalog resolution would convert it to a v1
+  * catalog command before any extension resolution rule runs).
   * Everything else rides the stock parser, so the SQL dialect stays
   * Spark's. Reference scope: the reference program mutates its
   * processed-file state imperatively (kinesis-to-humio.py:141-166);
