@@ -707,29 +707,64 @@ object AnnSearch {
                 rerank: Int = 45,
                 candidateFilter: Column = lit(true),
                 index: Option[IvfPqIndex] = None): DataFrame = {
-    val sub = dim / m
     val e = embeddings.filter(col("vec_id") < maxId)
     val idx = index.getOrElse(ivfPqTrain(embeddings, maxId, nCentroids,
       kmeansIters, m, codesPerSub, dim, pqIters))
-    val centroids = idx.centroids
-    val books = idx.books
-    val centLit = typedLit(centroids.sortBy(_._1).map(_._2).toSeq)
-    val withResidual = residualFrame(e, centroids)
-    // corpus index rows: (b_id, cell, codes) — ONE BYTE per code
-    // (codesPerSub <= 128, enforced in pqTrain: the byte is SIGNED,
-    // so 128..255 would wrap negative and mis-index the codebook;
-    // m bytes per vector is the production packed-code layout, 32x
-    // narrower than the raw floats)
-    val codes = withResidual.filter(candidateFilter)
+    // corpus index rows: (b_id, cell, codes) — encoded inline (the
+    // session-build path); a MAINTAINED code table feeds
+    // ivfPqTopKFrom directly instead
+    val codes = residualFrame(e, idx.centroids).filter(candidateFilter)
       .select(col("vec_id").as("b_id"), col("cell"),
-      array((0 until m).map(s =>
-        pqAssign(slice(col("residual"), s * sub + 1, sub), books(s))
-          .cast("byte")): _*)
-        .as("codes"))
-    val vecs = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+        pqCodes(idx.books, m, dim)(col("residual")).as("codes"))
+    ivfPqTopKFrom(codes, e, e, idx, k, nProbe, rerank, m, dim)
+  }
+
+  /** The m SIGNED-BYTE PQ codes of a residual vector — ONE BYTE per
+    * code (codesPerSub <= 128, enforced in pqTrain: the byte is
+    * SIGNED, so 128..255 would wrap negative and mis-index the
+    * codebook; m bytes per vector is the production packed-code
+    * layout, 32x narrower than the raw floats). */
+  private[graft] def pqCodes(books: Array[Array[Seq[Float]]], m: Int,
+                             dim: Int)(residual: Column): Column = {
+    val sub = dim / m
+    array((0 until m).map(s =>
+      pqAssign(slice(residual, s * sub + 1, sub), books(s))
+        .cast("byte")): _*)
+  }
+
+  /** (vec_id, cell, codes) IVFADC index rows for an embedding frame
+    * against a PINNED index — the per-row encode a maintained code
+    * table folds per corpus commit ([[graft.operators
+    * .IncrementalIndex]]): coarse-assign, residual, m byte codes.
+    * Decomposable by construction (each output row is a function of
+    * one input row and the broadcast index artifacts). */
+  def encodeIvfPq(e: DataFrame, idx: IvfPqIndex, m: Int = 16,
+                  dim: Int = 64): DataFrame =
+    residualFrame(e, idx.centroids)
+      .select(col("vec_id"), col("cell"),
+        pqCodes(idx.books, m, dim)(col("residual")).as("codes"))
+
+  /** The probe/ADC/re-rank core of [[ivfPqTopK]] over an ALREADY
+    * ENCODED code frame (b_id, cell, codes) — the entry point a
+    * maintained code table serves
+    * ([[graft.operators.IncrementalIndex.searchIvfPq]]): the session
+    * pays NO corpus re-encode, only the cell-local ADC scan over the
+    * standing (id, cell, m-byte-codes) rows. `queries` is (vec_id,
+    * embedding); `vecs` supplies the full vectors for the
+    * `rerank`-bounded exact re-rank join. */
+  private[graft] def ivfPqTopKFrom(codes: DataFrame, queries: DataFrame,
+                                   vecs: DataFrame, idx: IvfPqIndex,
+                                   k: Int, nProbe: Int, rerank: Int,
+                                   m: Int = 16, dim: Int = 64)
+      : DataFrame = {
+    val sub = dim / m
+    val centLit = typedLit(idx.centroids.sortBy(_._1).map(_._2).toSeq)
+    val codesIn = codes.select(col("b_id"), col("cell"), col("codes"))
+    val vb = vecs.select(col("vec_id").as("b_id"),
+      col("embedding").as("vb"))
     // query probes: top-nProbe cells (reuses the IVF probe kernel)
-    val probed = probeCells(e, centroids, nProbe)
-    val cb = typedLit(books.map(_.toSeq).toSeq)
+    val probed = probeCells(queries, idx.centroids, nProbe)
+    val cb = typedLit(idx.books.map(_.toSeq).toSeq)
     // approx = dot(q, centroid[cell]) + Σ_s dot(q_s, cb[s][codes[s]]),
     // left-associative from the centroid term
     val adc = (0 until m).foldLeft(
@@ -744,12 +779,12 @@ object AnnSearch {
     // cell-local ADC: the candidate join is the IVF equi-join on cell
     // id — a candidate is scored only when it lives in a probed cell
     probed
-      .join(codes, Seq("cell"))
+      .join(codesIn, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("approx", adc)
       .withColumn("ark", row_number().over(wApprox))
       .filter(col("ark") <= rerank)
-      .join(vecs, Seq("b_id"))
+      .join(vb, Seq("b_id"))
       .withColumn("cos_sim",
         round(VectorFns.cosine(col("va"), col("vb")), 6))
       .withColumn("rk", row_number().over(wExact).cast("int"))

@@ -17,16 +17,17 @@ import graft.sources.TxTable
   *
   * so they are abelian-group state exactly like the q_corpus_ivm
   * aggregates: a corpus commit's change feed (inserts + net deletes,
-  * [[TxTable.changes]]) folds into the index as RETRACT the feed's
-  * doc ids, then APPEND the inserted docs' rows — updates
-  * (delete+insert per key) replace, compactions (empty feed) net to
-  * zero. The maintained index is itself a TxTable: versioned,
-  * time-travelable, vacuumable, and the apply is EXACTLY-ONCE per
-  * source version via the transactional batch ledger
-  * ([[TxTable.appendOnce]] keyed by the SOURCE version) — a crash
-  * replay of a half-applied transition re-runs the retract (no-op:
-  * the rows are already gone, and the guarded append has not yet
-  * re-added them) and completes the append, never double-applying.
+  * [[TxTable.changes]]) folds into the index as retract the feed's
+  * doc ids AND append the inserted docs' rows — ONE ATOMIC COMMIT
+  * ([[TxTable.replaceKeysOnce]]), so no reader, at head or time
+  * traveling, ever observes a torn middle state where a touched
+  * doc's rows are absent; updates (delete+insert per key) replace,
+  * compactions (empty feed) net to a metadata-only version. The
+  * maintained index is itself a TxTable: versioned, time-travelable,
+  * vacuumable, gaining exactly ONE version per source version, and
+  * the apply is EXACTLY-ONCE via the transactional batch ledger
+  * keyed by the SOURCE version — a crash before the fold's single
+  * commit replays the whole fold; after it, the replay no-ops.
   *
   * Derived statistics (idf, avgdl, per-cell counts) are
   * vocabulary-/cell-sized aggregates OVER the maintained frame —
@@ -64,11 +65,6 @@ object IncrementalIndex {
     * vectors; the index holds the routing). */
   val ivfSchemaDdl: String = "vec_id BIGINT,cell INT"
 
-  private def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL(ddl))
-
   /** Per-doc postings rows for a (doc_id, text) frame — the
     * insert-side delta, shared verbatim with the from-scratch build
     * so maintained and rebuilt indexes are definitionally the same
@@ -81,40 +77,82 @@ object IncrementalIndex {
     * near-dup screen's standing state). */
   val simhashSchemaDdl: String = "doc_id BIGINT,simhash BIGINT"
 
-  /** Create an (empty) index table with `ddl`'s schema. Idempotent:
-    * a lost create against an existing table is fine. */
+  /** Create an (empty) index table with `ddl`'s schema — a pure
+    * metadata publish ([[TxTable.createEmpty]]: no write job).
+    * Idempotent: a lost create against an existing table is fine. */
   def init(spark: SparkSession, index: String, ddl: String,
            idCol: String): Unit =
     if (TxTable.latestVersion(index).isEmpty)
-      require(TxTable.create(emptyFrame(spark, ddl), index,
-        bucketKey = idCol) || TxTable.latestVersion(index).nonEmpty,
+      require(TxTable.createEmpty(index, ddl) ||
+        TxTable.latestVersion(index).nonEmpty,
         s"could not initialize index table $index")
 
   /** THE SHARED FOLD for any per-row-decomposable index — one whose
     * rows are a function of single corpus rows (`rowsOf(A ⊎ B) =
     * rowsOf(A) ⊎ rowsOf(B)`): fold the corpus transition (v−1 → v)
-    * into the index, exactly once per (appId, v). Retracts EVERY id
-    * the feed touches (deletes AND the delete half of updates; a
-    * pure insert's id matches nothing in the index), then appends
-    * `rowsOf` of the inserted rows under the source version's txn
-    * record. Returns the index version after the apply.
+    * into the index, exactly once per (appId, v), as ONE ATOMIC
+    * COMMIT ([[TxTable.replaceKeysOnce]]): retract EVERY id the feed
+    * touches (deletes AND the delete half of updates; a pure
+    * insert's id matches nothing in the index) and append `rowsOf`
+    * of the inserted rows, in the same manifest under the source
+    * version's txn record. No reader — head, time travel, or a
+    * concurrent query — can observe the torn middle state a
+    * delete-then-append pair would expose, a crash replays the whole
+    * fold or none of it, and the index gains exactly ONE version per
+    * source version. Returns the index version after the apply.
     *
-    * Crash safety: the ledger guard covers the whole apply; a replay
-    * after the retract committed but before the append re-runs the
-    * retract (no-op — the rows are already gone and the guarded
-    * append has not re-added them) and completes the append. */
+    * `feed`: pass the precomputed transition feed
+    * ([[TxTable.changes]] (v−1, v), localCheckpointed) when SEVERAL
+    * indexes fold the same corpus transition — the change-feed scan
+    * is paid once and every index folds from the shared frame (the
+    * multi-consumer shape of a production CDC bus). */
   def applyDecomposable(spark: SparkSession, corpus: String,
                         index: String, v: Long, appId: String,
-                        idCol: String, buckets: Int = 4)(
+                        idCol: String, buckets: Int = 4,
+                        feed: Option[DataFrame] = None)(
       rowsOf: DataFrame => DataFrame): Long = {
     if (TxTable.lastCommittedBatch(index, appId).exists(_ >= v))
       return TxTable.latestVersion(index).getOrElse(0L)
+    // transition-shape dispatch, decided from MANIFEST METADATA (two
+    // snapshot reads, no scan): an append-only source transition
+    // ([[TxTable.appendOnlyTransition]]) has a pure-insert feed, so
+    // the retract phase vanishes — one guarded append; everything
+    // else folds retract+append as one atomic commit. A NET-EMPTY
+    // feed (compaction) still must advance the txn high-water to
+    // keep one index version per source version — caught by the
+    // replace path's empty key frame (no files touch, no rows
+    // written: a metadata-only manifest).
+    val f = feed.getOrElse(TxTable.changes(spark, corpus, v - 1, v))
+    val ins = f.filter(col("_change") === "insert")
+    if (TxTable.appendOnlyTransition(corpus, v - 1, v))
+      TxTable.appendOnce(rowsOf(ins), index, appId, batchId = v,
+        bucketKey = idCol, buckets = buckets)
+    else if (feed.isDefined && f.isEmpty)
+      // net-empty feed on an already-MATERIALIZED frame (isEmpty on
+      // an un-checkpointed feed would run the netting scan twice):
+      // zero-job metadata commit
+      TxTable.recordBatchOnce(index, appId, batchId = v)
+    else
+      TxTable.replaceKeysOnce(spark, index, f.select(idCol), rowsOf(ins),
+        appId, batchId = v, key = idCol, bucketKey = idCol,
+        buckets = buckets)
+  }
+
+  /** One corpus transition folded into SEVERAL maintained indexes
+    * with the change feed computed ONCE: materializes the (v−1 → v)
+    * feed (churn-sized localCheckpoint) and applies each fold from
+    * it. Each index still commits independently (its own exactly-once
+    * ledger record), so a crash between folds resumes where it
+    * stopped. Returns each index's version after its fold. */
+  def applyMany(spark: SparkSession, corpus: String, v: Long,
+                folds: Seq[(String, String, String, DataFrame => DataFrame)],
+                buckets: Int = 4): Seq[Long] = {
     val feed = TxTable.changes(spark, corpus, v - 1, v)
-    TxTable.deleteKeys(spark, index, feed.select(idCol),
-      key = idCol, bucketKey = idCol, buckets = buckets)
-    val ins = feed.filter(col("_change") === "insert")
-    TxTable.appendOnce(rowsOf(ins), index, appId, batchId = v,
-      bucketKey = idCol, buckets = buckets)
+      .localCheckpoint(true)
+    folds.map { case (index, appId, idCol, rowsOf) =>
+      applyDecomposable(spark, corpus, index, v, appId, idCol, buckets,
+        Some(feed))(rowsOf)
+    }
   }
 
   /** Create the (empty) postings index table. */
@@ -126,9 +164,9 @@ object IncrementalIndex {
     * after the apply. */
   def applyBm25(spark: SparkSession, corpus: String, index: String,
                 v: Long, appId: String = "graft_bm25_index",
-                buckets: Int = 4): Long =
+                buckets: Int = 4, feed: Option[DataFrame] = None): Long =
     applyDecomposable(spark, corpus, index, v, appId, "doc_id",
-      buckets)(ins => postings(ins.select("doc_id", "text")))
+      buckets, feed)(ins => postings(ins.select("doc_id", "text")))
 
   /** Create the (empty) SimHash fingerprint index table. */
   def initSimhash(spark: SparkSession, index: String): Unit =
@@ -140,9 +178,9 @@ object IncrementalIndex {
     * maintained table is row-level DuckDB-replayable). */
   def applySimhash(spark: SparkSession, corpus: String, index: String,
                    v: Long, appId: String = "graft_simhash_index",
-                   buckets: Int = 4): Long =
+                   buckets: Int = 4, feed: Option[DataFrame] = None): Long =
     applyDecomposable(spark, corpus, index, v, appId, "doc_id",
-      buckets)(ins => ApproxDedup.simhashOf(
+      buckets, feed)(ins => ApproxDedup.simhashOf(
         ins.select("doc_id", "text")))
 
   /** The maintained index as a scorable [[Bm25.Index]]: postings
@@ -209,9 +247,196 @@ object IncrementalIndex {
   def applyIvf(spark: SparkSession, corpus: String, index: String,
                centroids: Array[(Int, Seq[Float])], v: Long,
                appId: String = "graft_ivf_index",
-               buckets: Int = 4): Long =
+               buckets: Int = 4, feed: Option[DataFrame] = None): Long =
     applyDecomposable(spark, corpus, index, v, appId, "vec_id",
-      buckets)(ins => AnnSearch.assignCells(
+      buckets, feed)(ins => AnnSearch.assignCells(
         ins.select("vec_id", "embedding"), centroids)
         .select("vec_id", "cell"))
+
+  /** Maintained IVFADC code-table schema
+    * ([[AnnSearch.encodeIvfPq]]'s output made durable: coarse cell +
+    * m signed-byte PQ codes per vector — the 32×-compressed index
+    * that fits hot storage at 100 TB). */
+  val pqSchemaDdl: String = "vec_id BIGINT,cell INT,codes ARRAY<TINYINT>"
+
+  /** Maintained MinHash BAND-BUCKET schema ([[ApproxDedup]]'s LSH
+    * banding made durable: 8 rows of 16 bytes per doc — the dedup
+    * screen's standing routing state). */
+  val minhashSchemaDdl: String =
+    "doc_id BIGINT,band_idx INT,band_hash BIGINT"
+
+  /** Train and PIN the full IVFADC artifacts (coarse centroids +
+    * residual PQ codebooks) on the corpus's current content, storing
+    * both as tiny TxTables ((cell, embedding) rows and (s, code,
+    * centroid) rows) so the composed index is durable end-to-end;
+    * create the empty code table. Idempotent. Retraining is a
+    * REBUILD — pinned artifacts are what make incremental encode
+    * exact (the [[initIvf]] discipline, composed). */
+  def initPq(spark: SparkSession, corpus: String, index: String,
+             centroidsTable: String, booksTable: String,
+             nCells: Int = 8, kmeansIters: Int = 2, m: Int = 16,
+             codesPerSub: Int = 16, dim: Int = 64, pqIters: Int = 2,
+             coarse: Option[Array[(Int, Seq[Float])]] = None): Unit = {
+    if (TxTable.latestVersion(centroidsTable).isEmpty ||
+        TxTable.latestVersion(booksTable).isEmpty) {
+      val e = TxTable.read(spark, corpus)
+      // `coarse`: share an ALREADY-PINNED coarse quantizer (the
+      // [[initIvf]] centroids — classic IVFADC reuses the routing
+      // quantizer for residuals) instead of retraining one
+      val idx = AnnSearch.ivfPqTrain(e, maxId = Long.MaxValue,
+        nCentroids = nCells, kmeansIters = kmeansIters, m = m,
+        codesPerSub = codesPerSub, dim = dim, pqIters = pqIters,
+        coarse = coarse)
+      import spark.implicits._
+      if (TxTable.latestVersion(centroidsTable).isEmpty) {
+        val df = idx.centroids.toSeq.toDF("cell", "embedding")
+        require(TxTable.create(df, centroidsTable, bucketKey = "cell",
+          buckets = 1) ||
+          TxTable.latestVersion(centroidsTable).nonEmpty,
+          s"could not initialize centroids table $centroidsTable")
+      }
+      if (TxTable.latestVersion(booksTable).isEmpty) {
+        val rows = for {
+          (book, s) <- idx.books.zipWithIndex
+          (cent, c) <- book.zipWithIndex
+        } yield (s, c, cent)
+        val df = rows.toSeq.toDF("s", "code", "centroid")
+        require(TxTable.create(df, booksTable, bucketKey = "s",
+          buckets = 1) || TxTable.latestVersion(booksTable).nonEmpty,
+          s"could not initialize codebooks table $booksTable")
+      }
+    }
+    init(spark, index, pqSchemaDdl, "vec_id")
+  }
+
+  /** The pinned IVFADC artifacts, loaded back (nCells + m·k rows —
+    * codebook-sized by contract, like [[loadCentroids]]). */
+  def loadPqIndex(spark: SparkSession, centroidsTable: String,
+                  booksTable: String): AnnSearch.IvfPqIndex = {
+    val cents = loadCentroids(spark, centroidsTable)
+    val flat = TxTable.read(spark, booksTable)
+      .select("s", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val m = flat.keys.map(_._1).max + 1
+    val k = flat.keys.map(_._2).max + 1
+    val books = Array.tabulate(m, k)((s, c) => flat((s, c)))
+    AnnSearch.IvfPqIndex(cents, books)
+  }
+
+  /** Fold the corpus transition (v−1 → v) into the IVFADC code table
+    * against the pinned artifacts, exactly once per (appId, v):
+    * inserted vectors coarse-assign + residual-encode per row,
+    * deleted ids retract — one atomic commit. Returns the index
+    * version after the apply. */
+  def applyPq(spark: SparkSession, corpus: String, index: String,
+              idx: AnnSearch.IvfPqIndex, v: Long,
+              appId: String = "graft_pq_index", m: Int = 16,
+              dim: Int = 64, buckets: Int = 4,
+              feed: Option[DataFrame] = None): Long =
+    applyDecomposable(spark, corpus, index, v, appId, "vec_id",
+      buckets, feed)(ins => AnnSearch.encodeIvfPq(
+        ins.select("vec_id", "embedding"), idx, m, dim))
+
+  /** IVF-PQ top-k SERVED FROM THE MAINTAINED CODE TABLE: the session
+    * loads codebook-sized artifacts, probes, and ADC-scans the
+    * standing (vec_id, cell, codes) rows — NO corpus re-encode (the
+    * pre-maintenance path re-trained or at best re-encoded the whole
+    * corpus per session). `candidateFilter` restricts the code-table
+    * side via an equi-join back to the corpus row (metadata lives in
+    * the corpus table; both sides bucketed on vec_id, so the join is
+    * co-partitioned under bucket-aware scans). Results are identical
+    * to [[AnnSearch.ivfPqTopK]] over the same content and pinned
+    * artifacts (spec-gated). */
+  def searchIvfPq(spark: SparkSession, corpus: String, index: String,
+                  idx: AnnSearch.IvfPqIndex,
+                  queryPred: org.apache.spark.sql.Column,
+                  candidateFilter: Option[org.apache.spark.sql.Column] =
+                    None,
+                  k: Int = 5, nProbe: Int = 2, rerank: Int = 45,
+                  m: Int = 16, dim: Int = 64): DataFrame = {
+    val e = TxTable.read(spark, corpus)
+    val codes0 = TxTable.read(spark, index)
+    val codes = candidateFilter match {
+      case None => codes0.select(col("vec_id").as("b_id"), col("cell"),
+        col("codes"))
+      case Some(p) => codes0.join(e.filter(p).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("b_id"), col("cell"), col("codes"))
+    }
+    AnnSearch.ivfPqTopKFrom(codes, e.filter(queryPred), e, idx, k,
+      nProbe, rerank, m, dim)
+  }
+
+  /** Create the (empty) MinHash band-bucket index table. */
+  def initMinhash(spark: SparkSession, index: String): Unit =
+    init(spark, index, minhashSchemaDdl, "doc_id")
+
+  /** Per-doc LSH band rows for a (doc_id, text) frame — shingle
+    * hashes → k-wise minhash signature → b band hashes, the
+    * [[ApproxDedup.minhashPairs]] banding made per-row (decomposable:
+    * a doc's bands depend on its text alone). */
+  def minhashBandRows(docs: DataFrame, n: Int = 3, k: Int = 32,
+                      bands: Int = 8): DataFrame = {
+    val r = k / bands
+    docs.select(col("doc_id"),
+      posexplode(ApproxDedup.bandHashes(ApproxDedup.minhashSignature(
+        ApproxDedup.shingleHashes64(col("text"), n), k), bands, r))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Fold the corpus transition into the MinHash band index — the
+    * near-dup screen's standing routing state. */
+  def applyMinhash(spark: SparkSession, corpus: String, index: String,
+                   v: Long, appId: String = "graft_minhash_index",
+                   n: Int = 3, k: Int = 32, bands: Int = 8,
+                   buckets: Int = 4,
+                   feed: Option[DataFrame] = None): Long =
+    applyDecomposable(spark, corpus, index, v, appId, "doc_id",
+      buckets, feed)(ins =>
+        minhashBandRows(ins.select("doc_id", "text"), n, k, bands))
+
+  /** Incremental near-dup SCREEN SERVED FROM THE MAINTAINED BAND
+    * INDEX: band the new batch, route candidates through the
+    * standing (doc_id, band_idx, band_hash) rows (an equi-join on
+    * (band, hash) — 16 bytes per row, batch-sized × standing-sized,
+    * never corpus pairs), then verify exact Jaccard fetching only
+    * CANDIDATE corpus texts from the corpus table. The production
+    * shape of [[ApproxDedup.incrementalMinhash]] with the corpus
+    * banding read as standing state instead of recomputed per batch
+    * — a nightly increment pays its own banding plus the bucket
+    * join. Returns (new_id, corpus_id, jaccard ≥ threshold). */
+  def screenMinhash(spark: SparkSession, corpus: String, index: String,
+                    newDocs: DataFrame, n: Int = 3, k: Int = 32,
+                    bands: Int = 8, threshold: Double = 0.5)
+      : DataFrame = {
+    val newSh = newDocs
+      .repartition(col("doc_id"))
+      .select(col("doc_id").as("new_id"),
+        ApproxDedup.shingleHashes64(col("text"), n).as("sh_new"))
+      .cache()
+    val r = k / bands
+    val newBands = newSh.select(col("new_id"),
+      posexplode(ApproxDedup.bandHashes(ApproxDedup.minhashSignature(
+        col("sh_new"), k), bands, r))
+        .as(Seq("band_idx", "band_hash")))
+    val standing = TxTable.read(spark, index)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"),
+        col("band_hash"))
+    val cand = newBands.join(standing, Seq("band_idx", "band_hash"))
+      .select("new_id", "corpus_id").distinct()
+    val corpusSh = TxTable.read(spark, corpus)
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"),
+        ApproxDedup.shingleHashes64(col("text"), n).as("sh_corpus"))
+    cand
+      .join(newSh, "new_id")
+      .join(corpusSh, "corpus_id")
+      // bare int-ratio Jaccard: the ApproxDedup rule-10 discipline
+      .withColumn("jaccard",
+        ApproxDedup.jaccard(col("sh_new"), col("sh_corpus")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
+  }
 }

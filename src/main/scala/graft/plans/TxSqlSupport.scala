@@ -5,11 +5,11 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.Origin
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.TxTable
@@ -193,6 +193,83 @@ case class TxCreateCommand(table: String,
   }
 }
 
+/** `CREATE TABLE tx.`path` (col type, …)` — empty-table birth with a
+  * declared schema: a pure metadata publish
+  * ([[TxTable.createEmpty]], no write job). `IF NOT EXISTS` no-ops
+  * against an existing table. Emits version 1 (or the existing
+  * head). */
+case class TxCreateEmptyCommand(table: String, tableSchema: StructType,
+                                ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.latestVersion(table) match {
+      case Some(v) =>
+        if (ignoreIfExists) return Seq(Row(v))
+        throw new IllegalArgumentException(
+          s"tx table already exists: $table (use IF NOT EXISTS)")
+      case None => ()
+    }
+    val won = TxTable.createEmpty(table, tableSchema.toDDL)
+    if (!won && !ignoreIfExists) throw new IllegalStateException(
+      s"lost the create race for $table")
+    Seq(Row(TxTable.latestVersion(table).getOrElse(1L)))
+  }
+}
+
+/** `OPTIMIZE tx.`path` [ZORDER BY (a[, b])]` — compaction through
+  * SQL ([[TxTable.compact]]): plain OPTIMIZE re-bins the snapshot
+  * hash-bucketed on the table's layout key; one ZORDER column gives
+  * RANGE-CLUSTERED files (tight per-file stats on that column); two
+  * give the Z-curve interleave layout ([[graft.functions.ZOrder]])
+  * with per-file stats tight on BOTH — the manifest-level pruning
+  * layouts [[TxTable.readKeyRanges]] skips from. Emits the committed
+  * version, or NULL when the compaction ABORTED on a CAS loss (pure
+  * maintenance never contends with real writers — rerun in a quiet
+  * window). */
+case class TxOptimizeCommand(table: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = zorderBy match {
+      case Seq() =>
+        TxTable.compact(spark, table,
+          bucketKey = TxSqlSupport.bucketKeyOf(table))
+      case Seq(c) =>
+        TxTable.compact(spark, table, bucketKey = c,
+          rangeCluster = true, statsCols = Seq(c))
+      case Seq(a, b) =>
+        TxTable.compact(spark, table,
+          bucketKey = TxSqlSupport.bucketKeyOf(table),
+          clusterBy = Some(graft.functions.ZOrder.z16(
+            org.apache.spark.sql.functions.col(a),
+            org.apache.spark.sql.functions.col(b))),
+          statsCols = Seq(a, b))
+      case more => throw new IllegalArgumentException(
+        s"OPTIMIZE ZORDER BY takes 1 or 2 columns (z16 interleaves " +
+          s"two dimensions), got ${more.size}")
+    }
+    Seq(Row(v.map(Long.box).orNull))
+  }
+}
+
+/** `ALTER TABLE tx.`path` ADD COLUMN[S] (c type, …)` /
+  * `ALTER COLUMN c TYPE t` — metadata-only schema evolution
+  * ([[TxTable.evolveSchema]]: adds append NULL-reading columns,
+  * alters are the safe parquet widenings int→long / float→double;
+  * no data rewrite). Emits the committed version. */
+case class TxAlterCommand(table: String, addCols: Seq[StructField],
+                          widenCols: Seq[(String, org.apache.spark.sql
+                            .types.DataType)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.evolveSchema(table, addCols, widenCols)))
+}
+
 /** `DESCRIBE HISTORY tx.`path`` — the audit verb: one row per
   * RETAINED version, newest first (expired manifests are absent by
   * definition of retention). n_rows is NULL when any file of that
@@ -237,6 +314,12 @@ case class TxInsertCommand(table: String,
         val missing = target.fieldNames.toSet -- src.columns.toSet
         require(missing.isEmpty,
           s"INSERT BY NAME is missing table columns: $missing")
+        // extras are an ERROR, not silently dropped — Spark's native
+        // INSERT BY NAME rejects unknown columns; a typo'd column
+        // must not vanish
+        val extras = src.columns.toSet -- target.fieldNames.toSet
+        require(extras.isEmpty,
+          s"INSERT BY NAME has columns not in the table: $extras")
         src.select(target.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name)
             .cast(f.dataType).as(f.name)).toSeq: _*)
@@ -314,13 +397,35 @@ case class TxRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       TxTable.read(spark, path, version))
 
   /** A tx.`path` reference, optionally under the alias a DML
-    * statement's `tx.`p` t` form parses to. */
+    * statement's `tx.`p` t` form parses to — the alias is CAPTURED
+    * so alias-qualified attributes in the statement's predicates and
+    * assignments (`t.doc_id`) can be re-anchored before run-time
+    * resolution against the unaliased table read. */
   private object TxRel {
-    def unapply(plan: LogicalPlan): Option[String] = plan match {
-      case u: UnresolvedRelation =>
-        TxSqlSupport.txPath(u.multipartIdentifier)
-      case SubqueryAlias(_, child) => unapply(child)
-      case _ => None
+    def unapply(plan: LogicalPlan): Option[(String, Option[String])] =
+      plan match {
+        case u: UnresolvedRelation =>
+          TxSqlSupport.txPath(u.multipartIdentifier).map((_, None))
+        case SubqueryAlias(id, child) =>
+          unapply(child).map { case (p, _) => (p, Some(id.name)) }
+        case _ => None
+      }
+  }
+
+  /** Strip the matched alias qualifier (and the literal `tx.path`
+    * qualifier) off unresolved attributes: DML predicates resolve at
+    * RUN time against a fresh unaliased read of the table, so
+    * `t.doc_id` must become `doc_id` or the accepted-at-parse alias
+    * would fail attribute resolution later. Case-insensitive, like
+    * Spark's own resolver default. */
+  private def stripAlias(e: Expression, alias: Option[String])
+      : Expression = alias match {
+    case None => e
+    case Some(a) => e.transform {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length > 1 &&
+            ua.nameParts.head.equalsIgnoreCase(a) =>
+        UnresolvedAttribute(ua.nameParts.tail)
     }
   }
 
@@ -331,9 +436,9 @@ case class TxRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // pattern would never fire).
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
-      case DeleteFromTable(TxRel(path), cond) =>
-        TxDeleteCommand(path, new TxPredHolder(cond))
-      case InsertIntoStatement(TxRel(path), parts, cols,
+      case DeleteFromTable(TxRel(path, alias), cond) =>
+        TxDeleteCommand(path, new TxPredHolder(stripAlias(cond, alias)))
+      case InsertIntoStatement(TxRel(path, _), parts, cols,
           query, overwrite, _, byName) =>
         require(parts.isEmpty,
           "tx tables have no partition spec — INSERT without PARTITION")
@@ -341,18 +446,20 @@ case class TxRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "tx INSERT takes the full row (positional or BY NAME), " +
             "not a column list")
         TxInsertCommand(path, new TxOpaque(query), overwrite, byName)
-      case UpdateTable(TxRel(path), assignments, cond) =>
-        val set = assignments.map {
-          case Assignment(k: UnresolvedAttribute, v)
-              if k.nameParts.length == 1 =>
-            (k.nameParts.head, v)
-          case a => throw new IllegalArgumentException(
-            s"tx UPDATE supports top-level column assignments only: " +
-              s"${a.sql}")
+      case UpdateTable(TxRel(path, alias), assignments, cond) =>
+        val set = assignments.map { a =>
+          (stripAlias(a.key, alias), a.value) match {
+            case (k: UnresolvedAttribute, v) if k.nameParts.length == 1 =>
+              (k.nameParts.head, stripAlias(v, alias))
+            case _ => throw new IllegalArgumentException(
+              s"tx UPDATE supports top-level column assignments only: " +
+                s"${a.sql}")
+          }
         }
         TxUpdateCommand(path, new TxOpaque(set),
-          new TxPredHolder(cond.getOrElse(Literal(true))))
-      case MergeIntoTable(TxRel(path), source, mergeCond,
+          new TxPredHolder(stripAlias(
+            cond.getOrElse(Literal(true)), alias)))
+      case MergeIntoTable(TxRel(path, _), source, mergeCond,
           matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
         val canonical =
           (matched match {
@@ -418,11 +525,15 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val vacuumRe =
     ("""(?is)^\s*VACUUM\s+tx\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+""" +
       """VERSIONS(?:\s+GRACE\s+(\d+)\s+MILLISECONDS)?\s*;?\s*$""").r
-  // a RESTORE/VACUUM that names a tx table but failed the full match:
-  // claim it (error), do not let it fall through to the delegate's
-  // unrelated error message
+  private val optimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+tx\s*\.\s*`([^`]+)`""" +
+      """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_]+""" +
+      """(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\)?)?\s*;?\s*$""").r
+  // a RESTORE/VACUUM/OPTIMIZE that names a tx table but failed the
+  // full match: claim it (error), do not let it fall through to the
+  // delegate's unrelated error message
   private val claimedRe =
-    ("""(?is)^\s*(?:RESTORE|VACUUM|DESCRIBE\s+HISTORY)\s+""" +
+    ("""(?is)^\s*(?:RESTORE|VACUUM|OPTIMIZE|DESCRIBE\s+HISTORY)\s+""" +
       """(?:TABLE\s+)?tx\s*\.\s*`.*""").r
 
   private def fail(sql: String, hint: String): Nothing =
@@ -442,16 +553,26 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     case historyRe(path) => TxHistoryCommand(path)
     case vacuumRe(path, keep, grace) =>
+      // an omitted GRACE defaults to a CONSERVATIVE 10-minute
+      // in-flight-writer window, not 0: TxTable.vacuumRetain's own
+      // contract says graceMs = 0 is only safe with no in-flight
+      // writers, and a routine SQL VACUUM during live writes must
+      // not reap a racing writer's landed-but-uncommitted files —
+      // quiet-window maintenance states GRACE 0 explicitly
       TxVacuumCommand(path, keep.toInt,
-        Option(grace).map(_.toLong).getOrElse(0L))
+        Option(grace).map(_.toLong).getOrElse(600000L))
+    case optimizeRe(path, zorder) =>
+      TxOptimizeCommand(path, Option(zorder).toSeq.flatMap(
+        _.split(",").map(_.trim).filter(_.nonEmpty)))
     case claimedRe() => fail(sqlText,
       "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n | " +
         "TO TIMESTAMP AS OF 'ts', VACUUM tx.`path` RETAIN n " +
-        "VERSIONS [GRACE m MILLISECONDS], or DESCRIBE HISTORY " +
-        "tx.`path`")
-    // CTAS must be claimed AT PARSE TIME: the built-in
-    // session-catalog resolution would otherwise convert it to a v1
-    // catalog command before any extension resolution rule runs
+        "VERSIONS [GRACE m MILLISECONDS], OPTIMIZE tx.`path` " +
+        "[ZORDER BY (a[, b])], or DESCRIBE HISTORY tx.`path`")
+    // CTAS (and its CREATE/REPLACE TABLE siblings below) must be
+    // claimed AT PARSE TIME: the built-in session-catalog resolution
+    // would otherwise convert them to v1 catalog commands before any
+    // extension resolution rule runs
     case _ => delegate.parsePlan(sqlText) match {
       case CreateTableAsSelect(ui: UnresolvedIdentifier, partitioning,
           query, _, _, ignoreIfExists, _)
@@ -461,9 +582,62 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
             "clustered compaction")
         TxCreateCommand(TxSqlSupport.txPath(ui.nameParts).get,
           new TxOpaque(query), ignoreIfExists)
+      // plain CREATE TABLE tx.`p` (cols): empty birth with a declared
+      // schema — metadata-only publish
+      case ct: CreateTable if claimedCreate(ct.name).isDefined =>
+        if (ct.partitioning.nonEmpty) fail(sqlText,
+          "tx tables take no PARTITIONED BY — layout comes from " +
+            "clustered compaction")
+        TxCreateEmptyCommand(claimedCreate(ct.name).get,
+          StructType(ct.columns.map(c =>
+            StructField(c.name, c.dataType, c.nullable))),
+          ct.ignoreIfExists)
+      // REPLACE TABLE has drop-and-recreate semantics this storage
+      // layer deliberately does not offer (history is the contract;
+      // use INSERT OVERWRITE for content, RESTORE for undo) — a
+      // clear refusal, not a confusing catalog error
+      case rt: ReplaceTableAsSelect
+          if claimedCreate(rt.name).isDefined =>
+        fail(sqlText,
+          "REPLACE TABLE is not supported on tx tables — INSERT " +
+            "OVERWRITE replaces content, RESTORE undoes, history is " +
+            "never dropped")
+      case ac: AddColumns if claimedAlter(ac.table).isDefined =>
+        val cols = ac.columnsToAdd.map { q =>
+          if (q.path.nonEmpty) fail(sqlText,
+            "tx ALTER TABLE adds top-level columns only")
+          StructField(q.colName, q.dataType, q.nullable)
+        }
+        TxAlterCommand(claimedAlter(ac.table).get, cols, Nil)
+      case al: AlterColumns if claimedAlter(al.table).isDefined =>
+        val widens = al.specs.map { sp =>
+          val t = sp.newDataType.getOrElse(fail(sqlText,
+            "tx ALTER COLUMN supports TYPE widening only " +
+              "(int->long, float->double)"))
+          if (sp.newNullability.nonEmpty || sp.newComment.nonEmpty ||
+              sp.newPosition.nonEmpty ||
+              sp.newDefaultExpression.nonEmpty || sp.dropDefault)
+            fail(sqlText,
+              "tx ALTER COLUMN supports TYPE widening only")
+          (sp.column.name.mkString("."), t)
+        }
+        TxAlterCommand(claimedAlter(al.table).get, Nil, widens)
       case p => p
     }
   }
+
+  private def claimedCreate(name: LogicalPlan): Option[String] =
+    name match {
+      case ui: UnresolvedIdentifier => TxSqlSupport.txPath(ui.nameParts)
+      case _ => None
+    }
+
+  private def claimedAlter(table: LogicalPlan): Option[String] =
+    table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        TxSqlSupport.txPath(ut.multipartIdentifier)
+      case _ => None
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

@@ -1,23 +1,35 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnSearch, Bm25, IncrementalIndex}
+import graft.operators.{AnnSearch, ApproxDedup, Bm25, IncrementalIndex}
 import graft.sources.TxTable
 
 /** Incremental index maintenance under the hash gate
-  * ([[graft.operators.IncrementalIndex]]): the BM25 postings index
-  * and the IVF cell-assignment index maintained PURELY from the
-  * corpus TxTable's change feed — inserts post/assign, deletes
-  * retract, updates replace, compactions fold to zero — with the
-  * maintained state at EVERY corpus version read back by index time
-  * travel and fingerprinted against DuckDB's direct replay of that
-  * version's content, plus the IVM theorem made executable: the
-  * maintained head must hash-equal the from-scratch rebuild
-  * (EXCEPT ALL both ways = 0, computed once in the fixture and
-  * emitted as a gated value the oracle pins to 0).
+  * ([[graft.operators.IncrementalIndex]]): BM25 postings, SimHash
+  * fingerprints, MinHash band buckets, IVF cell assignments and
+  * IVFADC PQ codes — FIVE maintained indexes fed PURELY from their
+  * corpus TxTable's change feed (inserts post/assign/encode, deletes
+  * retract, updates replace, compactions fold to zero), each a
+  * SINGLE atomic commit per source version
+  * ([[TxTable.replaceKeysOnce]] — no torn middle state, one index
+  * version per corpus version), with maintained state read back by
+  * index time travel and fingerprinted against DuckDB's direct
+  * replay, plus the IVM theorem made executable: the maintained head
+  * must equal the from-scratch rebuild (signed-multiset diff = 0,
+  * computed once per index in ONE job and emitted as a gated value
+  * the oracle pins to 0).
+  *
+  * FIXTURE ECONOMY (the round-12 lesson: one-time builds dominate a
+  * cold bench): ONE document lifecycle drives all three text indexes
+  * and ONE embeddings lifecycle drives both vector indexes — the
+  * change feed per transition is computed once and shared
+  * ([[IncrementalIndex.applyMany]]), the multi-consumer shape of a
+  * production CDC bus; statistics ride the parquet footers (no
+  * per-commit stats job), and each maintained-equals-rebuilt gate is
+  * a single signed-count aggregation, not an EXCEPT-ALL pair.
   *
   * At 100 TB this is the difference between "rebuild the index every
   * session" (a full corpus scan) and "the index follows the corpus
@@ -29,19 +41,51 @@ import graft.sources.TxTable
   */
 object IndexQueries {
 
-  /** BM25 fixture: a five-version corpus lifecycle — create, append,
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), p)
+    .toString
+
+  /** |maintained △ rebuilt| as a multiset — `exceptAll(a,b).count +
+    * exceptAll(b,a).count`, computed as ONE signed-count aggregation
+    * (the [[TxTable.changes]] kernel): half the shuffles, one job. */
+  private def signedDiff(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    a.withColumn("_sign", lit(1L))
+      .unionByName(b.select(cols.map(col): _*)
+        .withColumn("_sign", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_sign")).as("_n"))
+      .filter(col("_n") =!= 0L)
+      .agg(coalesce(sum(abs(col("_n"))), lit(0L)).as("d"))
+      .head().getLong(0)
+  }
+
+  /** The document lifecycle's three maintained text indexes: corpus
+    * dir, index dirs, the BM25 index version after each fold, and
+    * each index's maintained-vs-rebuilt diff (0 = the IVM theorem
+    * holds). */
+  private case class DocIndexes(corpus: String, bm25: String,
+                                simhash: String, minhash: String,
+                                ivs: Seq[Long], bm25Diff: Long,
+                                simhashDiff: Long, minhashDiff: Long)
+
+  /** Embeddings lifecycle twin: IVF assignment + IVFADC code
+    * indexes off one corpus, quantizer/codebooks pinned on v1
+    * content in their own TxTables. */
+  private case class VecIndexes(corpus: String, ivf: String, pq: String,
+                                ivfIvs: Seq[Long], pqIvs: Seq[Long],
+                                ivfDiff: Long, pqDiff: Long)
+
+  /** ONE five-version corpus lifecycle — create, append,
     * copy-on-write MERGE (updates %6=0 with ' v3', inserts %3=2
     * < 60), row-level DELETE (lang='de' OR doc_id%7=3), compaction —
-    * with the postings index maintained transition by transition.
-    * Returns (corpusDir, indexDir, index version after each apply,
-    * rebuild-diff count). */
-  private def bm25Fixture(s: SparkSession, d: String)
-      : (String, String, Seq[java.lang.Long], java.lang.Long) =
-    graft.operators.DerivedCache.memoValue(s, s"index_incr_fixture:$d") {
-      def tmp(p: String) = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), p)
-        .toString
-      val (corpus, index) = (tmp("graft_idxcorp_"), tmp("graft_idxpost_"))
+    * maintaining the BM25 postings, SimHash fingerprint AND MinHash
+    * band indexes transition by transition from ONE shared feed per
+    * version. */
+  private def docFixture(s: SparkSession, d: String): DocIndexes =
+    graft.operators.DerivedCache.memoValue(s, s"index_doc_fixture:$d") {
+      val (corpus, bm25, simhash, minhash) = (tmp("graft_idxcorp_"),
+        tmp("graft_idxpost_"), tmp("graft_idxsh_"), tmp("graft_idxmh_"))
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       require(TxTable.create(
         docs.filter(col("doc_id") % 3 === 0), corpus), "create lost CAS")
@@ -57,39 +101,59 @@ object IndexQueries {
         "delete must land as v4")
       require(TxTable.compact(s, corpus).contains(5L),
         "compact must land as v5")
-      IncrementalIndex.initBm25(s, index)
-      val ivs = (1L to 5L).map(v => Long.box(
-        IncrementalIndex.applyBm25(s, corpus, index, v)))
-      val maintained = TxTable.read(s, index)
-        .select("doc_id", "term", "tf", "dl")
-      val rebuilt = Bm25.postings(
-        TxTable.read(s, corpus).select("doc_id", "text"))
-      val diff = maintained.exceptAll(rebuilt).count() +
-        rebuilt.exceptAll(maintained).count()
-      (corpus, index, ivs, Long.box(diff))
+      IncrementalIndex.initBm25(s, bm25)
+      IncrementalIndex.initSimhash(s, simhash)
+      IncrementalIndex.initMinhash(s, minhash)
+      val folds: Seq[(String, String, String, DataFrame => DataFrame)] =
+        Seq(
+          (bm25, "graft_bm25_index", "doc_id",
+            ins => Bm25.postings(ins.select("doc_id", "text"))),
+          (simhash, "graft_simhash_index", "doc_id",
+            ins => ApproxDedup.simhashOf(ins.select("doc_id", "text"))),
+          (minhash, "graft_minhash_index", "doc_id",
+            ins => IncrementalIndex.minhashBandRows(
+              ins.select("doc_id", "text"))))
+      val ivs = (1L to 5L).map(v =>
+        IncrementalIndex.applyMany(s, corpus, v, folds).head)
+      val head = TxTable.read(s, corpus).select("doc_id", "text")
+        .localCheckpoint(true) // three rebuild gates read it
+      val dBm25 = signedDiff(
+        TxTable.read(s, bm25).select("doc_id", "term", "tf", "dl"),
+        Bm25.postings(head))
+      val dSim = signedDiff(
+        TxTable.read(s, simhash).select("doc_id", "simhash"),
+        ApproxDedup.simhashOf(head))
+      val dMh = signedDiff(
+        TxTable.read(s, minhash)
+          .select("doc_id", "band_idx", "band_hash"),
+        IncrementalIndex.minhashBandRows(head))
+      DocIndexes(corpus, bm25, simhash, minhash, ivs, dBm25, dSim, dMh)
     }
 
-  /** IVF fixture: create / append / key-frame DELETE
+  /** Embeddings lifecycle: create / append / key-frame DELETE
     * ([[TxTable.deleteKeys]] — the churn-shaped retraction verb) /
-    * compaction over the embeddings corpus, quantizer trained on v1
-    * content and PINNED in its own TxTable, assignment index
-    * maintained per transition. */
-  private def ivfFixture(s: SparkSession, d: String)
-      : (String, String, Seq[java.lang.Long], java.lang.Long) =
-    graft.operators.DerivedCache.memoValue(s, s"index_ivf_fixture:$d") {
-      def tmp(p: String) = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), p)
-        .toString
-      val (corpus, index, cents) =
-        (tmp("graft_ivfcorp_"), tmp("graft_ivfasgn_"), tmp("graft_ivfcent_"))
+    * compaction, quantizer trained on v1 content and PINNED
+    * (incremental assignment/encode is exact only against FIXED
+    * artifacts — retraining = rebuild), IVF assignments AND IVFADC
+    * codes maintained per transition off one shared feed. */
+  private def vecFixture(s: SparkSession, d: String): VecIndexes =
+    graft.operators.DerivedCache.memoValue(s, s"index_vec_fixture:$d") {
+      val (corpus, ivf, pq) =
+        (tmp("graft_ivfcorp_"), tmp("graft_ivfasgn_"), tmp("graft_pqcode_"))
+      val (cents, books) = (tmp("graft_ivfcent_"), tmp("graft_pqbook_"))
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
         .select("vec_id", "embedding")
       require(TxTable.create(e.filter(col("vec_id") % 3 === 0), corpus,
         bucketKey = "vec_id"), "create lost CAS")
-      // quantizer pinned on v1 content — incremental assignment is
-      // exact only against a FIXED codebook (retraining = rebuild)
-      IncrementalIndex.initIvf(s, corpus, index, cents,
+      // quantizer + codebooks pinned on v1 content; the PQ index
+      // shares the IVF coarse quantizer (classic IVFADC routing)
+      IncrementalIndex.initIvf(s, corpus, ivf, cents,
         nCells = 8, kmeansIters = 2)
+      val quant = IncrementalIndex.loadCentroids(s, cents)
+      IncrementalIndex.initPq(s, corpus, pq, cents, books,
+        nCells = 8, kmeansIters = 2, m = 16, codesPerSub = 16,
+        dim = 64, pqIters = 2, coarse = Some(quant))
+      val pqIdx = IncrementalIndex.loadPqIndex(s, cents, books)
       TxTable.append(e.filter(col("vec_id") % 3 === 1), corpus,
         bucketKey = "vec_id")
       require(TxTable.deleteKeys(s, corpus,
@@ -98,50 +162,57 @@ object IndexQueries {
         "deleteKeys must land as v3")
       require(TxTable.compact(s, corpus, bucketKey = "vec_id")
         .contains(4L), "compact must land as v4")
-      val quant = IncrementalIndex.loadCentroids(s, cents)
-      val ivs = (1L to 4L).map(v => Long.box(
-        IncrementalIndex.applyIvf(s, corpus, index, quant, v)))
-      val maintained = TxTable.read(s, index).select("vec_id", "cell")
-      val rebuilt = AnnSearch.assignCells(TxTable.read(s, corpus), quant)
-        .select("vec_id", "cell")
-      val diff = maintained.exceptAll(rebuilt).count() +
-        rebuilt.exceptAll(maintained).count()
-      (corpus, index, ivs, Long.box(diff))
-    }
-
-  /** SimHash index over the SAME lifecycle corpus as [[bm25Fixture]]
-    * (the fixture memo hands back the corpus dir — built once),
-    * maintained transition by transition. Returns the index dir. */
-  private def simhashFixture(s: SparkSession, d: String): String =
-    graft.operators.DerivedCache.memoValue(s, s"index_sh_fixture:$d") {
-      val (corpus, _, _, _) = bm25Fixture(s, d)
-      val index = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft_idxsh_").toString
-      IncrementalIndex.initSimhash(s, index)
-      (1L to 5L).foreach(v =>
-        IncrementalIndex.applySimhash(s, corpus, index, v))
-      index
+      val folds: Seq[(String, String, String, DataFrame => DataFrame)] =
+        Seq(
+          (ivf, "graft_ivf_index", "vec_id",
+            ins => AnnSearch.assignCells(
+              ins.select("vec_id", "embedding"), quant)
+              .select("vec_id", "cell")),
+          (pq, "graft_pq_index", "vec_id",
+            ins => AnnSearch.encodeIvfPq(
+              ins.select("vec_id", "embedding"), pqIdx)))
+      val vs = (1L to 4L).map(v =>
+        IncrementalIndex.applyMany(s, corpus, v, folds))
+      val head = TxTable.read(s, corpus).localCheckpoint(true)
+      val dIvf = signedDiff(
+        TxTable.read(s, ivf).select("vec_id", "cell"),
+        AnnSearch.assignCells(head, quant).select("vec_id", "cell"))
+      val dPq = signedDiff(
+        TxTable.read(s, pq).select("vec_id", "cell", "codes"),
+        AnnSearch.encodeIvfPq(head.select("vec_id", "embedding"), pqIdx))
+      VecIndexes(corpus, ivf, pq, vs.map(_.head), vs.map(_.last),
+        dIvf, dPq)
     }
 
   /** Tall (chk, value) fingerprint rows for one index version. */
-  private def tall(pairs: Seq[(String, org.apache.spark.sql.Column)])
-      : Seq[org.apache.spark.sql.Column] =
+  private def tall(pairs: Seq[(String, Column)]): Seq[Column] =
     pairs.map { case (n, c) =>
       struct(lit(n).as("chk"), c.cast("long").as("value")) }
 
+  /** Per-version (chk, value) fingerprints of an index table read by
+    * INDEX TIME TRAVEL (the index records the fold's own history),
+    * one union branch per version, plus the rebuild-diff pin. */
+  private def versionFingerprints(s: SparkSession, index: String,
+      ivs: Seq[Long], diff: Long,
+      aggsOf: Int => (DataFrame => DataFrame)): DataFrame = {
+    import s.implicits._
+    val perVersion = ivs.indices.map { i =>
+      aggsOf(i + 1)(TxTable.read(s, index, Some(ivs(i))))
+    }.reduce(_ unionByName _)
+    perVersion
+      .unionByName(Seq(("z_rebuild_diff", diff)).toDF("chk", "value"))
+      .orderBy("chk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Maintained-postings fingerprints at every corpus version (read
-    // by INDEX time travel — the index table records the fold's own
-    // history), plus the rebuild-equality flag. Scale: each row set
-    // is a plain scan of that index version's files; the maintenance
-    // itself (in the fixture) costs per-transition churn only.
+    // Maintained-postings fingerprints at every corpus version plus
+    // the rebuild-equality flag. Scale: each row set is a plain scan
+    // of that index version's files; the maintenance itself (in the
+    // fixture) costs per-transition churn only.
     "q_index_incremental" -> ((s, d) => {
-      import s.implicits._
-      val (_, index, ivs, diff) = bm25Fixture(s, d)
-      val perVersion = (1 to 5).map { k =>
-        TxTable.read(s, index, Some(ivs(k - 1).longValue()))
-          .agg(count(lit(1)).as("p"),
+      val fx = docFixture(s, d)
+      versionFingerprints(s, fx.bm25, fx.ivs, fx.bm25Diff, k => df =>
+        df.agg(count(lit(1)).as("p"),
             countDistinct(col("doc_id")).as("docs"),
             countDistinct(col("term")).as("terms"),
             coalesce(sum(col("tf")), lit(0L)).as("toks"))
@@ -150,12 +221,7 @@ object IndexQueries {
             (s"v${k}_docs", col("docs")),
             (s"v${k}_terms", col("terms")),
             (s"v${k}_tokens", col("toks")))): _*)).as("kv"))
-          .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
-      }.reduce(_ unionByName _)
-      perVersion
-        .unionByName(Seq(("z_rebuild_diff", diff.longValue()))
-          .toDF("chk", "value"))
-        .orderBy("chk")
+          .select(col("kv.chk").as("chk"), col("kv.value").as("value")))
     }),
 
     // END-TO-END: BM25 top-10 SERVED FROM THE MAINTAINED INDEX
@@ -168,12 +234,12 @@ object IndexQueries {
     // own term sets, like the retrieval family.
     "q_index_incremental_score" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val (_, index, _, _) = bm25Fixture(s, d)
+      val fx = docFixture(s, d)
       // scored frame memoized like the retrieval family's bm25Scored
       // — a live consumer re-derives idf/avgdl once per index
       // version, not per query batch
       graft.operators.DerivedCache.memo(s, s"idx_incr_scored:$d") {
-        val idx = IncrementalIndex.bm25Index(s, index)
+        val idx = IncrementalIndex.bm25Index(s, fx.bm25)
         val qterms = idx.postings.filter(col("doc_id") < 20)
           .select(col("doc_id").as("query_id"), col("term"))
         Bm25.score(qterms, idx)
@@ -194,9 +260,33 @@ object IndexQueries {
     // 100 TB this table IS the dedup screen's standing state; a
     // corpus commit costs its churn, not a re-fingerprint pass.
     "q_index_incremental_simhash" -> ((s, d) => {
-      val index = simhashFixture(s, d)
-      TxTable.read(s, index).select("doc_id", "simhash")
+      val fx = docFixture(s, d)
+      TxTable.read(s, fx.simhash).select("doc_id", "simhash")
         .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL NEAR-DUP SCREEN SERVED FROM THE MAINTAINED MINHASH
+    // BAND INDEX: a new batch (the %3=2, id>=60 slice — disjoint
+    // from the lifecycle corpus) routes candidates through the
+    // standing band buckets (equi-join on (band, hash) — batch-sized
+    // x standing-sized, corpus pairs never enumerated) and verifies
+    // exact Jaccard fetching only CANDIDATE corpus texts. Oracle is
+    // the brute-force cross-slice 3-gram Jaccard over the REPLAYED
+    // lifecycle head — sound because every qualifying pair here has
+    // j >= 0.88, where 8-band/4-row recall is complete (the
+    // q_dedup_incremental argument; this gate asserts it). The
+    // sentinel row pins the maintained-equals-rebuilt band diff to 0.
+    "q_index_incremental_minhash" -> ((s, d) => {
+      import s.implicits._
+      val fx = docFixture(s, d)
+      val newDocs = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") >= 60)
+        .select("doc_id", "text")
+      IncrementalIndex.screenMinhash(s, fx.corpus, fx.minhash, newDocs,
+          n = 3, k = 32, bands = 8, threshold = 0.3)
+        .unionByName(Seq((-1L, fx.minhashDiff, 1.0))
+          .toDF("new_id", "corpus_id", "jaccard"))
+        .orderBy("new_id", "corpus_id")
     }),
 
     // Maintained IVF assignment fingerprints per corpus version +
@@ -205,21 +295,34 @@ object IndexQueries {
     // (cell ids derive from the kmeans codebook, gated separately by
     // q_ann_ivf's deterministic replay).
     "q_index_incremental_ivf" -> ((s, d) => {
-      import s.implicits._
-      val (_, index, ivs, diff) = ivfFixture(s, d)
-      val perVersion = (1 to 4).map { k =>
-        TxTable.read(s, index, Some(ivs(k - 1).longValue()))
-          .agg(count(lit(1)).as("n"),
+      val fx = vecFixture(s, d)
+      versionFingerprints(s, fx.ivf, fx.ivfIvs, fx.ivfDiff, k => df =>
+        df.agg(count(lit(1)).as("n"),
             coalesce(sum(col("vec_id")), lit(0L)).as("ids"))
           .select(explode(array(tall(Seq(
             (s"v${k}_vecs", col("n")),
             (s"v${k}_id_sum", col("ids")))): _*)).as("kv"))
-          .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
-      }.reduce(_ unionByName _)
-      perVersion
-        .unionByName(Seq(("z_rebuild_diff", diff.longValue()))
-          .toDF("chk", "value"))
-        .orderBy("chk")
+          .select(col("kv.chk").as("chk"), col("kv.value").as("value")))
+    }),
+
+    // Maintained IVFADC CODE TABLE fingerprints per corpus version +
+    // the pinned-artifact rebuild-equality flag: the 32x-compressed
+    // (vec_id, cell, m-byte-codes) index follows the corpus commit
+    // by commit — inserted vectors coarse-assign + residual-encode
+    // per row, deletes retract — so a session serves IVF-PQ queries
+    // from standing state with NO corpus re-encode (q_ann_ivfpq's
+    // serving path). Code/cell EXACTNESS rides the diff flag (codes
+    // derive from the pinned codebooks; the full ADC pipeline is
+    // hash-gated by q_ann_ivfpq's unrolled DuckDB replay).
+    "q_index_incremental_pq" -> ((s, d) => {
+      val fx = vecFixture(s, d)
+      versionFingerprints(s, fx.pq, fx.pqIvs, fx.pqDiff, k => df =>
+        df.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("vec_id")), lit(0L)).as("ids"))
+          .select(explode(array(tall(Seq(
+            (s"v${k}_vecs", col("n")),
+            (s"v${k}_id_sum", col("ids")))): _*)).as("kv"))
+          .select(col("kv.chk").as("chk"), col("kv.value").as("value")))
     }),
   )
 
@@ -378,10 +481,85 @@ object IndexQueries {
          |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
     },
 
+    // Brute-force cross Jaccard: the %3=2, id>=60 batch against the
+    // REPLAYED lifecycle head (v4 content, ' v3' merge suffixes and
+    // the delete applied) — every qualifying pair must surface from
+    // the maintained band routing (recall-complete at these
+    // similarities, asserted by this very gate). The -1 sentinel
+    // pins the maintained-equals-rebuilt band diff to 0.
+    "q_index_incremental_minhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN text || ' v3' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)
+        |    AND NOT (lang = 'de' OR doc_id % 7 = 3)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id < 60
+        |    AND NOT (lang = 'de' OR doc_id % 7 = 3)),
+        |newb AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id >= 60),
+        |shc AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 1, 2)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM corpus)),
+        |shn AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 1, 2)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM newb)),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
+        |  FROM shn n JOIN shc c ON true)
+        |SELECT new_id, corpus_id, jaccard FROM pairs
+        |WHERE jaccard >= 0.3
+        |UNION ALL
+        |SELECT -1, 0, CAST(1.0 AS DOUBLE)
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
     // Replays the embeddings corpus lifecycle's vector sets: counts
     // and id sums per version; assignment exactness rides the
     // pinned-quantizer rebuild flag.
     "q_index_incremental_ivf" ->
+      """WITH v1 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id < 300 AND vec_id % 3 = 0),
+        |v2 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id < 300 AND vec_id % 3 IN (0, 1)),
+        |v3 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id < 300 AND vec_id % 3 IN (0, 1)
+        |    AND NOT vec_id % 5 = 0),
+        |versions AS (
+        |  SELECT 1 AS v, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3
+        |  UNION ALL SELECT 4, * FROM v3),
+        |m AS (
+        |  SELECT 'v' || v || '_vecs' AS chk,
+        |    CAST(COUNT(*) AS BIGINT) AS value FROM versions GROUP BY v
+        |  UNION ALL
+        |  SELECT 'v' || v || '_id_sum',
+        |    CAST(SUM(vec_id) AS BIGINT) FROM versions GROUP BY v
+        |  UNION ALL
+        |  SELECT 'z_rebuild_diff', CAST(0 AS BIGINT))
+        |SELECT chk, value FROM m ORDER BY chk""".stripMargin,
+
+    // Same lifecycle replay for the IVFADC code table — the code
+    // rows track the vector set 1:1 (one (cell, codes) row per live
+    // vector); code exactness rides the pinned-artifact rebuild
+    // flag.
+    "q_index_incremental_pq" ->
       """WITH v1 AS (
         |  SELECT vec_id FROM embeddings
         |  WHERE vec_id < 300 AND vec_id % 3 = 0),

@@ -84,6 +84,34 @@ object LlmQueries {
         dim = 64, pqIters = 2, coarse = Some(coarseQuantizer(s, d)))
     }
 
+  /** The MAINTAINED IVF-PQ serving tables for the embeddings slice:
+    * a corpus TxTable plus its IVFADC code table folded from the
+    * change feed ([[graft.operators.IncrementalIndex.applyPq]]) —
+    * built once per (session, dataset) and served to BOTH ivfpq
+    * query shapes, so a session pays codebook loads and the
+    * cell-local ADC scan, never a corpus re-encode (pre-round-13
+    * both keys re-encoded the 200-vector slice per run; at 100 TB
+    * that re-encode is a full corpus pass). Returns (corpusDir,
+    * codeTableDir). */
+  private def ivfPqServing(s: SparkSession, d: String): (String, String) =
+    graft.operators.DerivedCache.memoValue(
+      s, s"ann_ivfpq_serving:maxId=200:$d") {
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), p)
+        .toString
+      val (corpus, index) = (tmp("graft_pqserve_corp_"),
+        tmp("graft_pqserve_code_"))
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select("vec_id", "label", "embedding")
+      require(graft.sources.TxTable.create(e, corpus,
+        bucketKey = "vec_id"), "serving corpus create lost CAS")
+      graft.operators.IncrementalIndex.init(s, index,
+        graft.operators.IncrementalIndex.pqSchemaDdl, "vec_id")
+      graft.operators.IncrementalIndex.applyPq(s, corpus, index,
+        ivfPqIndex(s, d), v = 1L)
+      (corpus, index)
+    }
+
   /** Propagation-algorithm cluster assignments over [[clusterPairs]]
     * — memoized: q_dedup_clusters AND q_dedup_canonical consume the
     * identical frame, and the CC iteration's per-round job floor is
@@ -259,23 +287,31 @@ object LlmQueries {
     // shared product-quantizer over the cell RESIDUALS + cell-local
     // ADC (only the 2 probed cells are scanned, vs q_ann_pq's whole-
     // corpus code scan) + exact re-rank — the production 100 TB index
-    // shape. Hash-gated end to end: coarse training, residuals, PQ
-    // training, the left-associative ADC chain and the re-rank all
-    // replay in DuckDB (annIvfPqOracle); AnnSearchSpec pins recall ≥
-    // the plain-IVF path at strictly smaller candidate bytes.
-    "q_ann_ivfpq" -> ((s, d) =>
-      AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
-        index = Some(ivfPqIndex(s, d)))),
+    // shape, SERVED FROM THE MAINTAINED CODE TABLE ([[ivfPqServing]]:
+    // the session reads standing (vec_id, cell, codes) rows, never
+    // re-encoding the corpus). Hash-gated end to end: coarse
+    // training, residuals, PQ training, the left-associative ADC
+    // chain and the re-rank all replay in DuckDB (annIvfPqOracle);
+    // AnnSearchSpec pins recall ≥ the plain-IVF path at strictly
+    // smaller candidate bytes and serving ≡ the inline-encode path.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val (corpus, index) = ivfPqServing(s, d)
+      graft.operators.IncrementalIndex.searchIvfPq(s, corpus, index,
+        ivfPqIndex(s, d), queryPred = lit(true))
+    }),
 
     // Filtered ∘ composed: the COMPLETE production retrieval shape —
-    // shared IVF-PQ index, metadata predicate restricting the code
-    // table before the cell-local ADC, exact re-rank of qualifying
-    // survivors only. Same oracle replay with the candidate side
-    // label-filtered.
-    "q_ann_ivfpq_filtered" -> ((s, d) =>
-      AnnSearch.ivfPqTopK(Tables.embeddings(s, d), k = 5, maxId = 200,
-        candidateFilter = col("label") === 1,
-        index = Some(ivfPqIndex(s, d)))),
+    // shared maintained code table, metadata predicate restricting
+    // the code-table side (semi-join back to the corpus row, both
+    // sides vec_id-bucketed) before the cell-local ADC, exact
+    // re-rank of qualifying survivors only. Same oracle replay with
+    // the candidate side label-filtered.
+    "q_ann_ivfpq_filtered" -> ((s, d) => {
+      val (corpus, index) = ivfPqServing(s, d)
+      graft.operators.IncrementalIndex.searchIvfPq(s, corpus, index,
+        ivfPqIndex(s, d), queryPred = lit(true),
+        candidateFilter = Some(col("label") === 1))
+    }),
 
     // Hash-proof gate for the ANN machinery: per-query recall@5 of
     // the LSH and IVF paths against the exact brute-force top-5.

@@ -388,14 +388,34 @@ object TxTable {
     else spark.read.schema(schema).parquet(s.files: _*)
   }
 
+  /** The active commit-protocol primitives ([[TxCommitStore]] — the
+    * object-store seam). Module-level and swappable so the stress
+    * suite can drive the SAME protocol through a fault-injecting
+    * store; production code never touches it. */
+  @volatile private[sources] var commitStore: TxCommitStore =
+    LocalFsCommitStore
+
+  /** Run `f` with `store` as the commit-protocol implementation —
+    * the test hook the fault-injection suite uses. Restores the
+    * previous store afterwards. NOT for concurrent use with writers
+    * on OTHER stores (module-level swap). */
+  private[sources] def withCommitStore[T](store: TxCommitStore)(f: => T)
+      : T = {
+    val prev = commitStore
+    commitStore = store
+    try f finally commitStore = prev
+  }
+
   /** Atomic CAS publish of version `v`: true iff this writer won the
-    * slot. Before the CAS, every referenced data file's existence is
-    * re-verified so a writer whose files were wrongly vacuumed while
-    * it sat in the retry loop fails loudly instead of committing a
-    * permanently unreadable snapshot. On a win, the `_head` hint is
-    * refreshed best-effort (atomic replace; losers and laggards are
-    * harmless — readers probe forward and never trust a stale
-    * hint). */
+    * slot — [[TxCommitStore.putIfAbsent]] on the manifest path (the
+    * ONLY atomicity-bearing write in the protocol, with the `_head`
+    * hint's best-effort replace). Before the CAS, every referenced
+    * data file's existence is re-verified so a writer whose files
+    * were wrongly vacuumed while it sat in the retry loop fails
+    * loudly instead of committing a permanently unreadable snapshot.
+    * On a win, the `_head` hint is refreshed best-effort (losers and
+    * laggards are harmless — readers probe forward and never trust a
+    * stale hint). */
   private def publish(table: String, v: Long, op: String,
                       schemaDdl: String, files: Seq[String],
                       txns: Map[String, Long],
@@ -410,28 +430,17 @@ object TxTable {
           s"writer? first: ${missing.head}) — run vacuum with a " +
           "grace window longer than the slowest writer's commit")
     Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(
-      s"tmp-${java.util.UUID.randomUUID().toString}")
-    Files.write(tmp,
+    val won = commitStore.putIfAbsent(manifestPath(table, v),
       renderManifest(v, op, schemaDdl, files, txns,
         System.currentTimeMillis(), stats)
         .getBytes(StandardCharsets.UTF_8))
-    val won =
-      try { Files.createLink(manifestPath(table, v), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
     if (won) {
       // best-effort monotone hint: a concurrent slower writer may
       // re-publish a smaller v afterwards; readers probe forward so
       // a regressed hint only costs extra probes, never correctness
-      try {
-        val ht = logDir(table).resolve(
-          s"tmp-head-${java.util.UUID.randomUUID().toString}")
-        Files.write(ht, v.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(ht, headHintPath(table),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      } catch { case _: java.io.IOException => () }
+      try commitStore.replace(headHintPath(table),
+        v.toString.getBytes(StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () }
     }
     won
   }
@@ -570,11 +579,16 @@ object TxTable {
     * `clusterBy` expression (the Z-ORDER layout path — cluster on
     * the interleaved key, collect stats on the source columns) —
     * the layouts that make stats selective (a hash bucket spans the
-    * whole key range; a cluster owns a slice). The stats pass
-    * re-reads only THIS COMMIT'S files (one churn-sized job,
-    * page-cache warm — the poor man's write-time stats collector).
-    * No manifest is touched — the files are invisible until a
-    * commit references them. */
+    * whole key range; a cluster owns a slice). Statistics come
+    * STRAIGHT FROM THE PARQUET FOOTERS the write just produced (the
+    * Iceberg/Delta write-time stats pattern): min/max/row-count per
+    * file folded over the footer's row-group column chunks — NO
+    * second Spark job re-reading the data. At one commit per
+    * streaming micro-batch the per-commit job floor is what bounds
+    * sink latency; footers are O(files) driver-side metadata reads
+    * of files the page cache is still hot on. No manifest is
+    * touched — the files are invisible until a commit references
+    * them. */
   private def writeData(df: DataFrame, table: String, bucketKey: String,
                         buckets: Int, rangeCluster: Boolean = false,
                         statsCols: Seq[String] = Nil,
@@ -602,44 +616,115 @@ object TxTable {
       typeOf(c).exists(t => t == IntegerType || t == LongType))
     val strCols = (bucketKey +: statsCols).distinct.filter(c =>
       typeOf(c).contains(org.apache.spark.sql.types.StringType))
-    val aggs =
-      count(lit(1L)).as("_n") +:
-        (numCols.flatMap(c => Seq(
-          min(col(c)).cast("long").as(s"_lo_$c"),
-          max(col(c)).cast("long").as(s"_hi_$c"))) ++
-         strCols.flatMap(c => Seq(
-           min(col(c)).as(s"_slo_$c"), max(col(c)).as(s"_shi_$c"))))
-    val abs = files.map(f => root(table).resolve(f).toString)
-    val perFile = df.sparkSession.read.parquet(abs: _*)
-      .groupBy(input_file_name().as("_f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     var num = Map.empty[(String, String), (Long, Long)]
     var str = Map.empty[(String, String), (String, String)]
     var rows = Map.empty[String, Long]
-    perFile.foreach { r =>
-      val p = new java.net.URI(r.getAs[String]("_f")).getPath
-      val rel = root(table).relativize(Paths.get(p).toAbsolutePath)
-        .toString
-      rows += rel -> r.getAs[Long]("_n")
-      numCols.foreach { c =>
-        val lo = r.getAs[Any](s"_lo_$c"); val hi = r.getAs[Any](s"_hi_$c")
-        if (lo != null && hi != null)
-          num += (c, rel) -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long])
-      }
-      strCols.foreach { c =>
-        val lo = r.getAs[String](s"_slo_$c")
-        val hi = r.getAs[String](s"_shi_$c")
-        if (safeStrBound(lo) && safeStrBound(hi))
-          str += (c, rel) -> (lo, hi)
+    val nonEmpty = Seq.newBuilder[String]
+    files.foreach { rel =>
+      val (n, mins, maxs) = footerStats(
+        conf, root(table).resolve(rel), numCols.toSet, strCols.toSet)
+      // ZERO-ROW part files never enter the manifest (Spark writes
+      // one for an empty frame to carry schema; manifests carry the
+      // schema themselves): a no-op commit stays metadata-only and
+      // the stray file is an ordinary vacuum-able orphan
+      if (n > 0L) {
+        nonEmpty += rel
+        rows += rel -> n
+        numCols.foreach { c =>
+          (mins.get(c), maxs.get(c)) match {
+            case (Some(lo: Long), Some(hi: Long)) =>
+              num += (c, rel) -> (lo, hi)
+            case _ => ()
+          }
+        }
+        strCols.foreach { c =>
+          (mins.get(c), maxs.get(c)) match {
+            case (Some(lo: String), Some(hi: String))
+                if safeStrBound(lo) && safeStrBound(hi) =>
+              str += (c, rel) -> (lo, hi)
+            case _ => ()
+          }
+        }
       }
     }
-    // a zero-row part file forms no group above but still needs its
-    // count recorded — Snapshot.totalRows is defined only when EVERY
-    // file carries one, and an empty create would otherwise poison
-    // the O(1) row count for the table's whole life
-    files.foreach(f => if (!rows.contains(f)) rows += f -> 0L)
-    (files, FileStats(num, str, rows))
+    (nonEmpty.result(), FileStats(num, str, rows))
+  }
+
+  /** Row count and per-column [min, max] of one just-written parquet
+    * file, folded from its footer's row-group column-chunk
+    * statistics. Integral columns yield Long bounds (int32 widened),
+    * string columns UTF-8 String bounds — parquet's unsigned
+    * byte-wise binary ordering for UTF8 matches Spark's UTF8String
+    * comparison, so footer bounds equal what a `min(col)/max(col)`
+    * aggregation would compute. A chunk without usable statistics
+    * (dropped oversized bounds, all-null, legacy writer) drops the
+    * whole column's entry — readers treat absence as "cannot prune",
+    * so correctness never depends on a stat existing. */
+  /** a <= b in UNSIGNED UTF-8 BYTE order — the ordering parquet's
+    * UTF8 binary stats and Spark's UTF8String comparisons both use
+    * (Scala's String <= is UTF-16 code-unit order, which disagrees
+    * beyond the BMP). */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: Path, numCols: Set[String],
+                          strCols: Set[String])
+      : (Long, Map[String, Any], Map[String, Any]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      var mins = Map.empty[String, Any]
+      var maxs = Map.empty[String, Any]
+      var dead = Set.empty[String] // a statless chunk poisons the col
+      for (b <- blocks; cc <- b.getColumns.asScala) {
+        val path = cc.getPath.toDotString
+        if ((numCols(path) || strCols(path)) && !dead(path)) {
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            // all-null chunks carry no bounds but don't invalidate
+            // bounds from sibling chunks; anything else unusable does
+            if (st == null || !(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
+              dead += path; mins -= path; maxs -= path
+            }
+          } else (st.genericGetMin, st.genericGetMax) match {
+            case (lo: java.lang.Number, hi: java.lang.Number)
+                if numCols(path) =>
+              val (l, h) = (lo.longValue(), hi.longValue())
+              mins += path -> mins.get(path).map(m =>
+                math.min(m.asInstanceOf[Long], l): Any).getOrElse(l)
+              maxs += path -> maxs.get(path).map(m =>
+                math.max(m.asInstanceOf[Long], h): Any).getOrElse(h)
+            case (lo: org.apache.parquet.io.api.Binary,
+                  hi: org.apache.parquet.io.api.Binary) if strCols(path) =>
+              val (l, h) = (lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+              mins += path -> mins.get(path).map(m =>
+                (if (utf8Lte(m.asInstanceOf[String], l)) m else l): Any)
+                .getOrElse(l)
+              maxs += path -> maxs.get(path).map(m =>
+                (if (utf8Lte(h, m.asInstanceOf[String])) m else h): Any)
+                .getOrElse(h)
+            case _ => dead += path; mins -= path; maxs -= path
+          }
+        }
+      }
+      (rowCount, mins, maxs)
+    } finally reader.close()
   }
 
   /** Create the table at version 1 with `df`'s rows. Exactly one of
@@ -651,6 +736,13 @@ object TxTable {
     publish(table, 1L, "create", df.schema.toDDL, files, Map.empty,
       newStats)
   }
+
+  /** Create an EMPTY table at version 1 with `schemaDdl`'s schema —
+    * a pure metadata publish (no write job, no data files): the
+    * zero-cost form of `create(emptyFrame, ...)` an index
+    * initializer uses. Same CAS contract as [[create]]. */
+  def createEmpty(table: String, schemaDdl: String): Boolean =
+    publish(table, 1L, "create", schemaDdl, Nil, Map.empty, FileStats())
 
   /** Append `df`'s rows. Appends COMMUTE, so a CAS loss just
     * re-targets the new head with the same data files. Returns the
@@ -734,6 +826,55 @@ object TxTable {
     }
     throw new CommitContentionException(
       s"appendEvolve lost $retries CAS rounds on $table")
+  }
+
+  /** METADATA-ONLY schema evolution — the ALTER TABLE verb: append
+    * `addCols` to the schema and/or SAFELY WIDEN existing columns'
+    * types (int→long, float→double — parquet's native read-up
+    * promotions, the [[appendEvolve]] contract without the append):
+    * publishes a new manifest with the widened schema and the HEAD'S
+    * OWN files — no data is read or written, O(manifest) cost, the
+    * lakehouse ALTER discipline (existing files read new columns as
+    * NULL and narrower numerics up through parquet type promotion).
+    * Time travel stays schema-pinned: pre-evolution versions replay
+    * with their own schema. Refuses duplicate adds, unknown or
+    * non-widening alters. Returns the committed version. */
+  def evolveSchema(table: String, addCols: Seq[StructField],
+                   widenCols: Seq[(String, DataType)] = Nil,
+                   retries: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolveSchema on missing table $table"))
+      val headSchema = StructType.fromDDL(head.schemaDdl)
+      addCols.foreach(f => require(
+        !headSchema.fieldNames.contains(f.name),
+        s"ADD COLUMN ${f.name}: column already exists"))
+      val widenMap = widenCols.toMap
+      (widenMap.keySet -- headSchema.fieldNames.toSet).foreach(c =>
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN $c: no such column"))
+      val widened = StructType(headSchema.fields.map { hf =>
+        widenMap.get(hf.name) match {
+          case None => hf
+          case Some(t) if t == hf.dataType => hf
+          case Some(t) if widens(hf.dataType, t) =>
+            StructField(hf.name, t, hf.nullable)
+          case Some(t) => throw new IllegalArgumentException(
+            s"ALTER COLUMN ${hf.name}: ${hf.dataType} -> $t is not a " +
+              "safe widening (int->long, float->double)")
+        }
+      } ++ addCols)
+      val headRel = head.files.map(f =>
+        root(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "evolve", widened.toDDL,
+          headRel, carriedTxns(table, head), relStats(table, head)))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"evolveSchema lost $retries CAS rounds on $table")
   }
 
   /** MERGE (upsert) `updates` into the table on `key`: a matching
@@ -1023,6 +1164,106 @@ object TxTable {
       s"deleteKeys lost $retries CAS rounds on $table")
   }
 
+  /** EXACTLY-ONCE single-commit RETRACT + APPEND — the atomic fold an
+    * incremental index maintainer applies per source version: delete
+    * every row whose `key` appears in `keys` AND append `newRows`, as
+    * ONE manifest under the (`appId`, `batchId`) txn record. Readers
+    * (head or time travel) can never observe the torn middle state a
+    * separate delete-then-append pair exposes (touched docs' rows
+    * absent entirely); a crash replays the WHOLE fold or none of it,
+    * and the ledger guard no-ops the replay once the single commit
+    * has landed. Semantics = [[deleteKeys]] ∘ [[appendOnce]] fused:
+    * `keys` NULL-safe-deduplicated and broadcast, touched files found
+    * with the manifest-stats prune + pushed semi-join, kept rows and
+    * `newRows` written together in one churn-sized write. A batchId
+    * at or below the app's high-water no-ops (the nondecreasing-
+    * batch contract of [[appendOnce]]). Always commits a version —
+    * even a content-empty fold (no touches, no inserts) lands a
+    * metadata-only manifest so the txn high-water advances and the
+    * index keeps one version per source version. Returns the index
+    * version after the fold. */
+  def replaceKeysOnce(spark: SparkSession, table: String, keys: DataFrame,
+                      newRows: DataFrame, appId: String, batchId: Long,
+                      key: String = "doc_id", bucketKey: String = "doc_id",
+                      buckets: Int = 4, retries: Int = 20): Long = {
+    if (lastCommittedBatch(table, appId).exists(_ >= batchId))
+      return latestVersion(table).getOrElse(0L)
+    val keyFrame = keys.select(col(key)).na.drop().distinct()
+    // bounds for the manifest-stats prune, paid ONCE across attempts
+    // — and ONLY when the head has enough files for manifest pruning
+    // to beat the job it costs (at 100 TB / 100k files the prune is
+    // the whole point; on a bucket-count-sized table every file is a
+    // candidate anyway and the bounds job is pure overhead). Numeric
+    // keys as widened longs (deleteKeys' cast discipline — the keys
+    // frame's own int/long width must not matter), string keys
+    // as-is.
+    lazy val numBounds = keyFrame.agg(min(col(key)).cast("long"),
+      max(col(key)).cast("long")).head()
+    lazy val strBounds = keyFrame.agg(min(col(key)), max(col(key))).head()
+    val pruneWorthwhile = snapshot(table).exists(_.files.size > 16)
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"replaceKeysOnce on missing table $table"))
+      val carried = carriedTxns(table, head)
+      if (carried.get(appId).exists(_ >= batchId)) return head.version
+      val schema = StructType.fromDDL(head.schemaDdl)
+      val keyType = schema.fields.find(_.name == key).map(_.dataType)
+      // manifest-stats candidate prune, as in deleteKeys
+      val candidates: Seq[String] = keyType match {
+        case _ if !pruneWorthwhile => head.files
+        case Some(IntegerType | LongType) =>
+          if (numBounds.isNullAt(0)) Nil
+          else head.files.filter(f => head.numRange(key, f) match {
+            case Some((mn, mx)) =>
+              mx >= numBounds.getLong(0) && mn <= numBounds.getLong(1)
+            case None => true
+          })
+        case Some(org.apache.spark.sql.types.StringType) =>
+          if (strBounds.isNullAt(0)) Nil
+          else head.files.filter(f => head.strRange(key, f) match {
+            case Some((mn, mx)) =>
+              mx >= strBounds.getString(0) && mn <= strBounds.getString(1)
+            case None => true
+          })
+        case _ => head.files
+      }
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Nil
+        else {
+          val uris = spark.read.schema(schema).parquet(candidates: _*)
+            .select(col(key), input_file_name().as("_f"))
+            .join(broadcast(keyFrame), Seq(key), "left_semi")
+            .select("_f").distinct()
+            .collect().map(r => new java.net.URI(r.getString(0)).getPath)
+            .toSet
+          candidates.filter(f =>
+            uris.contains(Paths.get(f).toAbsolutePath.toString))
+        }
+      val kept =
+        if (touched.isEmpty) None
+        else Some(spark.read.schema(schema).parquet(touched: _*)
+          .join(broadcast(keyFrame), Seq(key), "left_anti")
+          .select(schema.fieldNames.map(col).toSeq: _*))
+      val toWrite = kept match {
+        case Some(k) => k.unionByName(
+          newRows.select(schema.fieldNames.map(col).toSeq: _*))
+        case None => newRows.select(schema.fieldNames.map(col).toSeq: _*)
+      }
+      val (newFiles, newStats) = writeData(toWrite, table, bucketKey, buckets)
+      val untouchedRel = head.files.filterNot(touched.contains)
+        .map(f => root(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "replace", head.schemaDdl,
+          untouchedRel ++ newFiles, carried + (appId -> batchId),
+          relStats(table, head, Some(untouchedRel.toSet)) ++ newStats))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"replaceKeysOnce lost $retries CAS rounds on $table")
+  }
+
   /** Rewrite the current snapshot's files into `buckets` files with
     * identical logical content (small-file compaction). Pure
     * maintenance: on a CAS loss — including planning against a
@@ -1193,6 +1434,54 @@ object TxTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept: _*)
     base.filter(col(key).between(lo, hi))
+  }
+
+  /** True iff the (fromVersion → toVersion) transition REMOVED no
+    * data files — pure metadata (two manifest reads): the feed over
+    * such a transition is guaranteed pure inserts (the
+    * [[changes]] append-only fast path), so an incremental consumer
+    * can skip its retract phase without scanning anything. Version 0
+    * is the empty table (a CREATE transition is append-only). */
+  def appendOnlyTransition(table: String, fromVersion: Long,
+                           toVersion: Long): Boolean = {
+    if (fromVersion == 0L) return true
+    val from = snapshot(table, Some(fromVersion)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such version: $table @ $fromVersion"))
+    val to = snapshot(table, Some(toVersion)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such version: $table @ $toVersion"))
+    val toSet = to.files.toSet
+    from.files.forall(toSet)
+  }
+
+  /** EXACTLY-ONCE metadata-only commit: record (`appId`, `batchId`)
+    * in the txn high-water map WITHOUT touching content — the verb
+    * an incremental consumer uses to mark a NO-OP source transition
+    * (a compaction's net-zero feed) as applied, keeping one index
+    * version per source version at zero Spark jobs. Same
+    * nondecreasing-batch contract as [[appendOnce]]. Returns the
+    * committed (or already-present) version. */
+  def recordBatchOnce(table: String, appId: String, batchId: Long,
+                      retries: Int = 20): Long = {
+    if (lastCommittedBatch(table, appId).exists(_ >= batchId))
+      return latestVersion(table).getOrElse(0L)
+    var attempt = 0
+    while (attempt < retries) {
+      val head = snapshot(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"recordBatchOnce on missing table $table"))
+      val carried = carriedTxns(table, head)
+      if (carried.get(appId).exists(_ >= batchId)) return head.version
+      val headRel = head.files.map(f =>
+        root(table).relativize(Paths.get(f)).toString)
+      if (publish(table, head.version + 1, "record", head.schemaDdl,
+          headRel, carried + (appId -> batchId), relStats(table, head)))
+        return head.version + 1
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"recordBatchOnce lost $retries CAS rounds on $table")
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC

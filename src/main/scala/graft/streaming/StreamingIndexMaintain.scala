@@ -67,4 +67,25 @@ object StreamingIndexMaintain {
       }
       .start()
   }
+
+  /** The IVFADC code-table twin: same tail, pinned coarse centroids
+    * + residual codebooks ([[IncrementalIndex.applyPq]]) — the live
+    * form of the 32×-compressed serving index. */
+  def startPq(spark: SparkSession, corpus: String, index: String,
+              centroidsTable: String, booksTable: String, appId: String,
+              checkpoint: String, m: Int = 16, dim: Int = 64)
+      : StreamingQuery = {
+    val idx = IncrementalIndex.loadPqIndex(spark, centroidsTable,
+      booksTable)
+    spark.readStream.text(s"$corpus/_txlog/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        for (v <- versionsIn(batch))
+          IncrementalIndex.applyPq(spark, corpus, index, idx, v, appId,
+            m, dim)
+        ()
+      }
+      .start()
+  }
 }

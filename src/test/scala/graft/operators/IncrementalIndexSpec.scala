@@ -166,4 +166,106 @@ class IncrementalIndexSpec extends SparkSpec {
       s"the direct IVF search: $fromIndex vs $direct")
     assert(fromIndex.nonEmpty)
   }
+
+  private def vecs64(ids: Long*): DataFrame =
+    ids.map(i => (i, i % 3, Seq.tabulate(64)(j =>
+      math.sin(i * 3.7 + j * 0.91).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+
+  test("IVFADC code-table maintenance equals the pinned-artifact " +
+      "re-encode across append / key delete / compaction, and " +
+      "searchIvfPq equals ivfPqTopK over the same content") {
+    val (corpus, index, cents, books) =
+      (tmp("iipq_c_"), tmp("iipq_i_"), tmp("iipq_k_"), tmp("iipq_b_"))
+    assert(TxTable.create(
+      vecs64(0L to 15L: _*).select("vec_id", "embedding"), corpus,
+      bucketKey = "vec_id"))
+    IncrementalIndex.initPq(spark, corpus, index, cents, books,
+      nCells = 2, kmeansIters = 1, m = 8, codesPerSub = 4, dim = 64,
+      pqIters = 1)
+    val idx = IncrementalIndex.loadPqIndex(spark, cents, books)
+    assert(idx.centroids.length == 2 && idx.books.length == 8 &&
+      idx.books.head.length == 4)
+    TxTable.append(vecs64(16L to 23L: _*)
+      .select("vec_id", "embedding"), corpus, bucketKey = "vec_id")
+    assert(TxTable.deleteKeys(spark, corpus,
+      Seq(2L, 17L).toDF("vec_id"), key = "vec_id",
+      bucketKey = "vec_id") == 3L)
+    assert(TxTable.compact(spark, corpus, bucketKey = "vec_id")
+      .contains(4L))
+    for (v <- 1L to 4L)
+      IncrementalIndex.applyPq(spark, corpus, index, idx, v,
+        m = 8, dim = 64)
+    val maintained = TxTable.read(spark, index)
+      .select("vec_id", "cell", "codes")
+      .as[(Long, Int, Seq[Byte])].collect().toSet
+    val expected = AnnSearch.encodeIvfPq(
+      TxTable.read(spark, corpus), idx, m = 8, dim = 64)
+      .as[(Long, Int, Seq[Byte])].collect().toSet
+    assert(maintained == expected)
+    assert(!maintained.exists(r => r._1 == 2L || r._1 == 17L))
+
+    val fromIndex = IncrementalIndex.searchIvfPq(spark, corpus, index,
+      idx, queryPred = col("vec_id") < 4L, k = 3, nProbe = 2,
+      rerank = 6, m = 8, dim = 64)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val direct = AnnSearch.ivfPqTopK(TxTable.read(spark, corpus),
+      k = 3, maxId = Long.MaxValue, nCentroids = 2, nProbe = 2,
+      m = 8, codesPerSub = 4, dim = 64, rerank = 6,
+      index = Some(idx))
+      .filter(col("a_id") < 4L)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(fromIndex == direct, "maintained-code-table search must " +
+      s"equal the inline-encode search: $fromIndex vs $direct")
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("MinHash band-index maintenance equals the rebuild, and the " +
+      "screen served from it equals incrementalMinhash") {
+    val (corpus, index) = (tmp("iimh_c_"), tmp("iimh_i_"))
+    val base = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "pack my box with five dozen liquor jugs right now",
+      3L -> "how vexingly quick daft zebras jump over fences")
+    assert(TxTable.create(base, corpus))
+    TxTable.merge(spark, corpus, docs(
+      2L -> "pack my box with five dozen liquor jugs right here",
+      4L -> "sphinx of black quartz judge my vow promptly"))
+    assert(TxTable.delete(spark, corpus, col("doc_id") === 3L) == 3L)
+    IncrementalIndex.initMinhash(spark, index)
+    for (v <- 1L to 3L)
+      IncrementalIndex.applyMinhash(spark, corpus, index, v)
+    val maintained = TxTable.read(spark, index)
+      .select("doc_id", "band_idx", "band_hash")
+      .as[(Long, Int, Long)].collect().toSet
+    val expected = IncrementalIndex.minhashBandRows(
+      TxTable.read(spark, corpus).select("doc_id", "text"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(maintained == expected)
+    assert(maintained.map(_._1) == Set(1L, 2L, 4L))
+
+    // batch doc 100 = EXACT copy of live doc 2's CURRENT (post-merge)
+    // text — identical shingle set, identical signature, so every
+    // band collides: a GUARANTEED maintained-routing hit. Doc 101 is
+    // unrelated; doc 103 copies DELETED doc 3's text — its bands
+    // were retracted, so it must route to nothing (the retraction
+    // proof). Served must equal the recompute screen pair for pair.
+    val batch = docs(
+      100L -> "pack my box with five dozen liquor jugs right here",
+      101L -> "completely unrelated text about distant nebulae",
+      103L -> "how vexingly quick daft zebras jump over fences")
+    val served = IncrementalIndex.screenMinhash(spark, corpus, index,
+      batch, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val recomputed = ApproxDedup.incrementalMinhash(batch,
+      TxTable.read(spark, corpus).select("doc_id", "text"),
+      threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == recomputed)
+    assert(served.contains((100L, 2L, 1.0)),
+      s"exact copy of a live doc must route and verify: $served")
+    assert(!served.exists(_._1 == 101L))
+    assert(!served.exists(p => p._2 == 3L),
+      "deleted doc 3's retracted bands must route to nothing")
+  }
 }

@@ -190,4 +190,118 @@ class TxSqlDmlSpec extends SparkSpec {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(contents(t) == Map(1L -> "from-src", 2L -> "ins"))
   }
+
+  test("alias-qualified DML resolves: DELETE/UPDATE with a table " +
+      "alias strip the qualifier before run-time resolution") {
+    val t = freshDir()
+    assert(TxTable.create(
+      docs(1L -> "t1", 2L -> "t2", 3L -> "t3"), t))
+    spark.sql(s"DELETE FROM tx.`$t` t WHERE t.doc_id = 3")
+    assert(contents(t).keySet == Set(1L, 2L))
+    spark.sql(
+      s"UPDATE tx.`$t` t SET text = concat(t.text, '!') " +
+        "WHERE t.doc_id = 1")
+    assert(contents(t) == Map(1L -> "t1!", 2L -> "t2"))
+  }
+
+  test("INSERT BY NAME rejects source columns the table lacks " +
+      "instead of silently dropping them") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L -> "t1"), t))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO tx.`$t` BY NAME " +
+        "SELECT 9L AS doc_id, 'x' AS text, 42 AS stray")
+    }
+    assert(e.getMessage.contains("stray"),
+      s"expected the stray column named in: ${e.getMessage}")
+    assert(contents(t).keySet == Set(1L), "nothing may land")
+  }
+
+  test("CREATE TABLE tx.`p` (cols) births an empty table " +
+      "metadata-only; IF NOT EXISTS no-ops; REPLACE TABLE refuses " +
+      "clearly") {
+    val t = freshDir() + "/fresh"
+    val v = spark.sql(
+      s"CREATE TABLE tx.`$t` (doc_id BIGINT, text STRING)")
+      .head.getLong(0)
+    assert(v == 1L)
+    assert(spark.sql(s"SELECT * FROM tx.`$t`").columns.toSeq ==
+      Seq("doc_id", "text"))
+    assert(spark.sql(s"SELECT * FROM tx.`$t`").count() == 0)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE tx.`$t` (doc_id BIGINT, text STRING)")
+    }
+    assert(spark.sql(s"CREATE TABLE IF NOT EXISTS tx.`$t` " +
+      "(doc_id BIGINT, text STRING)").head.getLong(0) == 1L)
+    spark.sql(s"INSERT INTO tx.`$t` SELECT 5L, 'hello'")
+    assert(contents(t) == Map(5L -> "hello"))
+    val r = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE tx.`$t` AS SELECT 1L AS doc_id, " +
+        "'x' AS text")
+    }
+    assert(r.getMessage.toLowerCase.contains("replace table"),
+      s"expected a clear REPLACE refusal, got: ${r.getMessage}")
+  }
+
+  test("ALTER TABLE ADD COLUMNS / ALTER COLUMN TYPE evolve the " +
+      "schema metadata-only through SQL; non-widening refused") {
+    val t = freshDir()
+    assert(TxTable.create(Seq((1L, 7)).toDF("doc_id", "n")
+      .select(col("doc_id"), col("n").cast("int")), t))
+    val v = spark.sql(
+      s"ALTER TABLE tx.`$t` ADD COLUMNS (lang STRING, score DOUBLE)")
+      .head.getLong(0)
+    assert(v == 2L)
+    val v2 = spark.sql(s"ALTER TABLE tx.`$t` ALTER COLUMN n TYPE BIGINT")
+      .head.getLong(0)
+    assert(v2 == 3L)
+    val row = spark.sql(s"SELECT doc_id, n, lang FROM tx.`$t`").head
+    assert(row.getLong(1) == 7L && row.isNullAt(2),
+      "old files read widened n and NULL lang")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE tx.`$t` ALTER COLUMN n TYPE INT")
+    }
+    // old history replays with its own schema
+    assert(spark.sql(s"SELECT * FROM tx.`$t` VERSION AS OF 1")
+      .schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("OPTIMIZE compacts through SQL: plain re-bins, ZORDER BY one " +
+      "column range-clusters (per-file stats turn selective), two " +
+      "columns lay out the Z-curve") {
+    val t = freshDir()
+    assert(TxTable.create((0L until 64L).map(i => (i, i / 8L))
+      .toDF("doc_id", "grp"), t))
+    TxTable.append((64L until 128L).map(i => (i, i / 8L))
+      .toDF("doc_id", "grp"), t)
+    val before = TxTable.read(spark, t).as[(Long, Long)].collect().toSet
+    val v = spark.sql(s"OPTIMIZE tx.`$t`").head.getLong(0)
+    assert(v == 3L)
+    assert(TxTable.read(spark, t).as[(Long, Long)].collect().toSet ==
+      before, "compaction is content-neutral")
+    val v2 = spark.sql(s"OPTIMIZE tx.`$t` ZORDER BY (doc_id)")
+      .head.getLong(0)
+    assert(v2 == 4L)
+    // range-clustered: each file owns a doc_id slice, so per-file
+    // bounds are disjoint and a key-range read prunes files
+    val s = TxTable.snapshot(t).get
+    val ranges = s.files.flatMap(f => s.numRange("doc_id", f))
+    assert(ranges.size == s.files.size)
+    assert(ranges.sortBy(_._1).sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"clustered files must own disjoint slices: $ranges")
+    val v3 = spark.sql(s"OPTIMIZE tx.`$t` ZORDER BY (doc_id, grp)")
+      .head.getLong(0)
+    assert(v3 == 5L)
+    assert(TxTable.read(spark, t).as[(Long, Long)].collect().toSet ==
+      before)
+    // both columns carry per-file stats under the Z layout
+    val s2 = TxTable.snapshot(t).get
+    assert(s2.files.forall(f => s2.numRange("grp", f).isDefined))
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE tx.`$t` ZORDER BY (a, b, c)")
+    }
+  }
 }

@@ -674,4 +674,134 @@ class TxTableSpec extends SparkSpec {
     TxTable.append(docs(4L), t)
     assert(TxTable.read(spark, t).count() == 1)
   }
+
+  test("manifest stats come from the parquet footers and equal a " +
+      "recomputed per-file min/max/rowcount aggregation") {
+    val t = freshDir()
+    assert(TxTable.create(Seq((5L, "bb", 7), (1L, "aa", 9),
+      (12L, "cc", 3), (8L, "zz", 1)).toDF("doc_id", "text", "n"), t))
+    val s = TxTable.snapshot(t).get
+    assert(s.files.nonEmpty)
+    assert(s.totalRows.contains(4L))
+    for (f <- s.files) {
+      val df = spark.read.parquet(f)
+      val n = df.count()
+      assert(s.rowCounts(f) == n, s"row count mismatch for $f")
+      if (n > 0L) {
+        val r = df.agg(min(col("doc_id")).cast("long"),
+          max(col("doc_id")).cast("long")).head()
+        assert(s.numRange("doc_id", f).contains(
+          (r.getLong(0), r.getLong(1))),
+          s"doc_id bounds mismatch for $f: ${s.numRange("doc_id", f)}")
+      } else assert(s.numRange("doc_id", f).isEmpty)
+    }
+  }
+
+  test("createEmpty publishes a zero-file v1 whose schema reads back " +
+      "and accepts appends") {
+    val t = freshDir()
+    assert(TxTable.createEmpty(t, "doc_id BIGINT,text STRING"))
+    assert(!TxTable.createEmpty(t, "doc_id BIGINT,text STRING"),
+      "second create must lose the CAS")
+    val df = TxTable.read(spark, t)
+    assert(df.columns.toSeq == Seq("doc_id", "text") && df.count() == 0)
+    assert(TxTable.snapshot(t).get.totalRows.contains(0L))
+    TxTable.append(docs(1L, 2L), t)
+    assert(TxTable.read(spark, t).count() == 2)
+  }
+
+  test("replaceKeysOnce retracts and appends as ONE version, carries " +
+      "untouched files, and no-ops on batch replay") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L, 3L, 4L), t))
+    val v1Files = TxTable.snapshot(t).get.files.toSet
+    val v = TxTable.replaceKeysOnce(spark, t,
+      Seq(2L, 3L).toDF("doc_id"),
+      Seq((2L, "two'"), (9L, "nine")).toDF("doc_id", "text"),
+      appId = "app", batchId = 1L)
+    assert(v == 2L, "retract+append must land as exactly one version")
+    assert(TxTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "t1"), (4L, "t4"), (2L, "two'"), (9L, "nine")))
+    // exactly-once: same batch replays to a no-op at the same head
+    val v2 = TxTable.replaceKeysOnce(spark, t,
+      Seq(2L, 3L).toDF("doc_id"),
+      Seq((2L, "two'"), (9L, "nine")).toDF("doc_id", "text"),
+      appId = "app", batchId = 1L)
+    assert(v2 == 2L && TxTable.latestVersion(t).contains(2L))
+    assert(TxTable.lastCommittedBatch(t, "app").contains(1L))
+    // files whose keys were untouched carry over verbatim
+    val v2Files = TxTable.snapshot(t).get.files.toSet
+    assert(v2Files.intersect(v1Files).nonEmpty,
+      "untouched bucket files must carry over, not rewrite")
+  }
+
+  test("replaceKeysOnce with an empty key frame and empty rows is a " +
+      "metadata-only txn commit; recordBatchOnce ditto") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L), t))
+    val before = TxTable.snapshot(t).get.files.toSet
+    val v = TxTable.replaceKeysOnce(spark, t,
+      spark.emptyDataset[Long].toDF("doc_id"),
+      docs(), appId = "a", batchId = 5L)
+    assert(v == 2L)
+    val s2 = TxTable.snapshot(t).get
+    assert(s2.files.toSet == before, "no content change expected")
+    assert(TxTable.lastCommittedBatch(t, "a").contains(5L))
+    val v3 = TxTable.recordBatchOnce(t, "a", 7L)
+    assert(v3 == 3L)
+    assert(TxTable.snapshot(t).get.files.toSet == before)
+    assert(TxTable.lastCommittedBatch(t, "a").contains(7L))
+    assert(TxTable.recordBatchOnce(t, "a", 7L) == 3L, "replay no-ops")
+    assert(TxTable.read(spark, t).count() == 1)
+  }
+
+  test("appendOnlyTransition is true for create/append, false for " +
+      "copy-on-write commits") {
+    val t = freshDir()
+    assert(TxTable.create(docs(1L, 2L), t))          // v1
+    TxTable.append(docs(3L), t)                      // v2
+    TxTable.merge(spark, t, docs(1L))                // v3 (rewrite)
+    assert(TxTable.delete(spark, t, col("doc_id") === 2L) == 4L)
+    assert(TxTable.compact(spark, t).contains(5L))
+    assert(TxTable.appendOnlyTransition(t, 0L, 1L))
+    assert(TxTable.appendOnlyTransition(t, 1L, 2L))
+    assert(!TxTable.appendOnlyTransition(t, 2L, 3L))
+    assert(!TxTable.appendOnlyTransition(t, 3L, 4L))
+    assert(!TxTable.appendOnlyTransition(t, 4L, 5L))
+    assert(TxTable.appendOnlyTransition(t, 0L, 2L),
+      "composed create+append range is still append-only")
+  }
+
+  test("evolveSchema adds NULL-reading columns and widens types " +
+      "metadata-only; refuses narrowing; time travel stays pinned") {
+    import org.apache.spark.sql.types._
+    val t = freshDir()
+    assert(TxTable.create(Seq((1L, 7), (2L, 9)).toDF("doc_id", "n")
+      .select(col("doc_id"), col("n").cast("int")), t))
+    val filesBefore = TxTable.snapshot(t).get.files.toSet
+    val v = TxTable.evolveSchema(t,
+      addCols = Seq(StructField("lang", StringType)),
+      widenCols = Seq(("n", LongType)))
+    assert(v == 2L)
+    assert(TxTable.snapshot(t).get.files.toSet == filesBefore,
+      "schema evolution must not rewrite data")
+    val evolved = TxTable.read(spark, t)
+    assert(evolved.schema("n").dataType == LongType)
+    assert(evolved.select("doc_id", "n", "lang")
+      .as[(Long, Long, Option[String])].collect().toSet ==
+      Set((1L, 7L, None), (2L, 9L, None)),
+      "old int32 files must read up to long; new column reads NULL")
+    // pre-evolution version replays with ITS schema
+    assert(TxTable.read(spark, t, Some(1L)).schema("n")
+      .dataType == IntegerType)
+    intercept[IllegalArgumentException] {
+      TxTable.evolveSchema(t, Nil, Seq(("n", IntegerType)))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.evolveSchema(t, Seq(StructField("n", LongType)), Nil)
+    }
+    // appends under the widened schema land, totalRows stays exact
+    TxTable.append(Seq((3L, 100L, "en")).toDF("doc_id", "n", "lang"), t)
+    assert(TxTable.read(spark, t).count() == 3)
+  }
 }

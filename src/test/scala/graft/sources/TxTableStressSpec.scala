@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   * every committed delete must have landed exactly, manifest row
   * counts must stay exact at every sampled version, and change feeds
   * over random version ranges must replay the content diff exactly
-  * (the EXCEPT-ALL-both-ways oracle, in-engine). */
+  * (the EXCEPT-ALL-both-ways oracle, in-engine).
+  *
+  * The SAME invariants run twice: once on the local-FS
+  * [[TxCommitStore]] and once through a FAULT-INJECTING store
+  * (seeded latency jitter inside the CAS window, ~15% spurious
+  * retryable CAS losses — the 5xx-shaped failure an object store
+  * surfaces, ~50% dropped `_head` hint updates — the stale-hint
+  * case readers must survive), pinning the protocol an object-store
+  * port must honor, not just the happy path. */
 class TxTableStressSpec extends SparkSpec {
   import spark.implicits._
 
@@ -29,14 +37,62 @@ class TxTableStressSpec extends SparkSpec {
   private def rows(ids: Seq[Long]) =
     ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
 
+  /** Wraps a store with seeded faults that a correct caller must
+    * absorb: latency inside the CAS window (widens race windows),
+    * spurious CAS losses WITHOUT a landed object (the retryable-5xx
+    * contract of [[TxCommitStore.putIfAbsent]] — the caller rebases
+    * and retries the slot), and dropped head-hint replaces (readers
+    * fall back to the listing / forward probe). */
+  private final class FaultInjectingStore(inner: TxCommitStore,
+                                          seed: Long)
+      extends TxCommitStore {
+    private val rnd = new java.util.Random(seed)
+    private def roll(pct: Int): Boolean =
+      rnd.synchronized(rnd.nextInt(100) < pct)
+    private def jitter(): Unit = {
+      val ms = rnd.synchronized(rnd.nextInt(4))
+      if (ms > 0) Thread.sleep(ms.toLong)
+    }
+    override def putIfAbsent(path: java.nio.file.Path,
+                             bytes: Array[Byte]): Boolean = {
+      jitter()
+      if (roll(15)) return false // retryable loss, nothing landed
+      val won = inner.putIfAbsent(path, bytes)
+      jitter()
+      won
+    }
+    override def replace(path: java.nio.file.Path,
+                         bytes: Array[Byte]): Unit =
+      if (!roll(50)) inner.replace(path, bytes) // else: hint goes stale
+  }
+
   test("~100 racing commits (4 appenders + deleter + compactor): " +
       "linear history, no lost rows, exact feeds and row counts") {
+    stressRun(20260816L)
+  }
+
+  test("the same invariants hold through a fault-injecting commit " +
+      "store: latency in the CAS window, spurious retryable losses, " +
+      "stale head hints") {
+    TxTable.withCommitStore(
+      new FaultInjectingStore(LocalFsCommitStore, 4242L)) {
+      stressRun(20270816L)
+    }
+  }
+
+  private def stressRun(seed: Long): Unit = {
     val t = freshDir()
-    val seed = 20260816L
     // victims are fully present BEFORE the race, so every delete
-    // commit removes exactly its range (no append/delete ambiguity)
+    // commit removes exactly its range (no append/delete ambiguity).
+    // create retries through spurious (injected) retryable CAS
+    // losses — the caller-side discipline the putIfAbsent contract
+    // prescribes for 5xx-shaped failures
     val victims = (0L until 100L)
-    assert(TxTable.create(rows(victims), t))
+    var createTries = 0
+    while (!TxTable.create(rows(victims), t) &&
+        TxTable.latestVersion(t).isEmpty && createTries < 50)
+      createTries += 1
+    assert(TxTable.latestVersion(t).contains(1L))
 
     val errors = new ConcurrentLinkedQueue[Throwable]()
     val appendsPerWriter = 20

@@ -84,4 +84,47 @@ class StreamingIndexMaintainSpec extends SparkSpec {
     assert(maintained(index) == rebuilt(corpus))
     assert(maintained(index).exists(p => p._1 == 9L && p._3 == 3L))
   }
+
+  test("the PQ code-table fold rides the same streamed tail: " +
+      "maintained codes equal the pinned-artifact re-encode across " +
+      "commits and a restart") {
+    import graft.operators.{AnnSearch, IncrementalIndex}
+    val (corpus, index, cents, books, cp) = (tmp("s27p_c_"),
+      tmp("s27p_i_"), tmp("s27p_k_"), tmp("s27p_b_"), tmp("s27p_cp_"))
+    def vecs(ids: Long*) =
+      ids.map(i => (i, Seq.tabulate(64)(j =>
+        math.sin(i * 2.3 + j * 0.7).toFloat))).toDF("vec_id", "embedding")
+    assert(TxTable.create(vecs(0L to 9L: _*), corpus,
+      bucketKey = "vec_id"))
+    IncrementalIndex.initPq(spark, corpus, index, cents, books,
+      nCells = 2, kmeansIters = 1, m = 8, codesPerSub = 4, dim = 64,
+      pqIters = 1)
+    val idx = IncrementalIndex.loadPqIndex(spark, cents, books)
+    def runPq(): Unit = {
+      val q = StreamingIndexMaintain.startPq(spark, corpus, index,
+        cents, books, appId = "s27_pq", checkpoint = cp, m = 8,
+        dim = 64)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def codes(): Set[(Long, Int, Seq[Byte])] =
+      TxTable.read(spark, index).select("vec_id", "cell", "codes")
+        .as[(Long, Int, Seq[Byte])].collect().toSet
+    def reencoded(): Set[(Long, Int, Seq[Byte])] =
+      AnnSearch.encodeIvfPq(TxTable.read(spark, corpus), idx,
+        m = 8, dim = 64)
+        .as[(Long, Int, Seq[Byte])].collect().toSet
+    runPq()
+    assert(codes() == reencoded())
+    TxTable.append(vecs(10L to 14L: _*), corpus, bucketKey = "vec_id")
+    assert(TxTable.deleteKeys(spark, corpus, Seq(3L, 11L).toDF("vec_id"),
+      key = "vec_id", bucketKey = "vec_id") == 3L)
+    runPq()
+    assert(codes() == reencoded())
+    assert(!codes().exists(c => c._1 == 3L || c._1 == 11L))
+    // restart with the same checkpoint: nothing re-applies
+    val vBefore = TxTable.latestVersion(index).get
+    runPq()
+    assert(TxTable.latestVersion(index).get == vBefore)
+    assert(codes() == reencoded())
+  }
 }
