@@ -150,8 +150,12 @@ object IndexQueries {
       IncrementalIndex.initIvf(s, corpus, ivf, cents,
         nCells = 8, kmeansIters = 2)
       val quant = IncrementalIndex.loadCentroids(s, cents)
+      // m=8 here (vs the serving index's 16): the lifecycle gate
+      // proves per-row decomposability + exactly-once folding, which
+      // is independent of subspace count — the smaller expression
+      // tree halves the one-time encode codegen the fixture pays
       IncrementalIndex.initPq(s, corpus, pq, cents, books,
-        nCells = 8, kmeansIters = 2, m = 16, codesPerSub = 16,
+        nCells = 8, kmeansIters = 2, m = 8, codesPerSub = 16,
         dim = 64, pqIters = 2, coarse = Some(quant))
       val pqIdx = IncrementalIndex.loadPqIndex(s, cents, books)
       TxTable.append(e.filter(col("vec_id") % 3 === 1), corpus,
@@ -170,7 +174,7 @@ object IndexQueries {
               .select("vec_id", "cell")),
           (pq, "graft_pq_index", "vec_id",
             ins => AnnSearch.encodeIvfPq(
-              ins.select("vec_id", "embedding"), pqIdx)))
+              ins.select("vec_id", "embedding"), pqIdx, m = 8)))
       val vs = (1L to 4L).map(v =>
         IncrementalIndex.applyMany(s, corpus, v, folds))
       val head = TxTable.read(s, corpus).localCheckpoint(true)
@@ -179,7 +183,8 @@ object IndexQueries {
         AnnSearch.assignCells(head, quant).select("vec_id", "cell"))
       val dPq = signedDiff(
         TxTable.read(s, pq).select("vec_id", "cell", "codes"),
-        AnnSearch.encodeIvfPq(head.select("vec_id", "embedding"), pqIdx))
+        AnnSearch.encodeIvfPq(head.select("vec_id", "embedding"),
+          pqIdx, m = 8))
       VecIndexes(corpus, ivf, pq, vs.map(_.head), vs.map(_.last),
         dIvf, dPq)
     }

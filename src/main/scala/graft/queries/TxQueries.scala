@@ -194,8 +194,11 @@ object TxQueries {
       require(TxTable.create(
         docs.filter(col("doc_id") % 3 === 0), dir), "create lost its CAS")
       TxTable.append(docs.filter(col("doc_id") % 3 === 1), dir)
-      require(TxTable.compact(s, dir, rangeCluster = true).contains(3L),
-        "clustered compact must land as v3")
+      // clustered compaction driven from SQL — the OPTIMIZE verb is
+      // the notebook face of TxTable.compact(rangeCluster = true);
+      // the key's oracle is unchanged (compaction is content-neutral)
+      require(s.sql(s"OPTIMIZE tx.`$dir` ZORDER BY (doc_id)")
+        .head.getLong(0) == 3L, "clustered OPTIMIZE must land as v3")
       dir
     }
 
@@ -221,14 +224,17 @@ object TxQueries {
         .filter(col("doc_id") % 3 < 2)
       require(TxTable.create(docs, dir, bucketKey = "id_str",
         buckets = 4), "create lost its CAS")
-      require(TxTable.compact(s, dir, bucketKey = "id_str", buckets = 8,
-        rangeCluster = true).contains(2L),
-        "string-clustered compact must land as v2")
-      require(TxTable.compact(s, dir, bucketKey = "id_str",
-        buckets = 16,
-        clusterBy = Some(graft.functions.ZOrder.z16(col("x"), col("y"))),
-        statsCols = Seq("x", "y")).contains(3L),
-        "z-ordered compact must land as v3")
+      // BOTH clustered layouts driven from SQL (the OPTIMIZE verb):
+      // one ZORDER column = range-clustered on it (string [min,max]
+      // stats turn selective), two = the Z-curve interleave with
+      // per-column stats tight on both dims. Content-neutral, so the
+      // key's oracle replays the same slice either way.
+      require(s.sql(s"OPTIMIZE tx.`$dir` ZORDER BY (id_str)")
+        .head.getLong(0) == 2L,
+        "string-clustered OPTIMIZE must land as v2")
+      require(s.sql(s"OPTIMIZE tx.`$dir` ZORDER BY (x, y)")
+        .head.getLong(0) == 3L,
+        "z-ordered OPTIMIZE must land as v3")
       dir
     }
 
