@@ -31,21 +31,32 @@ import graft.sources.TxTable
   *     TIMESTAMP AS OF 'ts'`) — [[TxTable.restore]], the undo verb.
   *   - `VACUUM tx.`p` RETAIN n VERSIONS [GRACE m MILLISECONDS]` —
   *     [[TxTable.vacuumRetain]].
-  *   - writes: `INSERT INTO | OVERWRITE` ([[TxInsertCommand]]),
-  *     `UPDATE … SET … WHERE` ([[TxTable.update]]'s copy-on-write
-  *     rewrite), canonical `MERGE INTO … UPDATE SET * / INSERT *`
-  *     ([[TxTable.merge]]), `CREATE TABLE … AS <query>`
-  *     ([[TxCreateCommand]]), and `DESCRIBE HISTORY`
-  *     ([[TxHistoryCommand]], the audit verb).
+  *   - writes: `INSERT INTO | OVERWRITE` ([[TxInsertCommand]] — BY
+  *     NAME rejects both missing AND extra columns), `UPDATE … SET …
+  *     WHERE` ([[TxTable.update]]'s copy-on-write rewrite), canonical
+  *     `MERGE INTO … UPDATE SET * / INSERT *` ([[TxTable.merge]]),
+  *     `CREATE TABLE … AS <query>` ([[TxCreateCommand]]) or with a
+  *     declared column list ([[TxCreateEmptyCommand]], metadata-only
+  *     birth), and `DESCRIBE HISTORY` ([[TxHistoryCommand]], the
+  *     audit verb). Alias-qualified DML (`DELETE FROM tx.`p` t WHERE
+  *     t.x …`) resolves — the captured alias is stripped before the
+  *     run-time re-anchor.
+  *   - maintenance & evolution: `OPTIMIZE tx.`p` [ZORDER BY (a[,
+  *     b])]` ([[TxOptimizeCommand]] — hash re-bin / range-clustered /
+  *     Z-curve compaction), `ALTER TABLE tx.`p` ADD COLUMNS (…)` and
+  *     `ALTER COLUMN c TYPE t` ([[TxAlterCommand]] →
+  *     [[TxTable.evolveSchema]], metadata-only). `REPLACE TABLE` is
+  *     refused with a clear message — history is the contract
+  *     (INSERT OVERWRITE replaces content, RESTORE undoes).
   *
   * Only the statements Spark has no grammar for (RESTORE, VACUUM,
-  * DESCRIBE HISTORY) are parsed here, by [[TxSqlParser]] — a thin
-  * delegate-everything wrapper, the standard extension pattern —
-  * plus CTAS, which the parser must CLAIM from the delegate's output
-  * (the built-in session-catalog resolution would convert it to a v1
-  * catalog command before any extension resolution rule runs).
-  * Everything else rides the stock parser, so the SQL dialect stays
-  * Spark's. Reference scope: the reference program mutates its
+  * OPTIMIZE, DESCRIBE HISTORY) are parsed here, by [[TxSqlParser]] —
+  * a thin delegate-everything wrapper, the standard extension
+  * pattern — plus CTAS / CREATE / REPLACE / ALTER, which the parser
+  * must CLAIM from the delegate's output (the built-in
+  * session-catalog resolution would convert them to v1 catalog
+  * commands before any extension resolution rule runs). Everything
+  * else rides the stock parser, so the SQL dialect stays Spark's. Reference scope: the reference program mutates its
   * processed-file state imperatively (kinesis-to-humio.py:141-166);
   * these verbs are that state's lifecycle, grown to a versioned
   * corpus table and given the declarative face.

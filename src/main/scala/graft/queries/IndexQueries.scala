@@ -147,16 +147,21 @@ object IndexQueries {
         bucketKey = "vec_id"), "create lost CAS")
       // quantizer + codebooks pinned on v1 content; the PQ index
       // shares the IVF coarse quantizer (classic IVFADC routing)
+      // kmeansIters/pqIters = 1 (vs q_ann_ivf's 2): the lifecycle
+      // gate pins counts + the rebuild flag, which are quantizer-
+      // independent — one Lloyd pass halves the train jobs the
+      // fixture pays (Lloyd refinement quality is gated by
+      // q_ann_ivf's own unrolled oracle)
       IncrementalIndex.initIvf(s, corpus, ivf, cents,
-        nCells = 8, kmeansIters = 2)
+        nCells = 8, kmeansIters = 1)
       val quant = IncrementalIndex.loadCentroids(s, cents)
       // m=8 here (vs the serving index's 16): the lifecycle gate
       // proves per-row decomposability + exactly-once folding, which
       // is independent of subspace count — the smaller expression
       // tree halves the one-time encode codegen the fixture pays
       IncrementalIndex.initPq(s, corpus, pq, cents, books,
-        nCells = 8, kmeansIters = 2, m = 8, codesPerSub = 16,
-        dim = 64, pqIters = 2, coarse = Some(quant))
+        nCells = 8, kmeansIters = 1, m = 8, codesPerSub = 16,
+        dim = 64, pqIters = 1, coarse = Some(quant))
       val pqIdx = IncrementalIndex.loadPqIndex(s, cents, books)
       TxTable.append(e.filter(col("vec_id") % 3 === 1), corpus,
         bucketKey = "vec_id")
