@@ -141,18 +141,27 @@ object IncrementalIndex {
   /** One corpus transition folded into SEVERAL maintained indexes
     * with the change feed computed ONCE: materializes the (v−1 → v)
     * feed (churn-sized localCheckpoint) and applies each fold from
-    * it. Each index still commits independently (its own exactly-once
-    * ledger record), so a crash between folds resumes where it
-    * stopped. Returns each index's version after its fold. */
+    * it CONCURRENTLY — the folds target DISJOINT index tables, so
+    * their commits never contend, and a Spark scheduler runs the
+    * independent churn-sized jobs in parallel instead of serializing
+    * their per-job floors (the multi-consumer shape of a production
+    * CDC bus: one feed, N independent maintainers). Each index still
+    * commits under its own exactly-once ledger record, so a crash
+    * between folds resumes where it stopped. Returns each index's
+    * version after its fold, in fold order. */
   def applyMany(spark: SparkSession, corpus: String, v: Long,
                 folds: Seq[(String, String, String, DataFrame => DataFrame)],
                 buckets: Int = 4): Seq[Long] = {
     val feed = TxTable.changes(spark, corpus, v - 1, v)
       .localCheckpoint(true)
-    folds.map { case (index, appId, idCol, rowsOf) =>
-      applyDecomposable(spark, corpus, index, v, appId, idCol, buckets,
-        Some(feed))(rowsOf)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = folds.map { case (index, appId, idCol, rowsOf) =>
+      Future(applyDecomposable(spark, corpus, index, v, appId, idCol,
+        buckets, Some(feed))(rowsOf))
     }
+    fs.map(Await.result(_, Duration.Inf))
   }
 
   /** Create the (empty) postings index table. */

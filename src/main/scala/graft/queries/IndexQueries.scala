@@ -117,18 +117,31 @@ object IndexQueries {
         IncrementalIndex.applyMany(s, corpus, v, folds).head)
       val head = TxTable.read(s, corpus).select("doc_id", "text")
         .localCheckpoint(true) // three rebuild gates read it
-      val dBm25 = signedDiff(
-        TxTable.read(s, bm25).select("doc_id", "term", "tf", "dl"),
-        Bm25.postings(head))
-      val dSim = signedDiff(
-        TxTable.read(s, simhash).select("doc_id", "simhash"),
-        ApproxDedup.simhashOf(head))
-      val dMh = signedDiff(
-        TxTable.read(s, minhash)
-          .select("doc_id", "band_idx", "band_hash"),
-        IncrementalIndex.minhashBandRows(head))
+      // the three maintained-equals-rebuilt gates are independent
+      // jobs over disjoint tables — run them concurrently
+      val Seq(dBm25, dSim, dMh) = concurrently(
+        () => signedDiff(
+          TxTable.read(s, bm25).select("doc_id", "term", "tf", "dl"),
+          Bm25.postings(head)),
+        () => signedDiff(
+          TxTable.read(s, simhash).select("doc_id", "simhash"),
+          ApproxDedup.simhashOf(head)),
+        () => signedDiff(
+          TxTable.read(s, minhash)
+            .select("doc_id", "band_idx", "band_hash"),
+          IncrementalIndex.minhashBandRows(head)))
       DocIndexes(corpus, bm25, simhash, minhash, ivs, dBm25, dSim, dMh)
     }
+
+  /** Run independent fixture actions concurrently (disjoint tables,
+    * shared immutable inputs) — the per-job floor of N gate jobs
+    * collapses to ~one on an idle local[32]. */
+  private def concurrently(fs: (() => Long)*): Seq[Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    fs.map(f => Future(f())).map(Await.result(_, Duration.Inf))
+  }
 
   /** Embeddings lifecycle: create / append / key-frame DELETE
     * ([[TxTable.deleteKeys]] — the churn-shaped retraction verb) /
@@ -183,13 +196,14 @@ object IndexQueries {
       val vs = (1L to 4L).map(v =>
         IncrementalIndex.applyMany(s, corpus, v, folds))
       val head = TxTable.read(s, corpus).localCheckpoint(true)
-      val dIvf = signedDiff(
-        TxTable.read(s, ivf).select("vec_id", "cell"),
-        AnnSearch.assignCells(head, quant).select("vec_id", "cell"))
-      val dPq = signedDiff(
-        TxTable.read(s, pq).select("vec_id", "cell", "codes"),
-        AnnSearch.encodeIvfPq(head.select("vec_id", "embedding"),
-          pqIdx, m = 8))
+      val Seq(dIvf, dPq) = concurrently(
+        () => signedDiff(
+          TxTable.read(s, ivf).select("vec_id", "cell"),
+          AnnSearch.assignCells(head, quant).select("vec_id", "cell")),
+        () => signedDiff(
+          TxTable.read(s, pq).select("vec_id", "cell", "codes"),
+          AnnSearch.encodeIvfPq(head.select("vec_id", "embedding"),
+            pqIdx, m = 8)))
       VecIndexes(corpus, ivf, pq, vs.map(_.head), vs.map(_.last),
         dIvf, dPq)
     }
