@@ -244,6 +244,22 @@ case class TxOptimizeCommand(table: String, zorderBy: Seq[String])
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // validate the clustering columns BEFORE any data is written: a
+    // typo'd column must fail here with the table's schema in hand,
+    // not as a mid-write analysis error over freshly landed files —
+    // and the 2-D form's bit interleave needs integral columns
+    val schema = StructType.fromDDL(TxTable.snapshot(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE of missing table $table")).schemaDdl)
+    zorderBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"OPTIMIZE ZORDER BY unknown column $c (table has " +
+        s"${schema.fieldNames.mkString(", ")})"))
+    if (zorderBy.size == 2)
+      zorderBy.foreach(c => require(
+        schema(c).dataType == org.apache.spark.sql.types.IntegerType ||
+          schema(c).dataType == LongType,
+        s"OPTIMIZE ZORDER BY (a, b) interleaves integer bits — " +
+          s"column $c is ${schema(c).dataType.simpleString}"))
     val v = zorderBy match {
       case Seq() =>
         TxTable.compact(spark, table,
@@ -599,6 +615,10 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
         if (ct.partitioning.nonEmpty) fail(sqlText,
           "tx tables take no PARTITIONED BY — layout comes from " +
             "clustered compaction")
+        // column DEFAULTs would be silently forgotten (the manifest
+        // stores a plain DDL schema) — refuse rather than drop
+        if (ct.columns.exists(_.defaultValue.nonEmpty)) fail(sqlText,
+          "tx tables do not support column DEFAULT values")
         TxCreateEmptyCommand(claimedCreate(ct.name).get,
           StructType(ct.columns.map(c =>
             StructField(c.name, c.dataType, c.nullable))),

@@ -1181,7 +1181,13 @@ object TxTable {
     * even a content-empty fold (no touches, no inserts) lands a
     * metadata-only manifest so the txn high-water advances and the
     * index keeps one version per source version. Returns the index
-    * version after the fold. */
+    * version after the fold.
+    *
+    * `keys` is consumed up to three times (bounds, touched-file
+    * semi-join, rewrite anti-join): pass an already-materialized
+    * frame (a localCheckpointed change feed — what
+    * [[graft.operators.IncrementalIndex.applyMany]] provides) when
+    * its lineage is expensive to recompute. */
   def replaceKeysOnce(spark: SparkSession, table: String, keys: DataFrame,
                       newRows: DataFrame, appId: String, batchId: Long,
                       key: String = "doc_id", bucketKey: String = "doc_id",

@@ -303,5 +303,31 @@ class TxSqlDmlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"OPTIMIZE tx.`$t` ZORDER BY (a, b, c)")
     }
+    // refusals fire BEFORE any data write: unknown column, and the
+    // 2-D interleave on a non-integral column
+    val vHead = TxTable.latestVersion(t).get
+    val e1 = intercept[Exception] {
+      spark.sql(s"OPTIMIZE tx.`$t` ZORDER BY (nope)")
+    }
+    assert(e1.getMessage.contains("nope"))
+    val t2 = freshDir()
+    assert(TxTable.create(docs(1L -> "a"), t2))
+    val e2 = intercept[Exception] {
+      spark.sql(s"OPTIMIZE tx.`$t2` ZORDER BY (doc_id, text)")
+    }
+    assert(e2.getMessage.contains("text"))
+    assert(TxTable.latestVersion(t).contains(vHead) &&
+      TxTable.latestVersion(t2).contains(1L),
+      "refused OPTIMIZE must commit nothing")
+  }
+
+  test("CREATE TABLE tx with a column DEFAULT is refused (the " +
+      "manifest schema cannot carry it)") {
+    val t = freshDir() + "/dflt"
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE tx.`$t` " +
+        "(doc_id BIGINT, lang STRING DEFAULT 'en')")
+    }
+    assert(TxTable.latestVersion(t).isEmpty)
   }
 }
