@@ -156,12 +156,26 @@ object IncrementalIndex {
       .localCheckpoint(true)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = folds.map { case (index, appId, idCol, rowsOf) =>
-      Future(applyDecomposable(spark, corpus, index, v, appId, idCol,
-        buckets, Some(feed))(rowsOf))
-    }
-    fs.map(Await.result(_, Duration.Inf))
+    // dedicated pool, not ExecutionContext.global: folds BLOCK on
+    // Spark actions, and parking fold-count blocking tasks on the
+    // bounded shared pool would starve its other users. Await on
+    // Future.sequence observes EVERY fold before returning — a
+    // failed fold surfaces after its siblings finish (each fold is
+    // its own exactly-once commit, so siblings completing is the
+    // desired outcome, and the crashed fold resumes on re-apply).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, folds.size))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = folds.map { case (index, appId, idCol, rowsOf) =>
+        Future(applyDecomposable(spark, corpus, index, v, appId, idCol,
+          buckets, Some(feed))(rowsOf))
+      }
+      val settled = Future.sequence(fs.map(_.transform(scala.util.Success(_))))
+      val outcomes = Await.result(settled, Duration.Inf)
+      outcomes.map(_.get) // rethrows the FIRST failure, siblings done
+    } finally pool.shutdown()
   }
 
   /** Create the (empty) postings index table. */
@@ -418,11 +432,15 @@ object IncrementalIndex {
                     newDocs: DataFrame, n: Int = 3, k: Int = 32,
                     bands: Int = 8, threshold: Double = 0.5)
       : DataFrame = {
+    // localCheckpoint (not cache): the batch's shingle sets feed two
+    // consumers below, and checkpoint blocks are GC-reclaimed with
+    // the returned frame — a cache() here would accumulate in the
+    // shared cache manager across a long session of repeated screens
     val newSh = newDocs
       .repartition(col("doc_id"))
       .select(col("doc_id").as("new_id"),
         ApproxDedup.shingleHashes64(col("text"), n).as("sh_new"))
-      .cache()
+      .localCheckpoint(true)
     val r = k / bands
     val newBands = newSh.select(col("new_id"),
       posexplode(ApproxDedup.bandHashes(ApproxDedup.minhashSignature(

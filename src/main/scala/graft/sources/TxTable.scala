@@ -729,20 +729,47 @@ object TxTable {
 
   /** Create the table at version 1 with `df`'s rows. Exactly one of
     * several racing creators wins; the rest get false (their data
-    * files become vacuum-able orphans). */
+    * files become vacuum-able orphans). A SPURIOUS CAS false (the
+    * store's retryable-5xx surface: nothing landed at the slot — see
+    * [[TxCommitStore.putIfAbsent]]) is retried here, bounded, so
+    * callers only ever see false when a competitor genuinely won. */
   def create(df: DataFrame, table: String, bucketKey: String = "doc_id",
-             buckets: Int = 4): Boolean = {
+             buckets: Int = 4, retries: Int = 20): Boolean = {
     val (files, newStats) = writeData(df, table, bucketKey, buckets)
-    publish(table, 1L, "create", df.schema.toDDL, files, Map.empty,
-      newStats)
+    publishV1Retrying(table, df.schema.toDDL, files, newStats, retries)
   }
 
   /** Create an EMPTY table at version 1 with `schemaDdl`'s schema —
     * a pure metadata publish (no write job, no data files): the
     * zero-cost form of `create(emptyFrame, ...)` an index
-    * initializer uses. Same CAS contract as [[create]]. */
-  def createEmpty(table: String, schemaDdl: String): Boolean =
-    publish(table, 1L, "create", schemaDdl, Nil, Map.empty, FileStats())
+    * initializer uses. Same CAS contract as [[create]], including
+    * the bounded retry on spurious (nothing-landed) CAS failures. */
+  def createEmpty(table: String, schemaDdl: String,
+                  retries: Int = 20): Boolean =
+    publishV1Retrying(table, schemaDdl, Nil, FileStats(), retries)
+
+  /** Publish the version-1 manifest, absorbing SPURIOUS CAS
+    * failures: `putIfAbsent` may return false on a retryable store
+    * error with nothing landed (the contract's safe-false case), and
+    * unlike `append` — which rebases onto the new head — a creator
+    * has no new head to rebase onto, so it must retry the SAME slot
+    * while the slot is demonstrably still empty. False only when a
+    * competing creator's manifest actually exists. */
+  private def publishV1Retrying(table: String, schemaDdl: String,
+                                files: Seq[String], stats: FileStats,
+                                retries: Int): Boolean = {
+    var attempt = 0
+    while (attempt < retries) {
+      if (publish(table, 1L, "create", schemaDdl, files, Map.empty,
+          stats))
+        return true
+      if (Files.exists(manifestPath(table, 1L))) return false // lost
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"create exhausted $retries attempts on $table with the v1 " +
+        "slot still empty (persistent spurious CAS failures)")
+  }
 
   /** Append `df`'s rows. Appends COMMUTE, so a CAS loss just
     * re-targets the new head with the same data files. Returns the
@@ -851,6 +878,14 @@ object TxTable {
       addCols.foreach(f => require(
         !headSchema.fieldNames.contains(f.name),
         s"ADD COLUMN ${f.name}: column already exists"))
+      // addCols must also be distinct among THEMSELVES (case-
+      // insensitively, matching Spark's default resolver) — a
+      // duplicate pair would publish a manifest whose schema no
+      // future read can resolve
+      val dupAdds = addCols.groupBy(_.name.toLowerCase)
+        .collect { case (n, fs) if fs.size > 1 => n }
+      require(dupAdds.isEmpty,
+        s"ADD COLUMNS: duplicate column name(s) ${dupAdds.mkString(", ")}")
       val widenMap = widenCols.toMap
       (widenMap.keySet -- headSchema.fieldNames.toSet).foreach(c =>
         throw new IllegalArgumentException(
@@ -1129,8 +1164,13 @@ object TxTable {
           val b = keyFrame.agg(min(col(key)), max(col(key))).head()
           if (b.isNullAt(0)) Nil
           else head.files.filter(f => head.strRange(key, f) match {
+            // bounds come from UTF-8-ordered sources (parquet footer
+            // UTF8 stats; Spark min/max aggregates), so compare in
+            // UTF-8 byte order — Scala String >= is UTF-16 order and
+            // disagrees beyond the BMP (would wrongly prune files
+            // whose stats span supplementary-plane keys)
             case Some((lo, hi)) =>
-              hi >= b.getString(0) && lo <= b.getString(1)
+              utf8Lte(b.getString(0), hi) && utf8Lte(lo, b.getString(1))
             case None => true
           })
         case _ => head.files
@@ -1229,8 +1269,11 @@ object TxTable {
         case Some(org.apache.spark.sql.types.StringType) =>
           if (strBounds.isNullAt(0)) Nil
           else head.files.filter(f => head.strRange(key, f) match {
+            // UTF-8 byte order, matching the bounds' own ordering
+            // (see deleteKeys) — String >= would mis-prune non-BMP
             case Some((mn, mx)) =>
-              mx >= strBounds.getString(0) && mn <= strBounds.getString(1)
+              utf8Lte(strBounds.getString(0), mx) &&
+                utf8Lte(mn, strBounds.getString(1))
             case None => true
           })
         case _ => head.files
@@ -1431,7 +1474,11 @@ object TxTable {
           s"$table @ $version"))
     val schema = StructType.fromDDL(s.schemaDdl)
     val kept = s.files.filter(f => s.strRange(key, f) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
+      // UTF-8 byte order: the stats are UTF-8-ordered (parquet UTF8
+      // binary stats) and the residual filter below compares with
+      // Spark's UTF8String order — UTF-16 String >= would silently
+      // drop in-range files when bounds cross the BMP boundary
+      case Some((mn, mx)) => utf8Lte(lo, mx) && utf8Lte(mn, hi)
       case None => true
     })
     val base =

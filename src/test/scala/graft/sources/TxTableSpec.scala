@@ -804,4 +804,62 @@ class TxTableSpec extends SparkSpec {
     TxTable.append(Seq((3L, 100L, "en")).toDF("doc_id", "n", "lang"), t)
     assert(TxTable.read(spark, t).count() == 3)
   }
+
+  test("evolveSchema refuses addCols that duplicate EACH OTHER " +
+      "(case-insensitively) — a duplicate pair would publish an " +
+      "unresolvable schema") {
+    import org.apache.spark.sql.types._
+    val t = freshDir()
+    assert(TxTable.create(docs(1L), t))
+    intercept[IllegalArgumentException] {
+      TxTable.evolveSchema(t, Seq(StructField("x", IntegerType),
+        StructField("x", StringType)))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.evolveSchema(t, Seq(StructField("x", IntegerType),
+        StructField("X", LongType)))
+    }
+    // the refusal must not have published anything
+    assert(TxTable.latestVersion(t).contains(1L))
+  }
+
+  test("supplementary-plane string keys: manifest pruning compares " +
+      "in UTF-8 byte order, so astral-key files are neither " +
+      "mis-pruned on read nor skipped by deletes") {
+    // U+10400 (𐐀) encodes ABOVE U+E000 in UTF-8 (F0… > EE…) but its
+    // UTF-16 surrogate pair (D801 DC00) sorts BELOW U+E000 — the two
+    // orders disagree exactly on this pair. Footer stats and Spark
+    // min/max aggregates are both UTF-8-ordered, so a UTF-16 String
+    // compare at the prune sites would silently skip these files.
+    // (replaceKeysOnce shares deleteKeys' comparator; its prune only
+    // arms above 16 files, so deleteKeys is the executable pin.)
+    val astral = "𐐀" // U+10400 DESERET CAPITAL LONG I
+    val bmpHigh = ""      // BMP private-use, above surrogates
+
+    // readKeyRangeString: file bounds [a, 𐐀]; the range [U+E000, 𐐀]
+    // contains the astral row under Spark's UTF8String order — a
+    // UTF-16 prune sees max D801… < lo E000 and drops the file
+    val t1 = freshDir()
+    assert(TxTable.create(Seq(("a", 1L), (astral, 2L)).toDF("id", "v"),
+      t1, bucketKey = "id", buckets = 1))
+    val s1 = TxTable.snapshot(t1).get
+    assert(s1.files.forall(f => s1.strRange("id", f).nonEmpty),
+      "fixture must carry string stats or the prune path is untested")
+    assert(TxTable.readKeyRangeString(spark, t1, "id", bmpHigh, astral)
+      .select("v").as[Long].collect().toSeq == Seq(2L),
+      "in-range astral-key row dropped by manifest pruning")
+
+    // deleteKeys: the delete frame's UTF-8 min is U+E000; the file
+    // holding 𐐀 has UTF-16 max BELOW that and would be wrongly
+    // pruned — the takedown must still take effect
+    val t2 = freshDir()
+    assert(TxTable.create(
+      Seq((astral, "x"), ("a", "y")).toDF("doc_id", "text"), t2,
+      bucketKey = "doc_id", buckets = 1))
+    TxTable.deleteKeys(spark, t2,
+      Seq(bmpHigh, astral).toDF("doc_id"))
+    assert(TxTable.read(spark, t2).select("doc_id").as[String]
+      .collect().toSeq == Seq("a"),
+      "astral-key delete skipped its file (UTF-16-ordered prune)")
+  }
 }
