@@ -68,6 +68,47 @@ object StreamingIndexMaintain {
       .start()
   }
 
+  /** The MinHash band-index twin: same tail, so the standing
+    * (doc_id, band_idx, band_hash) near-dup screen state
+    * ([[IncrementalIndex.screenMinhash]]'s serving table) follows
+    * the corpus at micro-batch latency — the ingest-time dedup
+    * consumer reads CURRENT band state instead of waiting for the
+    * next batch fold (the reference's anti-join dedup, R4 at
+    * kinesis-to-humio.py:210-216, generalized to event-scale
+    * near-dup). */
+  def startMinhash(spark: SparkSession, corpus: String, index: String,
+                   appId: String, checkpoint: String, n: Int = 3,
+                   k: Int = 32, bands: Int = 8): StreamingQuery = {
+    IncrementalIndex.initMinhash(spark, index)
+    spark.readStream.text(s"$corpus/_txlog/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        for (v <- versionsIn(batch))
+          IncrementalIndex.applyMinhash(spark, corpus, index, v, appId,
+            n, k, bands)
+        ()
+      }
+      .start()
+  }
+
+  /** The SimHash fingerprint twin: live maintenance of the standing
+    * per-doc fingerprint table ([[IncrementalIndex.applySimhash]]),
+    * the other half of the ingest-time near-dup screen. */
+  def startSimhash(spark: SparkSession, corpus: String, index: String,
+                   appId: String, checkpoint: String): StreamingQuery = {
+    IncrementalIndex.initSimhash(spark, index)
+    spark.readStream.text(s"$corpus/_txlog/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        for (v <- versionsIn(batch))
+          IncrementalIndex.applySimhash(spark, corpus, index, v, appId)
+        ()
+      }
+      .start()
+  }
+
   /** The IVFADC code-table twin: same tail, pinned coarse centroids
     * + residual codebooks ([[IncrementalIndex.applyPq]]) — the live
     * form of the 32×-compressed serving index. */

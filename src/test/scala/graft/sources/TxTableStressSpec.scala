@@ -66,9 +66,60 @@ class TxTableStressSpec extends SparkSpec {
       if (!roll(50)) inner.replace(path, bytes) // else: hint goes stale
   }
 
+  /** Models the one failure an S3/GCS port must resolve ITSELF: a
+    * conditional PUT whose RESPONSE is lost after the object may
+    * have landed. Per the [[TxCommitStore.putIfAbsent]] contract the
+    * implementation reads the slot back and compares a writer-unique
+    * token — here the manifest bytes themselves (data-file UUIDs and
+    * txn records make them writer-unique) — and only then answers.
+    * Returning a raw false for a landed put would make a guard-less
+    * [[TxTable.append]] re-commit its rows under the next slot (a
+    * duplicate); this store pins that the documented resolution
+    * closes that hole under real contention. */
+  private final class AmbiguousStore(inner: TxCommitStore, seed: Long)
+      extends TxCommitStore {
+    val ambiguities = new java.util.concurrent.atomic.AtomicLong
+    val landedAmbiguities = new java.util.concurrent.atomic.AtomicLong
+    private val rnd = new java.util.Random(seed)
+    private def roll(pct: Int): Boolean =
+      rnd.synchronized(rnd.nextInt(100) < pct)
+    override def putIfAbsent(path: java.nio.file.Path,
+                             bytes: Array[Byte]): Boolean = {
+      val won = inner.putIfAbsent(path, bytes)
+      if (roll(25)) {
+        // response lost — `won` is unknowable to a real port. The
+        // slot is immutable once created, so one read-back decides
+        // ownership for good.
+        ambiguities.incrementAndGet()
+        if (won) landedAmbiguities.incrementAndGet()
+        val landed =
+          try Files.readAllBytes(path)
+          catch { case _: java.io.IOException => null }
+        return landed != null && java.util.Arrays.equals(landed, bytes)
+      }
+      won
+    }
+    override def replace(path: java.nio.file.Path,
+                         bytes: Array[Byte]): Unit =
+      inner.replace(path, bytes)
+  }
+
   test("~100 racing commits (4 appenders + deleter + compactor): " +
       "linear history, no lost rows, exact feeds and row counts") {
     stressRun(20260816L)
+  }
+
+  test("the same invariants hold when the CAS response itself is " +
+      "LOST after the object landed (the ambiguous conditional PUT " +
+      "an object-store port must resolve by read-back)") {
+    val store = new AmbiguousStore(
+      new FaultInjectingStore(LocalFsCommitStore, 777L), 20280816L)
+    TxTable.withCommitStore(store) { stressRun(20280816L) }
+    assert(store.ambiguities.get() > 0,
+      "the injector never fired — the test pinned nothing")
+    assert(store.landedAmbiguities.get() > 0,
+      "no landed-but-response-lost case occurred — raise the rate " +
+        "or commit count so the dangerous path is actually exercised")
   }
 
   test("the same invariants hold through a fault-injecting commit " +
@@ -84,14 +135,10 @@ class TxTableStressSpec extends SparkSpec {
     val t = freshDir()
     // victims are fully present BEFORE the race, so every delete
     // commit removes exactly its range (no append/delete ambiguity).
-    // create retries through spurious (injected) retryable CAS
-    // losses — the caller-side discipline the putIfAbsent contract
-    // prescribes for 5xx-shaped failures
+    // create absorbs spurious (injected) retryable CAS losses
+    // INTERNALLY — false only ever means a competitor's v1 landed
     val victims = (0L until 100L)
-    var createTries = 0
-    while (!TxTable.create(rows(victims), t) &&
-        TxTable.latestVersion(t).isEmpty && createTries < 50)
-      createTries += 1
+    assert(TxTable.create(rows(victims), t))
     assert(TxTable.latestVersion(t).contains(1L))
 
     val errors = new ConcurrentLinkedQueue[Throwable]()

@@ -127,4 +127,88 @@ class StreamingIndexMaintainSpec extends SparkSpec {
     assert(TxTable.latestVersion(index).get == vBefore)
     assert(codes() == reencoded())
   }
+
+  test("live MinHash band + SimHash fingerprint maintainers track " +
+      "the corpus exactly (batch-fold parity), survive a forced " +
+      "checkpoint replay, and serve the near-dup screen mid-stream") {
+    import graft.operators.{ApproxDedup, IncrementalIndex}
+    val (corpus, mIdx, sIdx, mCp, sCp) = (tmp("s27m_c_"), tmp("s27m_i_"),
+      tmp("s27s_i_"), tmp("s27m_cp_"), tmp("s27s_cp_"))
+    assert(TxTable.create(docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "sphinx of black quartz judge my vow"), corpus))
+    def runBoth(): Unit = {
+      val qm = StreamingIndexMaintain.startMinhash(spark, corpus, mIdx,
+        appId = "s27_mh", checkpoint = mCp)
+      val qs = StreamingIndexMaintain.startSimhash(spark, corpus, sIdx,
+        appId = "s27_sh", checkpoint = sCp)
+      try { qm.processAllAvailable(); qs.processAllAvailable() }
+      finally { qm.stop(); qs.stop() }
+    }
+    def bands(): Set[(Long, Int, Long)] =
+      TxTable.read(spark, mIdx).select("doc_id", "band_idx", "band_hash")
+        .as[(Long, Int, Long)].collect().toSet
+    def bandsRebuilt(): Set[(Long, Int, Long)] =
+      IncrementalIndex.minhashBandRows(
+        TxTable.read(spark, corpus).select("doc_id", "text"))
+        .select("doc_id", "band_idx", "band_hash")
+        .as[(Long, Int, Long)].collect().toSet
+    def prints(): Set[(Long, Long)] =
+      TxTable.read(spark, sIdx).select("doc_id", "simhash")
+        .as[(Long, Long)].collect().toSet
+    def printsRebuilt(): Set[(Long, Long)] =
+      ApproxDedup.simhashOf(
+        TxTable.read(spark, corpus).select("doc_id", "text"))
+        .select("doc_id", "simhash")
+        .as[(Long, Long)].collect().toSet
+
+    runBoth()
+    assert(bands() == bandsRebuilt(), "minhash batch-fold parity")
+    assert(prints() == printsRebuilt(), "simhash batch-fold parity")
+
+    // the maintained band state serves the ingest-time screen: a
+    // near-duplicate of doc 1 routes through standing bands
+    val probe = Seq(100L ->
+      "the quick brown fox jumps over the lazy cat")
+      .toDF("doc_id", "text")
+    val hits = IncrementalIndex.screenMinhash(spark, corpus, mIdx,
+      probe, threshold = 0.3)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((100L, 1L)),
+      s"screen must flag the near-dup against standing state: $hits")
+
+    // churn: update doc 2, delete doc 1; both indexes follow
+    TxTable.merge(spark, corpus,
+      docs(2L -> "a completely different payload now"))
+    TxTable.delete(spark, corpus, col("doc_id") === 1L)
+    runBoth()
+    assert(bands() == bandsRebuilt(), "parity after update+delete")
+    assert(prints() == printsRebuilt())
+    assert(!bands().exists(_._1 == 1L) && !prints().exists(_._1 == 1L))
+    // the retracted doc no longer screens — takedowns reach the
+    // standing dedup state at stream latency
+    val hitsAfter = IncrementalIndex.screenMinhash(spark, corpus, mIdx,
+      probe, threshold = 0.3)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(!hitsAfter.contains(1L),
+      "deleted doc must leave the standing screen")
+
+    // forced replay on the minhash tail: drop the newest commit
+    // marker; the ledger no-ops every replayed version
+    val commits = Paths.get(mCp, "commits")
+    val names = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    Files.list(commits).iterator().forEachRemaining(p =>
+      if (!p.getFileName.toString.startsWith(".")) names += p)
+    val victim = names.maxBy(_.getFileName.toString.toLong)
+    Files.delete(victim)
+    Files.deleteIfExists(
+      commits.resolve(s".${victim.getFileName.toString}.crc"))
+    val vBefore = TxTable.latestVersion(mIdx).get
+    runBoth()
+    assert(bands() == bandsRebuilt(),
+      "replay must not perturb the maintained bands")
+    assert(TxTable.latestVersion(mIdx).get == vBefore,
+      "replayed versions must not commit new index versions")
+  }
 }
