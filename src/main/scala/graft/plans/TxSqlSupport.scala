@@ -48,6 +48,14 @@ import graft.sources.TxTable
   *     [[TxTable.evolveSchema]], metadata-only). `REPLACE TABLE` is
   *     refused with a clear message — history is the contract
   *     (INSERT OVERWRITE replaces content, RESTORE undoes).
+  *   - maintained indexes: `CREATE INDEX [IF NOT EXISTS] tx.`i` ON
+  *     tx.`c` USING BM25|MINHASH|SIMHASH|IVF|PQ [CENTROIDS tx.`x`]
+  *     [CODEBOOKS tx.`y`]` ([[TxCreateIndexCommand]] →
+  *     `IncrementalIndex.init*`) and `REFRESH INDEX tx.`i` ON
+  *     tx.`c` [artifacts] [TO VERSION n]`
+  *     ([[TxRefreshIndexCommand]] — folds every unapplied corpus
+  *     version exactly once, fold family inferred from the index's
+  *     own schema, ledger shared with the Scala API).
   *
   * Only the statements Spark has no grammar for (RESTORE, VACUUM,
   * OPTIMIZE, DESCRIBE HISTORY) are parsed here, by [[TxSqlParser]] —
@@ -319,6 +327,125 @@ case class TxHistoryCommand(table: String) extends LeafRunnableCommand {
   }
 }
 
+/** `CREATE INDEX [IF NOT EXISTS] tx.`idx` ON tx.`corpus` USING
+  * BM25 | MINHASH | SIMHASH | IVF CENTROIDS tx.`c` | PQ CENTROIDS
+  * tx.`c` CODEBOOKS tx.`b`` — the SQL face of
+  * [[graft.operators.IncrementalIndex]]'s `init*` family: births the
+  * (empty) maintained index table; IVF/PQ additionally TRAIN AND PIN
+  * their quantizer artifacts on the corpus's current content (the
+  * classic-IVFADC pinned-artifact discipline — retraining is a
+  * rebuild, so incremental encode stays exact). Hyper-parameters are
+  * the engine defaults (MinHash 3-shingle/k=32/8 bands, PQ m=16 over
+  * dim=64); a bespoke geometry uses the Scala API. Emits the index
+  * table's version (1, or the existing head under IF NOT EXISTS). */
+case class TxCreateIndexCommand(index: String, corpus: String,
+                                method: String,
+                                centroids: Option[String],
+                                books: Option[String],
+                                ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.IncrementalIndex
+    TxTable.latestVersion(index) match {
+      case Some(v) =>
+        if (ignoreIfExists) return Seq(Row(v))
+        throw new IllegalArgumentException(
+          s"index table already exists: $index (use IF NOT EXISTS)")
+      case None => ()
+    }
+    require(TxTable.latestVersion(corpus).nonEmpty,
+      s"CREATE INDEX on missing corpus table $corpus")
+    def need(o: Option[String], clause: String): String =
+      o.getOrElse(throw new IllegalArgumentException(
+        s"USING ${method.toUpperCase} requires $clause tx.`path` " +
+          "(the pinned artifact table)"))
+    method.toUpperCase match {
+      case "BM25" => IncrementalIndex.initBm25(spark, index)
+      case "MINHASH" => IncrementalIndex.initMinhash(spark, index)
+      case "SIMHASH" => IncrementalIndex.initSimhash(spark, index)
+      case "IVF" => IncrementalIndex.initIvf(spark, corpus, index,
+        need(centroids, "CENTROIDS"))
+      case "PQ" => IncrementalIndex.initPq(spark, corpus, index,
+        need(centroids, "CENTROIDS"), need(books, "CODEBOOKS"))
+      case m => throw new IllegalArgumentException(
+        s"unknown index method $m (BM25 | MINHASH | SIMHASH | IVF " +
+          "| PQ)")
+    }
+    Seq(Row(TxTable.latestVersion(index).getOrElse(1L)))
+  }
+}
+
+/** `REFRESH INDEX tx.`idx` ON tx.`corpus` [CENTROIDS tx.`c`]
+  * [CODEBOOKS tx.`b`] [TO VERSION n]` — fold every corpus version
+  * the index has not yet absorbed (exactly once per version, the
+  * [[graft.operators.IncrementalIndex.applyDecomposable]] ledger),
+  * up to the head or the pinned `TO VERSION`. The fold family is
+  * INFERRED FROM THE INDEX'S OWN SCHEMA — the five maintained
+  * schemas are pairwise distinct, so the statement needs no USING —
+  * and the per-method appIds match the Scala API's defaults, so SQL
+  * and Scala refreshes share one exactly-once ledger (a REFRESH
+  * after a Scala apply no-ops instead of double-folding). Emits the
+  * index version and how many source versions were folded. */
+case class TxRefreshIndexCommand(index: String, corpus: String,
+                                 centroids: Option[String],
+                                 books: Option[String],
+                                 toVersion: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("folded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.IncrementalIndex
+    val snap = TxTable.snapshot(index).getOrElse(
+      throw new IllegalArgumentException(
+        s"REFRESH INDEX of missing index table $index"))
+    val st = StructType.fromDDL(snap.schemaDdl)
+    def is(ddl: String) = st == StructType.fromDDL(ddl)
+    val head = TxTable.latestVersion(corpus).getOrElse(
+      throw new IllegalArgumentException(
+        s"REFRESH INDEX on missing corpus table $corpus"))
+    val target = toVersion.getOrElse(head)
+    require(target >= 1L && target <= head,
+      s"TO VERSION $target out of range (corpus head is $head)")
+    def need(o: Option[String], clause: String): String =
+      o.getOrElse(throw new IllegalArgumentException(
+        s"REFRESH of this index requires $clause tx.`path` " +
+          "(the pinned artifact table)"))
+    val (appId, fold): (String, Long => Long) =
+      if (is(IncrementalIndex.postingsSchemaDdl))
+        ("graft_bm25_index",
+          v => IncrementalIndex.applyBm25(spark, corpus, index, v))
+      else if (is(IncrementalIndex.minhashSchemaDdl))
+        ("graft_minhash_index",
+          v => IncrementalIndex.applyMinhash(spark, corpus, index, v))
+      else if (is(IncrementalIndex.simhashSchemaDdl))
+        ("graft_simhash_index",
+          v => IncrementalIndex.applySimhash(spark, corpus, index, v))
+      else if (is(IncrementalIndex.ivfSchemaDdl)) {
+        val cents = IncrementalIndex.loadCentroids(spark,
+          need(centroids, "CENTROIDS"))
+        ("graft_ivf_index",
+          v => IncrementalIndex.applyIvf(spark, corpus, index, cents, v))
+      } else if (is(IncrementalIndex.pqSchemaDdl)) {
+        val idx = IncrementalIndex.loadPqIndex(spark,
+          need(centroids, "CENTROIDS"), need(books, "CODEBOOKS"))
+        ("graft_pq_index",
+          v => IncrementalIndex.applyPq(spark, corpus, index, idx, v))
+      } else throw new IllegalArgumentException(
+        s"not a maintained index schema: ${snap.schemaDdl} " +
+          "(expected BM25 postings, MinHash bands, SimHash " +
+          "fingerprints, IVF assignments, or PQ codes)")
+    val from = TxTable.lastCommittedBatch(index, appId)
+      .getOrElse(0L) + 1L
+    var last = TxTable.latestVersion(index).getOrElse(0L)
+    var folded = 0L
+    for (v <- from to target) { last = fold(v); folded += 1L }
+    Seq(Row(last, folded))
+  }
+}
+
 /** `INSERT INTO | OVERWRITE tx.`path` [BY NAME] <query>` → append /
   * content overwrite. Positional inserts rename-and-cast the query's
   * output to the table schema (arity-checked); BY NAME selects the
@@ -556,12 +683,25 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*OPTIMIZE\s+tx\s*\.\s*`([^`]+)`""" +
       """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z0-9_]+""" +
       """(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\)?)?\s*;?\s*$""").r
+  private val createIndexRe =
+    ("""(?is)^\s*CREATE\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """tx\s*\.\s*`([^`]+)`\s+ON\s+tx\s*\.\s*`([^`]+)`\s+""" +
+      """USING\s+([A-Za-z0-9]+)""" +
+      """(?:\s+CENTROIDS\s+tx\s*\.\s*`([^`]+)`)?""" +
+      """(?:\s+CODEBOOKS\s+tx\s*\.\s*`([^`]+)`)?\s*;?\s*$""").r
+  private val refreshIndexRe =
+    ("""(?is)^\s*REFRESH\s+INDEX\s+tx\s*\.\s*`([^`]+)`\s+""" +
+      """ON\s+tx\s*\.\s*`([^`]+)`""" +
+      """(?:\s+CENTROIDS\s+tx\s*\.\s*`([^`]+)`)?""" +
+      """(?:\s+CODEBOOKS\s+tx\s*\.\s*`([^`]+)`)?""" +
+      """(?:\s+TO\s+VERSION\s+(\d+))?\s*;?\s*$""").r
   // a RESTORE/VACUUM/OPTIMIZE that names a tx table but failed the
   // full match: claim it (error), do not let it fall through to the
   // delegate's unrelated error message
   private val claimedRe =
-    ("""(?is)^\s*(?:RESTORE|VACUUM|OPTIMIZE|DESCRIBE\s+HISTORY)\s+""" +
-      """(?:TABLE\s+)?tx\s*\.\s*`.*""").r
+    ("""(?is)^\s*(?:RESTORE|VACUUM|OPTIMIZE|DESCRIBE\s+HISTORY|""" +
+      """CREATE\s+INDEX|REFRESH\s+INDEX)\s+""" +
+      """(?:TABLE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?tx\s*\.\s*`.*""").r
 
   private def fail(sql: String, hint: String): Nothing =
     throw new ParseException(Some(sql), Origin(), "PARSE_SYNTAX_ERROR",
@@ -591,11 +731,21 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
     case optimizeRe(path, zorder) =>
       TxOptimizeCommand(path, Option(zorder).toSeq.flatMap(
         _.split(",").map(_.trim).filter(_.nonEmpty)))
+    case createIndexRe(ine, idx, corpus, method, cents, books) =>
+      TxCreateIndexCommand(idx, corpus, method, Option(cents),
+        Option(books), ignoreIfExists = ine != null)
+    case refreshIndexRe(idx, corpus, cents, books, toV) =>
+      TxRefreshIndexCommand(idx, corpus, Option(cents), Option(books),
+        Option(toV).map(_.toLong))
     case claimedRe() => fail(sqlText,
       "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n | " +
         "TO TIMESTAMP AS OF 'ts', VACUUM tx.`path` RETAIN n " +
         "VERSIONS [GRACE m MILLISECONDS], OPTIMIZE tx.`path` " +
-        "[ZORDER BY (a[, b])], or DESCRIBE HISTORY tx.`path`")
+        "[ZORDER BY (a[, b])], DESCRIBE HISTORY tx.`path`, " +
+        "CREATE INDEX [IF NOT EXISTS] tx.`i` ON tx.`c` USING " +
+        "BM25|MINHASH|SIMHASH|IVF|PQ [CENTROIDS tx.`x`] " +
+        "[CODEBOOKS tx.`y`], or REFRESH INDEX tx.`i` ON tx.`c` " +
+        "[CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] [TO VERSION n]")
     // CTAS (and its CREATE/REPLACE TABLE siblings below) must be
     // claimed AT PARSE TIME: the built-in session-catalog resolution
     // would otherwise convert them to v1 catalog commands before any

@@ -208,6 +208,36 @@ object IndexQueries {
         dIvf, dPq)
     }
 
+  /** SQL-ONLY lifecycle (r14): corpus born, mutated, indexed and
+    * refreshed ENTIRELY through the SQL face — CREATE TABLE AS
+    * SELECT, INSERT INTO, DELETE FROM, CREATE INDEX … USING BM25,
+    * REFRESH INDEX (folds every unapplied version), and an
+    * idempotent re-REFRESH. Returns the index dir, the two folded
+    * counts, and the maintained-vs-rebuilt diff. A SQL-first user
+    * never touches the Scala API. */
+  private def sqlIndexFixture(s: SparkSession, d: String)
+      : (String, Long, Long, Long) =
+    graft.operators.DerivedCache.memoValue(s, s"index_sql_fixture:$d") {
+      val (corpus, idx) = (tmp("graft_sqlcorp_"), tmp("graft_sqlidx_"))
+      Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 400)
+        .createOrReplaceTempView("graft_sql_lc_docs")
+      s.sql(s"CREATE TABLE tx.`$corpus` AS SELECT doc_id, text " +
+        "FROM graft_sql_lc_docs WHERE doc_id % 3 = 0")          // v1
+      s.sql(s"INSERT INTO tx.`$corpus` SELECT doc_id, text " +
+        "FROM graft_sql_lc_docs WHERE doc_id % 3 = 1")          // v2
+      s.sql(s"DELETE FROM tx.`$corpus` WHERE doc_id % 5 = 0")   // v3
+      s.sql(s"CREATE INDEX tx.`$idx` ON tx.`$corpus` USING BM25")
+      val folded1 = s.sql(s"REFRESH INDEX tx.`$idx` ON tx.`$corpus`")
+        .head.getLong(1)
+      val folded2 = s.sql(s"REFRESH INDEX tx.`$idx` ON tx.`$corpus`")
+        .head.getLong(1)
+      val diff = signedDiff(
+        TxTable.read(s, idx).select("doc_id", "term", "tf", "dl"),
+        Bm25.postings(TxTable.read(s, corpus).select("doc_id", "text")))
+      (idx, folded1, folded2, diff)
+    }
+
   /** Tall (chk, value) fingerprint rows for one index version. */
   private def tall(pairs: Seq[(String, Column)]): Seq[Column] =
     pairs.map { case (n, c) =>
@@ -246,6 +276,32 @@ object IndexQueries {
             (s"v${k}_terms", col("terms")),
             (s"v${k}_tokens", col("toks")))): _*)).as("kv"))
           .select(col("kv.chk").as("chk"), col("kv.value").as("value")))
+    }),
+
+    // SQL-only index lifecycle: the maintained postings (born and
+    // refreshed purely through CREATE/REFRESH INDEX SQL) fingerprint
+    // against DuckDB's direct replay; the folded counts pin
+    // exactly-once across re-REFRESH and the diff pins the IVM
+    // theorem. Scale: identical machinery to q_index_incremental —
+    // the SQL face adds parsing, not jobs.
+    "q_index_sql_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val (idx, folded1, folded2, diff) = sqlIndexFixture(s, d)
+      TxTable.read(s, idx)
+        .agg(count(lit(1)).as("p"),
+          countDistinct(col("doc_id")).as("docs"),
+          countDistinct(col("term")).as("terms"),
+          coalesce(sum(col("tf")), lit(0L)).as("toks"))
+        .select(explode(array(tall(Seq(
+          ("a_postings", col("p")),
+          ("b_docs", col("docs")),
+          ("c_terms", col("terms")),
+          ("d_tokens", col("toks")))): _*)).as("kv"))
+        .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
+        .unionByName(Seq(("e_folded_first", folded1),
+          ("f_folded_again", folded2),
+          ("z_rebuild_diff", diff)).toDF("chk", "value"))
+        .orderBy("chk")
     }),
 
     // END-TO-END: BM25 top-10 SERVED FROM THE MAINTAINED INDEX
@@ -405,6 +461,35 @@ object IndexQueries {
         |    CAST(COUNT(*) AS BIGINT) FROM tok GROUP BY v
         |  UNION ALL
         |  SELECT 'z_rebuild_diff', CAST(0 AS BIGINT))
+        |SELECT chk, value FROM m ORDER BY chk""".stripMargin,
+
+    // SQL-lifecycle replay: the corpus content after the SQL DML
+    // chain (v1 %3=0 ∪ v2 %3=1, minus the %5=0 delete, doc_id<400),
+    // tokenized exactly like the engine's postings; the fold counts
+    // (3 source versions, then 0) and the zero diff are invariants.
+    "q_index_sql_lifecycle" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 400 AND doc_id % 3 IN (0, 1)
+        |    AND NOT doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM corpus),
+        |p AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM tok GROUP BY doc_id, term),
+        |m AS (
+        |  SELECT 'a_postings' AS chk, CAST(COUNT(*) AS BIGINT) AS value
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'b_docs', CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM p
+        |  UNION ALL
+        |  SELECT 'c_terms', CAST(COUNT(DISTINCT term) AS BIGINT) FROM p
+        |  UNION ALL
+        |  SELECT 'd_tokens', CAST(COUNT(*) AS BIGINT) FROM tok
+        |  UNION ALL SELECT 'e_folded_first', 3
+        |  UNION ALL SELECT 'f_folded_again', 0
+        |  UNION ALL SELECT 'z_rebuild_diff', 0)
         |SELECT chk, value FROM m ORDER BY chk""".stripMargin,
 
     // Direct BM25 over the REPLAYED corpus head (v4 content: the

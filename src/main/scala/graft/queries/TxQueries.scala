@@ -238,6 +238,34 @@ object TxQueries {
       dir
     }
 
+  /** Time-keyed fixture: event time is the single most common
+    * clustering key in log pipelines (the reference's own domain —
+    * epoch-millis Kinesis events, kinesis-to-humio.py:147). v1
+    * hash-bucketed create; v2 DATE-range-clustered compaction with
+    * TIMESTAMP stats — per-file `[min,max]` land as epoch days/micros
+    * longs (TxTable pins TIMESTAMP_MICROS on write: Spark's INT96
+    * default carries NO footer stats). dt and ts derive
+    * deterministically from doc_id, so DuckDB replays every slice
+    * with pure integer arithmetic. */
+  private def timeClusterTable(s: SparkSession, d: String): String =
+    graft.operators.DerivedCache.memoValue(s, s"tx_tcluster_fixture:$d") {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_txtclust_").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("dt", date_add(to_date(lit("2020-01-01")),
+          (col("doc_id") % 365).cast("int")))
+        .withColumn("ts", timestamp_micros(
+          unix_date(col("dt")).cast("long") * 86400000000L +
+            (col("doc_id") % 24).cast("long") * 3600000000L))
+      require(TxTable.create(docs, dir, bucketKey = "doc_id",
+        buckets = 4), "create lost its CAS")
+      require(TxTable.compact(s, dir, bucketKey = "dt", buckets = 8,
+        rangeCluster = true, statsCols = Seq("ts")).contains(2L),
+        "date-clustered compaction must land as v2")
+      dir
+    }
+
   /** Fourth fixture, for the retention-vacuum key — DESTRUCTIVE
     * (expires history), so it gets its own table: v1 create (%3=0),
     * v2 delete (%5=0), v3 compact, then vacuumRetain(keep=2) expiring
@@ -601,6 +629,37 @@ object TxQueries {
           Map("x" -> (0L, 7L), "y" -> (1L, 7L))), "b_2d"))
         .unionByName(agg(TxTable.readKeyRangeString(s, t, "id_str",
           "zzz", "zzzz", version = Some(2L)), "c_str_disjoint"))
+        .orderBy("range")
+    }),
+
+    // TIME-KEYED manifest pruning (r14): a DATE slice and a
+    // sub-day TIMESTAMP slice against the date-clustered layout,
+    // plus a far-future date range (every file pruned → zeros).
+    // Bounds are the columns' STAT LONGS — epoch days / epoch micros
+    // (readKeyRange re-types the residual filter to the column's own
+    // type); TxTableSpec pins the actual file-skip arithmetic. The
+    // gate proves each pruned read is CONTENT-EXACT vs DuckDB's
+    // integer-arithmetic replay of the same slices.
+    "q_corpus_cluster_prune_time" -> ((s, d) => {
+      val t = timeClusterTable(s, d)
+      def agg(df: DataFrame, tag: String) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(length(col("text")).cast("long")), lit(0L))
+            .as("n_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+          .select(lit(tag).as("range"), col("n_docs"), col("n_chars"),
+            col("sum_ids"))
+      // 2020-02-01 .. 2020-03-15 as epoch days; the ts slice cuts
+      // at 05:00 and 17:30 on its boundary days (micros precision)
+      val (dLo, dHi) = (18293L, 18336L)
+      val tsLo = 18362L * 86400000000L + 5L * 3600000000L
+      val tsHi = 18412L * 86400000000L + 17L * 3600000000L + 1800000000L
+      agg(TxTable.readKeyRange(s, t, "dt", dLo, dHi), "a_date")
+        .unionByName(
+          agg(TxTable.readKeyRange(s, t, "ts", tsLo, tsHi), "b_ts"))
+        .unionByName(
+          agg(TxTable.readKeyRange(s, t, "dt", 25000L, 26000L),
+            "c_disjoint"))
         .orderBy("range")
     }),
 
@@ -972,6 +1031,31 @@ object TxQueries {
         |FROM base WHERE x BETWEEN 0 AND 7 AND y BETWEEN 1 AND 7
         |UNION ALL
         |SELECT 'c_str_disjoint', 0, 0, 0
+        |ORDER BY range""".stripMargin,
+
+    // Time-keyed pruned-read replay: dt = 2020-01-01 + doc_id%365
+    // (epoch day 18262 + offset), ts = that day at hour doc_id%24 —
+    // both slices replay as pure integer arithmetic over
+    // `documents`, so no engine date/timezone semantics enter the
+    // compare. Bounds mirror the engine's literal stat longs.
+    "q_corpus_cluster_prune_time" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    18262 + doc_id % 365 AS d_days,
+        |    (18262 + doc_id % 365) * 86400000000
+        |      + (doc_id % 24) * 3600000000 AS ts_us
+        |  FROM documents)
+        |SELECT 'a_date' AS range, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+        |FROM base WHERE d_days BETWEEN 18293 AND 18336
+        |UNION ALL
+        |SELECT 'b_ts', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+        |FROM base WHERE ts_us BETWEEN 1586494800000000 AND 1590859800000000
+        |UNION ALL
+        |SELECT 'c_disjoint', 0, 0, 0
         |ORDER BY range""".stripMargin,
 
     // Vacuum replay: the audit flags are invariant metadata facts

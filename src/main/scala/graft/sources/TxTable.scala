@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType,
-  IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType,
+  FloatType, IntegerType, LongType, StructField, StructType,
+  TimestampType}
 
 /** Snapshot-isolated transactional table on parquet — the commit-log
   * storage layer under the corpus refresh. The reference keeps its
@@ -557,6 +558,29 @@ object TxTable {
       s"appendOnce lost $retries CAS rounds on $table")
   }
 
+  /** `key` as the Long its manifest stats are recorded in: integral
+    * columns cast (the int/long-width-agnostic delete discipline);
+    * DATE as epoch DAYS (parquet's int32 physical — exactly what
+    * [[footerStats]]' Number fold yields); TIMESTAMP as epoch MICROS
+    * (int64 physical — [[writeData]] pins TIMESTAMP_MICROS so the
+    * footer carries stats; INT96 carries none). Comparing these
+    * longs against `numRange` bounds is therefore exact. */
+  private def statLong(key: Column, t: DataType): Column = t match {
+    case DateType => unix_date(key).cast("long")
+    case TimestampType => unix_micros(key)
+    case _ => key.cast("long")
+  }
+
+  /** Stats-eligible "numeric" types: recorded as Long `[min,max]`
+    * per file. Date/Timestamp ride the same path via their physical
+    * int32/int64 encodings (see [[statLong]]) — the single most
+    * common clustering key in log pipelines is event time, and it
+    * must prune. */
+  private def statsAsLong(t: DataType): Boolean = t match {
+    case IntegerType | LongType | DateType | TimestampType => true
+    case _ => false
+  }
+
   /** True iff a string STAT BOUND is safe to embed in a manifest:
     * short (bounds are metadata, not payload) and free of the
     * characters the quote-free JSON renderer refuses. An unsafe
@@ -569,7 +593,8 @@ object TxTable {
   /** Write `df`'s rows as immutable data files under `data/<uuid>/`
     * and return their table-relative paths plus per-file statistics:
     * row counts (always), and `[min,max]` of every `statsCols`
-    * column that is integral (long bounds) or string (truncation-free
+    * column that is integral, DATE, or TIMESTAMP (long bounds — epoch
+    * days/micros, see [[statLong]]) or string (truncation-free
     * bounds, skipped when unsafe to embed — see [[safeStrBound]]) —
     * the stats that enable MANIFEST-LEVEL file skipping in
     * [[readKeyRange]]/[[readKeyRangeString]]. Layout:
@@ -589,6 +614,33 @@ object TxTable {
     * of files the page cache is still hot on. No manifest is
     * touched — the files are invisible until a commit references
     * them. */
+  /** Pin `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`
+    * around a TxTable data-file write and restore the caller's value
+    * after. Spark's default is INT96 — a deprecated non-standard
+    * physical type whose parquet footers carry NO statistics, which
+    * would silently disable manifest pruning on every
+    * timestamp-keyed corpus. Micros-int64 is the standard lakehouse
+    * encoding (Delta/Iceberg write the same). Depth-counted so
+    * concurrent TxTable writers on one session never restore the
+    * conf out from under each other's in-flight write. */
+  private val microsDepth = new java.util.concurrent.atomic.AtomicInteger
+  private var microsPrev: String = _
+  private val microsLock = new Object
+  private def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    microsLock.synchronized {
+      if (microsDepth.getAndIncrement() == 0) {
+        microsPrev = spark.conf.get(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+      }
+    }
+    try f
+    finally microsLock.synchronized {
+      if (microsDepth.decrementAndGet() == 0)
+        spark.conf.set(key, microsPrev)
+    }
+  }
+
   private def writeData(df: DataFrame, table: String, bucketKey: String,
                         buckets: Int, rangeCluster: Boolean = false,
                         statsCols: Seq[String] = Nil,
@@ -604,7 +656,9 @@ object TxTable {
           .sortWithinPartitions(col(bucketKey))
       case None => df.repartition(buckets, col(bucketKey))
     }
-    shaped.write.parquet(dir.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      shaped.write.parquet(dir.toString)
+    }
     val files = listed(dir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
@@ -613,7 +667,7 @@ object TxTable {
     def typeOf(c: String): Option[DataType] =
       df.schema.fields.find(_.name == c).map(_.dataType)
     val numCols = (bucketKey +: statsCols).distinct.filter(c =>
-      typeOf(c).exists(t => t == IntegerType || t == LongType))
+      typeOf(c).exists(statsAsLong))
     val strCols = (bucketKey +: statsCols).distinct.filter(c =>
       typeOf(c).contains(org.apache.spark.sql.types.StringType))
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -1152,9 +1206,9 @@ object TxTable {
       // the whole delete here.
       val keyType = schema.fields.find(_.name == key).map(_.dataType)
       val candidates: Seq[String] = keyType match {
-        case Some(IntegerType | LongType) =>
-          val b = keyFrame.agg(min(col(key)).cast("long"),
-            max(col(key)).cast("long")).head()
+        case Some(t) if statsAsLong(t) =>
+          val b = keyFrame.agg(min(statLong(col(key), t)),
+            max(statLong(col(key), t))).head()
           if (b.isNullAt(0)) Nil
           else head.files.filter(f => head.numRange(key, f) match {
             case Some((lo, hi)) => hi >= b.getLong(0) && lo <= b.getLong(1)
@@ -1243,8 +1297,11 @@ object TxTable {
     // keys as widened longs (deleteKeys' cast discipline — the keys
     // frame's own int/long width must not matter), string keys
     // as-is.
-    lazy val numBounds = keyFrame.agg(min(col(key)).cast("long"),
-      max(col(key)).cast("long")).head()
+    lazy val numBounds = {
+      val t = keyFrame.schema.fields.head.dataType
+      keyFrame.agg(min(statLong(col(key), t)),
+        max(statLong(col(key), t))).head()
+    }
     lazy val strBounds = keyFrame.agg(min(col(key)), max(col(key))).head()
     val pruneWorthwhile = snapshot(table).exists(_.files.size > 16)
     var attempt = 0
@@ -1259,7 +1316,7 @@ object TxTable {
       // manifest-stats candidate prune, as in deleteKeys
       val candidates: Seq[String] = keyType match {
         case _ if !pruneWorthwhile => head.files
-        case Some(IntegerType | LongType) =>
+        case Some(t) if statsAsLong(t) =>
           if (numBounds.isNullAt(0)) Nil
           else head.files.filter(f => head.numRange(key, f) match {
             case Some((mn, mx)) =>
@@ -1454,7 +1511,20 @@ object TxTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept: _*)
     ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c).between(lo, hi)) }
+      // residual filter in the column's OWN type: date/timestamp
+      // ranges arrive as their stat longs (epoch days / micros —
+      // see statLong), and Spark has no date/timestamp↔numeric
+      // implicit comparison
+      val (l, h) = schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(DateType) =>
+          (date_from_unix_date(lit(lo.toInt)),
+            date_from_unix_date(lit(hi.toInt)))
+        case Some(TimestampType) =>
+          (timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+        case _ => (lit(lo), lit(hi))
+      }
+      df.filter(col(c).between(l, h))
+    }
   }
 
   /** [[readKeyRange]] for a STRING key (doc ids are strings in most

@@ -330,4 +330,92 @@ class TxSqlDmlSpec extends SparkSpec {
     }
     assert(TxTable.latestVersion(t).isEmpty)
   }
+
+  test("CREATE INDEX / REFRESH INDEX drive a maintained index " +
+      "entirely from SQL, share the Scala API's exactly-once " +
+      "ledger, infer the fold from the index schema, and refuse " +
+      "clearly") {
+    import graft.operators.{Bm25, IncrementalIndex}
+    val (c, i) = (freshDir(), freshDir())
+    assert(TxTable.create(docs(1L -> "a b", 2L -> "b c"), c))
+    // birth: v1; IF NOT EXISTS no-ops; plain re-create refuses
+    assert(spark.sql(s"CREATE INDEX tx.`$i` ON tx.`$c` USING BM25")
+      .head.getLong(0) == 1L)
+    assert(spark.sql(
+      s"CREATE INDEX IF NOT EXISTS tx.`$i` ON tx.`$c` USING BM25")
+      .head.getLong(0) == 1L)
+    intercept[Exception] {
+      spark.sql(s"CREATE INDEX tx.`$i` ON tx.`$c` USING BM25")
+    }
+    def rebuilt() = Bm25.postings(
+      TxTable.read(spark, c).select("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    def maintained() = TxTable.read(spark, i)
+      .select("doc_id", "term", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // first refresh folds the create; the index equals a rebuild
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 1L)
+    assert(maintained() == rebuilt())
+    // churn (append + delete): refresh folds exactly the unapplied
+    // tail, then a re-refresh folds nothing
+    TxTable.append(docs(3L -> "c d"), c)            // v2
+    TxTable.delete(spark, c, col("doc_id") === 1L)  // v3
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 2L)
+    assert(maintained() == rebuilt())
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 0L)
+    // SHARED ledger: a Scala-API apply makes the SQL refresh no-op
+    TxTable.append(docs(4L -> "d e"), c)            // v4
+    IncrementalIndex.applyBm25(spark, c, i, 4L)
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 0L)
+    assert(maintained() == rebuilt())
+    // TO VERSION pins the fold mid-history
+    TxTable.append(docs(5L -> "e f"), c)            // v5
+    TxTable.append(docs(6L -> "f g"), c)            // v6
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c` TO VERSION 5")
+      .head.getLong(1) == 1L)
+    assert(!maintained().exists(_._1 == 6L))
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 1L)
+    assert(maintained() == rebuilt())
+    // fold INFERRED from the index's own schema: a MinHash index
+    // refreshes with no USING clause
+    val m = freshDir()
+    spark.sql(s"CREATE INDEX tx.`$m` ON tx.`$c` USING MINHASH")
+    spark.sql(s"REFRESH INDEX tx.`$m` ON tx.`$c`")
+    assert(TxTable.read(spark, m)
+      .select("doc_id", "band_idx", "band_hash")
+      .as[(Long, Int, Long)].collect().toSet ==
+      IncrementalIndex.minhashBandRows(
+        TxTable.read(spark, c).select("doc_id", "text"))
+        .select("doc_id", "band_idx", "band_hash")
+        .as[(Long, Int, Long)].collect().toSet,
+      "SQL-refreshed MinHash index must equal the batch fold")
+    // refusals, each with the table state unharmed
+    intercept[Exception] { // unknown method
+      spark.sql(s"CREATE INDEX tx.`${freshDir()}` ON tx.`$c` " +
+        "USING BTREE")
+    }
+    intercept[Exception] { // IVF needs its pinned quantizer table
+      spark.sql(s"CREATE INDEX tx.`${freshDir()}` ON tx.`$c` USING IVF")
+    }
+    intercept[Exception] { // PQ needs CODEBOOKS too
+      spark.sql(s"CREATE INDEX tx.`${freshDir()}` ON tx.`$c` " +
+        s"USING PQ CENTROIDS tx.`${freshDir()}`")
+    }
+    intercept[Exception] { // refreshing a non-index table
+      spark.sql(s"REFRESH INDEX tx.`$c` ON tx.`$c`")
+    }
+    intercept[Exception] { // beyond the corpus head
+      spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c` TO VERSION 99")
+    }
+    intercept[Exception] { // malformed but claimed: no ON clause
+      spark.sql(s"CREATE INDEX tx.`$i` USING BM25")
+    }
+    assert(maintained() == rebuilt(),
+      "refused statements must not perturb the index")
+  }
 }

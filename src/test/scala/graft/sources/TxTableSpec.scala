@@ -823,6 +823,73 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(t).contains(1L))
   }
 
+  test("DATE/TIMESTAMP keys record long manifest stats (epoch days " +
+      "/ micros; TIMESTAMP_MICROS pinned over Spark's statless INT96 " +
+      "default), prune files, stay content-exact, and stat-less " +
+      "legacy layouts read conservatively") {
+    import java.time.LocalDate
+    val t = freshDir()
+    val day0 = 18262L // 2020-01-01
+    val rows = (0 until 200).map { i =>
+      val d = day0 + i % 100
+      (i.toLong, java.sql.Date.valueOf(LocalDate.ofEpochDay(d)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          d * 86400L + (i % 24) * 3600L)))
+    }.toDF("doc_id", "dt", "ts")
+    assert(TxTable.create(rows, t, bucketKey = "doc_id", buckets = 2))
+    // v1: dt/ts were never statsCols — no stats, and the range read
+    // must stay correct via conservative keep-everything
+    val s1 = TxTable.snapshot(t).get
+    assert(s1.files.forall(f => s1.numRange("dt", f).isEmpty),
+      "v1 must be the stat-less legacy shape for this test")
+    val expected10to20 = (0 until 200)
+      .filter(i => (10 to 20).contains(i % 100)).map(_.toLong).sorted
+    assert(TxTable.readKeyRange(spark, t, "dt", day0 + 10, day0 + 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq == expected10to20,
+      "stat-less reads must be conservative, not wrong")
+
+    // v2: date-range-clustered with timestamp stats
+    assert(TxTable.compact(spark, t, bucketKey = "dt", buckets = 8,
+      rangeCluster = true, statsCols = Seq("ts")).contains(2L))
+    val s2 = TxTable.snapshot(t).get
+    assert(s2.files.forall(f => s2.numRange("dt", f).nonEmpty &&
+      s2.numRange("ts", f).nonEmpty),
+      "date AND timestamp footer stats must land (INT96 carries none)")
+    def kept(c: String, lo: Long, hi: Long) =
+      s2.files.count(f => s2.numRange(c, f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      })
+    assert(kept("dt", day0 + 10, day0 + 20) < s2.files.size,
+      "date stats on the clustered layout must skip files")
+    assert(kept("ts", (day0 + 10) * 86400000000L,
+      (day0 + 20) * 86400000000L) < s2.files.size,
+      "timestamp stats must skip files too (ts rides the dt order)")
+    assert(TxTable.readKeyRange(spark, t, "dt", day0 + 10, day0 + 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq == expected10to20,
+      "pruned date read must equal the stat-less read")
+    // sub-day micros bound: day10 from 05:00 through day20 00:00
+    val tsLo = (day0 + 10) * 86400000000L + 5L * 3600000000L
+    val tsHi = (day0 + 20) * 86400000000L
+    val expTs = (0 until 200).filter { i =>
+      val us = (day0 + i % 100) * 86400000000L +
+        (i % 24) * 3600000000L
+      us >= tsLo && us <= tsHi
+    }.map(_.toLong).sorted
+    assert(TxTable.readKeyRange(spark, t, "ts", tsLo, tsHi)
+      .select("doc_id").as[Long].collect().sorted.toSeq == expTs,
+      "micros-precision timestamp slice must be exact")
+    // a DATE key frame drives deleteKeys through the same stat-long
+    // prune: exactly the day-0 rows go
+    TxTable.deleteKeys(spark, t,
+      Seq(java.sql.Date.valueOf(LocalDate.ofEpochDay(day0)))
+        .toDF("dt"), key = "dt", bucketKey = "doc_id")
+    assert(TxTable.read(spark, t).select("doc_id").as[Long]
+      .collect().sorted.toSeq ==
+      (0 until 200).filter(_ % 100 != 0).map(_.toLong).sorted,
+      "date-keyed delete must remove exactly the keyed day")
+  }
+
   test("supplementary-plane string keys: manifest pruning compares " +
       "in UTF-8 byte order, so astral-key files are neither " +
       "mis-pruned on read nor skipped by deletes") {
