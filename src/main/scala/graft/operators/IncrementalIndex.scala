@@ -151,9 +151,10 @@ object IncrementalIndex {
     * version after its fold, in fold order. */
   def applyMany(spark: SparkSession, corpus: String, v: Long,
                 folds: Seq[(String, String, String, DataFrame => DataFrame)],
-                buckets: Int = 4): Seq[Long] = {
-    val feed = TxTable.changes(spark, corpus, v - 1, v)
-      .localCheckpoint(true)
+                buckets: Int = 4,
+                feedOpt: Option[DataFrame] = None): Seq[Long] = {
+    val feed = feedOpt.getOrElse(
+      TxTable.changes(spark, corpus, v - 1, v).localCheckpoint(true))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     // dedicated pool, not ExecutionContext.global: folds BLOCK on
@@ -176,6 +177,28 @@ object IncrementalIndex {
       val outcomes = Await.result(settled, Duration.Inf)
       outcomes.map(_.get) // rethrows the FIRST failure, siblings done
     } finally pool.shutdown()
+  }
+
+  /** EVERY (v−1 → v) feed for v ∈ [from, to], materialized in ONE
+    * job: the per-version change scans are unioned under a version
+    * tag and localCheckpointed together, so a whole-lifecycle replay
+    * ([[applyMany]] per version over N indexes) pays ONE feed
+    * materialization instead of (to − from + 1) sequential
+    * checkpoint jobs — on a loaded driver the per-job floor, not the
+    * churn, is what those cost. Each returned frame filters the
+    * shared checkpoint (no rescan). Memory: the checkpoint holds the
+    * lifecycle's TOTAL churn — for a bounded replay window (a
+    * fixture, a catch-up of a few commits) that is the natural unit;
+    * an unbounded backfill should fold version by version instead. */
+  def feedRange(spark: SparkSession, corpus: String, from: Long,
+                to: Long): Map[Long, DataFrame] = {
+    val tagged = (from to to).map(v =>
+      TxTable.changes(spark, corpus, v - 1, v)
+        .withColumn("_v", lit(v)))
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    (from to to).map(v =>
+      v -> tagged.filter(col("_v") === v).drop("_v")).toMap
   }
 
   /** Create the (empty) postings index table. */

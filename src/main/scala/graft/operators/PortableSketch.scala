@@ -288,34 +288,43 @@ object PortableSketch {
     */
   def kmvSetSimilarity(a: DataFrame, b: DataFrame, key: String,
                        k: Int = K): DataFrame = {
-    // persisted: each side's distinct feeds BOTH the union (for u)
-    // and its membership probe — without the persist the distinct
-    // aggregation would run twice per side. The persists are scoped
-    // to this call: the result is materialized eagerly below and the
-    // caches dropped in the finally, so repeated library calls don't
-    // accumulate session storage (they'd otherwise leak two cached
-    // frames per invocation until something clears the catalog).
-    val ha = a.select(h60(col(key)).as("h")).distinct().persist()
-    val hb = b.select(h60(col(key)).as("h")).distinct().persist()
-    try { kmvSetSimilarityOn(ha, hb, k).localCheckpoint(true) }
-    finally { ha.unpersist(); hb.unpersist() }
+    val ha = a.select(h60(col(key)).as("h"))
+    val hb = b.select(h60(col(key)).as("h"))
+    kmvSetSimilarityOn(ha, hb, k).localCheckpoint(true)
   }
 
-  /** [[kmvSetSimilarity]]'s estimator over ALREADY-HASHED distinct
-    * key frames (one `h` column each); caching of `ha`/`hb` is the
-    * caller's concern. */
+  /** [[kmvSetSimilarity]]'s estimator over already-hashed (possibly
+    * duplicate-carrying) key frames, one `h` column each.
+    *
+    * Shuffle economy (the 10×-scaling shape): each side pays ONE
+    * map-combined dedup shuffle for its own bottom-k — and past
+    * that, only k-row frames ever move. The union's bottom-k is
+    * computed from the two k-row side samples (bottom-k of a union
+    * = bottom-k of the sides' bottom-k's — the samples cover it by
+    * construction), NOT by re-shuffling both full distinct sets a
+    * second time; membership probes stream each RAW side once,
+    * map-only, against the broadcast k-row sample, with the
+    * survivors deduplicated inside the aggregate (≤ k distinct
+    * values — the partial aggregate carries at most k rows per
+    * partition into a trailing k-sized shuffle). */
   private def kmvSetSimilarityOn(ha: DataFrame, hb: DataFrame,
                                  k: Int): DataFrame = {
-    val u = ha.union(hb).distinct().orderBy("h").limit(k)
-    // membership probes stream each corpus-scale side ONCE against
-    // the broadcast k-row sample (only the right side of a semi-join
-    // broadcasts, so u must be the build side): u∩A, then (u∩A)∩B —
-    // at most k rows survive each step
+    // per-side bottom-k distinct: HashAggregate dedup (map-side
+    // combine) then TakeOrdered — k rows per side leave the side
+    def bottomK(s: DataFrame): DataFrame =
+      s.distinct().orderBy("h").limit(k)
+    // k smallest distinct of A∪B from the 2k side samples; three
+    // consumers read it (uAgg + two broadcast probes) — checkpoint
+    // the k rows once
+    val u = bottomK(ha).union(bottomK(hb)).distinct()
+      .orderBy("h").limit(k).localCheckpoint(true)
+    // u∩A (≤ k rows after the in-aggregate dedup), then |u∩A∩B|
     val inA = ha.join(broadcast(u), Seq("h"), "left_semi")
-    val inBoth = hb.join(broadcast(inA), Seq("h"), "left_semi")
+      .select("h").distinct()
     val uAgg = u.agg(count(lit(1)).cast("int").as("k_used"),
       max(col("h")).as("h_k"))
-    val mAgg = inBoth.agg(count(lit(1)).cast("int").as("matches"))
+    val mAgg = hb.join(broadcast(inA), Seq("h"), "left_semi")
+      .agg(countDistinct(col("h")).cast("int").as("matches"))
     // single-row × single-row: the allow-listed broadcast-scalar cross
     uAgg.crossJoin(mAgg)
       // every output below is an IEEE chain over exact-int inputs

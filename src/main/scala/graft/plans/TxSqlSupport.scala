@@ -413,26 +413,31 @@ case class TxRefreshIndexCommand(index: String, corpus: String,
       o.getOrElse(throw new IllegalArgumentException(
         s"REFRESH of this index requires $clause tx.`path` " +
           "(the pinned artifact table)"))
-    val (appId, fold): (String, Long => Long) =
+    type Fold = (Long, Option[org.apache.spark.sql.DataFrame]) => Long
+    val (appId, fold): (String, Fold) =
       if (is(IncrementalIndex.postingsSchemaDdl))
-        ("graft_bm25_index",
-          v => IncrementalIndex.applyBm25(spark, corpus, index, v))
+        ("graft_bm25_index", (v, f) =>
+          IncrementalIndex.applyBm25(spark, corpus, index, v, feed = f))
       else if (is(IncrementalIndex.minhashSchemaDdl))
-        ("graft_minhash_index",
-          v => IncrementalIndex.applyMinhash(spark, corpus, index, v))
+        ("graft_minhash_index", (v, f) =>
+          IncrementalIndex.applyMinhash(spark, corpus, index, v,
+            feed = f))
       else if (is(IncrementalIndex.simhashSchemaDdl))
-        ("graft_simhash_index",
-          v => IncrementalIndex.applySimhash(spark, corpus, index, v))
+        ("graft_simhash_index", (v, f) =>
+          IncrementalIndex.applySimhash(spark, corpus, index, v,
+            feed = f))
       else if (is(IncrementalIndex.ivfSchemaDdl)) {
         val cents = IncrementalIndex.loadCentroids(spark,
           need(centroids, "CENTROIDS"))
-        ("graft_ivf_index",
-          v => IncrementalIndex.applyIvf(spark, corpus, index, cents, v))
+        ("graft_ivf_index", (v, f) =>
+          IncrementalIndex.applyIvf(spark, corpus, index, cents, v,
+            feed = f))
       } else if (is(IncrementalIndex.pqSchemaDdl)) {
         val idx = IncrementalIndex.loadPqIndex(spark,
           need(centroids, "CENTROIDS"), need(books, "CODEBOOKS"))
-        ("graft_pq_index",
-          v => IncrementalIndex.applyPq(spark, corpus, index, idx, v))
+        ("graft_pq_index", (v, f) =>
+          IncrementalIndex.applyPq(spark, corpus, index, idx, v,
+            feed = f))
       } else throw new IllegalArgumentException(
         s"not a maintained index schema: ${snap.schemaDdl} " +
           "(expected BM25 postings, MinHash bands, SimHash " +
@@ -441,7 +446,16 @@ case class TxRefreshIndexCommand(index: String, corpus: String,
       .getOrElse(0L) + 1L
     var last = TxTable.latestVersion(index).getOrElse(0L)
     var folded = 0L
-    for (v <- from to target) { last = fold(v); folded += 1L }
+    if (from <= target) {
+      // every unapplied transition's feed in ONE materialization
+      // job ([[IncrementalIndex.feedRange]]) — a catch-up of N
+      // versions pays one checkpoint, not N sequential job floors
+      val feeds = IncrementalIndex.feedRange(spark, corpus, from,
+        target)
+      for (v <- from to target) {
+        last = fold(v, Some(feeds(v))); folded += 1L
+      }
+    }
     Seq(Row(last, folded))
   }
 }

@@ -113,8 +113,13 @@ object IndexQueries {
           (minhash, "graft_minhash_index", "doc_id",
             ins => IncrementalIndex.minhashBandRows(
               ins.select("doc_id", "text"))))
+      // ALL five transition feeds materialize in ONE job (the
+      // r14 per-job-floor cut) — each applyMany folds from its
+      // filtered slice of the shared checkpoint
+      val feeds = IncrementalIndex.feedRange(s, corpus, 1L, 5L)
       val ivs = (1L to 5L).map(v =>
-        IncrementalIndex.applyMany(s, corpus, v, folds).head)
+        IncrementalIndex.applyMany(s, corpus, v, folds,
+          feedOpt = Some(feeds(v))).head)
       val head = TxTable.read(s, corpus).select("doc_id", "text")
         .localCheckpoint(true) // three rebuild gates read it
       // the three maintained-equals-rebuilt gates are independent
@@ -193,8 +198,10 @@ object IndexQueries {
           (pq, "graft_pq_index", "vec_id",
             ins => AnnSearch.encodeIvfPq(
               ins.select("vec_id", "embedding"), pqIdx, m = 8)))
+      val feeds = IncrementalIndex.feedRange(s, corpus, 1L, 4L)
       val vs = (1L to 4L).map(v =>
-        IncrementalIndex.applyMany(s, corpus, v, folds))
+        IncrementalIndex.applyMany(s, corpus, v, folds,
+          feedOpt = Some(feeds(v))))
       val head = TxTable.read(s, corpus).localCheckpoint(true)
       val Seq(dIvf, dPq) = concurrently(
         () => signedDiff(
