@@ -446,15 +446,15 @@ case class TxRefreshIndexCommand(index: String, corpus: String,
       .getOrElse(0L) + 1L
     var last = TxTable.latestVersion(index).getOrElse(0L)
     var folded = 0L
-    if (from <= target) {
-      // every unapplied transition's feed in ONE materialization
-      // job ([[IncrementalIndex.feedRange]]) — a catch-up of N
-      // versions pays one checkpoint, not N sequential job floors
-      val feeds = IncrementalIndex.feedRange(spark, corpus, from,
-        target)
-      for (v <- from to target) {
-        last = fold(v, Some(feeds(v))); folded += 1L
-      }
+    // unapplied transitions fold in CHUNKS whose feeds materialize
+    // as one job each ([[IncrementalIndex.feedRange]]): a catch-up
+    // of N versions pays ~N/16 checkpoint jobs instead of N
+    // sequential job floors, while an unbounded backlog never
+    // materializes its total churn in a single checkpoint
+    for (chunk <- (from to target).grouped(16)) {
+      val feeds = IncrementalIndex.feedRange(spark, corpus,
+        chunk.head, chunk.last)
+      for (v <- chunk) { last = fold(v, Some(feeds(v))); folded += 1L }
     }
     Seq(Row(last, folded))
   }

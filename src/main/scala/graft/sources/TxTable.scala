@@ -623,21 +623,26 @@ object TxTable {
     * encoding (Delta/Iceberg write the same). Depth-counted so
     * concurrent TxTable writers on one session never restore the
     * conf out from under each other's in-flight write. */
-  private val microsDepth = new java.util.concurrent.atomic.AtomicInteger
-  private var microsPrev: String = _
-  private val microsLock = new Object
+  private val microsState = // per session: (depth, saved previous)
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      (Int, String)]
   private def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
-    microsLock.synchronized {
-      if (microsDepth.getAndIncrement() == 0) {
-        microsPrev = spark.conf.get(key)
+    microsState.synchronized {
+      val (depth, prev) = microsState.getOrDefault(spark,
+        (0, null: String))
+      if (depth == 0) {
+        microsState.put(spark, (1, spark.conf.get(key)))
         spark.conf.set(key, "TIMESTAMP_MICROS")
-      }
+      } else microsState.put(spark, (depth + 1, prev))
     }
     try f
-    finally microsLock.synchronized {
-      if (microsDepth.decrementAndGet() == 0)
-        spark.conf.set(key, microsPrev)
+    finally microsState.synchronized {
+      val (depth, prev) = microsState.get(spark)
+      if (depth == 1) {
+        microsState.remove(spark)
+        spark.conf.set(key, prev)
+      } else microsState.put(spark, (depth - 1, prev))
     }
   }
 
