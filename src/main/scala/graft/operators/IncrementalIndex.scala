@@ -79,13 +79,162 @@ object IncrementalIndex {
 
   /** Create an (empty) index table with `ddl`'s schema — a pure
     * metadata publish ([[TxTable.createEmpty]]: no write job).
-    * Idempotent: a lost create against an existing table is fine. */
+    * Idempotent: a lost create against an existing table is fine.
+    * Returns true iff THIS call created the table (the CAS winner) —
+    * false means a competitor (or an earlier call) owns version 1,
+    * which callers enforcing create-exactly-once semantics (SQL
+    * `CREATE INDEX` without IF NOT EXISTS) must surface as a
+    * duplicate rather than silently adopting. */
   def init(spark: SparkSession, index: String, ddl: String,
-           idCol: String): Unit =
-    if (TxTable.latestVersion(index).isEmpty)
-      require(TxTable.createEmpty(index, ddl) ||
-        TxTable.latestVersion(index).nonEmpty,
+           idCol: String): Boolean =
+    if (TxTable.latestVersion(index).isEmpty) {
+      val won = TxTable.createEmpty(index, ddl)
+      require(won || TxTable.latestVersion(index).nonEmpty,
         s"could not initialize index table $index")
+      won
+    } else false
+
+  /** INDEX REGISTRY — metadata sidecar objects, ZERO Spark jobs
+    * (the Delta-log-sidecar shape): one JSON object per registered
+    * index under `<corpus>/_indexes/` (discovery — `SHOW INDEXES`),
+    * plus ONE self-description object at `<index>/_meta.json`
+    * (`DESCRIBE INDEX` / `DROP INDEX` need nothing but the index
+    * path). Both live OUTSIDE the vacuum walk by construction
+    * (vacuum touches only `data/` and `_txlog` manifests). Writes
+    * are whole-object atomic (temp + atomic move — readers never see
+    * a torn object); registration objects are per-index files, so
+    * concurrent CREATEs of different indexes on one corpus never
+    * contend, and only the create-CAS WINNER writes, so there is no
+    * same-object race at all. Registrations are driver-side
+    * metadata — a CREATE/SHOW/DESCRIBE/DROP costs no cluster work,
+    * which on a loaded driver is the difference between an
+    * operational verb and a job-floor tax. */
+  private def absPath(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** The corpus's registry directory. */
+  def registryDir(corpus: String): java.nio.file.Path =
+    java.nio.file.Paths.get(absPath(corpus)).resolve("_indexes")
+
+  /** The index's self-description object. */
+  def metaPath(index: String): java.nio.file.Path =
+    java.nio.file.Paths.get(absPath(index)).resolve("_meta.json")
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+  private def renderMeta(fields: (String, String)*): Array[Byte] =
+    fields.map { case (k, v) => s""""$k":"${jsonEsc(v)}"""" }
+      .mkString("{", ",", "}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val metaFieldRe =
+    """"([^"]+)":"((?:[^"\\]|\\.)*)"""".r
+  private def parseMeta(bytes: Array[Byte]): Map[String, String] =
+    metaFieldRe.findAllMatchIn(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      .map(m => m.group(1) -> m.group(2)
+        .replace("\\\"", "\"").replace("\\\\", "\\")).toMap
+
+  private def writeAtomic(path: java.nio.file.Path,
+                          bytes: Array[Byte]): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    val tmp = path.getParent.resolve(
+      s"tmp-${java.util.UUID.randomUUID().toString}")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The registry object naming an index on its corpus: a stable
+    * digest of the index's absolute path (paths are arbitrary
+    * strings; file names are not). */
+  private def registryEntry(corpus: String,
+                            index: String): java.nio.file.Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(absPath(index)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    registryDir(corpus).resolve(
+      md.map("%02x".format(_)).mkString + ".json")
+  }
+
+  /** Record a freshly created index in BOTH registries — the
+    * `<index>/_meta.json` self-description and the corpus's
+    * `_indexes/` entry. Called by the CREATE-INDEX winner only.
+    * Paths are stored absolute+normalized so later
+    * SHOW/DESCRIBE/DROP resolve them regardless of the caller's
+    * working form. Zero Spark jobs. */
+  def register(spark: SparkSession, corpus: String, index: String,
+               method: String, appId: String): Unit = {
+    writeAtomic(metaPath(index), renderMeta(
+      "corpus" -> absPath(corpus), "method" -> method,
+      "app_id" -> appId))
+    writeAtomic(registryEntry(corpus, index), renderMeta(
+      "index_path" -> absPath(index), "method" -> method,
+      "app_id" -> appId))
+  }
+
+  /** The registered indexes of `corpus`: (index_path, method,
+    * app_id), empty when none were ever registered. Driver-bounded
+    * by contract (a corpus carries a handful of maintained indexes,
+    * not a data-sized set). */
+  def registered(spark: SparkSession, corpus: String)
+      : Seq[(String, String, String)] = {
+    val dir = registryDir(corpus)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val stream = java.nio.file.Files.list(dir)
+    val entries =
+      try scala.jdk.CollectionConverters
+        .IteratorHasAsScala(stream.iterator()).asScala.toSeq
+      finally stream.close()
+    entries.filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => parseMeta(java.nio.file.Files.readAllBytes(p)))
+      .collect { case m if m.contains("index_path") =>
+        (m("index_path"), m.getOrElse("method", "?"),
+          m.getOrElse("app_id", "?")) }
+      .sortBy(_._1)
+  }
+
+  /** The index's self-description, if it was registered: (corpus,
+    * method, app_id). */
+  def describeMeta(spark: SparkSession, index: String)
+      : Option[(String, String, String)] = {
+    val p = metaPath(index)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else {
+      val m = parseMeta(java.nio.file.Files.readAllBytes(p))
+      Some((m.getOrElse("corpus", "?"), m.getOrElse("method", "?"),
+        m.getOrElse("app_id", "?")))
+    }
+  }
+
+  /** Unregister + delete the index: remove its registry entry (found
+    * through `_meta.json`), then delete the index's directory tree —
+    * manifests, data, meta, everything. The caller (SQL
+    * `DROP INDEX`) is responsible for refusing while a live
+    * maintainer holds the index. The registry entry goes FIRST, so a
+    * crash mid-delete leaves an unregistered orphan tree, never a
+    * registered dangling pointer. Returns the corpus the index was
+    * registered on. */
+  def drop(spark: SparkSession, index: String): String = {
+    val (corpus, _, _) = describeMeta(spark, index).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a registered index (no ${metaPath(index)}): $index"))
+    java.nio.file.Files.deleteIfExists(registryEntry(corpus, index))
+    val root = java.nio.file.Paths.get(absPath(index))
+    val stream = java.nio.file.Files.walk(root)
+    val paths =
+      try scala.jdk.CollectionConverters
+        .IteratorHasAsScala(stream.iterator()).asScala.toSeq
+        .sortBy(-_.getNameCount)
+      finally stream.close()
+    paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    corpus
+  }
 
   /** THE SHARED FOLD for any per-row-decomposable index — one whose
     * rows are a function of single corpus rows (`rowsOf(A ⊎ B) =
@@ -192,17 +341,30 @@ object IncrementalIndex {
     * an unbounded backfill should fold version by version instead. */
   def feedRange(spark: SparkSession, corpus: String, from: Long,
                 to: Long): Map[Long, DataFrame] = {
-    val tagged = (from to to).map(v =>
-      TxTable.changes(spark, corpus, v - 1, v)
-        .withColumn("_v", lit(v)))
-      .reduce(_ unionByName _)
+    if (from > to) return Map.empty // empty catch-up: nothing to feed
+    // the version tag must not shadow a real corpus column (the
+    // change feed carries the corpus schema verbatim) — same
+    // reserved-name discipline as [[TxTable.changes]]'s internals
+    val vTag = "_graft_feed_v"
+    val feeds = (from to to).map(v =>
+      TxTable.changes(spark, corpus, v - 1, v))
+    feeds.foreach(f => require(!f.columns.contains(vTag),
+      s"corpus columns collide with feed-range internal: $vTag"))
+    // allowMissingColumns: each transition reads at ITS version's
+    // schema, so a range crossing an ALTER ADD COLUMNS / widen
+    // commit unions evolving schemas — absent columns null-fill
+    // (pre-evolution rows genuinely had no value) and widened ones
+    // coerce, exactly what a per-version fold would hand each apply
+    val tagged = feeds.zipWithIndex.map { case (f, i) =>
+      f.withColumn(vTag, lit(from + i)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .localCheckpoint(true)
     (from to to).map(v =>
-      v -> tagged.filter(col("_v") === v).drop("_v")).toMap
+      v -> tagged.filter(col(vTag) === v).drop(vTag)).toMap
   }
 
   /** Create the (empty) postings index table. */
-  def initBm25(spark: SparkSession, index: String): Unit =
+  def initBm25(spark: SparkSession, index: String): Boolean =
     init(spark, index, postingsSchemaDdl, "doc_id")
 
   /** Fold the corpus transition (v−1 → v) into the postings index,
@@ -215,7 +377,7 @@ object IncrementalIndex {
       buckets, feed)(ins => postings(ins.select("doc_id", "text")))
 
   /** Create the (empty) SimHash fingerprint index table. */
-  def initSimhash(spark: SparkSession, index: String): Unit =
+  def initSimhash(spark: SparkSession, index: String): Boolean =
     init(spark, index, simhashSchemaDdl, "doc_id")
 
   /** Fold the corpus transition into the SimHash fingerprint index —
@@ -244,7 +406,7 @@ object IncrementalIndex {
     * quantizer is what makes incremental assignment exact. */
   def initIvf(spark: SparkSession, corpus: String, index: String,
               centroidsTable: String, nCells: Int = 8,
-              kmeansIters: Int = 2): Unit = {
+              kmeansIters: Int = 2): Boolean = {
     if (TxTable.latestVersion(centroidsTable).isEmpty) {
       val cents = AnnSearch.trainQuantizer(
         TxTable.read(spark, corpus), nCells, kmeansIters)
@@ -322,7 +484,7 @@ object IncrementalIndex {
              centroidsTable: String, booksTable: String,
              nCells: Int = 8, kmeansIters: Int = 2, m: Int = 16,
              codesPerSub: Int = 16, dim: Int = 64, pqIters: Int = 2,
-             coarse: Option[Array[(Int, Seq[Float])]] = None): Unit = {
+             coarse: Option[Array[(Int, Seq[Float])]] = None): Boolean = {
     if (TxTable.latestVersion(centroidsTable).isEmpty ||
         TxTable.latestVersion(booksTable).isEmpty) {
       val e = TxTable.read(spark, corpus)
@@ -414,7 +576,7 @@ object IncrementalIndex {
   }
 
   /** Create the (empty) MinHash band-bucket index table. */
-  def initMinhash(spark: SparkSession, index: String): Unit =
+  def initMinhash(spark: SparkSession, index: String): Boolean =
     init(spark, index, minhashSchemaDdl, "doc_id")
 
   /** Per-doc LSH band rows for a (doc_id, text) frame — shingle

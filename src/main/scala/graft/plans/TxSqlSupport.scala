@@ -114,6 +114,29 @@ object TxSqlSupport {
     if (schema.fieldNames.contains("doc_id")) "doc_id"
     else schema.fieldNames.head
   }
+
+  /** The per-method exactly-once ledger appIds — the Scala `apply*`
+    * defaults, shared by every SQL verb so SQL and Scala refreshes
+    * fold through ONE ledger. */
+  private[plans] def indexAppId(method: String): String = method match {
+    case "BM25" => "graft_bm25_index"
+    case "MINHASH" => "graft_minhash_index"
+    case "SIMHASH" => "graft_simhash_index"
+    case "IVF" => "graft_ivf_index"
+    case "PQ" => "graft_pq_index"
+    case m => throw new IllegalArgumentException(
+      s"unknown index method $m")
+  }
+
+  /** Head version, ledger high-water, and LAG (corpus head −
+    * last folded source version) of one maintained index — the
+    * SHOW/DESCRIBE row's operational core. */
+  private[plans] def indexLag(index: String, corpus: String,
+                              appId: String): (Long, Long, Long) = {
+    val head = TxTable.latestVersion(corpus).getOrElse(0L)
+    val folded = TxTable.lastCommittedBatch(index, appId).getOrElse(0L)
+    (TxTable.latestVersion(index).getOrElse(0L), folded, head - folded)
+  }
 }
 
 /** Opaque predicate holder: keeps the (unresolved) DELETE condition
@@ -361,7 +384,7 @@ case class TxCreateIndexCommand(index: String, corpus: String,
       o.getOrElse(throw new IllegalArgumentException(
         s"USING ${method.toUpperCase} requires $clause tx.`path` " +
           "(the pinned artifact table)"))
-    method.toUpperCase match {
+    val won = method.toUpperCase match {
       case "BM25" => IncrementalIndex.initBm25(spark, index)
       case "MINHASH" => IncrementalIndex.initMinhash(spark, index)
       case "SIMHASH" => IncrementalIndex.initSimhash(spark, index)
@@ -373,6 +396,23 @@ case class TxCreateIndexCommand(index: String, corpus: String,
         s"unknown index method $m (BM25 | MINHASH | SIMHASH | IVF " +
           "| PQ)")
     }
+    // a concurrent creator may win the CAS between the existence
+    // check above and init's publish — a plain CREATE INDEX must
+    // surface that as the duplicate it is, not silently adopt the
+    // competitor's table
+    if (!won && !ignoreIfExists)
+      throw new IllegalArgumentException(
+        s"index table already exists: $index (use IF NOT EXISTS)")
+    // the CREATE winner records the index in both registries —
+    // `<index>/_meta` (self-description: DESCRIBE/DROP) and
+    // `<corpus>/_indexes` (discovery: SHOW INDEXES) — with the
+    // per-method ledger appId, making the SQL↔Scala shared-ledger
+    // contract VISIBLE (a Scala maintainer on a custom appId is
+    // outside it, and DESCRIBE INDEX now says so)
+    if (won)
+      IncrementalIndex.register(spark, corpus, index,
+        method.toUpperCase,
+        TxSqlSupport.indexAppId(method.toUpperCase))
     Seq(Row(TxTable.latestVersion(index).getOrElse(1L)))
   }
 }
@@ -454,10 +494,175 @@ case class TxRefreshIndexCommand(index: String, corpus: String,
     for (chunk <- (from to target).grouped(16)) {
       val feeds = IncrementalIndex.feedRange(spark, corpus,
         chunk.head, chunk.last)
-      for (v <- chunk) { last = fold(v, Some(feeds(v))); folded += 1L }
+      for (v <- chunk) {
+        // count a version as folded only if the ledger was still
+        // below it when WE folded — a concurrent Scala apply that
+        // advanced the ledger mid-command turns the fold into a
+        // no-op, and the reported count must not claim its work
+        val fresh = TxTable.lastCommittedBatch(index, appId)
+          .forall(_ < v)
+        last = fold(v, Some(feeds(v)))
+        if (fresh) folded += 1L
+      }
     }
     Seq(Row(last, folded))
   }
+}
+
+/** `SHOW INDEXES ON tx.`corpus`` — the discovery verb: one row per
+  * index registered on the corpus (recorded at CREATE INDEX time in
+  * `<corpus>/_indexes`), with its method, ledger appId, head
+  * version, last folded source version, and LAG (corpus head −
+  * last folded) — the freshness number an operator actually watches.
+  * A corpus with no registered indexes yields zero rows (not an
+  * error); indexes born through the bespoke Scala API without
+  * registration are invisible here by design. */
+case class TxShowIndexesCommand(corpus: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("index", StringType, nullable = false)(),
+    AttributeReference("method", StringType, nullable = false)(),
+    AttributeReference("app_id", StringType, nullable = false)(),
+    AttributeReference("index_version", LongType, nullable = false)(),
+    AttributeReference("last_folded", LongType, nullable = false)(),
+    AttributeReference("lag", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.IncrementalIndex
+    require(TxTable.latestVersion(corpus).nonEmpty,
+      s"SHOW INDEXES on missing corpus table $corpus")
+    IncrementalIndex.registered(spark, corpus).map {
+      case (idx, method, appId) =>
+        val (v, folded, lag) = TxSqlSupport.indexLag(idx, corpus, appId)
+        Row(idx, method, appId, v, folded, lag)
+    }
+  }
+}
+
+/** `DESCRIBE INDEX tx.`idx`` — the self-description verb: the
+  * corpus the index maintains, its method, the exactly-once ledger
+  * appId (the SQL↔Scala shared-ledger contract, made visible), head
+  * version, last folded source version, and lag. Refuses an index
+  * that was never registered (Scala-API births carry no `_meta`). */
+case class TxDescribeIndexCommand(index: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("corpus", StringType, nullable = false)(),
+    AttributeReference("method", StringType, nullable = false)(),
+    AttributeReference("app_id", StringType, nullable = false)(),
+    AttributeReference("index_version", LongType, nullable = false)(),
+    AttributeReference("last_folded", LongType, nullable = false)(),
+    AttributeReference("lag", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.IncrementalIndex
+    val (corpus, method, appId) =
+      IncrementalIndex.describeMeta(spark, index).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a registered index (no _meta — created via the " +
+            s"Scala API, or not an index at all): $index"))
+    val (v, folded, lag) = TxSqlSupport.indexLag(index, corpus, appId)
+    Seq(Row(corpus, method, appId, v, folded, lag))
+  }
+}
+
+/** `DROP INDEX [IF EXISTS] tx.`idx`` — retirement: unregister from
+  * the corpus's `_indexes`, then delete the index's directory tree
+  * (manifests, data, `_meta`). REFUSES while a live maintainer in
+  * this JVM holds the index (`STOP MAINTAIN INDEX` first) —
+  * maintainers in OTHER drivers are invisible here, so cross-driver
+  * operation still demands the stop-before-drop runbook (documented
+  * contract, same scope as every single-driver registry). Emits the
+  * number of indexes dropped (0 under IF EXISTS on a missing one). */
+case class TxDropIndexCommand(index: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.IncrementalIndex
+    import graft.streaming.StreamingIndexMaintain
+    if (TxTable.latestVersion(index).isEmpty) {
+      if (ifExists) return Seq(Row(0L))
+      throw new IllegalArgumentException(
+        s"DROP INDEX of missing index table $index (use IF EXISTS)")
+    }
+    val holders = StreamingIndexMaintain.liveMaintainers(index)
+    if (holders.nonEmpty) throw new IllegalStateException(
+      s"cannot DROP INDEX $index: live maintainer(s) hold it " +
+        s"(appIds ${holders.map(_._1).mkString(", ")}) — " +
+        "STOP MAINTAIN INDEX first")
+    IncrementalIndex.drop(spark, index)
+    Seq(Row(1L))
+  }
+}
+
+/** `START MAINTAIN INDEX tx.`idx` ON tx.`corpus` [CENTROIDS tx.`x`]
+  * [CODEBOOKS tx.`y`] CHECKPOINT 'path'` — the SQL face of
+  * [[graft.streaming.StreamingIndexMaintain]]: tail the corpus's
+  * commit log and fold every new version into the index at
+  * micro-batch latency, exactly once per version through the same
+  * per-method ledger the batch verbs use. The fold family is
+  * inferred from the index's own schema (the REFRESH INDEX
+  * discipline); a second START on the same (index, appId) refuses
+  * while the first is active. Emits the maintainer's appId. */
+case class TxStartMaintainCommand(index: String, corpus: String,
+                                  centroids: Option[String],
+                                  books: Option[String],
+                                  checkpoint: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("app_id", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.IncrementalIndex
+    import graft.streaming.StreamingIndexMaintain
+    val snap = TxTable.snapshot(index).getOrElse(
+      throw new IllegalArgumentException(
+        s"START MAINTAIN INDEX of missing index table $index — " +
+          "CREATE INDEX first"))
+    require(TxTable.latestVersion(corpus).nonEmpty,
+      s"START MAINTAIN INDEX on missing corpus table $corpus")
+    val st = StructType.fromDDL(snap.schemaDdl)
+    def is(ddl: String) = st == StructType.fromDDL(ddl)
+    def need(o: Option[String], clause: String): String =
+      o.getOrElse(throw new IllegalArgumentException(
+        s"maintaining this index requires $clause tx.`path` " +
+          "(the pinned artifact table)"))
+    val appId =
+      if (is(IncrementalIndex.postingsSchemaDdl)) {
+        StreamingIndexMaintain.start(spark, corpus, index,
+          "graft_bm25_index", checkpoint)
+        "graft_bm25_index"
+      } else if (is(IncrementalIndex.minhashSchemaDdl)) {
+        StreamingIndexMaintain.startMinhash(spark, corpus, index,
+          "graft_minhash_index", checkpoint)
+        "graft_minhash_index"
+      } else if (is(IncrementalIndex.simhashSchemaDdl)) {
+        StreamingIndexMaintain.startSimhash(spark, corpus, index,
+          "graft_simhash_index", checkpoint)
+        "graft_simhash_index"
+      } else if (is(IncrementalIndex.ivfSchemaDdl)) {
+        StreamingIndexMaintain.startIvf(spark, corpus, index,
+          need(centroids, "CENTROIDS"), "graft_ivf_index", checkpoint)
+        "graft_ivf_index"
+      } else if (is(IncrementalIndex.pqSchemaDdl)) {
+        StreamingIndexMaintain.startPq(spark, corpus, index,
+          need(centroids, "CENTROIDS"), need(books, "CODEBOOKS"),
+          "graft_pq_index", checkpoint)
+        "graft_pq_index"
+      } else throw new IllegalArgumentException(
+        s"not a maintained index schema: ${snap.schemaDdl}")
+    Seq(Row(appId))
+  }
+}
+
+/** `STOP MAINTAIN INDEX tx.`idx`` — stop this JVM's registered
+  * maintainer(s) of the index. Emits how many were stopped (0 when
+  * none were running — idempotent, like every stop verb should be). */
+case class TxStopMaintainCommand(index: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("stopped", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.streaming.StreamingIndexMaintain
+      .stopMaintainers(index).toLong))
 }
 
 /** `INSERT INTO | OVERWRITE tx.`path` [BY NAME] <query>` → append /
@@ -709,13 +914,32 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+CENTROIDS\s+tx\s*\.\s*`([^`]+)`)?""" +
       """(?:\s+CODEBOOKS\s+tx\s*\.\s*`([^`]+)`)?""" +
       """(?:\s+TO\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private val showIndexesRe =
+    """(?is)^\s*SHOW\s+INDEXES\s+ON\s+tx\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val describeIndexRe =
+    ("""(?is)^\s*DESCRIBE\s+INDEX\s+tx\s*\.\s*`([^`]+)`""" +
+      """\s*;?\s*$""").r
+  private val dropIndexRe =
+    ("""(?is)^\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """tx\s*\.\s*`([^`]+)`\s*;?\s*$""").r
+  private val startMaintainRe =
+    ("""(?is)^\s*START\s+MAINTAIN\s+INDEX\s+tx\s*\.\s*`([^`]+)`\s+""" +
+      """ON\s+tx\s*\.\s*`([^`]+)`""" +
+      """(?:\s+CENTROIDS\s+tx\s*\.\s*`([^`]+)`)?""" +
+      """(?:\s+CODEBOOKS\s+tx\s*\.\s*`([^`]+)`)?""" +
+      """\s+CHECKPOINT\s+'([^']+)'\s*;?\s*$""").r
+  private val stopMaintainRe =
+    ("""(?is)^\s*STOP\s+MAINTAIN\s+INDEX\s+tx\s*\.\s*`([^`]+)`""" +
+      """\s*;?\s*$""").r
   // a RESTORE/VACUUM/OPTIMIZE that names a tx table but failed the
   // full match: claim it (error), do not let it fall through to the
   // delegate's unrelated error message
   private val claimedRe =
     ("""(?is)^\s*(?:RESTORE|VACUUM|OPTIMIZE|DESCRIBE\s+HISTORY|""" +
-      """CREATE\s+INDEX|REFRESH\s+INDEX)\s+""" +
-      """(?:TABLE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?tx\s*\.\s*`.*""").r
+      """CREATE\s+INDEX|REFRESH\s+INDEX|SHOW\s+INDEXES\s+ON|""" +
+      """DESCRIBE\s+INDEX|DROP\s+INDEX|""" +
+      """START\s+MAINTAIN\s+INDEX|STOP\s+MAINTAIN\s+INDEX)\s+""" +
+      """(?:TABLE\s+)?(?:IF\s+(?:NOT\s+)?EXISTS\s+)?tx\s*\.\s*`.*""").r
 
   private def fail(sql: String, hint: String): Nothing =
     throw new ParseException(Some(sql), Origin(), "PARSE_SYNTAX_ERROR",
@@ -751,6 +975,14 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
     case refreshIndexRe(idx, corpus, cents, books, toV) =>
       TxRefreshIndexCommand(idx, corpus, Option(cents), Option(books),
         Option(toV).map(_.toLong))
+    case showIndexesRe(corpus) => TxShowIndexesCommand(corpus)
+    case describeIndexRe(idx) => TxDescribeIndexCommand(idx)
+    case dropIndexRe(ife, idx) =>
+      TxDropIndexCommand(idx, ifExists = ife != null)
+    case startMaintainRe(idx, corpus, cents, books, ckpt) =>
+      TxStartMaintainCommand(idx, corpus, Option(cents), Option(books),
+        ckpt)
+    case stopMaintainRe(idx) => TxStopMaintainCommand(idx)
     case claimedRe() => fail(sqlText,
       "expected RESTORE [TABLE] tx.`path` TO VERSION [AS OF] n | " +
         "TO TIMESTAMP AS OF 'ts', VACUUM tx.`path` RETAIN n " +
@@ -758,8 +990,12 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
         "[ZORDER BY (a[, b])], DESCRIBE HISTORY tx.`path`, " +
         "CREATE INDEX [IF NOT EXISTS] tx.`i` ON tx.`c` USING " +
         "BM25|MINHASH|SIMHASH|IVF|PQ [CENTROIDS tx.`x`] " +
-        "[CODEBOOKS tx.`y`], or REFRESH INDEX tx.`i` ON tx.`c` " +
-        "[CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] [TO VERSION n]")
+        "[CODEBOOKS tx.`y`], REFRESH INDEX tx.`i` ON tx.`c` " +
+        "[CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] [TO VERSION n], " +
+        "SHOW INDEXES ON tx.`c`, DESCRIBE INDEX tx.`i`, " +
+        "DROP INDEX [IF EXISTS] tx.`i`, START MAINTAIN INDEX " +
+        "tx.`i` ON tx.`c` [CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] " +
+        "CHECKPOINT 'path', or STOP MAINTAIN INDEX tx.`i`")
     // CTAS (and its CREATE/REPLACE TABLE siblings below) must be
     // claimed AT PARSE TIME: the built-in session-catalog resolution
     // would otherwise convert them to v1 catalog commands before any

@@ -215,15 +215,19 @@ object IndexQueries {
         dIvf, dPq)
     }
 
-  /** SQL-ONLY lifecycle (r14): corpus born, mutated, indexed and
-    * refreshed ENTIRELY through the SQL face — CREATE TABLE AS
-    * SELECT, INSERT INTO, DELETE FROM, CREATE INDEX … USING BM25,
-    * REFRESH INDEX (folds every unapplied version), and an
-    * idempotent re-REFRESH. Returns the index dir, the two folded
-    * counts, and the maintained-vs-rebuilt diff. A SQL-first user
-    * never touches the Scala API. */
+  /** SQL-ONLY lifecycle (r14, extended r15): corpus born, mutated,
+    * indexed, refreshed, INSPECTED and RETIRED entirely through the
+    * SQL face — CREATE TABLE AS SELECT, INSERT INTO, DELETE FROM,
+    * CREATE INDEX … USING BM25, REFRESH INDEX, idempotent
+    * re-REFRESH, then the r15 operational verbs: DESCRIBE INDEX's
+    * LAG tracks an unfolded corpus commit (1 behind → catch-up → 0),
+    * SHOW INDEXES discovers a second (SIMHASH) index the moment it
+    * is created, and DROP INDEX unregisters it and deletes its tree.
+    * Returns the index dir, the observed counters, and the
+    * maintained-vs-rebuilt diff. A SQL-first user never touches the
+    * Scala API. */
   private def sqlIndexFixture(s: SparkSession, d: String)
-      : (String, Long, Long, Long) =
+      : (String, Seq[(String, Long)], Long) =
     graft.operators.DerivedCache.memoValue(s, s"index_sql_fixture:$d") {
       val (corpus, idx) = (tmp("graft_sqlcorp_"), tmp("graft_sqlidx_"))
       Tables.documents(s, d).select("doc_id", "text")
@@ -239,10 +243,42 @@ object IndexQueries {
         .head.getLong(1)
       val folded2 = s.sql(s"REFRESH INDEX tx.`$idx` ON tx.`$corpus`")
         .head.getLong(1)
+      // r15 operational verbs: lag visible while one commit behind
+      s.sql(s"INSERT INTO tx.`$corpus` SELECT doc_id, text " +
+        "FROM graft_sql_lc_docs WHERE doc_id % 3 = 2")          // v4
+      val desc = s.sql(s"DESCRIBE INDEX tx.`$idx`").head
+      val lagBehind = desc.getLong(5)
+      val appIdVisible =
+        if (desc.getString(2) == "graft_bm25_index") 1L else 0L
+      val folded3 = s.sql(s"REFRESH INDEX tx.`$idx` ON tx.`$corpus`")
+        .head.getLong(1)
+      val lagCaught = s.sql(s"DESCRIBE INDEX tx.`$idx`").head.getLong(5)
+      // discovery + retirement: a sibling SIMHASH index (metadata-
+      // only birth) appears in SHOW INDEXES, then DROP removes both
+      // the registration and the directory tree
+      val idx2 = tmp("graft_sqlidx2_")
+      s.sql(s"CREATE INDEX tx.`$idx2` ON tx.`$corpus` USING SIMHASH")
+      val shownTwo = s.sql(s"SHOW INDEXES ON tx.`$corpus`").count()
+      val dropped = s.sql(s"DROP INDEX tx.`$idx2`").head.getLong(0)
+      val shownAfter = s.sql(s"SHOW INDEXES ON tx.`$corpus`").count()
+      val dirGone =
+        if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(idx2))) 1L else 0L
       val diff = signedDiff(
         TxTable.read(s, idx).select("doc_id", "term", "tf", "dl"),
         Bm25.postings(TxTable.read(s, corpus).select("doc_id", "text")))
-      (idx, folded1, folded2, diff)
+      val counters = Seq(
+        "e_folded_first" -> folded1,
+        "f_folded_again" -> folded2,
+        "g_lag_behind" -> lagBehind,
+        "h_folded_catchup" -> folded3,
+        "i_lag_caught_up" -> lagCaught,
+        "j_ledger_appid_visible" -> appIdVisible,
+        "k_shown_while_two" -> shownTwo,
+        "l_dropped" -> dropped,
+        "m_shown_after_drop" -> shownAfter,
+        "n_dropped_dir_gone" -> dirGone)
+      (idx, counters, diff)
     }
 
   /** Tall (chk, value) fingerprint rows for one index version. */
@@ -285,15 +321,18 @@ object IndexQueries {
           .select(col("kv.chk").as("chk"), col("kv.value").as("value")))
     }),
 
-    // SQL-only index lifecycle: the maintained postings (born and
-    // refreshed purely through CREATE/REFRESH INDEX SQL) fingerprint
-    // against DuckDB's direct replay; the folded counts pin
-    // exactly-once across re-REFRESH and the diff pins the IVM
+    // SQL-only index lifecycle: the maintained postings (born,
+    // refreshed, inspected and retired purely through CREATE/
+    // REFRESH/DESCRIBE/SHOW/DROP INDEX SQL) fingerprint against
+    // DuckDB's direct replay; the folded counts pin exactly-once
+    // across re-REFRESH, the r15 lag rows pin DESCRIBE INDEX's
+    // freshness arithmetic around an unfolded commit, the SHOW/DROP
+    // rows pin discovery and retirement, and the diff pins the IVM
     // theorem. Scale: identical machinery to q_index_incremental —
     // the SQL face adds parsing, not jobs.
     "q_index_sql_lifecycle" -> ((s, d) => {
       import s.implicits._
-      val (idx, folded1, folded2, diff) = sqlIndexFixture(s, d)
+      val (idx, counters, diff) = sqlIndexFixture(s, d)
       TxTable.read(s, idx)
         .agg(count(lit(1)).as("p"),
           countDistinct(col("doc_id")).as("docs"),
@@ -305,9 +344,8 @@ object IndexQueries {
           ("c_terms", col("terms")),
           ("d_tokens", col("toks")))): _*)).as("kv"))
         .select(col("kv.chk").as("chk"), col("kv.value").as("value"))
-        .unionByName(Seq(("e_folded_first", folded1),
-          ("f_folded_again", folded2),
-          ("z_rebuild_diff", diff)).toDF("chk", "value"))
+        .unionByName((counters :+ ("z_rebuild_diff" -> diff))
+          .toDF("chk", "value"))
         .orderBy("chk")
     }),
 
@@ -477,8 +515,9 @@ object IndexQueries {
     "q_index_sql_lifecycle" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id < 400 AND doc_id % 3 IN (0, 1)
-        |    AND NOT doc_id % 5 = 0),
+        |  WHERE doc_id < 400 AND (
+        |    (doc_id % 3 IN (0, 1) AND NOT doc_id % 5 = 0)
+        |    OR doc_id % 3 = 2)),
         |tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM corpus),
@@ -496,6 +535,14 @@ object IndexQueries {
         |  SELECT 'd_tokens', CAST(COUNT(*) AS BIGINT) FROM tok
         |  UNION ALL SELECT 'e_folded_first', 3
         |  UNION ALL SELECT 'f_folded_again', 0
+        |  UNION ALL SELECT 'g_lag_behind', 1
+        |  UNION ALL SELECT 'h_folded_catchup', 1
+        |  UNION ALL SELECT 'i_lag_caught_up', 0
+        |  UNION ALL SELECT 'j_ledger_appid_visible', 1
+        |  UNION ALL SELECT 'k_shown_while_two', 2
+        |  UNION ALL SELECT 'l_dropped', 1
+        |  UNION ALL SELECT 'm_shown_after_drop', 1
+        |  UNION ALL SELECT 'n_dropped_dir_gone', 1
         |  UNION ALL SELECT 'z_rebuild_diff', 0)
         |SELECT chk, value FROM m ORDER BY chk""".stripMargin,
 

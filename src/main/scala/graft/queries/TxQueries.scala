@@ -222,6 +222,13 @@ object TxQueries {
         expr("(doc_id div 32) % 32").as("y"),
         col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 < 2)
+        // event time DECORRELATED from the id (doc_id·7919 % 365
+        // scatters days): the (string id, time) Z-order below is a
+        // genuine 2-D layout — either single-column sort would leave
+        // the other column spanning its whole range per file
+        .withColumn("ts", timestamp_micros(
+          (lit(18262L) + (col("doc_id") * 7919) % 365) * 86400000000L +
+            (col("doc_id") % 24) * 3600000000L))
       require(TxTable.create(docs, dir, bucketKey = "id_str",
         buckets = 4), "create lost its CAS")
       // BOTH clustered layouts driven from SQL (the OPTIMIZE verb):
@@ -235,6 +242,21 @@ object TxQueries {
       require(s.sql(s"OPTIMIZE tx.`$dir` ZORDER BY (x, y)")
         .head.getLong(0) == 3L,
         "z-ordered OPTIMIZE must land as v3")
+      // v4 MIXED-TYPE Z-order (r15): interleave an ORDER-PRESERVING
+      // integer image of the string id (its numeric suffix — the id
+      // space's own order) with the day index, then collect stats on
+      // the REAL columns (id_str as string bounds, ts as micros
+      // longs) — the layout a (string id, time)-sliced corpus read
+      // compounds pruning on. The Scala clusterBy face, since bit
+      // interleave needs integral images (SQL OPTIMIZE's documented
+      // int-only contract).
+      require(TxTable.compact(s, dir, bucketKey = "id_str",
+        buckets = 16,
+        clusterBy = Some(graft.functions.ZOrder.z16(
+          expr("doc_id % 65536"),
+          (col("doc_id") * 7919) % 365)),
+        statsCols = Seq("id_str", "ts")).contains(4L),
+        "mixed z-ordered compaction must land as v4")
       dir
     }
 
@@ -258,10 +280,20 @@ object TxQueries {
         .withColumn("ts", timestamp_micros(
           unix_date(col("dt")).cast("long") * 86400000000L +
             (col("doc_id") % 24).cast("long") * 3600000000L))
+        // DECIMAL money key (r15): price in cents/100, monotone in
+        // the day offset (so the dt-clustered layout keeps per-file
+        // decimal [min,max] tight) and NEGATIVE for early days — the
+        // sign the unscaled-long stats path must order correctly.
+        // cents = (doc_id%365 − 100)·100 + doc_id%7 replays in DuckDB
+        // as pure integer arithmetic.
+        .withColumn("price",
+          (((col("doc_id") % 365 - 100) * 100 + col("doc_id") % 7)
+            .cast("decimal(14,0)") / 100).cast("decimal(12,2)"))
       require(TxTable.create(docs, dir, bucketKey = "doc_id",
         buckets = 4), "create lost its CAS")
       require(TxTable.compact(s, dir, bucketKey = "dt", buckets = 8,
-        rangeCluster = true, statsCols = Seq("ts")).contains(2L),
+        rangeCluster = true, statsCols = Seq("ts", "price"))
+        .contains(2L),
         "date-clustered compaction must land as v2")
       dir
     }
@@ -626,9 +658,46 @@ object TxQueries {
       agg(TxTable.readKeyRangeString(s, t, "id_str",
           "doc_000010", "doc_000040", version = Some(2L)), "a_str")
         .unionByName(agg(TxTable.readKeyRanges(s, t,
-          Map("x" -> (0L, 7L), "y" -> (1L, 7L))), "b_2d"))
+          Map("x" -> (0L, 7L), "y" -> (1L, 7L)),
+          version = Some(3L)), "b_2d"))
         .unionByName(agg(TxTable.readKeyRangeString(s, t, "id_str",
           "zzz", "zzzz", version = Some(2L)), "c_str_disjoint"))
+        .orderBy("range")
+    }),
+
+    // MIXED-TYPE (string id, time) compound pruning (r15): the v4
+    // layout Z-orders an order-preserving integer image of the
+    // string id with the day index, and readKeyRanges prunes each
+    // file on BOTH dims — string bounds in UTF-8 byte order, time
+    // bounds as epoch-micros stat longs — before any footer opens.
+    // One slice where both dims cut, plus each dim alone proving an
+    // all-pruned read (zero rows) while the other dim spans
+    // everything. Content-exact vs DuckDB's integer replay.
+    "q_corpus_cluster_prune_mixed" -> ((s, d) => {
+      val t = multiClusterTable(s, d)
+      def agg(df: DataFrame, tag: String) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(length(col("text")).cast("long")), lit(0L))
+            .as("n_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+          .select(lit(tag).as("range"), col("n_docs"), col("n_chars"),
+            col("sum_ids"))
+      // days 100..260 of the scattered calendar, full-day micros
+      val tsLo = (18262L + 100L) * 86400000000L
+      val tsHi = (18262L + 260L) * 86400000000L + 86399999999L
+      agg(TxTable.readKeyRanges(s, t, Map("ts" -> (tsLo, tsHi)),
+        version = Some(4L),
+        strRanges = Map("id_str" -> ("doc_000050", "doc_000550"))),
+        "a_mixed")
+        .unionByName(agg(TxTable.readKeyRanges(s, t,
+          Map("ts" -> (tsLo, tsHi)), version = Some(4L),
+          strRanges = Map("id_str" -> ("zzz", "zzzz"))),
+          "b_str_pruned"))
+        .unionByName(agg(TxTable.readKeyRanges(s, t,
+          Map("ts" -> (4000000000000000L, 4100000000000000L)),
+          version = Some(4L),
+          strRanges = Map("id_str" -> ("doc_000050", "doc_000550"))),
+          "c_ts_pruned"))
         .orderBy("range")
     }),
 
@@ -660,6 +729,35 @@ object TxQueries {
         .unionByName(
           agg(TxTable.readKeyRange(s, t, "dt", 25000L, 26000L),
             "c_disjoint"))
+        .orderBy("range")
+    }),
+
+    // DECIMAL-KEYED manifest pruning (r15): the money column —
+    // DECIMAL(12,2), negative for early days — prunes through the
+    // same unscaled-long stats path the int/date/timestamp keys ride
+    // (precision ≤ 18 is int32/int64 physical in parquet; footer
+    // stats ARE the unscaled values). Bounds are unscaled cents; the
+    // residual filter re-types them to exact decimals. A wide slice
+    // crossing zero, a SUB-UNIT slice (cuts between cents of one
+    // whole unit), and an all-pruned disjoint range. Content-exact
+    // vs DuckDB's integer-cents replay.
+    "q_corpus_cluster_prune_decimal" -> ((s, d) => {
+      val t = timeClusterTable(s, d)
+      def agg(df: DataFrame, tag: String) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+          coalesce(sum(length(col("text")).cast("long")), lit(0L))
+            .as("n_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+          .select(lit(tag).as("range"), col("n_docs"), col("n_chars"),
+            col("sum_ids"))
+      // -50.00 .. 12.34 (crosses zero), 1.02 .. 1.04 (sub-unit),
+      // 90000.00 .. 99999.99 (beyond price max 264.06 → all pruned)
+      agg(TxTable.readKeyRanges(s, t, Map("price" -> (-5000L, 1234L))),
+        "a_cross_zero")
+        .unionByName(agg(TxTable.readKeyRanges(s, t,
+          Map("price" -> (102L, 104L))), "b_subunit"))
+        .unionByName(agg(TxTable.readKeyRanges(s, t,
+          Map("price" -> (9000000L, 9999999L))), "c_disjoint"))
         .orderBy("range")
     }),
 
@@ -1033,6 +1131,29 @@ object TxQueries {
         |SELECT 'c_str_disjoint', 0, 0, 0
         |ORDER BY range""".stripMargin,
 
+    // Mixed (string id, time) compound-pruned reads replay as plain
+    // WHEREs over the same slice: the id range via the printf image,
+    // the time range via the scattered-day integer arithmetic
+    // ((doc_id*7919)%365 days + doc_id%24 hours in micros). The
+    // single-dim-disjoint rows are identically zero.
+    "q_corpus_cluster_prune_mixed" ->
+      """WITH base AS (
+        |  SELECT printf('doc_%06d', doc_id) AS id_str, doc_id, text,
+        |    (18262 + (doc_id * 7919) % 365) * 86400000000
+        |      + (doc_id % 24) * 3600000000 AS ts_us
+        |  FROM documents WHERE doc_id % 3 < 2)
+        |SELECT 'a_mixed' AS range, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+        |FROM base
+        |WHERE id_str BETWEEN 'doc_000050' AND 'doc_000550'
+        |  AND ts_us BETWEEN 1586476800000000 AND 1600387199999999
+        |UNION ALL
+        |SELECT 'b_str_pruned', 0, 0, 0
+        |UNION ALL
+        |SELECT 'c_ts_pruned', 0, 0, 0
+        |ORDER BY range""".stripMargin,
+
     // Time-keyed pruned-read replay: dt = 2020-01-01 + doc_id%365
     // (epoch day 18262 + offset), ts = that day at hour doc_id%24 —
     // both slices replay as pure integer arithmetic over
@@ -1054,6 +1175,29 @@ object TxQueries {
         |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
         |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
         |FROM base WHERE ts_us BETWEEN 1586494800000000 AND 1590859800000000
+        |UNION ALL
+        |SELECT 'c_disjoint', 0, 0, 0
+        |ORDER BY range""".stripMargin,
+
+    // Decimal-keyed pruned-read replay in integer CENTS — the same
+    // unscaled integers the engine's manifest bounds and its range
+    // arguments use — so no decimal division or rounding semantics
+    // enter the compare. price max is 264.06, so the c range prunes
+    // everything.
+    "q_corpus_cluster_prune_decimal" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    (doc_id % 365 - 100) * 100 + (doc_id % 7) AS cents
+        |  FROM documents)
+        |SELECT 'a_cross_zero' AS range, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ids
+        |FROM base WHERE cents BETWEEN -5000 AND 1234
+        |UNION ALL
+        |SELECT 'b_subunit', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+        |FROM base WHERE cents BETWEEN 102 AND 104
         |UNION ALL
         |SELECT 'c_disjoint', 0, 0, 0
         |ORDER BY range""".stripMargin,

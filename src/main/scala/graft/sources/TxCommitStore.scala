@@ -42,6 +42,59 @@ trait TxCommitStore {
   def replace(path: Path, bytes: Array[Byte]): Unit
 }
 
+/** S3-SEMANTICS REFERENCE IMPLEMENTATION: the commit protocol as an
+  * object-store port runs it — the CAS decision is a CONDITIONAL PUT
+  * (`If-None-Match: *`) against the store's own object namespace,
+  * the head hint a plain overwrite PUT, and NO filesystem rename or
+  * hard link enters the protocol anywhere (S3 has neither; the
+  * LocalFs twin's `createLink`-as-CAS is exactly the primitive a
+  * port loses). The service's internal serialization of conditional
+  * PUTs is modeled by the atomic map insert — that is the store's
+  * own atomicity, as in real S3, not a filesystem trick. Committed
+  * objects are MATERIALIZED to the local path namespace afterwards
+  * purely so [[TxTable]]'s read path (GETs in a real port) can
+  * observe them; a reader probing the slot between the CAS decision
+  * and the materialization simply misses it and re-probes — the
+  * protocol already tolerates that (hint staleness / listing lag),
+  * and the stress matrix runs this store under fault injection to
+  * prove it. List-after-write is strongly consistent here, matching
+  * S3's (post-2020) strong read-after-write — no stale-listing
+  * shortcut is taken or needed: readers resolve manifests by direct
+  * slot probes, never by trusting a listing to be complete.
+  *
+  * Scope: one store instance = one bucket. Deletions (vacuum,
+  * retention) go through the filesystem directly — a vacuumed slot
+  * stays occupied in the map, which is safe because version slots
+  * are monotone and never reused. */
+final class ObjectStoreCommitStore extends TxCommitStore {
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private def key(path: Path): String =
+    path.toAbsolutePath.normalize.toString
+
+  // GET-visibility plumbing of the harness, not part of the CAS:
+  // the decision was already made by the conditional PUT above it
+  private def materialize(path: Path, bytes: Array[Byte]): Unit = {
+    val tmp = path.getParent.resolve(
+      s"tmp-obj-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean = {
+    val won = objects.putIfAbsent(key(path), bytes) == null
+    if (won) materialize(path, bytes)
+    won
+  }
+
+  override def replace(path: Path, bytes: Array[Byte]): Unit = {
+    objects.put(key(path), bytes)
+    materialize(path, bytes)
+  }
+}
+
 /** Local-filesystem implementation — the exact protocol TxTable
   * shipped with: write a temp file in the target's directory, then
   * `Files.createLink` (hard-link creation is atomic and fails if the

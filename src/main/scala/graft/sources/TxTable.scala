@@ -7,9 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType,
-  FloatType, IntegerType, LongType, StructField, StructType,
-  TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType,
+  DoubleType, FloatType, IntegerType, LongType, StructField,
+  StructType, TimestampType}
 
 /** Snapshot-isolated transactional table on parquet — the commit-log
   * storage layer under the corpus refresh. The reference keeps its
@@ -564,10 +564,24 @@ object TxTable {
     * [[footerStats]]' Number fold yields); TIMESTAMP as epoch MICROS
     * (int64 physical — [[writeData]] pins TIMESTAMP_MICROS so the
     * footer carries stats; INT96 carries none). Comparing these
-    * longs against `numRange` bounds is therefore exact. */
+    * longs against `numRange` bounds is therefore exact.
+    * DECIMAL(p ≤ 18, s) as the UNSCALED long (value·10^s) — parquet
+    * writes such decimals as int32/int64 physical whose footer stats
+    * ARE the unscaled values, so the comparison is again exact. The
+    * multiplier uses the TABLE's scale `s`, so a keys frame whose
+    * own decimal scale differs still yields table-scale unscaled
+    * longs (any key equal to a stored value is exactly representable
+    * at table scale, so its bound is exact; a non-representable key
+    * truncates toward zero, which only leaves bounds covering every
+    * representable key — pruning stays conservative). */
   private def statLong(key: Column, t: DataType): Column = t match {
     case DateType => unix_date(key).cast("long")
     case TimestampType => unix_micros(key)
+    case d: DecimalType =>
+      // 10^s as an exact scale-0 decimal literal: (p,s)·(s+1,0) →
+      // precision ≤ 18+19+1 = 38, no precision-loss rounding
+      (key * lit(new java.math.BigDecimal(
+        java.math.BigInteger.TEN.pow(d.scale)))).cast("long")
     case _ => key.cast("long")
   }
 
@@ -575,9 +589,14 @@ object TxTable {
     * per file. Date/Timestamp ride the same path via their physical
     * int32/int64 encodings (see [[statLong]]) — the single most
     * common clustering key in log pipelines is event time, and it
-    * must prune. */
+    * must prune. DECIMAL up to precision 18 rides it as the unscaled
+    * long (int32/int64 physical — the money columns of any
+    * TPC-H-shaped or financial corpus); precision > 18 is
+    * FIXED_LEN_BYTE_ARRAY physical and stays conservatively
+    * unstated. */
   private def statsAsLong(t: DataType): Boolean = t match {
     case IntegerType | LongType | DateType | TimestampType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -1489,16 +1508,23 @@ object TxTable {
     readKeyRanges(spark, table, Map(bucketKey -> (lo, hi)), version)
 
   /** Multi-column form of [[readKeyRange]]: rows satisfying EVERY
-    * `col BETWEEN lo AND hi` in `ranges`, skipping each file any ONE
-    * column's manifest `[min,max]` proves disjoint (per-file pruning
-    * predicates AND together, so pruning power compounds across
-    * dimensions — selective on a Z-ordered layout, where every file
-    * is tight on every clustered column; see [[compact]]'s
-    * `clusterBy`). Files without stats on a column are conservatively
-    * kept. Always equivalent to `read(...).filter(all ranges)`. */
+    * `col BETWEEN lo AND hi` in `ranges` (numeric/date/timestamp/
+    * decimal bounds as their stat longs — see [[statLong]]) AND
+    * every `col BETWEEN lo AND hi` in `strRanges` (string bounds,
+    * compared in UTF-8 byte order like [[readKeyRangeString]]),
+    * skipping each file any ONE column's manifest `[min,max]` proves
+    * disjoint (per-file pruning predicates AND together, so pruning
+    * power compounds across dimensions — selective on a Z-ordered
+    * layout, where every file is tight on every clustered column;
+    * see [[compact]]'s `clusterBy`; a (string id, time) Z-order is
+    * the common corpus layout, and both dims must prune). Files
+    * without stats on a column are conservatively kept. Always
+    * equivalent to `read(...).filter(all ranges)`. */
   def readKeyRanges(spark: SparkSession, table: String,
                     ranges: Map[String, (Long, Long)],
-                    version: Option[Long] = None): DataFrame = {
+                    version: Option[Long] = None,
+                    strRanges: Map[String, (String, String)] =
+                      Map.empty): DataFrame = {
     val s = snapshot(table, version).getOrElse(
       throw new IllegalArgumentException(
         s"no such table/version (missing or retention-expired): " +
@@ -1509,13 +1535,20 @@ object TxTable {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
+    } && strRanges.forall { case (c, (lo, hi)) =>
+      s.strRange(c, f) match {
+        // UTF-8 byte order — footer UTF8 stats and Spark UTF8String
+        // comparisons agree there; UTF-16 String <= does not (BMP)
+        case Some((mn, mx)) => utf8Lte(lo, mx) && utf8Lte(mn, hi)
+        case None => true
+      }
     })
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept: _*)
-    ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
+    val numFiltered = ranges.foldLeft(base) { case (df, (c, (lo, hi))) =>
       // residual filter in the column's OWN type: date/timestamp
       // ranges arrive as their stat longs (epoch days / micros —
       // see statLong), and Spark has no date/timestamp↔numeric
@@ -1526,9 +1559,20 @@ object TxTable {
             date_from_unix_date(lit(hi.toInt)))
         case Some(TimestampType) =>
           (timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+        case Some(d: DecimalType) =>
+          // decimal ranges arrive as UNSCALED longs at the column's
+          // scale (see statLong); rebuild the exact decimal bound —
+          // BigDecimal(unscaled, s) is lo·10^-s with no rounding
+          (lit(new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(lo), d.scale)),
+            lit(new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(hi), d.scale)))
         case _ => (lit(lo), lit(hi))
       }
       df.filter(col(c).between(l, h))
+    }
+    strRanges.foldLeft(numFiltered) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
     }
   }
 
@@ -1539,30 +1583,17 @@ object TxTable {
     * (the stats exist on any layout — string bounds are recorded at
     * write time like integral ones, minus the rare unsafe-to-embed
     * bound, which conservatively reads). Always equivalent to
-    * `read(...).filter(key between lo hi)`. */
+    * `read(...).filter(key between lo hi)`. The single-string form
+    * of [[readKeyRanges]] — one prune path, one set of ordering
+    * rules (UTF-8 byte order: the stats are UTF-8-ordered parquet
+    * UTF8 binary bounds and the residual filter compares in Spark's
+    * UTF8String order — UTF-16 String >= would silently drop
+    * in-range files when bounds cross the BMP boundary). */
   def readKeyRangeString(spark: SparkSession, table: String, key: String,
                          lo: String, hi: String,
-                         version: Option[Long] = None): DataFrame = {
-    val s = snapshot(table, version).getOrElse(
-      throw new IllegalArgumentException(
-        s"no such table/version (missing or retention-expired): " +
-          s"$table @ $version"))
-    val schema = StructType.fromDDL(s.schemaDdl)
-    val kept = s.files.filter(f => s.strRange(key, f) match {
-      // UTF-8 byte order: the stats are UTF-8-ordered (parquet UTF8
-      // binary stats) and the residual filter below compares with
-      // Spark's UTF8String order — UTF-16 String >= would silently
-      // drop in-range files when bounds cross the BMP boundary
-      case Some((mn, mx)) => utf8Lte(lo, mx) && utf8Lte(mn, hi)
-      case None => true
-    })
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept: _*)
-    base.filter(col(key).between(lo, hi))
-  }
+                         version: Option[Long] = None): DataFrame =
+    readKeyRanges(spark, table, Map.empty, version,
+      strRanges = Map(key -> (lo, hi)))
 
   /** True iff the (fromVersion → toVersion) transition REMOVED no
     * data files — pure metadata (two manifest reads): the feed over

@@ -27,6 +27,69 @@ import graft.sources.TxTable
   */
 object StreamingIndexMaintain {
 
+  /** LIVE-MAINTAINER REGISTRY (this JVM): one entry per
+    * (index path, appId) holding the running query — the handle
+    * `STOP MAINTAIN INDEX` stops, the existence check a second
+    * `START MAINTAIN` on the same (index, appId) refuses against
+    * (the one-maintainer-per-(index, appId) contract made loud
+    * instead of a CAS-contention mystery), and the guard
+    * `DROP INDEX` consults before deleting a table a maintainer is
+    * mid-commit on. Scope: THIS driver JVM — maintainers in other
+    * drivers are invisible here (the ledger still keeps them
+    * exactly-once; this registry is the operational face, not the
+    * correctness mechanism). */
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), StreamingQuery]()
+
+  private def absPath(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** Start-and-register under the refusal contract: prunes dead
+    * entries, refuses while an ACTIVE maintainer holds the same
+    * (index, appId), registers the new query atomically. */
+  private def registered(index: String, appId: String)(
+      mk: => StreamingQuery): StreamingQuery = live.synchronized {
+    val k = (absPath(index), appId)
+    Option(live.get(k)).foreach { q =>
+      if (q.isActive) throw new IllegalStateException(
+        s"a live maintainer already holds $index under appId " +
+          s"$appId — stop it first (one maintainer per (index, " +
+          "appId))")
+      live.remove(k)
+    }
+    val q = mk
+    live.put(k, q)
+    q
+  }
+
+  /** The ACTIVE maintainers of `index` in this JVM: (appId, query)
+    * pairs. Dead entries are pruned on the way. */
+  def liveMaintainers(index: String): Seq[(String, StreamingQuery)] =
+    live.synchronized {
+      val p = absPath(index)
+      val dead = live.entrySet().iterator()
+      val out = Seq.newBuilder[(String, StreamingQuery)]
+      while (dead.hasNext) {
+        val e = dead.next()
+        if (!e.getValue.isActive) dead.remove()
+        else if (e.getKey._1 == p) out += ((e.getKey._2, e.getValue))
+      }
+      out.result().sortBy(_._1)
+    }
+
+  /** Stop the registered maintainer(s) of `index` — all of them, or
+    * just `appId`'s. Returns how many were stopped. */
+  def stopMaintainers(index: String,
+                      appId: Option[String] = None): Int = {
+    val victims = liveMaintainers(index)
+      .filter(m => appId.forall(_ == m._1))
+    victims.foreach { case (a, q) =>
+      q.stop()
+      live.remove((absPath(index), a))
+    }
+    victims.size
+  }
+
   /** Versions named by a micro-batch of manifest lines, ascending. */
   private def versionsIn(batch: DataFrame): Seq[Long] =
     batch
@@ -41,6 +104,7 @@ object StreamingIndexMaintain {
   def start(spark: SparkSession, corpus: String, index: String,
             appId: String, checkpoint: String): StreamingQuery = {
     IncrementalIndex.initBm25(spark, index)
+    registered(index, appId) {
     spark.readStream.text(s"$corpus/_txlog/v*.json")
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -50,6 +114,7 @@ object StreamingIndexMaintain {
         ()
       }
       .start()
+    }
   }
 
   /** The IVF twin: same tail, pinned centroids. */
@@ -57,6 +122,7 @@ object StreamingIndexMaintain {
                centroidsTable: String, appId: String,
                checkpoint: String): StreamingQuery = {
     val cents = IncrementalIndex.loadCentroids(spark, centroidsTable)
+    registered(index, appId) {
     spark.readStream.text(s"$corpus/_txlog/v*.json")
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -66,6 +132,7 @@ object StreamingIndexMaintain {
         ()
       }
       .start()
+    }
   }
 
   /** The MinHash band-index twin: same tail, so the standing
@@ -80,6 +147,7 @@ object StreamingIndexMaintain {
                    appId: String, checkpoint: String, n: Int = 3,
                    k: Int = 32, bands: Int = 8): StreamingQuery = {
     IncrementalIndex.initMinhash(spark, index)
+    registered(index, appId) {
     spark.readStream.text(s"$corpus/_txlog/v*.json")
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -90,6 +158,7 @@ object StreamingIndexMaintain {
         ()
       }
       .start()
+    }
   }
 
   /** The SimHash fingerprint twin: live maintenance of the standing
@@ -98,6 +167,7 @@ object StreamingIndexMaintain {
   def startSimhash(spark: SparkSession, corpus: String, index: String,
                    appId: String, checkpoint: String): StreamingQuery = {
     IncrementalIndex.initSimhash(spark, index)
+    registered(index, appId) {
     spark.readStream.text(s"$corpus/_txlog/v*.json")
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -107,6 +177,7 @@ object StreamingIndexMaintain {
         ()
       }
       .start()
+    }
   }
 
   /** The IVFADC code-table twin: same tail, pinned coarse centroids
@@ -118,6 +189,7 @@ object StreamingIndexMaintain {
       : StreamingQuery = {
     val idx = IncrementalIndex.loadPqIndex(spark, centroidsTable,
       booksTable)
+    registered(index, appId) {
     spark.readStream.text(s"$corpus/_txlog/v*.json")
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -128,5 +200,6 @@ object StreamingIndexMaintain {
         ()
       }
       .start()
+    }
   }
 }

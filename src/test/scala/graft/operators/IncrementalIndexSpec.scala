@@ -268,4 +268,58 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(!served.exists(p => p._2 == 3L),
       "deleted doc 3's retracted bands must route to nothing")
   }
+
+  test("feedRange survives schema evolution mid-range, guards its " +
+      "internal tag column, and returns empty for an empty range") {
+    val corpus = tmp("iidx_fr_")
+    assert(TxTable.create(docs(1L -> "a", 2L -> "b"), corpus))    // v1
+    TxTable.append(docs(3L -> "c"), corpus)                       // v2
+    // v3 ALTER ADD COLUMNS: later transitions read a WIDER schema —
+    // the union across the range must not throw on the mismatch
+    TxTable.evolveSchema(corpus, addCols = Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)), widenCols = Nil)
+    TxTable.append(Seq((4L, "d", "en")).toDF("doc_id", "text", "lang"),
+      corpus, buckets = 1)                                        // v4
+    val feeds = IncrementalIndex.feedRange(spark, corpus, 1L, 4L)
+    assert(feeds.keySet == Set(1L, 2L, 3L, 4L))
+    // pre-evolution feeds null-fill the added column; every feed's
+    // content matches its own per-version change scan
+    assert(feeds(2L).select("doc_id").as[Long].collect().toSeq ==
+      Seq(3L))
+    assert(feeds(2L).select("lang").as[Option[String]]
+      .collect().toSeq == Seq(None),
+      "pre-evolution rows null-fill the evolved column")
+    assert(feeds(4L).select("doc_id", "lang").as[(Long, Option[String])]
+      .collect().toSet == Set((4L, Some("en"))))
+    assert(feeds(3L).isEmpty, "metadata-only transition feeds nothing")
+    // the feeds drive real folds: a BM25 catch-up over the evolved
+    // range equals the rebuild (the REFRESH INDEX path end-to-end)
+    val index = tmp("iidx_fri_")
+    IncrementalIndex.initBm25(spark, index)
+    for (v <- 1L to 4L)
+      IncrementalIndex.applyBm25(spark, corpus, index, v,
+        feed = Some(feeds(v)))
+    assert(postingsOf(index) == rebuilt(corpus))
+    // empty range: a caught-up catch-up is a no-op, not a throw
+    assert(IncrementalIndex.feedRange(spark, corpus, 5L, 4L).isEmpty)
+    // reserved-name guard: a corpus column named like the internal
+    // version tag must refuse loudly instead of being corrupted
+    val clash = tmp("iidx_frc_")
+    assert(TxTable.create(Seq((1L, "x", 9L))
+      .toDF("doc_id", "text", "_graft_feed_v"), clash, buckets = 1))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.feedRange(spark, clash, 1L, 1L)
+    }
+    assert(e.getMessage.contains("_graft_feed_v"))
+  }
+
+  test("init reports CAS ownership: first creator true, any later " +
+      "call false — the SQL CREATE INDEX duplicate contract") {
+    val index = tmp("iidx_init_")
+    assert(IncrementalIndex.initBm25(spark, index),
+      "first init must own the create")
+    assert(!IncrementalIndex.initBm25(spark, index),
+      "second init must report the existing table, not ownership")
+  }
 }

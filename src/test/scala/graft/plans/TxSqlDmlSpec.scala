@@ -418,4 +418,98 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(maintained() == rebuilt(),
       "refused statements must not perturb the index")
   }
+
+  test("SHOW/DESCRIBE/DROP INDEX + START/STOP MAINTAIN: discovery, " +
+      "lag arithmetic, live-maintainer refusals, and clean " +
+      "retirement — the whole operational lifecycle from SQL") {
+    import graft.streaming.StreamingIndexMaintain
+    val (c, i) = (freshDir(), freshDir())
+    assert(TxTable.create(docs(1L -> "a b", 2L -> "b c"), c))
+    spark.sql(s"CREATE INDEX tx.`$i` ON tx.`$c` USING BM25")
+    // discovery: the index appears with its method and ledger appId,
+    // lag = 1 (created, nothing folded yet against the v1 corpus)
+    val shown = spark.sql(s"SHOW INDEXES ON tx.`$c`").collect()
+    assert(shown.length == 1)
+    assert(shown.head.getString(1) == "BM25")
+    assert(shown.head.getString(2) == "graft_bm25_index")
+    assert(shown.head.getLong(5) == 1L, "unfolded create must lag 1")
+    spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+    assert(spark.sql(s"DESCRIBE INDEX tx.`$i`").head().getLong(5) == 0L,
+      "refreshed index must lag 0")
+    // a corpus with no registered indexes yields zero rows
+    val bare = freshDir()
+    assert(TxTable.create(docs(9L -> "z"), bare))
+    assert(spark.sql(s"SHOW INDEXES ON tx.`$bare`").count() == 0L)
+    // DESCRIBE of a Scala-born (unregistered) index refuses clearly
+    val scalaBorn = freshDir()
+    graft.operators.IncrementalIndex.initBm25(spark, scalaBorn)
+    val e1 = intercept[Exception] {
+      spark.sql(s"DESCRIBE INDEX tx.`$scalaBorn`").collect()
+    }
+    assert(e1.getMessage.contains("_meta"))
+    // DROP refusals: missing without IF EXISTS; 0 under IF EXISTS
+    intercept[Exception] {
+      spark.sql(s"DROP INDEX tx.`${freshDir()}`").collect()
+    }
+    assert(spark.sql(s"DROP INDEX IF EXISTS tx.`${freshDir()}`")
+      .head().getLong(0) == 0L)
+    // live maintainer: START through SQL, second START refuses,
+    // DROP refuses while live, STOP is counted and idempotent,
+    // then DROP succeeds and unregisters
+    val ckpt = freshDir()
+    assert(spark.sql(s"START MAINTAIN INDEX tx.`$i` ON tx.`$c` " +
+      s"CHECKPOINT '$ckpt'").head().getString(0) == "graft_bm25_index")
+    val q = StreamingIndexMaintain.liveMaintainers(i)
+    assert(q.map(_._1) == Seq("graft_bm25_index"))
+    intercept[Exception] {
+      spark.sql(s"START MAINTAIN INDEX tx.`$i` ON tx.`$c` " +
+        s"CHECKPOINT '${freshDir()}'").collect()
+    }
+    val e2 = intercept[Exception] {
+      spark.sql(s"DROP INDEX tx.`$i`").collect()
+    }
+    assert(e2.getMessage.contains("STOP MAINTAIN"))
+    // the maintainer actually maintains: the commit it tails folds
+    TxTable.append(docs(3L -> "c d"), c)
+    q.head._2.processAllAvailable()
+    assert(spark.sql(s"DESCRIBE INDEX tx.`$i`").head().getLong(5) == 0L,
+      "live maintainer must fold the appended commit to lag 0")
+    assert(spark.sql(s"STOP MAINTAIN INDEX tx.`$i`")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"STOP MAINTAIN INDEX tx.`$i`")
+      .head().getLong(0) == 0L, "stop is idempotent")
+    assert(spark.sql(s"DROP INDEX tx.`$i`").head().getLong(0) == 1L)
+    assert(!Files.exists(Paths.get(i)), "drop must delete the tree")
+    assert(spark.sql(s"SHOW INDEXES ON tx.`$c`").count() == 0L,
+      "drop must unregister from the corpus registry")
+    // START MAINTAIN on a missing index refuses with the runbook
+    val e3 = intercept[Exception] {
+      spark.sql(s"START MAINTAIN INDEX tx.`${freshDir()}` " +
+        s"ON tx.`$c` CHECKPOINT '${freshDir()}'").collect()
+    }
+    assert(e3.getMessage.contains("CREATE INDEX first"))
+  }
+
+  test("REFRESH INDEX catch-up spans a schema-evolution commit: the " +
+      "chunked feed unions evolving schemas instead of throwing") {
+    import graft.operators.Bm25
+    val (c, i) = (freshDir(), freshDir())
+    assert(TxTable.create(docs(1L -> "a b", 2L -> "b c"), c))     // v1
+    TxTable.append(docs(3L -> "c d"), c)                          // v2
+    // v3 widens the corpus schema; v4 appends under the NEW schema —
+    // a catch-up range [1..4] now unions feeds of different widths
+    spark.sql(s"ALTER TABLE tx.`$c` ADD COLUMNS (lang STRING)")   // v3
+    spark.sql(s"INSERT INTO tx.`$c` BY NAME " +
+      "SELECT 4 AS doc_id, 'd e' AS text, 'en' AS lang")          // v4
+    spark.sql(s"CREATE INDEX tx.`$i` ON tx.`$c` USING BM25")
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 4L,
+      "all four versions fold through one catch-up")
+    assert(TxTable.read(spark, i)
+      .select("doc_id", "term", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet ==
+      Bm25.postings(TxTable.read(spark, c).select("doc_id", "text"))
+        .as[(Long, String, Long, Long)].collect().toSet,
+      "the evolved-range catch-up must equal the rebuild")
+  }
 }

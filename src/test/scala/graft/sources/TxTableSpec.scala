@@ -511,6 +511,127 @@ class TxTableSpec extends SparkSpec {
       Map("x" -> (500L, 600L), "y" -> (0L, 31L))).isEmpty)
   }
 
+  test("decimal-keyed manifest stats prune as unscaled longs — " +
+      "negative values order correctly, a stat-less legacy layout " +
+      "reads conservatively, and pruned reads stay content-exact") {
+    val t = freshDir()
+    // prices -5.00 .. 4.90 step 0.10: DECIMAL(10,2), negatives
+    // included — unscaled cents -500 .. 490
+    val rows = (-50 to 49).map(i =>
+      (i.toLong, new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(i * 10L), 2)))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(10,2)"))
+    assert(TxTable.create(rows, t, bucketKey = "id", buckets = 2))
+    assert(TxTable.compact(spark, t, bucketKey = "id", buckets = 8,
+      clusterBy = Some(col("price")), statsCols = Seq("price"))
+      .contains(2L))
+    val s = TxTable.snapshot(t).get
+    assert(s.files.forall(f => s.numRange("price", f).nonEmpty),
+      "decimal stats column must record unscaled-long bounds")
+    // negative ordering: the file holding -5.00 must carry a bound
+    // BELOW -400 (UNSIGNED footer folding would order -500 above 490)
+    assert(s.files.exists(f =>
+      s.numRange("price", f).exists(_._1 <= -490L)),
+      s"negative unscaled bounds must survive: " +
+        s"${s.files.flatMap(f => s.numRange("price", f))}")
+    // skip arithmetic on a negative sub-range: -1.25 .. -0.35
+    val kept = s.files.count(f => s.numRange("price", f) match {
+      case Some((mn, mx)) => mx >= -125L && mn <= -35L
+      case None => true
+    })
+    assert(kept < s.files.size,
+      s"price-clustered stats must prune: $kept/${s.files.size}")
+    assert(TxTable.readKeyRanges(spark, t,
+      Map("price" -> (-125L, -35L)))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (-12L to -4L).toSeq,
+      "pruned decimal read must equal the filtered read")
+    assert(TxTable.readKeyRanges(spark, t,
+      Map("price" -> (100000L, 200000L))).isEmpty,
+      "fully disjoint decimal range reads empty")
+    // stat-less legacy layout: a table whose manifests never
+    // recorded price bounds (not the bucket key, not in statsCols)
+    // keeps every file conservatively and the read stays exact
+    val legacy = freshDir()
+    assert(TxTable.create(rows, legacy, bucketKey = "id", buckets = 2))
+    val ls = TxTable.snapshot(legacy).get
+    assert(ls.files.forall(f => ls.numRange("price", f).isEmpty),
+      "fixture must present a stat-less price column")
+    assert(TxTable.readKeyRanges(spark, legacy,
+      Map("price" -> (-125L, -35L)))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (-12L to -4L).toSeq,
+      "stat-less layout must read conservatively, not wrongly prune")
+  }
+
+  test("mixed-type readKeyRanges compounds string and time pruning: " +
+      "a file pruned by either dim alone skips, surviving both dims " +
+      "keeps, and pruned reads stay content-exact") {
+    import graft.functions.ZOrder
+    val t = freshDir()
+    // ids s000..s255 × scattered day index (i*97 % 256): a genuine
+    // 2-D (string id, time) space, timestamps at day granularity
+    val rows = (0 until 256).map { i =>
+      val day = (i * 97) % 256
+      (f"s$i%03d", java.time.Instant.ofEpochSecond(
+        (18262L + day) * 86400L), i.toLong)
+    }.toDF("id", "ts", "n")
+    assert(TxTable.create(rows, t, bucketKey = "id", buckets = 2))
+    assert(TxTable.compact(spark, t, bucketKey = "id", buckets = 16,
+      clusterBy = Some(ZOrder.z16(expr("CAST(substring(id, 2) AS LONG)"),
+        (col("n") * 97) % 256)),
+      statsCols = Seq("id", "ts")).contains(2L))
+    val s = TxTable.snapshot(t).get
+    assert(s.files.forall(f => s.strRange("id", f).nonEmpty &&
+      s.numRange("ts", f).nonEmpty),
+      "both dims must carry per-file bounds")
+    def keptFiles(idLo: String, idHi: String, tsLo: Long, tsHi: Long) =
+      s.files.filter { f =>
+        val strOk = s.strRange("id", f) match {
+          case Some((mn, mx)) => idLo <= mx && mn <= idHi
+          case None => true
+        }
+        val numOk = s.numRange("ts", f) match {
+          case Some((mn, mx)) => mx >= tsLo && mn <= tsHi
+          case None => true
+        }
+        strOk && numOk
+      }
+    val fullTs = (18262L * 86400000000L, (18262L + 256L) * 86400000000L)
+    val midTs = ((18262L + 64L) * 86400000000L,
+      (18262L + 127L) * 86400000000L)
+    val strOnly = keptFiles("s032", "s095", fullTs._1, fullTs._2)
+    val tsOnly = keptFiles("s000", "s999", midTs._1, midTs._2)
+    val both = keptFiles("s032", "s095", midTs._1, midTs._2)
+    assert(strOnly.size < s.files.size,
+      s"string dim alone must prune: ${strOnly.size}/${s.files.size}")
+    assert(tsOnly.size < s.files.size,
+      s"time dim alone must prune: ${tsOnly.size}/${s.files.size}")
+    // compounding: the 2-D slice keeps no more than either dim alone,
+    // and strictly fewer than at least one of them on this layout
+    assert(both.size <= math.min(strOnly.size, tsOnly.size))
+    assert(both.size < math.max(strOnly.size, tsOnly.size),
+      s"compound pruning must cut beyond a single dim: " +
+        s"${both.size} vs ${strOnly.size}/${tsOnly.size}")
+    // a file pruned by the string dim is skipped even though its
+    // time bounds overlap, and vice versa — and the read stays exact
+    val got = TxTable.readKeyRanges(spark, t,
+      Map("ts" -> midTs), strRanges = Map("id" -> ("s032", "s095")))
+      .select("n").as[Long].collect().sorted.toSeq
+    val want = (32L to 95L).filter(i =>
+      (i * 97) % 256 >= 64L && (i * 97) % 256 <= 127L).sorted
+    assert(got == want,
+      "mixed pruned read must equal the filtered read")
+    assert(TxTable.readKeyRanges(spark, t, Map("ts" -> midTs),
+      strRanges = Map("id" -> ("zzz", "zzzz"))).isEmpty,
+      "disjoint string dim empties the read regardless of time")
+    assert(TxTable.readKeyRanges(spark, t,
+      Map("ts" -> (4000000000000000L, 4100000000000000L)),
+      strRanges = Map("id" -> ("s000", "s999"))).isEmpty,
+      "disjoint time dim empties the read regardless of strings")
+  }
+
   test("publish verifies referenced files exist: a vacuumed-under-writer " +
       "commit fails loudly instead of landing unreadable") {
     val t = freshDir()

@@ -131,6 +131,30 @@ class TxTableStressSpec extends SparkSpec {
     }
   }
 
+  test("the S3-SEMANTICS reference store passes the full matrix: " +
+      "conditional-PUT CAS decisions (no rename/link in the " +
+      "protocol) under latency, spurious losses, stale hints, AND " +
+      "lost-response ambiguity resolved by read-back") {
+    val s3 = new ObjectStoreCommitStore
+    // clean-fault pass: the conditional-PUT decision alone carries
+    // the protocol through the full racing-writers matrix
+    TxTable.withCommitStore(new FaultInjectingStore(s3, 1313L)) {
+      stressRun(20290816L)
+    }
+    // ambiguous pass: the port's one hard failure mode — a landed
+    // conditional PUT whose response is lost — resolved by reading
+    // the slot back, over the same store
+    val amb = new AmbiguousStore(
+      new FaultInjectingStore(new ObjectStoreCommitStore, 99L),
+      20300816L)
+    TxTable.withCommitStore(amb) { stressRun(20300816L) }
+    assert(amb.ambiguities.get() > 0,
+      "the injector never fired — the test pinned nothing")
+    assert(amb.landedAmbiguities.get() > 0,
+      "no landed-but-response-lost case occurred — raise the rate " +
+        "or commit count so the dangerous path is actually exercised")
+  }
+
   private def stressRun(seed: Long): Unit = {
     val t = freshDir()
     // victims are fully present BEFORE the race, so every delete
