@@ -12,10 +12,12 @@ import graft.sources.TxTable
   * fingerprints, MinHash band buckets, IVF cell assignments and
   * IVFADC PQ codes — FIVE maintained indexes fed PURELY from their
   * corpus TxTable's change feed (inserts post/assign/encode, deletes
-  * retract, updates replace, compactions fold to zero), each a
-  * SINGLE atomic commit per source version
-  * ([[TxTable.replaceKeysOnce]] — no torn middle state, one index
-  * version per corpus version), with maintained state read back by
+  * retract, updates replace, compactions fold to zero), each fold a
+  * SINGLE atomic commit
+  * ([[TxTable.replaceKeysOnce]] — no torn middle state; the
+  * version-fingerprinted indexes fold once per corpus version, the
+  * final-state-gated ones as one netted catch-up), with maintained
+  * state read back by
   * index time travel and fingerprinted against DuckDB's direct
   * replay, plus the IVM theorem made executable: the maintained head
   * must equal the from-scratch rebuild (signed-multiset diff = 0,
@@ -79,9 +81,10 @@ object IndexQueries {
   /** ONE five-version corpus lifecycle — create, append,
     * copy-on-write MERGE (updates %6=0 with ' v3', inserts %3=2
     * < 60), row-level DELETE (lang='de' OR doc_id%7=3), compaction —
-    * maintaining the BM25 postings, SimHash fingerprint AND MinHash
-    * band indexes transition by transition from ONE shared feed per
-    * version. */
+    * maintaining the BM25 postings index transition by transition
+    * (its gate fingerprints every version) and the SimHash +
+    * MinHash indexes by a single netted catch-up fold (their gates
+    * read final state only — the chunked REFRESH cadence). */
   private def docFixture(s: SparkSession, d: String): DocIndexes =
     graft.operators.DerivedCache.memoValue(s, s"index_doc_fixture:$d") {
       val (corpus, bm25, simhash, minhash) = (tmp("graft_idxcorp_"),
@@ -115,11 +118,21 @@ object IndexQueries {
               ins.select("doc_id", "text"))))
       // ALL five transition feeds materialize in ONE job (the
       // r14 per-job-floor cut) — each applyMany folds from its
-      // filtered slice of the shared checkpoint
+      // filtered slice of the shared checkpoint. CADENCE (the r15
+      // per-job-floor cut): only the BM25 index folds per version —
+      // its gate fingerprints every index version. The SimHash and
+      // MinHash gates read final state only, so those two catch up
+      // in ONE fold each over the netted 0→5 feed (the chunked
+      // REFRESH INDEX shape); their per-version folding stays proven
+      // by the live maintainers and the REFRESH specs.
       val feeds = IncrementalIndex.feedRange(s, corpus, 1L, 5L)
       val ivs = (1L to 5L).map(v =>
-        IncrementalIndex.applyMany(s, corpus, v, folds,
+        IncrementalIndex.applyMany(s, corpus, v, folds.take(1),
           feedOpt = Some(feeds(v))).head)
+      val catchup = TxTable.changes(s, corpus, 0L, 5L)
+        .localCheckpoint(true)
+      IncrementalIndex.applyMany(s, corpus, 5L, folds.drop(1),
+        feedOpt = Some(catchup))
       val head = TxTable.read(s, corpus).select("doc_id", "text")
         .localCheckpoint(true) // three rebuild gates read it
       // the three maintained-equals-rebuilt gates are independent

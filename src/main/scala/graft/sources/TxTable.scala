@@ -1204,7 +1204,9 @@ object TxTable {
     * version.
     *
     * Scale: `keys` is churn-sized, never table-sized — it is
-    * deduplicated and BROADCAST; phase 1 finds touched files with a
+    * NULL-dropped and BROADCAST (duplicates are harmless on the
+    * build side of a semi/anti join, so no dedup shuffle is paid);
+    * phase 1 finds touched files with a
     * semi-join under the scan (O(files) driver state, same bound as
     * the manifest), phase 2 rewrites only those files with an
     * anti-join. Nothing key-list-sized ever reaches the driver —
@@ -1213,7 +1215,28 @@ object TxTable {
   def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
                  key: String = "doc_id", bucketKey: String = "doc_id",
                  buckets: Int = 4, retries: Int = 20): Long = {
-    val keyFrame = keys.select(col(key)).na.drop().distinct()
+    val keyFrame = keys.select(col(key)).na.drop()
+    // bounds for the manifest-stats prune, paid ONCE across attempts.
+    // Unlike replaceKeysOnce (whose prune arms only above 16 files),
+    // deleteKeys ALWAYS arms: the takedown verb's empty-frame
+    // short-circuit rides the bounds row, and this keeps the prune
+    // comparator discipline (UTF-8 string order, unscaled-long
+    // widening) executable on bucket-count-sized spec tables.
+    // Widening/typing follows the TABLE's key type (statLong's
+    // decimal contract: the table scale picks the unscaled-long
+    // multiplier, whatever the caller frame's own scale), captured
+    // once — a key-column TYPE change mid-retry is outside the
+    // supported evolution set (int→long widening lands in the same
+    // long domain).
+    lazy val numBounds = {
+      val t = snapshot(table)
+        .map(h => StructType.fromDDL(h.schemaDdl))
+        .flatMap(_.fields.find(_.name == key).map(_.dataType))
+        .getOrElse(keyFrame.schema.fields.head.dataType)
+      keyFrame.agg(min(statLong(col(key), t)),
+        max(statLong(col(key), t))).head()
+    }
+    lazy val strBounds = keyFrame.agg(min(col(key)), max(col(key))).head()
     var attempt = 0
     while (attempt < retries) {
       val head = snapshot(table).getOrElse(
@@ -1231,16 +1254,14 @@ object TxTable {
       val keyType = schema.fields.find(_.name == key).map(_.dataType)
       val candidates: Seq[String] = keyType match {
         case Some(t) if statsAsLong(t) =>
-          val b = keyFrame.agg(min(statLong(col(key), t)),
-            max(statLong(col(key), t))).head()
-          if (b.isNullAt(0)) Nil
+          if (numBounds.isNullAt(0)) Nil
           else head.files.filter(f => head.numRange(key, f) match {
-            case Some((lo, hi)) => hi >= b.getLong(0) && lo <= b.getLong(1)
+            case Some((lo, hi)) =>
+              hi >= numBounds.getLong(0) && lo <= numBounds.getLong(1)
             case None => true
           })
         case Some(org.apache.spark.sql.types.StringType) =>
-          val b = keyFrame.agg(min(col(key)), max(col(key))).head()
-          if (b.isNullAt(0)) Nil
+          if (strBounds.isNullAt(0)) Nil
           else head.files.filter(f => head.strRange(key, f) match {
             // bounds come from UTF-8-ordered sources (parquet footer
             // UTF8 stats; Spark min/max aggregates), so compare in
@@ -1248,7 +1269,8 @@ object TxTable {
             // disagrees beyond the BMP (would wrongly prune files
             // whose stats span supplementary-plane keys)
             case Some((lo, hi)) =>
-              utf8Lte(b.getString(0), hi) && utf8Lte(lo, b.getString(1))
+              utf8Lte(strBounds.getString(0), hi) &&
+                utf8Lte(lo, strBounds.getString(1))
             case None => true
           })
         case _ => head.files
@@ -1291,7 +1313,9 @@ object TxTable {
     * absent entirely); a crash replays the WHOLE fold or none of it,
     * and the ledger guard no-ops the replay once the single commit
     * has landed. Semantics = [[deleteKeys]] ∘ [[appendOnce]] fused:
-    * `keys` NULL-safe-deduplicated and broadcast, touched files found
+    * `keys` NULL-dropped and broadcast (duplicates are harmless on
+    * the build side of a semi/anti join, so no dedup shuffle is
+    * paid), touched files found
     * with the manifest-stats prune + pushed semi-join, kept rows and
     * `newRows` written together in one churn-sized write. A batchId
     * at or below the app's high-water no-ops (the nondecreasing-
@@ -1312,17 +1336,20 @@ object TxTable {
                       buckets: Int = 4, retries: Int = 20): Long = {
     if (lastCommittedBatch(table, appId).exists(_ >= batchId))
       return latestVersion(table).getOrElse(0L)
-    val keyFrame = keys.select(col(key)).na.drop().distinct()
+    val keyFrame = keys.select(col(key)).na.drop()
     // bounds for the manifest-stats prune, paid ONCE across attempts
     // — and ONLY when the head has enough files for manifest pruning
     // to beat the job it costs (at 100 TB / 100k files the prune is
     // the whole point; on a bucket-count-sized table every file is a
     // candidate anyway and the bounds job is pure overhead). Numeric
-    // keys as widened longs (deleteKeys' cast discipline — the keys
-    // frame's own int/long width must not matter), string keys
-    // as-is.
+    // keys as widened longs in the TABLE key type's domain
+    // (deleteKeys' cast discipline — the keys frame's own int/long
+    // width or decimal scale must not matter), string keys as-is.
     lazy val numBounds = {
-      val t = keyFrame.schema.fields.head.dataType
+      val t = snapshot(table)
+        .map(h => StructType.fromDDL(h.schemaDdl))
+        .flatMap(_.fields.find(_.name == key).map(_.dataType))
+        .getOrElse(keyFrame.schema.fields.head.dataType)
       keyFrame.agg(min(statLong(col(key), t)),
         max(statLong(col(key), t))).head()
     }
