@@ -328,6 +328,86 @@ object IncrementalIndex {
     } finally pool.shutdown()
   }
 
+  /** NETTED CATCH-UP: fold the whole corpus range (`from` → `to`]
+    * into the index as ONE atomic commit — the verb for an index
+    * that fell N versions behind. [[TxTable.changes]] nets the range
+    * (intermediate rewrites cancel), so the fold costs the NET
+    * churn and ONE commit's job floor instead of N sequential
+    * per-version folds; the exactly-once ledger jumps straight to
+    * `to` (later per-version replays of the skipped range no-op
+    * under the nondecreasing-batch contract). The trade is explicit:
+    * the index gains ONE version for the whole range, so per-source-
+    * version index time travel is not materialized for the skipped
+    * versions — content at the catch-up head is IDENTICAL to
+    * per-version folding (per-row decomposability: the netted signed
+    * multiset IS the composition of the per-version feeds), which
+    * [[graft.queries.IndexQueries]]' maintained-equals-rebuilt gates
+    * pin. Dispatch mirrors [[applyDecomposable]], range-wide: an
+    * append-only RANGE (file containment — copy-on-write never
+    * re-adds a removed file name) folds as one guarded append with
+    * no retraction and no shuffle; a net-empty range (pure
+    * compactions) advances the ledger at zero jobs; everything else
+    * retracts + appends in one [[TxTable.replaceKeysOnce]] commit.
+    *
+    * `from` is EXCLUSIVE (the last version already folded — the
+    * ledger's high-water), `to` inclusive. Pass `feed` (the
+    * localCheckpointed `changes(from, to)`) when several indexes
+    * catch up over the same range ([[applyManyNetted]]). */
+  def applyNetted(spark: SparkSession, corpus: String, index: String,
+                  from: Long, to: Long, appId: String, idCol: String,
+                  buckets: Int = 4, feed: Option[DataFrame] = None)(
+      rowsOf: DataFrame => DataFrame): Long = {
+    require(0L <= from && from <= to,
+      s"applyNetted requires 0 <= from <= to ($from, $to)")
+    if (TxTable.lastCommittedBatch(index, appId).exists(_ >= to))
+      return TxTable.latestVersion(index).getOrElse(0L)
+    if (from == to)
+      return TxTable.recordBatchOnce(index, appId, batchId = to)
+    if (TxTable.appendOnlyTransition(corpus, from, to)) {
+      // the whole range only added files: the netted feed is pure
+      // inserts read straight off the added files — no shuffle
+      val ins = feed.getOrElse(TxTable.changes(spark, corpus, from, to))
+        .filter(col("_change") === "insert")
+      TxTable.appendOnce(rowsOf(ins), index, appId, batchId = to,
+        bucketKey = idCol, buckets = buckets)
+    } else {
+      val f = feed.getOrElse(
+        TxTable.changes(spark, corpus, from, to).localCheckpoint(true))
+      if (f.isEmpty) TxTable.recordBatchOnce(index, appId, batchId = to)
+      else TxTable.replaceKeysOnce(spark, index, f.select(idCol),
+        rowsOf(f.filter(col("_change") === "insert")), appId,
+        batchId = to, key = idCol, bucketKey = idCol, buckets = buckets)
+    }
+  }
+
+  /** [[applyNetted]] over SEVERAL maintained indexes with the netted
+    * range feed computed ONCE and the folds applied concurrently —
+    * the catch-up twin of [[applyMany]] (same disjoint-table
+    * no-contention argument, same dedicated pool, same
+    * first-failure-after-siblings surfacing). */
+  def applyManyNetted(spark: SparkSession, corpus: String, from: Long,
+                      to: Long,
+                      folds: Seq[(String, String, String, DataFrame => DataFrame)],
+                      buckets: Int = 4): Seq[Long] = {
+    val feed = TxTable.changes(spark, corpus, from, to)
+      .localCheckpoint(true)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, folds.size))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = folds.map { case (index, appId, idCol, rowsOf) =>
+        Future(applyNetted(spark, corpus, index, from, to, appId,
+          idCol, buckets, Some(feed))(rowsOf))
+      }
+      val settled = Future.sequence(fs.map(_.transform(scala.util.Success(_))))
+      val outcomes = Await.result(settled, Duration.Inf)
+      outcomes.map(_.get)
+    } finally pool.shutdown()
+  }
+
   /** EVERY (v−1 → v) feed for v ∈ [from, to], materialized in ONE
     * job: the per-version change scans are unioned under a version
     * tag and localCheckpointed together, so a whole-lifecycle replay

@@ -418,20 +418,32 @@ case class TxCreateIndexCommand(index: String, corpus: String,
 }
 
 /** `REFRESH INDEX tx.`idx` ON tx.`corpus` [CENTROIDS tx.`c`]
-  * [CODEBOOKS tx.`b`] [TO VERSION n]` — fold every corpus version
-  * the index has not yet absorbed (exactly once per version, the
-  * [[graft.operators.IncrementalIndex.applyDecomposable]] ledger),
-  * up to the head or the pinned `TO VERSION`. The fold family is
-  * INFERRED FROM THE INDEX'S OWN SCHEMA — the five maintained
-  * schemas are pairwise distinct, so the statement needs no USING —
-  * and the per-method appIds match the Scala API's defaults, so SQL
-  * and Scala refreshes share one exactly-once ledger (a REFRESH
-  * after a Scala apply no-ops instead of double-folding). Emits the
-  * index version and how many source versions were folded. */
+  * [CODEBOOKS tx.`b`] [TO VERSION n] [NETTED]` — fold every corpus
+  * version the index has not yet absorbed (exactly once per version,
+  * the [[graft.operators.IncrementalIndex.applyDecomposable]]
+  * ledger), up to the head or the pinned `TO VERSION`. The fold
+  * family is INFERRED FROM THE INDEX'S OWN SCHEMA — the five
+  * maintained schemas are pairwise distinct, so the statement needs
+  * no USING — and the per-method appIds match the Scala API's
+  * defaults, so SQL and Scala refreshes share one exactly-once
+  * ledger (a REFRESH after a Scala apply no-ops instead of
+  * double-folding). Emits the index version and how many source
+  * versions were folded.
+  *
+  * `NETTED` folds the WHOLE unapplied range as ONE commit
+  * ([[graft.operators.IncrementalIndex.applyNetted]]): the change
+  * feed nets across the range, so a catch-up of N versions costs
+  * the net churn and one commit's job floor instead of N sequential
+  * folds. The trade: the index gains one version for the range, so
+  * per-source-version index time travel is not materialized for the
+  * skipped versions — content at the head is identical (per-row
+  * decomposability). `folded` still reports the number of SOURCE
+  * versions absorbed. */
 case class TxRefreshIndexCommand(index: String, corpus: String,
                                  centroids: Option[String],
                                  books: Option[String],
-                                 toVersion: Option[Long])
+                                 toVersion: Option[Long],
+                                 netted: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -453,31 +465,32 @@ case class TxRefreshIndexCommand(index: String, corpus: String,
       o.getOrElse(throw new IllegalArgumentException(
         s"REFRESH of this index requires $clause tx.`path` " +
           "(the pinned artifact table)"))
-    type Fold = (Long, Option[org.apache.spark.sql.DataFrame]) => Long
-    val (appId, fold): (String, Fold) =
+    import org.apache.spark.sql.DataFrame
+    val (appId, idCol, rowsOf): (String, String, DataFrame => DataFrame) =
       if (is(IncrementalIndex.postingsSchemaDdl))
-        ("graft_bm25_index", (v, f) =>
-          IncrementalIndex.applyBm25(spark, corpus, index, v, feed = f))
+        ("graft_bm25_index", "doc_id", ins =>
+          IncrementalIndex.postings(ins.select("doc_id", "text")))
       else if (is(IncrementalIndex.minhashSchemaDdl))
-        ("graft_minhash_index", (v, f) =>
-          IncrementalIndex.applyMinhash(spark, corpus, index, v,
-            feed = f))
+        ("graft_minhash_index", "doc_id", ins =>
+          IncrementalIndex.minhashBandRows(
+            ins.select("doc_id", "text")))
       else if (is(IncrementalIndex.simhashSchemaDdl))
-        ("graft_simhash_index", (v, f) =>
-          IncrementalIndex.applySimhash(spark, corpus, index, v,
-            feed = f))
+        ("graft_simhash_index", "doc_id", ins =>
+          graft.operators.ApproxDedup.simhashOf(
+            ins.select("doc_id", "text")))
       else if (is(IncrementalIndex.ivfSchemaDdl)) {
         val cents = IncrementalIndex.loadCentroids(spark,
           need(centroids, "CENTROIDS"))
-        ("graft_ivf_index", (v, f) =>
-          IncrementalIndex.applyIvf(spark, corpus, index, cents, v,
-            feed = f))
+        ("graft_ivf_index", "vec_id", ins =>
+          graft.operators.AnnSearch.assignCells(
+            ins.select("vec_id", "embedding"), cents)
+            .select("vec_id", "cell"))
       } else if (is(IncrementalIndex.pqSchemaDdl)) {
         val idx = IncrementalIndex.loadPqIndex(spark,
           need(centroids, "CENTROIDS"), need(books, "CODEBOOKS"))
-        ("graft_pq_index", (v, f) =>
-          IncrementalIndex.applyPq(spark, corpus, index, idx, v,
-            feed = f))
+        ("graft_pq_index", "vec_id", ins =>
+          graft.operators.AnnSearch.encodeIvfPq(
+            ins.select("vec_id", "embedding"), idx))
       } else throw new IllegalArgumentException(
         s"not a maintained index schema: ${snap.schemaDdl} " +
           "(expected BM25 postings, MinHash bands, SimHash " +
@@ -486,23 +499,36 @@ case class TxRefreshIndexCommand(index: String, corpus: String,
       .getOrElse(0L) + 1L
     var last = TxTable.latestVersion(index).getOrElse(0L)
     var folded = 0L
-    // unapplied transitions fold in CHUNKS whose feeds materialize
-    // as one job each ([[IncrementalIndex.feedRange]]): a catch-up
-    // of N versions pays ~N/16 checkpoint jobs instead of N
-    // sequential job floors, while an unbounded backlog never
-    // materializes its total churn in a single checkpoint
-    for (chunk <- (from to target).grouped(16)) {
-      val feeds = IncrementalIndex.feedRange(spark, corpus,
-        chunk.head, chunk.last)
-      for (v <- chunk) {
-        // count a version as folded only if the ledger was still
-        // below it when WE folded — a concurrent Scala apply that
-        // advanced the ledger mid-command turns the fold into a
-        // no-op, and the reported count must not claim its work
-        val fresh = TxTable.lastCommittedBatch(index, appId)
-          .forall(_ < v)
-        last = fold(v, Some(feeds(v)))
-        if (fresh) folded += 1L
+    if (netted) {
+      // ONE commit for the whole unapplied range; `folded` counts
+      // the source versions absorbed, 0 when the ledger already
+      // covered the target (same genuine-work discipline as the
+      // per-version path)
+      val fresh = TxTable.lastCommittedBatch(index, appId)
+        .forall(_ < target)
+      last = IncrementalIndex.applyNetted(spark, corpus, index,
+        from - 1L, target, appId, idCol)(rowsOf)
+      if (fresh) folded = target - from + 1L
+    } else {
+      // unapplied transitions fold in CHUNKS whose feeds materialize
+      // as one job each ([[IncrementalIndex.feedRange]]): a catch-up
+      // of N versions pays ~N/16 checkpoint jobs instead of N
+      // sequential job floors, while an unbounded backlog never
+      // materializes its total churn in a single checkpoint
+      for (chunk <- (from to target).grouped(16)) {
+        val feeds = IncrementalIndex.feedRange(spark, corpus,
+          chunk.head, chunk.last)
+        for (v <- chunk) {
+          // count a version as folded only if the ledger was still
+          // below it when WE folded — a concurrent Scala apply that
+          // advanced the ledger mid-command turns the fold into a
+          // no-op, and the reported count must not claim its work
+          val fresh = TxTable.lastCommittedBatch(index, appId)
+            .forall(_ < v)
+          last = IncrementalIndex.applyDecomposable(spark, corpus,
+            index, v, appId, idCol, feed = Some(feeds(v)))(rowsOf)
+          if (fresh) folded += 1L
+        }
       }
     }
     Seq(Row(last, folded))
@@ -913,7 +939,8 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
       """ON\s+tx\s*\.\s*`([^`]+)`""" +
       """(?:\s+CENTROIDS\s+tx\s*\.\s*`([^`]+)`)?""" +
       """(?:\s+CODEBOOKS\s+tx\s*\.\s*`([^`]+)`)?""" +
-      """(?:\s+TO\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+      """(?:\s+TO\s+VERSION\s+(\d+))?""" +
+      """(?:\s+(NETTED))?\s*;?\s*$""").r
   private val showIndexesRe =
     """(?is)^\s*SHOW\s+INDEXES\s+ON\s+tx\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val describeIndexRe =
@@ -972,9 +999,9 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
     case createIndexRe(ine, idx, corpus, method, cents, books) =>
       TxCreateIndexCommand(idx, corpus, method, Option(cents),
         Option(books), ignoreIfExists = ine != null)
-    case refreshIndexRe(idx, corpus, cents, books, toV) =>
+    case refreshIndexRe(idx, corpus, cents, books, toV, netted) =>
       TxRefreshIndexCommand(idx, corpus, Option(cents), Option(books),
-        Option(toV).map(_.toLong))
+        Option(toV).map(_.toLong), netted = netted != null)
     case showIndexesRe(corpus) => TxShowIndexesCommand(corpus)
     case describeIndexRe(idx) => TxDescribeIndexCommand(idx)
     case dropIndexRe(ife, idx) =>
@@ -991,7 +1018,8 @@ class TxSqlParser(delegate: ParserInterface) extends ParserInterface {
         "CREATE INDEX [IF NOT EXISTS] tx.`i` ON tx.`c` USING " +
         "BM25|MINHASH|SIMHASH|IVF|PQ [CENTROIDS tx.`x`] " +
         "[CODEBOOKS tx.`y`], REFRESH INDEX tx.`i` ON tx.`c` " +
-        "[CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] [TO VERSION n], " +
+        "[CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] [TO VERSION n] " +
+        "[NETTED], " +
         "SHOW INDEXES ON tx.`c`, DESCRIBE INDEX tx.`i`, " +
         "DROP INDEX [IF EXISTS] tx.`i`, START MAINTAIN INDEX " +
         "tx.`i` ON tx.`c` [CENTROIDS tx.`x`] [CODEBOOKS tx.`y`] " +

@@ -129,10 +129,8 @@ object IndexQueries {
       val ivs = (1L to 5L).map(v =>
         IncrementalIndex.applyMany(s, corpus, v, folds.take(1),
           feedOpt = Some(feeds(v))).head)
-      val catchup = TxTable.changes(s, corpus, 0L, 5L)
-        .localCheckpoint(true)
-      IncrementalIndex.applyMany(s, corpus, 5L, folds.drop(1),
-        feedOpt = Some(catchup))
+      IncrementalIndex.applyManyNetted(s, corpus, 0L, 5L,
+        folds.drop(1))
       val head = TxTable.read(s, corpus).select("doc_id", "text")
         .localCheckpoint(true) // three rebuild gates read it
       // the three maintained-equals-rebuilt gates are independent
@@ -235,7 +233,10 @@ object IndexQueries {
     * re-REFRESH, then the r15 operational verbs: DESCRIBE INDEX's
     * LAG tracks an unfolded corpus commit (1 behind → catch-up → 0),
     * SHOW INDEXES discovers a second (SIMHASH) index the moment it
-    * is created, and DROP INDEX unregisters it and deletes its tree.
+    * is created, and DROP INDEX unregisters it and deletes its tree;
+    * plus the NETTED catch-up (a late-born index absorbs a
+    * delete-containing backlog as ONE retracting commit, idempotent,
+    * postings equal to the per-version sibling's).
     * Returns the index dir, the observed counters, and the
     * maintained-vs-rebuilt diff. A SQL-first user never touches the
     * Scala API. */
@@ -277,6 +278,29 @@ object IndexQueries {
       val dirGone =
         if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(idx2))) 1L else 0L
+      // r15 NETTED catch-up: a LATE-BORN index folds per-version to
+      // v2, then absorbs the remaining backlog — a range CONTAINING
+      // the DELETE, so the one commit must retract — via
+      // `REFRESH ... NETTED`: one index commit for two source
+      // versions, idempotent on re-issue, postings identical to the
+      // per-version-refreshed sibling (per-row decomposability nets)
+      val idx3 = tmp("graft_sqlidx3_")
+      s.sql(s"CREATE INDEX tx.`$idx3` ON tx.`$corpus` USING BM25")
+      s.sql(s"REFRESH INDEX tx.`$idx3` ON tx.`$corpus` TO VERSION 2")
+      val birth3 = TxTable.latestVersion(idx3).get
+      val nettedFolded = s.sql(
+        s"REFRESH INDEX tx.`$idx3` ON tx.`$corpus` NETTED")
+        .head.getLong(1)
+      val nettedOneCommit =
+        if (TxTable.latestVersion(idx3).contains(birth3 + 1L)) 1L
+        else 0L
+      val nettedAgain = s.sql(
+        s"REFRESH INDEX tx.`$idx3` ON tx.`$corpus` NETTED")
+        .head.getLong(1)
+      val nettedDiff = signedDiff(
+        TxTable.read(s, idx3).select("doc_id", "term", "tf", "dl"),
+        TxTable.read(s, idx).select("doc_id", "term", "tf", "dl"))
+      s.sql(s"DROP INDEX tx.`$idx3`")
       val diff = signedDiff(
         TxTable.read(s, idx).select("doc_id", "term", "tf", "dl"),
         Bm25.postings(TxTable.read(s, corpus).select("doc_id", "text")))
@@ -290,7 +314,11 @@ object IndexQueries {
         "k_shown_while_two" -> shownTwo,
         "l_dropped" -> dropped,
         "m_shown_after_drop" -> shownAfter,
-        "n_dropped_dir_gone" -> dirGone)
+        "n_dropped_dir_gone" -> dirGone,
+        "o_netted_folded" -> nettedFolded,
+        "p_netted_one_commit" -> nettedOneCommit,
+        "q_netted_refold" -> nettedAgain,
+        "r_netted_vs_perversion" -> nettedDiff)
       (idx, counters, diff)
     }
 
@@ -339,7 +367,10 @@ object IndexQueries {
     // REFRESH/DESCRIBE/SHOW/DROP INDEX SQL) fingerprint against
     // DuckDB's direct replay; the folded counts pin exactly-once
     // across re-REFRESH, the r15 lag rows pin DESCRIBE INDEX's
-    // freshness arithmetic around an unfolded commit, the SHOW/DROP
+    // freshness arithmetic around an unfolded commit, the o_..r_
+    // rows pin the NETTED one-commit catch-up (count, commit
+    // granularity, idempotence, equality with per-version folding),
+    // the SHOW/DROP
     // rows pin discovery and retirement, and the diff pins the IVM
     // theorem. Scale: identical machinery to q_index_incremental —
     // the SQL face adds parsing, not jobs.
@@ -556,6 +587,10 @@ object IndexQueries {
         |  UNION ALL SELECT 'l_dropped', 1
         |  UNION ALL SELECT 'm_shown_after_drop', 1
         |  UNION ALL SELECT 'n_dropped_dir_gone', 1
+        |  UNION ALL SELECT 'o_netted_folded', 2
+        |  UNION ALL SELECT 'p_netted_one_commit', 1
+        |  UNION ALL SELECT 'q_netted_refold', 0
+        |  UNION ALL SELECT 'r_netted_vs_perversion', 0
         |  UNION ALL SELECT 'z_rebuild_diff', 0)
         |SELECT chk, value FROM m ORDER BY chk""".stripMargin,
 

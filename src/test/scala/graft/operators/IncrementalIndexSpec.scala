@@ -85,6 +85,96 @@ class IncrementalIndexSpec extends SparkSpec {
       Set("x", "REPLACED"))
   }
 
+  test("netted catch-up folds a whole range as ONE commit: content " +
+      "equals per-version folding, the ledger jumps to the range " +
+      "head, skipped-version replays no-op, and per-version " +
+      "folding resumes cleanly on top") {
+    val (corpus, perV, net) =
+      (tmp("iinet_c_"), tmp("iinet_p_"), tmp("iinet_n_"))
+    def bm25RowsOf(ins: DataFrame): DataFrame =
+      Bm25.postings(ins.select("doc_id", "text"))
+    // every transition shape: create, append, update+insert merge,
+    // row delete, compaction
+    assert(TxTable.create(docs(1L -> "a b a", 2L -> "b c"), corpus))
+    TxTable.append(docs(3L -> "c c d"), corpus)               // v2
+    TxTable.merge(spark, corpus,
+      docs(2L -> "b c UP", 4L -> "e"))                        // v3
+    assert(TxTable.delete(spark, corpus, col("doc_id") === 1L) == 4L)
+    assert(TxTable.compact(spark, corpus).contains(5L))
+    IncrementalIndex.initBm25(spark, perV)
+    IncrementalIndex.initBm25(spark, net)
+    for (v <- 1L to 5L)
+      IncrementalIndex.applyBm25(spark, corpus, perV, v)
+    val birth = TxTable.latestVersion(net).get
+    IncrementalIndex.applyNetted(spark, corpus, net, 0L, 5L,
+      "graft_bm25_index", "doc_id")(bm25RowsOf)
+    assert(postingsOf(net) == postingsOf(perV),
+      "netted catch-up must equal per-version folding")
+    assert(postingsOf(net) == rebuilt(corpus))
+    assert(TxTable.latestVersion(net).contains(birth + 1L),
+      "the whole range must land as ONE index commit")
+    assert(TxTable.lastCommittedBatch(net, "graft_bm25_index")
+      .contains(5L), "the ledger must jump to the range head")
+    // skipped intermediate versions replay as no-ops (the
+    // nondecreasing-batch contract), and so does re-netting
+    IncrementalIndex.applyBm25(spark, corpus, net, 3L)
+    IncrementalIndex.applyNetted(spark, corpus, net, 0L, 5L,
+      "graft_bm25_index", "doc_id")(bm25RowsOf)
+    assert(TxTable.latestVersion(net).contains(birth + 1L))
+    assert(postingsOf(net) == rebuilt(corpus))
+    // per-version folding resumes on top of the netted jump
+    TxTable.append(docs(6L -> "f g"), corpus)                 // v6
+    IncrementalIndex.applyBm25(spark, corpus, net, 6L)
+    assert(postingsOf(net) == rebuilt(corpus))
+
+    // a MID-HISTORY netted range with retractions exercises the
+    // replace path (the 0-based catch-up above rides the
+    // append-only fast path — from v0 nothing can have been
+    // removed): folded per-version to v2, then netted (2 -> 6]
+    val mid = tmp("iinet_m_")
+    IncrementalIndex.initBm25(spark, mid)
+    IncrementalIndex.applyBm25(spark, corpus, mid, 1L)
+    IncrementalIndex.applyBm25(spark, corpus, mid, 2L)
+    val midV = TxTable.latestVersion(mid).get
+    IncrementalIndex.applyNetted(spark, corpus, mid, 2L, 6L,
+      "graft_bm25_index", "doc_id")(bm25RowsOf)
+    assert(postingsOf(mid) == rebuilt(corpus),
+      "netted range with updates/deletes must retract + append")
+    assert(TxTable.latestVersion(mid).contains(midV + 1L))
+    assert(TxTable.lastCommittedBatch(mid, "graft_bm25_index")
+      .contains(6L))
+    // a net-EMPTY netted range (compaction only) advances the
+    // ledger with a metadata-only commit
+    assert(TxTable.compact(spark, corpus).contains(7L))
+    val before = postingsOf(mid)
+    IncrementalIndex.applyNetted(spark, corpus, mid, 6L, 7L,
+      "graft_bm25_index", "doc_id")(bm25RowsOf)
+    assert(postingsOf(mid) == before)
+    assert(TxTable.lastCommittedBatch(mid, "graft_bm25_index")
+      .contains(7L))
+    // applyManyNetted: several indexes catch up off ONE netted feed
+    val (sh, mh) = (tmp("iinet_sh_"), tmp("iinet_mh_"))
+    IncrementalIndex.initSimhash(spark, sh)
+    IncrementalIndex.initMinhash(spark, mh)
+    IncrementalIndex.applyManyNetted(spark, corpus, 0L, 7L, Seq(
+      (sh, "graft_simhash_index", "doc_id",
+        (ins: DataFrame) => ApproxDedup.simhashOf(
+          ins.select("doc_id", "text"))),
+      (mh, "graft_minhash_index", "doc_id",
+        (ins: DataFrame) => IncrementalIndex.minhashBandRows(
+          ins.select("doc_id", "text")))))
+    val head = TxTable.read(spark, corpus).select("doc_id", "text")
+    assert(TxTable.read(spark, sh).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toSet ==
+      ApproxDedup.simhashOf(head).as[(Long, Long)].collect().toSet)
+    assert(TxTable.read(spark, mh)
+      .select("doc_id", "band_idx", "band_hash")
+      .as[(Long, Int, Long)].collect().toSet ==
+      IncrementalIndex.minhashBandRows(head)
+        .select("doc_id", "band_idx", "band_hash")
+        .as[(Long, Int, Long)].collect().toSet)
+  }
+
   test("bm25Index rehydrates scoring state from the maintained " +
       "table: scores equal a buildIndex over the same corpus") {
     val (corpus, index) = (tmp("iidx_c3_"), tmp("iidx_i3_"))

@@ -419,6 +419,49 @@ class TxSqlDmlSpec extends SparkSpec {
       "refused statements must not perturb the index")
   }
 
+  test("REFRESH INDEX ... NETTED absorbs the whole unapplied range " +
+      "as ONE index commit, reports the source versions folded, " +
+      "composes with TO VERSION, and hands back to per-version " +
+      "refresh cleanly") {
+    import graft.operators.Bm25
+    val (c, i) = (freshDir(), freshDir())
+    assert(TxTable.create(docs(1L -> "a b", 2L -> "b c"), c))
+    spark.sql(s"CREATE INDEX tx.`$i` ON tx.`$c` USING BM25")
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 1L)                          // folds v1
+    def rebuiltNow() = Bm25.postings(
+      TxTable.read(spark, c).select("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    def maintained() = TxTable.read(spark, i)
+      .select("doc_id", "term", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // a retraction-shaped backlog: append, update, delete
+    TxTable.append(docs(3L -> "c d"), c)               // v2
+    TxTable.merge(spark, c, docs(2L -> "b c UP"))      // v3
+    assert(TxTable.delete(spark, c, col("doc_id") === 1L) == 4L)
+    val idxV = TxTable.latestVersion(i).get
+    val r = spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c` NETTED").head
+    assert(r.getLong(1) == 3L,
+      "NETTED must report the 3 source versions absorbed")
+    assert(TxTable.latestVersion(i).contains(idxV + 1L),
+      "the whole backlog must land as ONE index commit")
+    assert(maintained() == rebuiltNow())
+    // nothing left: a re-NETTED refresh folds zero
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c` NETTED")
+      .head.getLong(1) == 0L)
+    // TO VERSION pins the netted catch-up mid-history; plain
+    // per-version refresh continues on top of the netted jump
+    TxTable.append(docs(5L -> "e f"), c)               // v5
+    TxTable.append(docs(6L -> "f g"), c)               // v6
+    assert(spark.sql(
+      s"REFRESH INDEX tx.`$i` ON tx.`$c` TO VERSION 5 NETTED")
+      .head.getLong(1) == 1L)
+    assert(!maintained().exists(_._1 == 6L))
+    assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
+      .head.getLong(1) == 1L)
+    assert(maintained() == rebuiltNow())
+  }
+
   test("SHOW/DESCRIBE/DROP INDEX + START/STOP MAINTAIN: discovery, " +
       "lag arithmetic, live-maintainer refusals, and clean " +
       "retirement — the whole operational lifecycle from SQL") {
