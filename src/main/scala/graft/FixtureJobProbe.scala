@@ -79,11 +79,9 @@ object FixtureJobProbe {
       step(s"applyMany v$v (bm25 only)")(
         IncrementalIndex.applyMany(s, corpus, v, folds.take(1),
           feedOpt = Some(feeds(v))))
-    val catchup = step("changes 0-5 ckpt")(
-      TxTable.changes(s, corpus, 0L, 5L).localCheckpoint(true))
-    step("catch-up fold (sh+mh)")(
-      IncrementalIndex.applyMany(s, corpus, 5L, folds.drop(1),
-        feedOpt = Some(catchup)))
+    step("netted catch-up (sh+mh)")(
+      IncrementalIndex.applyManyNetted(s, corpus, 0L, 5L,
+        folds.drop(1)))
     val head = step("head checkpoint")(
       TxTable.read(s, corpus).select("doc_id", "text")
         .localCheckpoint(true))

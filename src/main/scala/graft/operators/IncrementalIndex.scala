@@ -357,10 +357,14 @@ object IncrementalIndex {
                   from: Long, to: Long, appId: String, idCol: String,
                   buckets: Int = 4, feed: Option[DataFrame] = None)(
       rowsOf: DataFrame => DataFrame): Long = {
-    require(0L <= from && from <= to,
-      s"applyNetted requires 0 <= from <= to ($from, $to)")
+    // ledger no-op FIRST: a catch-up issued below the high-water
+    // (REFRESH ... TO VERSION n NETTED after folding past n) is an
+    // idempotent nothing, not an argument error — the per-version
+    // path's empty-chunk behavior, mirrored
     if (TxTable.lastCommittedBatch(index, appId).exists(_ >= to))
       return TxTable.latestVersion(index).getOrElse(0L)
+    require(0L <= from && from <= to,
+      s"applyNetted requires 0 <= from <= to ($from, $to)")
     if (from == to)
       return TxTable.recordBatchOnce(index, appId, batchId = to)
     if (TxTable.appendOnlyTransition(corpus, from, to)) {

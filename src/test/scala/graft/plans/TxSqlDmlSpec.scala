@@ -460,6 +460,13 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"REFRESH INDEX tx.`$i` ON tx.`$c`")
       .head.getLong(1) == 1L)
     assert(maintained() == rebuiltNow())
+    // a netted refresh pinned BELOW the ledger's high-water is an
+    // idempotent nothing (the per-version empty-chunk behavior),
+    // not an argument error
+    assert(spark.sql(
+      s"REFRESH INDEX tx.`$i` ON tx.`$c` TO VERSION 2 NETTED")
+      .head.getLong(1) == 0L)
+    assert(maintained() == rebuiltNow())
   }
 
   test("SHOW/DESCRIBE/DROP INDEX + START/STOP MAINTAIN: discovery, " +
@@ -554,5 +561,20 @@ class TxSqlDmlSpec extends SparkSpec {
       Bm25.postings(TxTable.read(spark, c).select("doc_id", "text"))
         .as[(Long, String, Long, Long)].collect().toSet,
       "the evolved-range catch-up must equal the rebuild")
+    // NETTED across the same evolved range: changes() reads every
+    // file at the TO schema (pre-evolution rows null-fill), so the
+    // one-commit catch-up crosses the ALTER just as the chunked
+    // per-version path does
+    val n = freshDir()
+    spark.sql(s"CREATE INDEX tx.`$n` ON tx.`$c` USING BM25")
+    assert(spark.sql(s"REFRESH INDEX tx.`$n` ON tx.`$c` NETTED")
+      .head.getLong(1) == 4L)
+    assert(TxTable.read(spark, n)
+      .select("doc_id", "term", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().toSet ==
+      TxTable.read(spark, i)
+        .select("doc_id", "term", "tf", "dl")
+        .as[(Long, String, Long, Long)].collect().toSet,
+      "the netted evolved-range catch-up must equal the chunked one")
   }
 }
