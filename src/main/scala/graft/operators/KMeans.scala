@@ -73,16 +73,24 @@ object KMeans {
             c.getField("cid").as("cid")))))
         .select(col("x"), col("y"), col("w"),
           col("m.cid").as("cid"), col("m.dist").as("dist"))
+      // ≤ k rows — checkpointing severs the loop lineage so iteration
+      // i+1's plan broadcasts a stored k-row table instead of
+      // re-embedding (and re-executing) iteration i's full
+      // assign+update sub-DAG (the [[PageRank]] lesson). Checkpoint
+      // the FULL update row (all five columns), not a cid/cx/cy
+      // projection: the caller's action consumes `out`, and a
+      // projected checkpoint made the last iteration's assign+update
+      // execute twice — once (column-pruned) for the checkpoint,
+      // once more in full for the final action. All five columns are
+      // ≤ k rows either way; the extra two aggregates are free next
+      // to a second full pass over the point set.
       out = assigned.groupBy("cid")
         .agg(sum(col("w")).as("n_pts"),
           expr("sum(x * w) div sum(w)").as("cx"),
           expr("sum(y * w) div sum(w)").as("cy"),
           sum(col("dist") * col("w")).as("sse"))
-      // ≤ k rows — checkpointing severs the loop lineage so iteration
-      // i+1's plan broadcasts a stored k-row table instead of
-      // re-embedding (and re-executing) iteration i's full
-      // assign+update sub-DAG (the [[PageRank]] lesson).
-      centroids = out.select("cid", "cx", "cy").localCheckpoint(true)
+        .localCheckpoint(true)
+      centroids = out.select("cid", "cx", "cy")
     }
     out
   }

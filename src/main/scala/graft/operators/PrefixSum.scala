@@ -46,11 +46,19 @@ object PrefixSum {
   def prefixSums(df: DataFrame, vals: Seq[(Column, String)],
       orderKeys: Column*): DataFrame = {
     val vcols = vals.zipWithIndex.map { case ((v, _), i) => (s"_v$i", v) }
+    // persist(): ranged feeds BOTH the per-partition totals and the
+    // final carry join, and repartitionByRange additionally samples
+    // its child for bounds — unmaterialized, the caller's whole
+    // upstream plan executes once per consumer (2-3×). Lazy persist
+    // materializes it exactly once with the range partitioning
+    // intact, so the carry join and the within-partition window read
+    // the cache with no further exchange (same fix as globalRank /
+    // Skyline; guide §5's cache-when-reused rule).
     val ranged = vcols.foldLeft(
         df.repartitionByRange(orderKeys: _*)
           .withColumn("_pid", spark_partition_id())) {
         case (d, (n, v)) => d.withColumn(n, v)
-      }
+      }.persist()
     val totals = ranged.groupBy("_pid")
       .agg(sum(col(vcols.head._1)).as("_pt0"),
         vcols.tail.zipWithIndex.map { case ((n, _), i) =>

@@ -40,8 +40,16 @@ object Skyline {
     * carried through. Returns the subset on the minimize-minimize
     * Pareto frontier. */
   def frontier2d(pts: DataFrame): DataFrame = {
+    // persist(): ranged feeds BOTH the running-min window and the
+    // per-partition minima, and repartitionByRange samples its child
+    // for bounds — unmaterialized, the caller's distinct-collapse
+    // executes once per consumer (the r15 before-plan held 24
+    // Exchanges for a 2-shuffle computation). Lazy persist runs the
+    // upstream exactly once and keeps the range partitioning for the
+    // window (guide §5's cache-when-reused rule).
     val ranged = pts.repartitionByRange(col("x"), col("y"))
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val prefix = Window.partitionBy("_pid").orderBy("x", "y")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("_lmin", min(col("y")).over(prefix))

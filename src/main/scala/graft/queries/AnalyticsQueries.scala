@@ -48,8 +48,22 @@ object AnalyticsQueries {
     */
   private def globalRank(df: DataFrame, rankCol: String,
       keys: Column*): DataFrame = {
+    // persist(): the ranged frame has TWO consumers (the per-partition
+    // counts and the final rank join), and repartitionByRange itself
+    // samples its child for bounds — without a materialization the
+    // WHOLE upstream plan executes once per consumer per pass, and
+    // NESTED ranks (q_events_rfm chains three) re-execute the base
+    // aggregation exponentially (the r15 before-plan carried 210
+    // Exchange nodes; the measured steady cost was 45 Spark jobs).
+    // Lazy persist, not localCheckpoint: no extra job — the first
+    // consumer materializes, the second reads the cache, and the
+    // cached data KEEPS the range partitioning so the rank window
+    // needs no further exchange. At scale this is guide-§5 caching:
+    // recomputing a full scan+shuffle chain twice always costs more
+    // than reading back one materialized copy of the ranged frame.
     val ranged = df.repartitionByRange(keys: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val cnts = ranged.groupBy("_pid").agg(count(lit(1)).as("_pc"))
     val offs = cnts
       .join(broadcast(cnts.select(col("_pid").as("_pid2"),
