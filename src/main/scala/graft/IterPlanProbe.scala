@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: the per-ITERATION join plan of the iterative
+  * graph operators, before/after the r15 edge-frame change. The
+  * operators checkpoint per round, so the RETURNED frame's explain
+  * shows only `Scan ExistingRDD` — the loop-internal plan the
+  * optimization targets is only visible on the iteration frame
+  * itself. This probe builds ONE propagation step over both
+  * edge-frame shapes (the pre-r15 raw localCheckpoint RDD and the
+  * r15 partitioned+sorted cache) and dumps both executed plans, so
+  * the committed plan diff shows exactly what changed: the edge
+  * side's per-round Exchange+Sort collapsing into an
+  * InMemoryTableScan that already satisfies the join's distribution
+  * and ordering requirements.
+  *
+  * Usage: runMain graft.IterPlanProbe <sfDir> <outDir>
+  */
+object IterPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "plans/r15"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    // the pagerank edge list (orders x lineitem distinct pairs, both
+    // directions) — same build as GraphQueries.buildEdges
+    val pairs = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+
+    def oneStep(e: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val r = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .withColumn("rank", lit(graft.operators.PageRank.Scale))
+        .localCheckpoint(true)
+      val step = e.join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_sum"))
+      step.write.format("noop").mode("overwrite").save()
+      val plan = step.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.write(Paths.get(outDir, s"pagerank_iteration_$tag.txt"),
+        plan.getBytes(StandardCharsets.UTF_8))
+      println(s"[iterplan] wrote $outDir/pagerank_iteration_$tag.txt")
+    }
+    // BEFORE shape (pre-r15): raw RDD blocks — partitioning invisible
+    // to the SQL layer, every iteration re-shuffles + re-sorts e.
+    oneStep(edges.localCheckpoint(true), "before")
+    // AFTER shape (r15): partitioned + sorted cache.
+    oneStep(edges.repartition(col("src")).sortWithinPartitions("src")
+      .persist(), "after")
+    spark.stop()
+  }
+}

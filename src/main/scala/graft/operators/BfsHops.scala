@@ -31,12 +31,18 @@ object BfsHops {
     * dist = the true unweighted shortest distance (≤ rounds). */
   def hops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    // Eager localCheckpoint on the loop inputs and the per-round
-    // state: without it round k's plan re-embeds the edge extraction
-    // and every earlier round's joins, and both planning time and
-    // recomputation grow geometrically with the round count (the
-    // [[PageRank]] lesson; same discipline as ConnectedComponents).
-    val e = edges.localCheckpoint(true)
+    // Per-round state stays eagerly localCheckpointed (without it
+    // round k's plan re-embeds every earlier round's joins and both
+    // planning and recomputation grow geometrically — the
+    // [[PageRank]] lesson). The loop-INVARIANT edge list instead
+    // caches PRE-PARTITIONED AND PRE-SORTED on the join key:
+    // InMemoryRelation preserves outputPartitioning/outputOrdering,
+    // so each round's frontier join reads the O(edges) side with no
+    // per-round Exchange or Sort — only the frontier shuffles
+    // (guide §2.4; the partition-the-edge-list-once iterative shape).
+    val e = edges.repartition(edges("src"))
+      .sortWithinPartitions("src")
+      .persist()
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)

@@ -65,10 +65,19 @@ object ConnectedComponents {
     // Symmetrize once: propagation below only follows src → dst.
     // distinct() drops duplicate pairs so each round's join fans out
     // once per neighbor, not once per originally-emitted pair.
+    // Cache the symmetrized edge list PRE-PARTITIONED AND PRE-SORTED
+    // on the propagation join key: InMemoryRelation preserves
+    // outputPartitioning/outputOrdering, so every round's
+    // sym ⋈ labels join reads the O(E) side with no per-round
+    // Exchange or Sort — only the O(V) label frame shuffles each
+    // round (guide §2.4; the partition-the-edge-list-once iterative
+    // shape, same as [[PageRank]]/[[BfsHops]]).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .persist()
 
     // One propagation step as a PLAN (no materialization): each
     // node's label drops to the min of its own and its neighbors'.

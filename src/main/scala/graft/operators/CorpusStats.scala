@@ -25,9 +25,18 @@ object CorpusStats {
     * [[ApproxDedup]]'s short-doc fallback). */
   def ngrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    // Native windowing kernel ([[graft.functions.NgramStrings]] —
+    // one tight UTF8String loop inside whole-stage codegen) instead
+    // of the interpreted `transform(sequence(...), i ->
+    // concat_ws(" ", slice(...)))` HOF chain, whose per-element
+    // lambda interpretation made gram generation the dominant CPU of
+    // q_text_boilerplate (the r5 q_text_ngram_freq lesson applied to
+    // the one remaining HOF gram site). The short-doc fallback (< n
+    // tokens → the full token run as one gram) is preserved exactly:
+    // the HOF form's sequence(0, greatest(size-n, 0)) emitted one
+    // truncated window for those docs.
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(graft.functions.HashExpressions.ngramStrings(toks, n))
   }
 
   /** Grams whose document frequency ≥ `minDf`: (gram, df). */

@@ -33,27 +33,45 @@ object PageRank {
     * graph — that also removes dangling nodes by construction). */
   def ranks(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    // Eager localCheckpoint on every frame the loop re-reads: without
-    // it each iteration's plan tree re-embeds (and re-executes) the
-    // upstream edge extraction, and the nested logical plan grows
-    // geometrically — at sf0.1 the un-truncated form spent ~100 s in
-    // driver-side planning + recomputation for a 600 k-edge graph.
-    // Same discipline as [[ConnectedComponents]]; the per-iteration
-    // rank checkpoint additionally pre-bakes each rank vector, so
-    // deg is joined against a stored table, not a sub-DAG.
-    val e = edges.localCheckpoint(true)
+    // The edge list is joined on `src` once per iteration. Cache it
+    // PRE-PARTITIONED AND PRE-SORTED on the join key: InMemoryRelation
+    // preserves its cached plan's outputPartitioning/outputOrdering,
+    // so every iteration's sort-merge join reads the edge side with
+    // NO per-round Exchange and NO per-round Sort — only the O(nodes)
+    // rank vector shuffles each round. (The previous localCheckpoint
+    // stored raw RDD blocks whose partitioning the SQL layer cannot
+    // see, so all three iterations re-shuffled and re-sorted the
+    // O(edges) frame — guide §2.4's shared-exchange rule; on a
+    // cluster this is the partition-the-edge-list-once shape every
+    // iterative graph engine uses.) Lineage stays bounded: the
+    // per-iteration rank checkpoint below still cuts the loop's plan
+    // growth; the edge subtree is loop-invariant.
+    val e = edges.repartition(col("src"))
+      .sortWithinPartitions("src")
+      .persist()
     // (node, deg) in ONE frame: every node is a src by contract, so
     // the degree aggregate already enumerates the node set — and
     // carrying deg inside the rank vector saves a second per-
     // iteration join (the rank frame is the broadcast side either
     // way; one broadcast instead of two per round).
+    // (node, deg, base) in ONE frame: every node is a src by
+    // contract, so the degree aggregate already enumerates the node
+    // set — and baking both deg AND the teleport term ⌊0.15·S/N⌋ into
+    // the checkpointed vector removes the per-iteration
+    // crossJoin(broadcast(nFrame)) + node-count re-aggregation the
+    // loop used to pay every round (one broadcast build + one agg
+    // job × iterations).
+    val nFrame = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n"))
     val nodesDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(nFrame))
+      .select(col("node"), col("deg"),
+        expr(s"(${15 * (Scale / 100)} div n)").as("base"),
+        expr(s"$Scale div n").as("rank0"))
       .localCheckpoint(true)
-    val nFrame = nodesDeg.agg(count(lit(1)).as("n"))
-    var r = nodesDeg.crossJoin(broadcast(nFrame))
-      .select(col("node"), col("deg"), expr(s"$Scale div n").as("rank"))
-      .localCheckpoint(true)
+    var r = nodesDeg
+      .select(col("node"), col("deg"), col("rank0").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(r.withColumnRenamed("node", "src"), "src")
@@ -61,10 +79,8 @@ object PageRank {
       val inSum = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("in_sum"))
       r = nodesDeg.join(inSum, Seq("node"), "left")
-        .crossJoin(broadcast(nFrame))
         .select(col("node"), col("deg"), expr(
-          s"(${15 * (Scale / 100)} div n) +" +
-            " ((85 * coalesce(in_sum, 0L)) div 100)").as("rank"))
+          "base + ((85 * coalesce(in_sum, 0L)) div 100)").as("rank"))
         .localCheckpoint(true)
     }
     r.select("node", "rank")
