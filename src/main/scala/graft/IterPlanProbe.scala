@@ -41,8 +41,8 @@ object IterPlanProbe {
       .join(Tables.lineitem(spark, sfDir)
           .select("l_orderkey", "l_suppkey").distinct(),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))

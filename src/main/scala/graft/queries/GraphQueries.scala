@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{BfsHops, PageRank, TriangleCount}
@@ -40,6 +40,15 @@ object GraphQueries {
     // intermediate is the whole fact table × per-key multiplicity;
     // pre-distinct it is the relationship table, orders-of-magnitude
     // smaller). The orders side is already one row per key (PK).
+    //
+    // Node ids travel as LONGS inside the kernel (customer c →
+    // 2c, supplier s → 2s+1 — a bijection, decoded back to the
+    // "c<key>"/"s<key>" output surface by [[decodeNode]]): the
+    // distinct, the per-iteration joins and every shuffle/sort of
+    // the O(E) frame move 8-byte keys instead of ~8-16-char strings
+    // (guide §2.3 "narrower types" — at 100 TB this halves the edge
+    // frame's shuffle bytes; the rank/hop arithmetic never looks at
+    // the label, so results are identical under the bijection).
     val pairs = Tables.orders(s, d)
       // no pre-distinct here: o_orderkey is the orders PK (one row
       // per order), so a distinct is a pure extra shuffle; the final
@@ -48,12 +57,19 @@ object GraphQueries {
       .join(Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey").distinct(),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
+
+  /** Long node id → the declared "c<custkey>"/"s<suppkey>" output
+    * label (inverse of the buildEdges bijection). */
+  private def decodeNode(id: Column): Column =
+    when(pmod(id, lit(2L)) === 0,
+      concat(lit("c"), (id / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
 
   /** Part co-purchase graph: an undirected edge per distinct pair of
     * parts appearing in the same order. Per-order pair generation is
@@ -81,7 +97,8 @@ object GraphQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s, d) =>
       PageRank.ranks(edges(s, d), iterations = 3)
-        .select(col("node"), col("rank").as("rank_fp"),
+        .select(decodeNode(col("node")).as("node"),
+          col("rank").as("rank_fp"),
           // bare IEEE division of the exact fixed-point rank — a
           // round(x, 9) here surfaces a rational whose .5e-9 grid
           // boundaries Spark and DuckDB round differently (sf0.1
@@ -108,8 +125,9 @@ object GraphQueries {
     "q_graph_hops" -> ((s, d) => {
       val sources = graft.Tables.supplier(s, d)
         .filter(col("s_nationkey") === 1)
-        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+        .select((col("s_suppkey").cast("long") * 2 + 1).as("node"))
       BfsHops.hops(edges(s, d), sources, rounds = 3)
+        .select(decodeNode(col("node")).as("node"), col("dist"))
         .orderBy("node")
     })
   )
