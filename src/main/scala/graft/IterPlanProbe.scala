@@ -69,6 +69,45 @@ object IterPlanProbe {
     // AFTER shape (r15): partitioned + sorted cache.
     oneStep(edges.repartition(col("src")).sortWithinPartitions("src")
       .persist(), "after")
+
+    // One CONNECTED-COMPONENTS label-propagation step over both step
+    // shapes (r15 session 2): BEFORE is the join → groupBy(dst) →
+    // left-join-back form (three shuffle boundaries per step); AFTER
+    // is the union + single groupBy(id) form ConnectedComponents
+    // .components now uses — the own-label rides the aggregate as a
+    // tagged row, so the min-combine and the changed flag come out
+    // of ONE exchange and the second join disappears.
+    {
+      val sym = edges.repartition(col("src")).sortWithinPartitions("src")
+        .persist()
+      val lbl = sym.select(col("src").as("id"))
+        .distinct().withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      def dump(step: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        step.write.format("noop").mode("overwrite").save()
+        val plan = step.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(outDir, s"cc_step_$tag.txt"),
+          plan.getBytes(StandardCharsets.UTF_8))
+        println(s"[iterplan] wrote $outDir/cc_step_$tag.txt")
+      }
+      val nbrMin = sym.join(lbl, sym("src") === lbl("id"))
+        .groupBy(sym("dst").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      dump(lbl.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("changed")), "before")
+      val nbr = sym.join(lbl, sym("src") === lbl("id"))
+        .select(sym("dst").as("id"), col("comp"), lit(false).as("own"))
+      dump(lbl.select(col("id"), col("comp"), lit(true).as("own"))
+        .union(nbr)
+        .groupBy("id")
+        .agg(min(col("comp")).as("newc"),
+          min(when(col("own"), col("comp"))).as("oldc"))
+        .select(col("id"), col("newc").as("comp"),
+          (col("newc") < col("oldc")).as("changed")), "after")
+    }
     spark.stop()
   }
 }

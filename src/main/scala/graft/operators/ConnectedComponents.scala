@@ -81,15 +81,25 @@ object ConnectedComponents {
 
     // One propagation step as a PLAN (no materialization): each
     // node's label drops to the min of its own and its neighbors'.
+    // UNION + one groupBy, not join-aggregate-join: the node's own
+    // label rides the aggregate as a tagged row (own = true), so the
+    // min-combine and the "did it change" comparison come out of ONE
+    // exchange on id — where the previous shape paid a groupBy(dst)
+    // exchange AND a second lbl ⋈ nbrMin join behind it (guide §2.4;
+    // the same frontier-fold shape [[BfsHops]] uses). `own` min is
+    // well-defined: exactly one own row per id (labels carry one row
+    // per node, an invariant of the loop).
     def step(lbl: DataFrame): DataFrame = {
-      val nbrMin = sym
+      val nbr = sym
         .join(lbl, sym("src") === lbl("id"))
-        .groupBy(sym("dst").as("id"))
-        .agg(min(col("comp")).as("nbr"))
-      lbl.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (col("nbr") < col("comp")).as("changed"))
+        .select(sym("dst").as("id"), col("comp"), lit(false).as("own"))
+      lbl.select(col("id"), col("comp"), lit(true).as("own"))
+        .union(nbr)
+        .groupBy("id")
+        .agg(min(col("comp")).as("newc"),
+          min(when(col("own"), col("comp"))).as("oldc"))
+        .select(col("id"), col("newc").as("comp"),
+          (col("newc") < col("oldc")).as("changed"))
     }
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -99,19 +109,22 @@ object ConnectedComponents {
     // documented safety bound must never be exceeded (round < maxIter
     // would admit maxIter + 1 propagation rounds on odd bounds)
     while (!converged && round + 2 <= maxIter) {
-      // TWO propagation rounds per checkpoint + convergence probe:
-      // near-dup cluster runs at sf0.1 are dominated by per-round job
-      // launch, not data volume, so halving the job count (one
-      // materialization + one probe per two rounds) halves the fixed
-      // cost floor. Convergence from the SECOND step alone is sound:
-      // labels are monotone non-increasing and the fixpoint is
-      // defined by step(x) == x — if the second step changed nothing
-      // its input was already the fixpoint, whatever the first did.
-      // The mid frame is persisted LAZILY (not checkpointed — no
-      // extra job): the second step's single materialization computes
-      // it once and reuses it across its two references.
+      // TWO propagation rounds per checkpoint + convergence probe,
+      // and ONE job for both: near-dup cluster runs at sf0.1 are
+      // dominated by per-round job launch, not data volume.
+      // Convergence from the SECOND step alone is sound: labels are
+      // monotone non-increasing and the fixpoint is defined by
+      // step(x) == x — if the second step changed nothing its input
+      // was already the fixpoint, whatever the first did. The mid
+      // frame is persisted LAZILY (no extra job): the batch's single
+      // materialization computes it once and reuses it across its
+      // two references. `next` takes a LAZY localCheckpoint — the
+      // plan is severed to a LogicalRDD immediately, and the blocks
+      // materialize as a side effect of the convergence aggregate
+      // (which computes every partition), so the batch pays ONE job
+      // where the eager checkpoint + probe pair paid two.
       val mid = step(labels).select("id", "comp").persist()
-      val next = step(mid).localCheckpoint(true)
+      val next = step(mid).localCheckpoint(false)
       val nChanged = next
         .agg(sum(when(col("changed"), 1L).otherwise(0L)))
         .first().getLong(0)
@@ -173,6 +186,14 @@ object ConnectedComponents {
     var last = (-1L, 0L)
     var round = 0
     var converged = false
+    // Job-count note (r15 optimization round): both single-action
+    // variants of this loop were MEASURED SLOWER in steady jobs than
+    // the eager-checkpoint pair below — `large` as a lazy persist
+    // costs a TableCacheQueryStage job per reference chain (steady
+    // 34 → 36-38 at sf0.01), and a lazily-persisted `small` grows
+    // the analyzed plan geometrically (explain/planning OOM). The
+    // eager localCheckpoint pair stays: per-round edge sets CHANGE,
+    // so nothing here is loop-invariant cacheable.
     while (!converged && round < maxIter) {
       // large-star over the symmetric view: (u, v>u) re-hangs v under
       // m(u) = min(Γ(u) ∪ {u}).

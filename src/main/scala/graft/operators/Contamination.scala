@@ -67,8 +67,12 @@ object Contamination {
       .select(col("doc_id").as(idAs),
         explode(array_distinct(
           ApproxDedup.shingleHashes64(col("text"), n))).as("gram"))
-    val benchGrams = grams(benchmark, "bench_id")
-    val items = benchGrams.select("gram").distinct()
+    // The benchmark side is consumed THREE times (the sizing count,
+    // the Bloom build, the exact-confirm join) — persist the gram
+    // stream and its distinct once, or the shingling CPU runs 3×
+    // (guide §1.2; lazy, dies with the query via clearCache).
+    val benchGrams = grams(benchmark, "bench_id").persist()
+    val items = benchGrams.select("gram").distinct().persist()
     // The benchmark gram count sizes the filter: m = -n·ln(p)/ln²2
     // bits, capped at Spark's runtime-filter ceiling (8 MB).
     val est = math.max(items.count(), 1L)

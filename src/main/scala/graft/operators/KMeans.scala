@@ -83,13 +83,19 @@ object KMeans {
       // execute twice — once (column-pruned) for the checkpoint,
       // once more in full for the final action. All five columns are
       // ≤ k rows either way; the extra two aggregates are free next
-      // to a second full pass over the point set.
+      // to a second full pass over the point set. LAZY checkpoint:
+      // the plan is severed to a LogicalRDD immediately and the
+      // blocks materialize inside the next iteration's centroid-
+      // broadcast build (resp. the caller's action) — one dedicated
+      // job per iteration saved; safe because each iteration's `out`
+      // has exactly one downstream consumer before the next
+      // checkpoint lands.
       out = assigned.groupBy("cid")
         .agg(sum(col("w")).as("n_pts"),
           expr("sum(x * w) div sum(w)").as("cx"),
           expr("sum(y * w) div sum(w)").as("cy"),
           sum(col("dist") * col("w")).as("sse"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       centroids = out.select("cid", "cx", "cy")
     }
     out

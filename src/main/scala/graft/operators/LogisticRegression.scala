@@ -88,7 +88,10 @@ object LogisticRegression {
           s"w0 - ${tdivE("g0", s"n * ${lrDiv}L")} as w0",
           s"w1 - ${tdivE("g1", s"n * ${lrDiv}L")} as w1",
           s"w2 - ${tdivE("g2", s"n * ${lrDiv}L")} as w2")
-        .localCheckpoint(true) // sever the per-iteration lineage
+        // LAZY: lineage severed to a LogicalRDD immediately; the
+        // single row materializes inside the next broadcast build
+        // instead of paying a dedicated per-iteration job
+        .localCheckpoint(false)
       weights = scalarize(weights)
     }
     pts.crossJoin(broadcast(weights))

@@ -58,13 +58,20 @@ object EventQueries {
     // aggregations on user_id + one broadcast-sized join — the
     // (cohort_week, week_no) matrix is tiny however large the log.
     "q_events_retention" -> ((s, d) => {
-      val ev = withUs(Tables.events(s, d))
+      // cohort week as a whole-partition window MIN instead of a
+      // separate aggregate + join-back: one scan of the log and one
+      // user_id exchange replace the former two scans + distinct
+      // exchange + cohort exchange + join (same rows out — the join
+      // attached exactly this per-user min). The (user, wk, cohort)
+      // dedup then needs NO further exchange: hash(user_id) already
+      // clusters its keys (guide §2.4 share-one-exchange).
+      val wU = Window.partitionBy("user_id")
+      withUs(Tables.events(s, d))
         .withColumn("wk",
           date_trunc("week", timestamp_micros(col("ts_us"))))
-        .select("user_id", "wk")
-      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-      ev.distinct()
-        .join(cohort, "user_id")
+        .select(col("user_id"), col("wk"),
+          min("wk").over(wU).as("cohort_wk"))
+        .distinct()
         .withColumn("week_no",
           ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_wk")))
             / (7L * 24 * 3600)).cast("int"))

@@ -327,7 +327,15 @@ object LlmQueries {
       def pairs(df: DataFrame) = df.select("a_id", "b_id")
       // ground truth rides the exact cell-join kernel (bit-identical
       // to bruteTopK by its triangle-inequality proof — no NLJ), and
-      // SHARES q_sim_topk's memoized cell-assignment frame
+      // SHARES q_sim_topk's memoized cell-assignment frame. NOT
+      // persisted despite three consumers below: measured at sf0.1
+      // (r15 session 2, bracketed A/B/A), the materialization
+      // barrier cost +0.5-0.7 s cold vs the three consumers'
+      // sub-DAGs executing CONCURRENTLY over the memoized assignment
+      // (AQE runs independent stages in parallel; a cache is a
+      // serialization point), while the steady win was only −0.1 s —
+      // the re-executed part is the probe/rank tail, not the corpus
+      // scan, which the DerivedCache memo already shares.
       val brute = pairs(AnnSearch.exactCosineTopKNonSelf(
         e.filter(col("vec_id") < 200), k = 5,
         cacheKey = Some(s"sim_topk:max=200:$d")))
