@@ -108,6 +108,40 @@ object IterPlanProbe {
         .select(col("id"), col("newc").as("comp"),
           (col("newc") < col("oldc")).as("changed")), "after")
     }
+    // The SYM EDGE-FRAME BUILD of ConnectedComponents.components
+    // (r15 session 3), over the same asymmetric pair frame the real
+    // callers pass (here: the trading pairs, one direction). BEFORE
+    // is union-of-two-selects → distinct() → repartition(src): the
+    // upstream pair DAG is planned as TWO union branches (executed
+    // per direction) and the build pays TWO full O(E) exchanges (the
+    // distinct's hash(src,dst) exchange plus the repartition's
+    // hash(src) exchange). AFTER emits both directions from ONE pass
+    // via explode(array(e, swap(e))) and runs the pair dedup INSIDE
+    // the repartitioned partitions — dropDuplicates(src, dst) needs
+    // ClusteredDistribution(src, dst), which hashpartitioning(src)
+    // already satisfies, so the aggregate adds no exchange: one scan
+    // of the pair DAG, ONE O(E) exchange total.
+    {
+      def dumpBuild(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(outDir, s"cc_symbuild_$tag.txt"),
+          plan.getBytes(StandardCharsets.UTF_8))
+        println(s"[iterplan] wrote $outDir/cc_symbuild_$tag.txt")
+      }
+      val p = pairs.select(col("a").as("src"), col("b").as("dst"))
+      dumpBuild(p.select(col("src"), col("dst"))
+        .union(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(col("src"))
+        .sortWithinPartitions("src"), "before")
+      dumpBuild(p.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("src"), "after")
+    }
     spark.stop()
   }
 }

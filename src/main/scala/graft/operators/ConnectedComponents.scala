@@ -63,8 +63,23 @@ object ConnectedComponents {
   def components(nodes: DataFrame, edges: DataFrame,
                  maxIter: Int = 50): DataFrame = {
     // Symmetrize once: propagation below only follows src → dst.
-    // distinct() drops duplicate pairs so each round's join fans out
-    // once per neighbor, not once per originally-emitted pair.
+    // Both directions come out of ONE pass over the pair frame via
+    // explode(array(e, swap(e))) — the previous union-of-two-selects
+    // shape planned the ENTIRE upstream pair DAG as two separate
+    // union branches, re-executing it per direction (for the semantic
+    // /embedding callers that DAG is the cell self-join + cosine
+    // filter — the expensive part of the whole query; exchange reuse
+    // recovers some of it, but the post-exchange join/filter work
+    // still ran twice). Guide §1.2: don't compute things twice.
+    // The pair dedup (each round's join must fan out once per
+    // neighbor, not once per originally-emitted pair) runs AFTER the
+    // repartition, inside its partitions: dropDuplicates(src, dst)
+    // needs ClusteredDistribution(src, dst), which hashpartitioning
+    // on src alone already satisfies (equal (src,dst) ⇒ equal src),
+    // so the aggregate adds NO exchange — where the previous
+    // distinct-then-repartition shape paid a second full O(E)
+    // exchange just to move already-distinct rows onto the join key
+    // (guide §2.4 "share one exchange").
     // Cache the symmetrized edge list PRE-PARTITIONED AND PRE-SORTED
     // on the propagation join key: InMemoryRelation preserves
     // outputPartitioning/outputOrdering, so every round's
@@ -72,10 +87,12 @@ object ConnectedComponents {
     // Exchange or Sort — only the O(V) label frame shuffles each
     // round (guide §2.4; the partition-the-edge-list-once iterative
     // shape, same as [[PageRank]]/[[BfsHops]]).
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .sortWithinPartitions("src")
       .persist()
 

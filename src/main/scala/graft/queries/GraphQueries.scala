@@ -60,8 +60,14 @@ object GraphQueries {
       .select((col("o_custkey").cast("long") * 2).as("a"),
         (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
-    pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Both directions from ONE pass over the pairs DAG (explode of
+    // the (e, swap(e)) pair) — the union-of-two-selects form planned
+    // the join+distinct subtree as two branches and re-executed it
+    // per direction in the memo build (guide §1.2).
+    pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Long node id → the declared "c<custkey>"/"s<suppkey>" output
